@@ -1,0 +1,63 @@
+"""HTML → text extraction: ONE pure function shared by the row-at-a-time
+oracle and the batched engine path, so extracted text is byte-identical per
+url by construction (the invariant demanded by BASELINE.json `input_hint`).
+
+The reference runs arbitrary per-field callables in its ``Filter`` slot
+(``/root/reference/chomper/processors.py:251-268``); extraction is the
+engine's canonical instance of that slot. Pure stdlib + compiled regexes
+(compiled once at import — per-actor state costs nothing extra).
+"""
+
+from __future__ import annotations
+
+import re
+
+# Compiled once per process (≡ once per Ray actor/worker).
+_SCRIPT_STYLE = re.compile(
+    rb"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL
+)
+_COMMENT = re.compile(rb"<!--.*?-->", re.DOTALL)
+_TAG = re.compile(rb"<[^>]+>")
+_WS = re.compile(rb"[ \t\r\f\v]+")
+_NL = re.compile(rb"\n\s*\n+")
+
+_ENTITIES = [
+    (b"&nbsp;", b" "),
+    (b"&amp;", b"&"),
+    (b"&lt;", b"<"),
+    (b"&gt;", b">"),
+    (b"&quot;", b'"'),
+    (b"&#39;", b"'"),
+]
+
+
+def extract_text(html: bytes | None) -> str | None:
+    """Deterministic plain-text extraction from raw HTML bytes.
+
+    Steps: drop <script>/<style> blocks and comments → strip tags (each tag
+    becomes a newline boundary for block-ish separation) → decode the six
+    common entities → collapse horizontal whitespace → collapse blank-line
+    runs → strip. Decoding is utf-8 with replacement so arbitrary bytes
+    never raise. ``None`` (e.g. a delete-op change event) stays ``None``.
+    """
+    if html is None:
+        return None
+    b = _SCRIPT_STYLE.sub(b" ", html)
+    b = _COMMENT.sub(b" ", b)
+    b = _TAG.sub(b"\n", b)
+    for ent, rep in _ENTITIES:
+        b = b.replace(ent, rep)
+    b = _WS.sub(b" ", b)
+    b = _NL.sub(b"\n", b)
+    text = b.decode("utf-8", errors="replace")
+    return "\n".join(line.strip() for line in text.split("\n") if line.strip())
+
+
+def extract_text_column(html_values) -> list[str | None]:
+    """Batched helper: list of html payloads → list of texts.
+
+    Per-string work is inherently scalar; the batch path amortizes regex
+    compilation (module-level) and runs inside ``map_batches`` workers so
+    the loop parallelizes across blocks, not on the driver.
+    """
+    return [extract_text(h) for h in html_values]

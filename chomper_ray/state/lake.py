@@ -1,0 +1,430 @@
+"""Partitioned Parquet lake table with copy-on-write commits and an
+exactly-once per-epoch manifest.
+
+Replaces the reference's per-row autocommit sink
+(``/root/reference/chomper/contrib/postgres.py:295-444``: SELECT → UPDATE or
+INSERT → COMMIT per item, acknowledged race at postgres.py:301-302) with:
+
+- a fixed number of hash partitions keyed by ``url`` (the same
+  ``stable_bucket`` that routes the change-set, so merges are
+  partition-local — no second shuffle);
+- copy-on-write: each commit writes a NEW snapshot file per touched
+  partition (``data/p=NNNNN/snap-EEEEEE.parquet``) at a path derived
+  deterministically from (partition, epoch) — a retried write task simply
+  overwrites its own staging output (SURVEY §7.6);
+- an atomic JSON manifest per epoch (tmp + rename) holding the FULL
+  partition→file mapping, row counts, content hashes, the evolved schema
+  and lineage. **Replaying a committed epoch is a no-op** (the commit
+  checks the manifest first), which is what makes replay from any
+  checkpoint land on the identical final state;
+- tombstoned deletes: versions persist so late out-of-order events can
+  never resurrect a deleted key; reads filter ``_deleted``.
+
+Scale notes (100 TB): ``num_partitions`` is fixed at table creation and
+sized so one partition's snapshot + change-set fits a worker's heap
+(e.g. 2 GiB partitions → 50k partitions at 100 TB). The merge fans out as
+one ``map_groups`` task per touched partition — driver work is O(touched
+partitions) metadata only, no data moves through the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from chomper_ray.stages.merge import (
+    BUCKET_COL,
+    INTERNAL_DELETED,
+    INTERNAL_SEQ,
+    add_bucket,
+    apply_changes,
+    lww_dedup_table,
+)
+from chomper_ray.state import schema as schema_mod
+
+_MANIFEST_DIR = "_manifest"
+_DATA_DIR = "data"
+_CHANGES_DIR = "changes"
+
+INTERNAL_COLS = (INTERNAL_SEQ, INTERNAL_DELETED)
+
+
+@dataclass
+class CommitResult:
+    epoch: int
+    skipped: bool = False
+    partitions_touched: int = 0
+    rows_upserted: int = 0
+    rows_deleted: int = 0
+    total_rows: int = 0
+    wall_s: float = 0.0
+    lineage: list[dict] = field(default_factory=list)
+
+
+def _manifest_path(root: Path, epoch: int) -> Path:
+    return root / _MANIFEST_DIR / f"manifest-{epoch:06d}.json"
+
+
+def _atomic_write_json(path: Path, obj) -> None:
+    tmp = path.with_name("." + path.name + ".tmp")
+    tmp.write_text(json.dumps(obj, indent=1, sort_keys=True))
+    os.replace(tmp, path)
+
+
+def committed_epochs(root: str | Path) -> list[int]:
+    d = Path(root) / _MANIFEST_DIR
+    if not d.is_dir():
+        return []
+    return sorted(
+        int(p.stem.split("-")[1]) for p in d.glob("manifest-*.json")
+    )
+
+
+def load_manifest(root: str | Path, epoch: int | None = None) -> dict | None:
+    eps = committed_epochs(root)
+    if not eps:
+        return None
+    if epoch is None:
+        epoch = eps[-1]
+    return json.loads(_manifest_path(Path(root), epoch).read_text())
+
+
+class _PartitionMerger:
+    """Per-partition copy-on-write merge, executed by ``map_groups`` —
+    one invocation per touched bucket, fully vectorized inside.
+
+    A plain callable (not an actor): each group task reads its
+    partition's previous snapshot, merges, writes the new snapshot +
+    change-event side output to deterministic paths, and returns a
+    one-row lineage table. Deterministic output (sorted by key) ⇒
+    retries produce identical files.
+    """
+
+    def __init__(self, root: str, epoch: int, prev_files: dict[int, str],
+                 schema_json: list[dict], key: str, overwrite: bool,
+                 protected: tuple[str, ...], managed_timestamps: bool,
+                 commit_ts_us: int, collect_changes: bool):
+        self.root = root
+        self.epoch = epoch
+        self.prev_files = prev_files
+        self.schema_json = schema_json
+        self.key = key
+        self.overwrite = overwrite
+        self.protected = protected
+        self.managed_timestamps = managed_timestamps
+        self.commit_ts_us = commit_ts_us
+        self.collect_changes = collect_changes
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        pid = group[BUCKET_COL][0].as_py()
+        changes = group.drop_columns([BUCKET_COL])
+        target = schema_mod.schema_from_json(self.schema_json)
+
+        root = Path(self.root)
+        prev = self.prev_files.get(pid)
+        if prev:
+            base_tbl = pq.read_table(root / prev)
+        else:
+            base_fields = list(target) + [
+                pa.field(INTERNAL_SEQ, pa.int64()),
+                pa.field(INTERNAL_DELETED, pa.bool_()),
+            ]
+            if self.managed_timestamps:
+                base_fields += [pa.field("created_at", pa.timestamp("us")),
+                                pa.field("updated_at", pa.timestamp("us"))]
+            base_tbl = pa.schema(base_fields).empty_table()
+        # widen an older snapshot to the evolved schema
+        base_tbl = _conform_snapshot(base_tbl, target, self.managed_timestamps)
+
+        base = base_tbl.to_pandas(types_mapper=None)
+        ch = changes.to_pandas()
+        commit_ts = pd.Timestamp(self.commit_ts_us, unit="us")
+        new, events = apply_changes(
+            base, ch, key=self.key, overwrite=self.overwrite,
+            protected=self.protected,
+            managed_timestamps=self.managed_timestamps,
+            commit_ts=commit_ts, collect_changes=self.collect_changes,
+        )
+        new = new.sort_values(self.key, kind="stable").reset_index(drop=True)
+
+        out_fields = list(target) + [
+            pa.field(INTERNAL_SEQ, pa.int64()),
+            pa.field(INTERNAL_DELETED, pa.bool_()),
+        ]
+        if self.managed_timestamps:
+            out_fields += [pa.field("created_at", pa.timestamp("us")),
+                           pa.field("updated_at", pa.timestamp("us"))]
+        out_schema = pa.schema(out_fields)
+        out_tbl = pa.Table.from_pandas(
+            new[[f.name for f in out_fields]], schema=out_schema,
+            preserve_index=False,
+        )
+
+        pdir = root / _DATA_DIR / f"p={pid:05d}"
+        pdir.mkdir(parents=True, exist_ok=True)
+        rel = f"{_DATA_DIR}/p={pid:05d}/snap-{self.epoch:06d}.parquet"
+        tmp = pdir / f".snap-{self.epoch:06d}.parquet.tmp"
+        pq.write_table(out_tbl, tmp)
+        os.replace(tmp, root / rel)
+
+        ch_rel = None
+        n_events = 0
+        if events is not None and len(events):
+            cdir = root / _CHANGES_DIR / f"p={pid:05d}"
+            cdir.mkdir(parents=True, exist_ok=True)
+            ch_rel = f"{_CHANGES_DIR}/p={pid:05d}/epoch-{self.epoch:06d}.parquet"
+            ctmp = cdir / f".epoch-{self.epoch:06d}.parquet.tmp"
+            pq.write_table(pa.Table.from_pandas(events, preserve_index=False), ctmp)
+            os.replace(ctmp, root / ch_rel)
+            n_events = len(events)
+
+        live = int((~new[INTERNAL_DELETED]).sum())
+        content_hash = snapshot_content_hash(new, self.key)
+        n_del = int(new[INTERNAL_DELETED].sum())
+        return pa.table({
+            "partition_id": [pid],
+            "file": [rel],
+            "rows": [len(new)],
+            "live_rows": [live],
+            "deleted_rows": [n_del],
+            "events_in": [changes.num_rows],
+            "change_events": [n_events],
+            "changes_file": [ch_rel or ""],
+            "hash": [content_hash],
+            "wall_s": [round(time.perf_counter() - t0, 4)],
+        })
+
+
+def _conform_snapshot(tbl: pa.Table, target: pa.Schema, managed: bool) -> pa.Table:
+    extra = [pa.field(INTERNAL_SEQ, pa.int64()), pa.field(INTERNAL_DELETED, pa.bool_())]
+    if managed:
+        extra += [pa.field("created_at", pa.timestamp("us")),
+                  pa.field("updated_at", pa.timestamp("us"))]
+    full = pa.schema(list(target) + [f for f in extra if f.name not in target.names])
+    return schema_mod.conform(tbl, full)
+
+
+def snapshot_content_hash(df: pd.DataFrame, key: str) -> str:
+    """Order-independent content hash of a snapshot (row-value based, not
+    file bytes — Parquet metadata isn't stable). Deterministic across
+    processes (fixed pandas hash key)."""
+    if not len(df):
+        return "0"
+    h = pd.util.hash_pandas_object(
+        df.sort_values(key, kind="stable").reset_index(drop=True)
+        .astype(object).where(df.notna(), None),
+        index=False,
+    )
+    return f"{int(h.sum()) & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
+class LakeTable:
+    """A keyed, partitioned, versioned Parquet table (the upsert target).
+
+    Mirrors the configuration surface of the reference's ``Upserter``
+    builder (``contrib/sql/exporters.py:202-322``): key (identifiers),
+    ``overwrite`` (LWW vs fill-null-only), ``protected`` columns,
+    ``timestamps()`` managed columns, change listeners (always-on side
+    output unless ``collect_changes=False``).
+    """
+
+    def __init__(self, root: str | Path, key: str = "url",
+                 version: tuple[str, str] = ("warc_ts", "seq"),
+                 num_partitions: int = 16, overwrite: bool = True,
+                 protected: tuple[str, ...] = (),
+                 managed_timestamps: bool = False,
+                 collect_changes: bool = True):
+        self.root = Path(root)
+        self.key = key
+        self.version = version
+        self.num_partitions = num_partitions
+        self.overwrite = overwrite
+        self.protected = protected
+        self.managed_timestamps = managed_timestamps
+        self.collect_changes = collect_changes
+        (self.root / _MANIFEST_DIR).mkdir(parents=True, exist_ok=True)
+
+    # -- metadata ---------------------------------------------------------
+    def last_committed_epoch(self) -> int | None:
+        eps = committed_epochs(self.root)
+        return eps[-1] if eps else None
+
+    def current_schema(self) -> pa.Schema | None:
+        m = load_manifest(self.root)
+        return schema_mod.schema_from_json(m["schema"]) if m else None
+
+    def snapshot_hash(self) -> str:
+        """Whole-table content hash from the manifest (per-partition
+        hashes combined) — the replay-equivalence check."""
+        m = load_manifest(self.root)
+        if not m:
+            return "0"
+        acc = 0
+        for pid in sorted(m["partitions"]):
+            acc ^= int(m["partitions"][pid]["hash"], 16)
+        return f"{acc:016x}"
+
+    # -- commit -----------------------------------------------------------
+    def commit_epoch(self, changes_ds, epoch: int,
+                     commit_ts_us: int | None = None) -> CommitResult:
+        """Apply one epoch's (transformed) change events. Exactly-once:
+        if ``epoch`` is already in the manifest log this is a no-op.
+
+        ``changes_ds``: Ray Dataset with the event envelope (``op``,
+        ``seq``) + data columns; ``html`` should already be dropped /
+        ``text`` extracted by the upstream transform chain.
+        """
+        t0 = time.perf_counter()
+        if _manifest_path(self.root, epoch).exists():
+            return CommitResult(epoch=epoch, skipped=True)
+
+        prev = load_manifest(self.root)
+        prev_schema = schema_mod.schema_from_json(prev["schema"]) if prev else None
+        prev_files = {int(p): v["file"] for p, v in (prev or {"partitions": {}})["partitions"].items()}
+        prev_parts = (prev or {}).get("partitions", {})
+
+        incoming = changes_ds.schema()
+        inc_fields = [pa.field(n, t) for n, t in
+                      zip(incoming.names, incoming.types)
+                      if n not in ("op", "seq", "epoch", BUCKET_COL)]
+        inc_schema = pa.schema(inc_fields)
+        target = schema_mod.reconcile(prev_schema, inc_schema) if prev_schema else inc_schema
+        schema_json = schema_mod.schema_to_json(target)
+        if commit_ts_us is None:
+            # deterministic per epoch (replays produce identical timestamps)
+            commit_ts_us = 1_600_000_000_000_000 + epoch * 1_000_000
+
+        key, version, nb = self.key, self.version, self.num_partitions
+        envelope = pa.schema(
+            [pa.field("op", pa.string()), pa.field("seq", pa.int64())]
+            + list(target)
+        )
+
+        def prepare(t: pa.Table) -> pa.Table:
+            if "epoch" in t.column_names:
+                t = t.drop_columns(["epoch"])
+            t = schema_mod.conform(t, envelope)
+            t = lww_dedup_table(t, key, version)  # partial reduce (combiner)
+            return add_bucket(t, key, nb)
+
+        merger = _PartitionMerger(
+            str(self.root), epoch, prev_files, schema_json, key,
+            self.overwrite, self.protected, self.managed_timestamps,
+            commit_ts_us, self.collect_changes,
+        )
+        stats = (
+            changes_ds
+            .map_batches(prepare, batch_format="pyarrow")
+            .groupby(BUCKET_COL)
+            .map_groups(merger, batch_format="pyarrow")
+            .to_pandas()  # ≤ num_partitions rows — driver-side is metadata only
+        )
+
+        partitions = dict(prev_parts)  # carry forward untouched partitions
+        lineage = []
+        for r in stats.itertuples(index=False):
+            partitions[str(r.partition_id)] = {
+                "file": r.file, "rows": int(r.rows),
+                "live_rows": int(r.live_rows), "hash": r.hash,
+            }
+            lineage.append({
+                "partition_id": int(r.partition_id), "epoch": epoch,
+                "events_in": int(r.events_in),
+                "rows": int(r.rows), "live_rows": int(r.live_rows),
+                "deleted_rows": int(r.deleted_rows),
+                "change_events": int(r.change_events),
+                "changes_file": r.changes_file or None,
+                "wall_s": float(r.wall_s),
+            })
+
+        wall = time.perf_counter() - t0
+        manifest = {
+            "epoch": epoch,
+            "key": self.key,
+            "num_partitions": self.num_partitions,
+            "schema": schema_json,
+            "commit_ts_us": commit_ts_us,
+            "partitions": partitions,
+            "lineage": lineage,
+            "wall_s": round(wall, 4),
+        }
+        _atomic_write_json(_manifest_path(self.root, epoch), manifest)
+        return CommitResult(
+            epoch=epoch, skipped=False, partitions_touched=len(stats),
+            rows_upserted=int(stats["events_in"].sum()),
+            rows_deleted=int(stats["deleted_rows"].sum()),
+            total_rows=sum(int(v["live_rows"]) for v in partitions.values()),
+            wall_s=wall, lineage=lineage,
+        )
+
+    # -- read -------------------------------------------------------------
+    def files(self) -> list[str]:
+        m = load_manifest(self.root)
+        if not m:
+            return []
+        return [str(self.root / v["file"]) for _, v in sorted(m["partitions"].items())]
+
+    def read(self, columns=None, include_deleted: bool = False,
+             include_internal: bool = False):
+        """Current table state as a streaming Dataset (no materialization)."""
+        import ray.data as rd
+
+        files = self.files()
+        if not files:
+            raise FileNotFoundError(f"lake at {self.root} has no committed data")
+        ds = rd.read_parquet(files, columns=columns)
+        if not include_deleted:
+            ds = ds.map_batches(
+                lambda t: t.filter(pa.compute.invert(t[INTERNAL_DELETED])),
+                batch_format="pyarrow",
+            )
+        if not include_internal and columns is None:
+            drop = [c for c in INTERNAL_COLS]
+            ds = ds.map_batches(
+                lambda t: t.drop_columns([c for c in drop if c in t.column_names]),
+                batch_format="pyarrow",
+            )
+        return ds
+
+    def read_pandas(self, **kw) -> pd.DataFrame:
+        """Small-table convenience for tests: full snapshot as pandas."""
+        tables = [pq.read_table(f) for f in self.files()]
+        if not tables:
+            return pd.DataFrame()
+        tbl = pa.concat_tables(tables, promote_options="default")
+        df = tbl.to_pandas()
+        if not kw.get("include_deleted"):
+            df = df[~df[INTERNAL_DELETED]]
+        if not kw.get("include_internal"):
+            df = df.drop(columns=[c for c in INTERNAL_COLS if c in df.columns])
+        return df.sort_values(self.key, kind="stable").reset_index(drop=True)
+
+    def lineage(self) -> pd.DataFrame:
+        """Queryable lineage: one row per (partition, epoch) commit."""
+        rows = []
+        for e in committed_epochs(self.root):
+            m = load_manifest(self.root, e)
+            rows.extend(m.get("lineage", []))
+        return pd.DataFrame(rows)
+
+    def change_events(self) -> pd.DataFrame:
+        """All committed change-listener events (url, field, event, epoch)."""
+        frames = []
+        for e in committed_epochs(self.root):
+            m = load_manifest(self.root, e)
+            for ln in m.get("lineage", []):
+                if ln.get("changes_file"):
+                    df = pq.read_table(self.root / ln["changes_file"]).to_pandas()
+                    df["epoch"] = e
+                    frames.append(df)
+        if not frames:
+            return pd.DataFrame(columns=[self.key, "field", "event", "epoch"])
+        return pd.concat(frames, ignore_index=True)

@@ -1,0 +1,67 @@
+"""Extraction byte-identity + schema evolution rules."""
+
+import pyarrow as pa
+import pytest
+
+from chomper_ray.functions.extract import extract_text, extract_text_column
+from chomper_ray.state import schema as sm
+
+
+class TestExtract:
+    def test_strips_tags_scripts_entities(self):
+        html = (b"<html><head><title>T</title><style>x{}</style>"
+                b"<script>var a=1;</script></head>"
+                b"<body><h1>Hello</h1><p>A &amp; B</p><!-- c --></body></html>")
+        assert extract_text(html) == "T\nHello\nA & B"
+
+    def test_none_stays_none(self):
+        assert extract_text(None) is None
+
+    def test_invalid_utf8_never_raises(self):
+        assert isinstance(extract_text(b"<p>\xff\xfe ok</p>"), str)
+
+    def test_batch_path_byte_identical_to_row_path(self):
+        # the invariant: one shared pure function (BASELINE.json input_hint)
+        from chomper_ray.sources.events import _make_html
+
+        htmls = [_make_html(f"https://x.com/p/{i}", i, 12345) for i in range(50)]
+        batch = extract_text_column(htmls)
+        rows = [extract_text(h) for h in htmls]
+        assert all(b.encode() == r.encode() for b, r in zip(batch, rows))
+
+
+class TestSchemaEvolution:
+    def test_widen_ints_and_floats(self):
+        assert sm.widen(pa.int32(), pa.int64()) == pa.int64()
+        assert sm.widen(pa.int64(), pa.int32()) == pa.int64()
+        assert sm.widen(pa.float32(), pa.float64()) == pa.float64()
+        assert sm.widen(pa.int64(), pa.float32()) == pa.float64()
+
+    def test_incompatible_rejected(self):
+        with pytest.raises(sm.SchemaEvolutionError):
+            sm.widen(pa.string(), pa.int64())
+
+    def test_reconcile_additive_and_order_insensitive(self):
+        a = pa.schema([("x", pa.int32()), ("y", pa.string())])
+        b = pa.schema([("x", pa.int64()), ("z", pa.float64())])
+        ab = sm.reconcile(a, b)
+        assert ab.names == ["x", "y", "z"]
+        assert ab.field("x").type == pa.int64()
+        ba = sm.reconcile(b, a)
+        assert set(ba.names) == set(ab.names)
+        assert all(ab.field(n).type == ba.field(n).type for n in ab.names)
+
+    def test_conform_adds_null_and_casts(self):
+        target = pa.schema([("x", pa.int64()), ("z", pa.string())])
+        out = sm.conform(pa.table({"x": pa.array([1, 2], type=pa.int32())}), target)
+        assert out.schema == target
+        assert out["z"].to_pylist() == [None, None]
+
+    def test_conform_rejects_unknown_columns(self):
+        with pytest.raises(sm.SchemaEvolutionError):
+            sm.conform(pa.table({"q": [1]}), pa.schema([("x", pa.int64())]))
+
+    def test_schema_json_roundtrip(self):
+        s = pa.schema([("u", pa.string()), ("t", pa.timestamp("us")),
+                       ("h", pa.binary()), ("n", pa.int64()), ("f", pa.float64())])
+        assert sm.schema_from_json(sm.schema_to_json(s)) == s
