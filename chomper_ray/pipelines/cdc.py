@@ -91,13 +91,21 @@ def run_cdc(
     if max_epochs is not None:
         pending = pending[:max_epochs]
 
+    if extract_concurrency is None:
+        # size the actor pool to ~half the cluster CPUs so the read, shuffle
+        # and sink stages aren't starved (engine rule: concurrency × num_cpus
+        # sized to the node)
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        extract_concurrency = max(2, ncpu // 2)
+
     res = CdcRunResult()
     for epoch in pending:
         ds = ev.read_epoch(log_dir, epoch)
-        kwargs = dict(batch_format="pyarrow", batch_size=extract_batch_size)
-        if extract_concurrency:
-            kwargs["concurrency"] = extract_concurrency
-        ds = ds.map_batches(ExtractText, **kwargs)
+        ds = ds.map_batches(ExtractText, batch_format="pyarrow",
+                            batch_size=extract_batch_size,
+                            concurrency=extract_concurrency)
         commit = lake.commit_epoch(ds, epoch)
         res.commits.append(commit)
         if commit.skipped:

@@ -320,11 +320,14 @@ class LakeTable:
             self.overwrite, self.protected, self.managed_timestamps,
             commit_ts_us, self.collect_changes,
         )
+        def merge_partition(group: pa.Table, _m=merger) -> pa.Table:
+            return _m(group)
+
         stats = (
             changes_ds
             .map_batches(prepare, batch_format="pyarrow")
             .groupby(BUCKET_COL)
-            .map_groups(merger, batch_format="pyarrow")
+            .map_groups(merge_partition, batch_format="pyarrow")
             .to_pandas()  # ≤ num_partitions rows — driver-side is metadata only
         )
 

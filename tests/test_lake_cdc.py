@@ -1,0 +1,147 @@
+"""End-to-end CDC: generator → extract → LWW upsert → manifest lake.
+
+Verifies the north-star invariants (BASELINE.json):
+- final table state matches a row-at-a-time oracle upsert (the
+  reference's SELECT→UPDATE/INSERT loop, contrib/postgres.py:374-386),
+  including byte-identical extracted text per url;
+- exactly-once: replaying committed epochs is a no-op (identical
+  snapshot hash);
+- resume from any mid-stream checkpoint converges to the same state;
+- schema evolution (additive column + int widening) across epochs;
+- lineage rows exist per (partition, epoch).
+"""
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from chomper_ray.functions.extract import extract_text
+from chomper_ray.pipelines.cdc import run_cdc
+from chomper_ray.sources import events as ev
+from chomper_ray.state.lake import LakeTable
+
+
+@pytest.fixture(scope="module")
+def change_log(tmp_path_factory):
+    d = tmp_path_factory.mktemp("log")
+    ev.generate_change_stream(
+        d, n_events=3000, n_urls=400, n_epochs=4, seed=11,
+        delete_frac=0.06, ooo_frac=0.15, evolution_epoch=2,
+    )
+    return d
+
+
+def oracle_upsert(log_dir):
+    """Row-at-a-time reference-style upsert: arrival order by (epoch, seq),
+    winner by (warc_ts, seq); deletes tombstone. Returns {url: row}."""
+    state: dict[str, dict] = {}
+    for e in ev.list_epochs(log_dir):
+        for f in ev.epoch_files(log_dir, e):
+            for row in pq.read_table(f).to_pylist():
+                url = row["url"]
+                ver = (row["warc_ts"], row["seq"])
+                cur = state.get(url)
+                if cur is not None and (cur["warc_ts"], cur["_seq"]) >= ver:
+                    continue
+                new = {
+                    "url": url, "warc_ts": row["warc_ts"],
+                    "text": extract_text(row["html"]), "lang": row["lang"],
+                    "fetch_status": row.get("fetch_status"),
+                    "extra_score": row.get("extra_score"),
+                    "_seq": row["seq"], "_deleted": row["op"] == "delete",
+                }
+                state[url] = new
+    return state
+
+
+def test_cdc_end_to_end_matches_oracle(change_log, tmp_path):
+    lake_root = tmp_path / "lake"
+    res = run_cdc(change_log, lake_root, num_partitions=8)
+    assert res.epochs_run == [0, 1, 2, 3]
+    assert res.events_applied > 0
+
+    lake = LakeTable(lake_root, num_partitions=8)
+    got = lake.read_pandas(include_deleted=True, include_internal=True)
+    oracle = oracle_upsert(change_log)
+    assert len(got) == len(oracle)
+
+    got = got.set_index("url")
+    for url, exp in oracle.items():
+        row = got.loc[url]
+        assert bool(row["_deleted"]) == exp["_deleted"], url
+        assert int(row["_seq"]) == exp["_seq"], url
+        if not exp["_deleted"]:
+            # byte-identical extracted text per url — the core invariant
+            assert (row["text"] or "").encode() == (exp["text"] or "").encode(), url
+            assert row["lang"] == exp["lang"]
+            assert pd.Timestamp(row["warc_ts"]) == pd.Timestamp(exp["warc_ts"])
+
+    # live read excludes tombstones and internals
+    live = lake.read_pandas()
+    n_live = sum(1 for v in oracle.values() if not v["_deleted"])
+    assert len(live) == n_live
+    assert "_deleted" not in live.columns
+
+
+def test_schema_evolution_across_epochs(change_log, tmp_path):
+    lake_root = tmp_path / "lake"
+    run_cdc(change_log, lake_root, num_partitions=4)
+    lake = LakeTable(lake_root, num_partitions=4)
+    schema = lake.current_schema()
+    # int32 fetch_status widened to int64; extra_score joined as nullable
+    assert str(schema.field("fetch_status").type) == "int64"
+    assert "extra_score" in schema.names
+    df = lake.read_pandas()
+    # rows last written before the evolution epoch have null extra_score
+    assert df["extra_score"].isna().any()
+    assert df["extra_score"].notna().any()
+
+
+def test_replay_is_noop_and_hash_stable(change_log, tmp_path):
+    lake_root = tmp_path / "lake"
+    run_cdc(change_log, lake_root, num_partitions=4)
+    lake = LakeTable(lake_root, num_partitions=4)
+    h1 = lake.snapshot_hash()
+    res2 = run_cdc(change_log, lake_root, num_partitions=4)  # full replay
+    assert res2.epochs_run == [] and res2.epochs_skipped == []
+    # force re-commit attempt of a committed epoch directly → skipped
+    ds = ev.read_epoch(change_log, 0)
+    assert lake.commit_epoch(ds, 0).skipped
+    assert lake.snapshot_hash() == h1
+
+
+def test_resume_from_checkpoint_equals_full_run(change_log, tmp_path):
+    full_root = tmp_path / "full"
+    run_cdc(change_log, full_root, num_partitions=4)
+    h_full = LakeTable(full_root, num_partitions=4).snapshot_hash()
+
+    part_root = tmp_path / "partial"
+    run_cdc(change_log, part_root, num_partitions=4, max_epochs=2)
+    lake = LakeTable(part_root, num_partitions=4)
+    assert lake.last_committed_epoch() == 1
+    run_cdc(change_log, part_root, num_partitions=4)  # resume
+    assert lake.last_committed_epoch() == 3
+    assert lake.snapshot_hash() == h_full
+
+
+def test_lineage_and_change_events(change_log, tmp_path):
+    lake_root = tmp_path / "lake"
+    run_cdc(change_log, lake_root, num_partitions=4)
+    lake = LakeTable(lake_root, num_partitions=4)
+    lin = lake.lineage()
+    assert set(lin["epoch"]) == {0, 1, 2, 3}
+    assert (lin["events_in"] > 0).all()
+    assert lin["wall_s"].notna().all()
+
+    evs = lake.change_events()
+    assert set(evs["event"]) >= {"insert", "update", "change"}
+    # row-level insert events = first-touch count of each live/deleted url
+    n_inserts = len(evs[(evs["event"] == "insert") & (evs["field"].isna())])
+    assert n_inserts > 0
+
+
+def test_num_partitions_layout(change_log, tmp_path):
+    lake_root = tmp_path / "lake"
+    run_cdc(change_log, lake_root, num_partitions=8)
+    files = LakeTable(lake_root, num_partitions=8).files()
+    assert 1 < len(files) <= 8
