@@ -1,0 +1,93 @@
+"""Relational building blocks the reference lacks but the engine needs
+(SURVEY §2.5): broadcast lookup join, pre-aggregated grouped aggregation,
+top-k, distinct — each shaped to minimize shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+import pyarrow as pa
+
+
+def broadcast_join(ds, small: pd.DataFrame, on: str | list[str],
+                   how: str = "inner", suffix: str = "_r"):
+    """Join a Dataset with a SMALL side: the small table is ``ray.put``
+    once and merged per batch inside ``map_batches`` — no shuffle.
+
+    Reference ancestry: ``QueryAssigner`` did one SQL point query PER ROW
+    (/root/reference/chomper/contrib/sql/processors.py:25-43); this is the
+    same lookup-join semantic at zero round-trips.
+    """
+    import ray
+
+    ref = ray.put(small)
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        rhs = ray.get(ref)
+        return batch.merge(rhs, on=on, how=how, suffixes=("", suffix))
+
+    return ds.map_batches(join, batch_format="pandas")
+
+
+def grouped_agg(ds, keys: Sequence[str], sums: Sequence[str] = (),
+                counts: bool = True, means: Sequence[str] = ()):
+    """Grouped aggregation with a per-batch partial pre-aggregate (the
+    combiner) so the shuffle moves one row per key per block, not raw rows.
+
+    Means are computed as sum/count at finalize (decomposable).
+    """
+    keys = list(keys)
+    sum_cols = sorted(set(sums) | set(means))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, dropna=False)
+        out = g[sum_cols].sum() if sum_cols else g.size().to_frame("__drop")
+        out = out.rename(columns={c: f"sum_{c}" for c in sum_cols})
+        out["n_rows"] = g.size()
+        return out.reset_index().drop(columns=["__drop"], errors="ignore")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, dropna=False)
+        agg = {f"sum_{c}": "sum" for c in sum_cols}
+        agg["n_rows"] = "sum"
+        out = g.agg(agg).reset_index()
+        for c in means:
+            out[f"avg_{c}"] = out[f"sum_{c}"] / out["n_rows"]
+            if c not in sums:
+                out = out.drop(columns=[f"sum_{c}"])
+        if not counts:
+            out = out.drop(columns=["n_rows"])
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby(keys).map_groups(final, batch_format="pandas")
+
+
+def topk(ds, by: str, k: int, descending: bool = True,
+         tie_break: str | None = None) -> pd.DataFrame:
+    """Global top-k without a global sort: local top-k per block, then a
+    driver-side reduce over ≤ num_blocks × k candidate rows."""
+    order = [by] + ([tie_break] if tie_break else [])
+    asc = [not descending] + ([True] if tie_break else [])
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order, ascending=asc, kind="stable").head(k)
+
+    cand = ds.map_batches(local, batch_format="pandas").to_pandas()
+    return cand.sort_values(order, ascending=asc, kind="stable").head(k) \
+        .reset_index(drop=True)
+
+
+def distinct(ds, columns: Sequence[str]):
+    """Distinct rows over listed columns: per-block dedup (combiner) →
+    hash-grouped final dedup."""
+    columns = list(columns)
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df[columns].drop_duplicates()
+
+    return (ds.map_batches(local, batch_format="pandas")
+              .groupby(columns)
+              .map_groups(lambda g: g.head(1), batch_format="pandas"))

