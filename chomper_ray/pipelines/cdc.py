@@ -77,12 +77,20 @@ def run_cdc(
     *,
     num_partitions: int = 16,
     extract_concurrency: int | None = None,
-    extract_batch_size: int = 2048,
+    extract_batch_size: int | None = None,
     max_epochs: int | None = None,
     lake_kwargs: dict | None = None,
 ) -> CdcRunResult:
     """Tail the change log from the lake's checkpoint cursor to the log
-    head, committing one epoch at a time. Idempotent + resumable."""
+    head, committing one epoch at a time. Idempotent + resumable.
+
+    Extraction runs as STATELESS tasks by default — its state (compiled
+    regexes) is module-level, so an actor pool would only add per-epoch
+    actor startup latency. Pass ``extract_concurrency`` to force an actor
+    pool (the shape a model-loading extractor needs).
+    """
+    import pyarrow.parquet as pq
+
     t0 = time.perf_counter()
     lake = LakeTable(lake_root, num_partitions=num_partitions,
                      **(lake_kwargs or {}))
@@ -91,27 +99,33 @@ def run_cdc(
     if max_epochs is not None:
         pending = pending[:max_epochs]
 
-    if extract_concurrency is None:
-        # size the actor pool to ~half the cluster CPUs so the read, shuffle
-        # and sink stages aren't starved (engine rule: concurrency × num_cpus
-        # sized to the node)
-        import ray
-
-        ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        extract_concurrency = max(2, ncpu // 2)
-
     res = CdcRunResult()
+    extract = ExtractText()
     for epoch in pending:
+        files = ev.epoch_files(log_dir, epoch)
+        n_raw = sum(pq.read_metadata(f).num_rows for f in files)
         ds = ev.read_epoch(log_dir, epoch)
-        ds = ds.map_batches(ExtractText, batch_format="pyarrow",
-                            batch_size=extract_batch_size,
-                            concurrency=extract_concurrency)
-        commit = lake.commit_epoch(ds, epoch)
+        # whole blocks as batches (batch_size=None): re-slicing Arrow blocks
+        # into fixed-size batches measurably costs more than it buys for
+        # binary-payload rows; granularity is controlled by segment file
+        # size / block size instead
+        kwargs = dict(batch_format="pyarrow")
+        if extract_batch_size:
+            kwargs["batch_size"] = extract_batch_size
+        if extract_concurrency:
+            ds = ds.map_batches(ExtractText, concurrency=extract_concurrency,
+                                **kwargs)
+        else:
+            ds = ds.map_batches(extract, **kwargs)
+        # resolve the post-transform schema WITHOUT executing the pipeline:
+        # apply the transform to an empty batch of the segment schema
+        schema_hint = extract(ev.epoch_schema(log_dir, epoch).empty_table()).schema
+        commit = lake.commit_epoch(ds, epoch, schema_hint=schema_hint)
         res.commits.append(commit)
         if commit.skipped:
             res.epochs_skipped.append(epoch)
         else:
             res.epochs_run.append(epoch)
-            res.events_applied += commit.rows_upserted
+            res.events_applied += n_raw
     res.wall_s = time.perf_counter() - t0
     return res

@@ -38,11 +38,12 @@ _DOMAINS_POOL = [
 _LANGS = np.array(["en", "de", "fr", "es", "it", "pt", "nl", "ru"])
 
 
-def _make_html(url: str, seq: int, rng_word: int) -> bytes:
+def _make_html(url: str, seq: int, rng_word: int, scale: int = 1) -> bytes:
     """Deterministic fake web page for (url, seq): title + paragraphs +
-    script/style noise so extraction has something to strip."""
+    script/style noise so extraction has something to strip. ``scale``
+    multiplies the paragraph count (bench uses larger pages)."""
     h = (rng_word * 2654435761 + seq * 40503) & 0xFFFFFFFF
-    n_paras = 1 + (h % 4)
+    n_paras = (1 + (h % 4)) * scale
     words = ["lorem", "ipsum", "dolor", "sit", "amet", "consectetur",
              "adipiscing", "elit", "sed", "do", "eiusmod", "tempor",
              "incididunt", "labore", "dolore", "magna"]
@@ -71,13 +72,15 @@ def generate_change_stream(
     zipf_a: float = 1.3,
     evolution_epoch: int | None = None,
     rows_per_file: int = 50_000,
+    html_scale: int = 1,
     force: bool = False,
 ) -> Path:
     """Write the deterministic change log under ``out_dir``. Idempotent:
     if ``out_dir/_COMPLETE`` exists with matching params, returns at once
     (so bench runs at two parallelism levels share identical input)."""
     out = Path(out_dir)
-    stamp = f"{n_events},{n_urls},{n_epochs},{seed},{delete_frac},{ooo_frac},{zipf_a},{evolution_epoch}"
+    stamp = (f"{n_events},{n_urls},{n_epochs},{seed},{delete_frac},"
+             f"{ooo_frac},{zipf_a},{evolution_epoch},{html_scale},{rows_per_file}")
     done = out / "_COMPLETE"
     if done.exists() and not force and done.read_text() == stamp:
         return out
@@ -127,7 +130,8 @@ def generate_change_stream(
         for fi, lo in enumerate(range(0, len(sel), rows_per_file)):
             idx = sel[lo:lo + rows_per_file]
             html = [
-                None if ops[i] == "delete" else _make_html(urls[i], int(i), word_seed)
+                None if ops[i] == "delete"
+                else _make_html(urls[i], int(i), word_seed, html_scale)
                 for i in idx
             ]
             cols = {
