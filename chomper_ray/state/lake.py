@@ -68,6 +68,8 @@ class CommitResult:
     rows_deleted: int = 0
     total_rows: int = 0
     wall_s: float = 0.0
+    stage_s: float = 0.0
+    merge_s: float = 0.0
     lineage: list[dict] = field(default_factory=list)
 
 
@@ -363,8 +365,11 @@ class LakeTable:
 
         import ray.data as rd
 
+        t_stage0 = time.perf_counter()
         staged = changes_ds.map_batches(stage, batch_format="pyarrow").to_pandas()
         touched_pids = sorted(staged["pid"].unique().tolist())
+        stage_s = time.perf_counter() - t_stage0
+        t_merge0 = time.perf_counter()
 
         # -- phase B: one merge task per touched partition ----------------
         merger = _PartitionMerger(
@@ -382,6 +387,7 @@ class LakeTable:
             .map_batches(merge_partitions, batch_format="pyarrow")
             .to_pandas()  # ≤ num_partitions rows — driver-side is metadata only
         )
+        merge_s = time.perf_counter() - t_merge0
         shutil.rmtree(stage_root, ignore_errors=True)
 
         partitions = dict(prev_parts)  # carry forward untouched partitions
@@ -418,7 +424,7 @@ class LakeTable:
             rows_upserted=int(stats["events_in"].sum()),
             rows_deleted=int(stats["deleted_rows"].sum()),
             total_rows=sum(int(v["live_rows"]) for v in partitions.values()),
-            wall_s=wall, lineage=lineage,
+            wall_s=wall, stage_s=stage_s, merge_s=merge_s, lineage=lineage,
         )
 
     # -- read -------------------------------------------------------------
