@@ -106,6 +106,7 @@ def apply_changes(
     managed_timestamps: bool = False,
     commit_ts=None,
     collect_changes: bool = True,
+    insert_missing: bool = True,
 ) -> tuple[pd.DataFrame, pd.DataFrame | None]:
     """Merge a deduped change-set into one partition's snapshot.
 
@@ -131,6 +132,14 @@ def apply_changes(
     ``change`` rows for differing columns (every present column on
     insert, exporters.py:303-305); unchanged columns do NOT fire.
     """
+    if not insert_missing:
+        # update-only semantics (reference Updater, contrib/sql/
+        # exporters.py:185-199): events for keys without a live base row
+        # are dropped, not inserted
+        live_keys = set(base.loc[~base[INTERNAL_DELETED].astype(bool), key]) \
+            if len(base) else set()
+        changes = changes[changes[key].isin(live_keys)]
+
     ts_cols = ["created_at", "updated_at"] if managed_timestamps else []
     data_cols = [c for c in changes.columns
                  if c not in ("op", "seq", key, INTERNAL_SEQ, INTERNAL_DELETED)]

@@ -115,7 +115,8 @@ class _PartitionMerger:
     def __init__(self, root: str, epoch: int, prev_files: dict[int, str],
                  schema_json: list[dict], key: str, overwrite: bool,
                  protected: tuple[str, ...], managed_timestamps: bool,
-                 commit_ts_us: int, collect_changes: bool):
+                 commit_ts_us: int, collect_changes: bool,
+                 insert_missing: bool = True):
         self.root = root
         self.epoch = epoch
         self.prev_files = prev_files
@@ -126,6 +127,7 @@ class _PartitionMerger:
         self.managed_timestamps = managed_timestamps
         self.commit_ts_us = commit_ts_us
         self.collect_changes = collect_changes
+        self.insert_missing = insert_missing
 
     def __call__(self, pids: pa.Table) -> pa.Table:
         out = [self._merge_one(int(p)) for p in pids["pid"].to_pylist()]
@@ -164,6 +166,7 @@ class _PartitionMerger:
             protected=self.protected,
             managed_timestamps=self.managed_timestamps,
             commit_ts=commit_ts, collect_changes=self.collect_changes,
+            insert_missing=self.insert_missing,
         )
         new = new.sort_values(self.key, kind="stable").reset_index(drop=True)
 
@@ -253,7 +256,8 @@ class LakeTable:
                  num_partitions: int = 16, overwrite: bool = True,
                  protected: tuple[str, ...] = (),
                  managed_timestamps: bool = False,
-                 collect_changes: bool = True):
+                 collect_changes: bool = True,
+                 insert_missing: bool = True):
         self.root = Path(root)
         self.key = key
         self.version = version
@@ -262,6 +266,7 @@ class LakeTable:
         self.protected = protected
         self.managed_timestamps = managed_timestamps
         self.collect_changes = collect_changes
+        self.insert_missing = insert_missing
         (self.root / _MANIFEST_DIR).mkdir(parents=True, exist_ok=True)
 
     # -- metadata ---------------------------------------------------------
@@ -375,7 +380,7 @@ class LakeTable:
         merger = _PartitionMerger(
             str(self.root), epoch, prev_files, schema_json, key,
             self.overwrite, self.protected, self.managed_timestamps,
-            commit_ts_us, self.collect_changes,
+            commit_ts_us, self.collect_changes, self.insert_missing,
         )
 
         def merge_partitions(batch: pa.Table, _m=merger) -> pa.Table:
@@ -490,3 +495,27 @@ class LakeTable:
         if not frames:
             return pd.DataFrame(columns=[self.key, "field", "event", "epoch"])
         return pd.concat(frames, ignore_index=True)
+
+    # -- full refresh ------------------------------------------------------
+    def truncate(self, epoch: int) -> CommitResult:
+        """Full-refresh commit: the table state after ``epoch`` is empty
+        (reference ``PostgresTruncator``, contrib/postgres.py:262-292 —
+        used as a pipeline step before re-feeding). Data files of earlier
+        snapshots remain on disk for time travel until compaction; only
+        the manifest pointer changes. Exactly-once like any commit."""
+        if _manifest_path(self.root, epoch).exists():
+            return CommitResult(epoch=epoch, skipped=True)
+        prev = load_manifest(self.root)
+        manifest = {
+            "epoch": epoch,
+            "key": self.key,
+            "num_partitions": self.num_partitions,
+            "schema": (prev or {}).get("schema", []),
+            "commit_ts_us": 1_600_000_000_000_000 + epoch * 1_000_000,
+            "partitions": {},
+            "lineage": [],
+            "truncated": True,
+            "wall_s": 0.0,
+        }
+        _atomic_write_json(_manifest_path(self.root, epoch), manifest)
+        return CommitResult(epoch=epoch, total_rows=0)

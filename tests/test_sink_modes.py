@@ -1,0 +1,99 @@
+"""Sink-mode parity: update-only (Updater), truncate (Truncator), and the
+fill-null/protected policies at the lake level."""
+
+import pandas as pd
+import pytest
+
+from chomper_ray.pipelines.cdc import run_cdc
+from chomper_ray.sources import events as ev
+from chomper_ray.state.lake import LakeTable
+
+
+@pytest.fixture(scope="module")
+def small_log(tmp_path_factory):
+    d = tmp_path_factory.mktemp("log")
+    ev.generate_change_stream(d, n_events=500, n_urls=120, n_epochs=2, seed=3)
+    return d
+
+
+def test_update_only_never_inserts(small_log, tmp_path):
+    # reference Updater: no insert if absent (contrib/postgres.py:184-259)
+    lake_root = tmp_path / "lake"
+    run_cdc(small_log, lake_root, num_partitions=4, max_epochs=1,
+            lake_kwargs={})
+    lake_full = LakeTable(lake_root, num_partitions=4)
+    keys_after_e0 = set(lake_full.read_pandas()["url"])
+
+    run_cdc(small_log, lake_root, num_partitions=4,
+            lake_kwargs={"insert_missing": False})
+    after = LakeTable(lake_root, num_partitions=4).read_pandas()
+    # epoch 1 may update/delete existing keys but never add new ones
+    assert set(after["url"]) <= keys_after_e0
+
+
+def test_truncate_full_refresh(small_log, tmp_path):
+    lake_root = tmp_path / "lake"
+    run_cdc(small_log, lake_root, num_partitions=4)
+    lake = LakeTable(lake_root, num_partitions=4)
+    assert len(lake.read_pandas()) > 0
+    res = lake.truncate(epoch=99)
+    assert not res.skipped
+    assert lake.files() == []
+    assert lake.last_committed_epoch() == 99
+    # truncate is itself exactly-once
+    assert lake.truncate(epoch=99).skipped
+
+
+def test_fill_null_only_lake_level(tmp_path):
+    """overwrite=False at the lake: later non-null values fill only
+    nulls (reference Upserter.overwrite(False), test_sql.py:167-175)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    lake = LakeTable(tmp_path / "lake", key="url", num_partitions=2,
+                     overwrite=False)
+
+    def mk(op, seq, url, ts, text, lang):
+        return {"op": op, "seq": seq, "url": url,
+                "warc_ts": pd.Timestamp(ts, unit="s"), "text": text,
+                "lang": lang}
+
+    e0 = pa.Table.from_pylist([
+        mk("insert", 0, "u1", 10, None, "en"),
+        mk("insert", 1, "u2", 10, "keep", "de"),
+    ])
+    lake.commit_epoch(rd.from_arrow(e0), 0)
+    e1 = pa.Table.from_pylist([
+        mk("update", 2, "u1", 20, "filled", "fr"),   # text fills, lang kept
+        mk("update", 3, "u2", 20, "clobber", None),  # text kept
+    ])
+    lake.commit_epoch(rd.from_arrow(e1), 1)
+    df = lake.read_pandas().set_index("url")
+    assert df.loc["u1", "text"] == "filled"
+    assert df.loc["u1", "lang"] == "en"
+    assert df.loc["u2", "text"] == "keep"
+    assert df.loc["u2", "lang"] == "de"
+
+
+def test_protected_and_timestamps_lake_level(tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    lake = LakeTable(tmp_path / "lake", key="url", num_partitions=2,
+                     protected=("lang",), managed_timestamps=True)
+
+    def mk(op, seq, url, ts, text, lang):
+        return {"op": op, "seq": seq, "url": url,
+                "warc_ts": pd.Timestamp(ts, unit="s"), "text": text,
+                "lang": lang}
+
+    lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(
+        [mk("insert", 0, "u1", 10, "a", "en")])), 0)
+    lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(
+        [mk("update", 1, "u1", 20, "b", "xx")])), 1)
+    df = lake.read_pandas(include_internal=True)
+    row = df.set_index("url").loc["u1"]
+    assert row["text"] == "b"
+    assert row["lang"] == "en"          # protected survives the update
+    assert pd.notna(row["created_at"]) and pd.notna(row["updated_at"])
+    assert row["updated_at"] > row["created_at"]
