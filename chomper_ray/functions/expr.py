@@ -60,6 +60,10 @@ class Expression:
             l, r = self.left.mask(table), self.right.mask(table)
             return (pc.and_kleene if op == "and" else pc.or_kleene)(l, r)
         left = _operand(self.left, table)
+        if op in ("in", "not_in") and _is_null_typed(left):
+            if op == "in":  # null is never in the set (matches row oracle)
+                return pa.array([False] * table.num_rows, type=pa.bool_())
+            return pa.nulls(table.num_rows, type=pa.bool_())
         if op == "in":
             return pc.is_in(left, value_set=pa.array(list(self.right)))
         if op == "not_in":
@@ -67,6 +71,10 @@ class Expression:
             inv = pc.invert(pc.is_in(left, value_set=pa.array(list(self.right))))
             return pc.if_else(pc.is_valid(left), inv, pa.scalar(None, pa.bool_()))
         right = _operand(self.right, table)
+        if _is_null_typed(left) or _is_null_typed(right):
+            # comparing against an all-null (null-typed) operand is
+            # unknown everywhere — no Arrow kernel exists for null types
+            return pa.nulls(table.num_rows, type=pa.bool_())
         fn = {"eq": pc.equal, "ne": pc.not_equal, "lt": pc.less,
               "lte": pc.less_equal, "gt": pc.greater, "gte": pc.greater_equal}[op]
         return fn(left, right)
@@ -175,6 +183,14 @@ class Col:
 
 def F(name: str) -> Col:
     return Col(name)
+
+
+def _is_null_typed(v: Any) -> bool:
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        return pa.types.is_null(v.type)
+    if isinstance(v, pa.Scalar):
+        return pa.types.is_null(v.type)
+    return False
 
 
 def _operand(v: Any, table: pa.Table):
