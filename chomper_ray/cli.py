@@ -1,0 +1,115 @@
+"""CLI entry points — the surface a ``ray job submit`` deployment drives.
+
+On a real cluster:
+
+    ray job submit --working-dir . -- \
+        python -m chomper_ray.cli run-cdc \
+        --log-dir s3://bucket/binlog --lake-root s3://bucket/lake \
+        --num-partitions 4096
+
+In this sandbox the same commands run against local paths. The CLI owns
+its Ray session (guarded init) — library code never calls ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="chomper_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="deterministic synthetic change log")
+    g.add_argument("--out-dir", required=True)
+    g.add_argument("--n-events", type=int, default=10_000)
+    g.add_argument("--n-urls", type=int, default=2_000)
+    g.add_argument("--n-epochs", type=int, default=4)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--evolution-epoch", type=int, default=None)
+
+    r = sub.add_parser("run-cdc", help="binlog-tail → lake-upsert from checkpoint")
+    r.add_argument("--log-dir", required=True)
+    r.add_argument("--lake-root", required=True)
+    r.add_argument("--num-partitions", type=int, default=16)
+    r.add_argument("--max-epochs", type=int, default=None)
+    r.add_argument("--tail", action="store_true",
+                   help="continuous: poll for new epochs (Ctrl-C to stop)")
+
+    s = sub.add_parser("status", help="lake checkpoint + lineage summary")
+    s.add_argument("--lake-root", required=True)
+
+    t = sub.add_parser("truncate", help="full-refresh commit")
+    t.add_argument("--lake-root", required=True)
+    t.add_argument("--epoch", type=int, required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "generate":
+        from chomper_ray.sources.events import generate_change_stream
+
+        out = generate_change_stream(
+            args.out_dir, n_events=args.n_events, n_urls=args.n_urls,
+            n_epochs=args.n_epochs, seed=args.seed,
+            evolution_epoch=args.evolution_epoch)
+        print(json.dumps({"log_dir": str(out)}))
+        return 0
+
+    if args.cmd == "run-cdc":
+        _ray_init()
+        from chomper_ray.pipelines.cdc import run_cdc, tail_cdc
+
+        fn = tail_cdc if args.tail else run_cdc
+        res = fn(args.log_dir, args.lake_root,
+                 num_partitions=args.num_partitions,
+                 **({} if args.tail else {"max_epochs": args.max_epochs}))
+        print(json.dumps({
+            "epochs_run": res.epochs_run,
+            "epochs_skipped": res.epochs_skipped,
+            "events_applied": res.events_applied,
+            "wall_s": round(res.wall_s, 2),
+        }))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "status":
+        from chomper_ray.state.lake import LakeTable, load_manifest
+
+        lake = LakeTable(args.lake_root)
+        m = load_manifest(args.lake_root)
+        print(json.dumps({
+            "last_committed_epoch": lake.last_committed_epoch(),
+            "snapshot_hash": lake.snapshot_hash(),
+            "num_partitions": (m or {}).get("num_partitions"),
+            "live_rows": sum(v.get("live_rows", 0)
+                             for v in (m or {}).get("partitions", {}).values()),
+            "schema": (m or {}).get("schema"),
+        }))
+        return 0
+
+    if args.cmd == "truncate":
+        from chomper_ray.state.lake import LakeTable
+
+        res = LakeTable(args.lake_root).truncate(args.epoch)
+        print(json.dumps({"epoch": res.epoch, "skipped": res.skipped}))
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

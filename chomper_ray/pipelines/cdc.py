@@ -129,3 +129,40 @@ def run_cdc(
             res.events_applied += n_raw
     res.wall_s = time.perf_counter() - t0
     return res
+
+
+def tail_cdc(
+    log_dir: str | Path,
+    lake_root: str | Path,
+    *,
+    poll_interval_s: float = 1.0,
+    max_idle_polls: int | None = None,
+    **run_kwargs,
+) -> CdcRunResult:
+    """Continuous tail: poll the log for new epochs and commit them as
+    they appear — the reference's ``close_when_idle=False`` loop
+    (``/root/reference/chomper/importers.py:54-62``, 1 s idle sleep) made
+    idempotent: every poll is just ``run_cdc`` from the checkpoint
+    cursor, so crash/restart at any point re-enters safely.
+
+    ``max_idle_polls=None`` tails forever; a number bounds idle polls
+    (used by tests and drain-then-exit deployments).
+    """
+    total = CdcRunResult()
+    idle = 0
+    t0 = time.perf_counter()
+    while True:
+        res = run_cdc(log_dir, lake_root, **run_kwargs)
+        total.epochs_run.extend(res.epochs_run)
+        total.epochs_skipped.extend(res.epochs_skipped)
+        total.events_applied += res.events_applied
+        total.commits.extend(res.commits)
+        if res.epochs_run:
+            idle = 0
+        else:
+            idle += 1
+            if max_idle_polls is not None and idle >= max_idle_polls:
+                break
+            time.sleep(poll_interval_s)
+    total.wall_s = time.perf_counter() - t0
+    return total

@@ -1,0 +1,98 @@
+"""Continuous tail, hot-key skew handling, and the CLI surface."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from chomper_ray.pipelines.cdc import run_cdc, tail_cdc
+from chomper_ray.sources import events as ev
+from chomper_ray.state.lake import LakeTable
+
+
+def test_tail_commits_new_epochs_then_drains(tmp_path):
+    log = tmp_path / "log"
+    ev.generate_change_stream(log, n_events=600, n_urls=150, n_epochs=2, seed=5)
+    lake_root = tmp_path / "lake"
+    res = tail_cdc(log, lake_root, poll_interval_s=0.05, max_idle_polls=2,
+                   num_partitions=4)
+    assert res.epochs_run == [0, 1]
+    # append a new epoch to the log → a fresh tail picks it up from cursor
+    ev.generate_change_stream(tmp_path / "log2", n_events=900, n_urls=150,
+                              n_epochs=3, seed=5)
+    import shutil
+    shutil.copytree(tmp_path / "log2" / "epoch=000002", log / "epoch=000002")
+    res2 = tail_cdc(log, lake_root, poll_interval_s=0.05, max_idle_polls=2,
+                    num_partitions=4)
+    assert res2.epochs_run == [2]
+    assert LakeTable(lake_root, num_partitions=4).last_committed_epoch() == 2
+
+
+def test_hot_key_skew_correct_and_combined(tmp_path):
+    """50% of events hit ONE url: the per-block partial reduce (combiner ≡
+    salting) must bound what reaches the merge, and the final state must
+    still be the global LWW winner."""
+    import ray.data as rd
+
+    n = 20_000
+    rng = np.random.default_rng(1)
+    hot = rng.random(n) < 0.5
+    urls = np.where(hot, "https://hot.example.com/page",
+                    np.array([f"https://c{i % 500}.com/p" for i in range(n)]))
+    t = pa.table({
+        "op": pa.array(np.where(rng.random(n) < 0.02, "delete", "update")),
+        "seq": pa.array(np.arange(n, dtype=np.int64)),
+        "url": pa.array(urls.astype(str)),
+        "warc_ts": pa.array(rng.integers(0, 10**9, n), type=pa.timestamp("us")),
+        "text": pa.array([f"t{i}" for i in range(n)]),
+        "lang": pa.array(["en"] * n),
+    })
+    lake = LakeTable(tmp_path / "lake", num_partitions=8)
+    ds = rd.from_arrow(t).repartition(16)
+    lake.commit_epoch(ds, 0)
+
+    # oracle winner for the hot key
+    df = t.to_pandas()
+    win = df.sort_values(["warc_ts", "seq"]).groupby("url").tail(1) \
+        .set_index("url").loc["https://hot.example.com/page"]
+    got = lake.read_pandas(include_deleted=True, include_internal=True) \
+        .set_index("url").loc["https://hot.example.com/page"]
+    assert int(got["_seq"]) == int(win["seq"])
+    assert bool(got["_deleted"]) == (win["op"] == "delete")
+    # partition sizes bounded: no partition ends up with the raw hot volume
+    lin = lake.lineage()
+    assert lin["events_in"].max() < n / 2  # combiner collapsed the hot key
+
+
+def test_cli_generate_run_status(tmp_path):
+    log = tmp_path / "log"
+    lake = tmp_path / "lake"
+    env = {"PYTHONPATH": "/root/repo"}
+    import os
+
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+    out = subprocess.run(
+        [sys.executable, "-m", "chomper_ray.cli", "generate",
+         "--out-dir", str(log), "--n-events", "400", "--n-urls", "100",
+         "--n-epochs", "1"],
+        capture_output=True, text=True, env=env, check=True)
+    assert json.loads(out.stdout)["log_dir"] == str(log)
+
+    out = subprocess.run(
+        [sys.executable, "-m", "chomper_ray.cli", "run-cdc",
+         "--log-dir", str(log), "--lake-root", str(lake),
+         "--num-partitions", "2"],
+        capture_output=True, text=True, env=env, check=True, timeout=300)
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    assert r["epochs_run"] == [0] and r["events_applied"] == 400
+
+    out = subprocess.run(
+        [sys.executable, "-m", "chomper_ray.cli", "status",
+         "--lake-root", str(lake)],
+        capture_output=True, text=True, env=env, check=True)
+    st = json.loads(out.stdout)
+    assert st["last_committed_epoch"] == 0 and st["live_rows"] > 0
