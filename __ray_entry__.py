@@ -131,6 +131,73 @@ def _q_lww_upsert(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def _q_expr_in_filter(sf_dir: str):
+    from chomper_ray.functions.expr import F
+    from chomper_ray.stages.transforms import Chain, Dropper, Picker
+
+    # IN / NOT IN expression ops (reference items.py:14-19) as a row filter
+    chain = Chain(
+        Dropper(~(F("l_returnflag").isin(["A", "R"]))),
+        Dropper(F("l_linestatus").notin(["F"])),
+        Picker(["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"]),
+    )
+    return _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                          "l_linestatus"]).map_batches(chain, batch_format="pyarrow")
+
+
+def _q_scalar_math(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chomper_ray.stages.transforms import Assigner, Chain, Picker
+
+    # arbitrary scalar-function slot (reference Filter / examples) with a
+    # pyarrow.compute kernel body
+    chain = Chain(
+        Assigner("net", lambda t: pc.round(
+            pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+            ndigits=2, round_mode="half_towards_infinity")),  # DuckDB round()
+        Picker(["l_orderkey", "l_linenumber", "net"]),
+    )
+    return _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_linenumber", "l_extendedprice",
+                          "l_discount"]).map_batches(chain, batch_format="pyarrow")
+
+
+def _q_json_field(sf_dir: str):
+    import json as _json
+
+    import pandas as pd
+
+    # nested-path access on serialized JSON (reference path DSL over dict
+    # items, utils.py:100-108): parse per row, missing → null
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        def get_k(s):
+            try:
+                v = _json.loads(s).get("k")
+                return v
+            except Exception:
+                return None
+        df["k"] = df["props"].map(get_k).astype("Int64")
+        return df[["event_id", "k"]]
+
+    return _read(sf_dir, "events", columns=["event_id", "props"])         .map_batches(extract, batch_format="pandas")
+
+
+def _q_running_sum(sf_dir: str):
+    import pandas as pd
+
+    # windowed aggregate (SURVEY §2.5 gap): per-user running sum over the
+    # ts-ordered event stream — groupby(key).map_groups with sorted cumsum
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        g["run_sum"] = g["value"].cumsum().round(2)
+        return g[["event_id", "user_id", "run_sum"]]
+
+    return _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])         .groupby("user_id").map_groups(window, batch_format="pandas")
+
+
 def _q_lookup_join(sf_dir: str):
     from chomper_ray.pipelines.relational import broadcast_join
     from chomper_ray.stages.transforms import Picker
@@ -380,7 +447,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mapper_rename": _q_mapper_rename,
         "assigner_defaulter": _q_assigner_defaulter,
         "field_filter_upper": _q_field_filter_upper,
+        "expr_in_filter": _q_expr_in_filter,
+        "scalar_math": _q_scalar_math,
+        "json_field": _q_json_field,
         # upsert core + relational
+        "running_sum": _q_running_sum,
         "lww_upsert": _q_lww_upsert,
         "lookup_join": _q_lookup_join,
         "grouped_counts": _q_grouped_counts,
@@ -435,6 +506,24 @@ def oracle_sql() -> dict[str, str]:
         "lookup_join": (
             "SELECT n_nationkey, n_name, r_name FROM nation "
             "JOIN region ON n_regionkey = r_regionkey"
+        ),
+        "expr_in_filter": (
+            # Dropper(notin(['F'])) drops rows whose status is NOT 'F'
+            "SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus "
+            "FROM lineitem WHERE l_returnflag IN ('A', 'R') "
+            "AND NOT (l_linestatus NOT IN ('F'))"
+        ),
+        "scalar_math": (
+            "SELECT l_orderkey, l_linenumber, "
+            "round(l_extendedprice * (1 - l_discount), 2) AS net FROM lineitem"
+        ),
+        "json_field": (
+            "SELECT event_id, json_extract(props, '$.k')::BIGINT AS k FROM events"
+        ),
+        "running_sum": (
+            "SELECT event_id, user_id, round(sum(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING), 2) AS run_sum FROM events"
         ),
         "grouped_counts": (
             "SELECT event_type, round(sum(value), 2) AS sum_value, "
