@@ -433,18 +433,21 @@ class LakeTable:
         )
 
     # -- read -------------------------------------------------------------
-    def files(self) -> list[str]:
-        m = load_manifest(self.root)
+    def files(self, as_of_epoch: int | None = None) -> list[str]:
+        """Live data files — of the latest commit, or any committed epoch
+        (time travel: every manifest holds the full partition→file map)."""
+        m = load_manifest(self.root, as_of_epoch)
         if not m:
             return []
         return [str(self.root / v["file"]) for _, v in sorted(m["partitions"].items())]
 
     def read(self, columns=None, include_deleted: bool = False,
-             include_internal: bool = False):
-        """Current table state as a streaming Dataset (no materialization)."""
+             include_internal: bool = False, as_of_epoch: int | None = None):
+        """Table state as a streaming Dataset (no materialization);
+        ``as_of_epoch`` reads a historical snapshot."""
         import ray.data as rd
 
-        files = self.files()
+        files = self.files(as_of_epoch)
         if not files:
             raise FileNotFoundError(f"lake at {self.root} has no committed data")
         ds = rd.read_parquet(files, columns=columns)
@@ -519,3 +522,37 @@ class LakeTable:
         }
         _atomic_write_json(_manifest_path(self.root, epoch), manifest)
         return CommitResult(epoch=epoch, total_rows=0)
+
+    # -- maintenance -------------------------------------------------------
+    def compact(self, keep_epochs: int = 1) -> dict:
+        """Garbage-collect snapshot files no manifest in the retained
+        window references. Copy-on-write leaves one snapshot per
+        (partition, touched epoch); retention keeps the last
+        ``keep_epochs`` manifests readable (time travel window) and
+        deletes everything older manifests exclusively referenced.
+
+        Runs driver-side over metadata only — file deletion is O(files),
+        no data is read or moved.
+        """
+        eps = committed_epochs(self.root)
+        keep = eps[-keep_epochs:] if keep_epochs else eps
+        referenced: set[str] = set()
+        for e in keep:
+            m = load_manifest(self.root, e)
+            referenced.update(v["file"] for v in m["partitions"].values())
+        removed_files = 0
+        data_dir = self.root / _DATA_DIR
+        if data_dir.is_dir():
+            for f in data_dir.rglob("snap-*.parquet"):
+                rel = str(f.relative_to(self.root))
+                if rel not in referenced:
+                    f.unlink()
+                    removed_files += 1
+        removed_manifests = 0
+        for e in eps:
+            if e not in keep:
+                _manifest_path(self.root, e).unlink()
+                removed_manifests += 1
+        return {"removed_files": removed_files,
+                "removed_manifests": removed_manifests,
+                "kept_epochs": keep}

@@ -97,3 +97,23 @@ def test_protected_and_timestamps_lake_level(tmp_path):
     assert row["lang"] == "en"          # protected survives the update
     assert pd.notna(row["created_at"]) and pd.notna(row["updated_at"])
     assert row["updated_at"] > row["created_at"]
+
+
+def test_time_travel_and_compaction(small_log, tmp_path):
+    lake_root = tmp_path / "lake"
+    run_cdc(small_log, lake_root, num_partitions=4)
+    lake = LakeTable(lake_root, num_partitions=4)
+    full = lake.read_pandas()
+    # time travel: epoch-0 state differs from the final state
+    e0_files = lake.files(as_of_epoch=0)
+    assert e0_files and all("snap-000000" in f for f in e0_files)
+    # compaction: retain only the latest manifest; older snaps GC'd
+    import glob
+    before = len(glob.glob(str(lake_root / "data" / "**" / "snap-*.parquet"),
+                           recursive=True))
+    res = lake.compact(keep_epochs=1)
+    after = len(glob.glob(str(lake_root / "data" / "**" / "snap-*.parquet"),
+                          recursive=True))
+    assert after < before and res["removed_files"] == before - after
+    # current state still reads identically after GC
+    pd.testing.assert_frame_equal(full, lake.read_pandas())
