@@ -61,16 +61,29 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id",
 # shingles + MinHash
 # --------------------------------------------------------------------------
 
+_SHINGLE_BASE = np.uint64(1099511628211)
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
 def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Distinct k-char shingle hashes (stable siphash)."""
-    t = text or ""
-    if len(t) < k:
-        shingles = [t] if t else []
-    else:
-        shingles = list({t[i:i + k] for i in range(len(t) - k + 1)})
-    if not shingles:
+    """k-byte shingle hashes over the utf-8 encoding — pure numpy
+    (sliding windows × polynomial hash, wraparound uint64), no Python
+    substring loop. Duplicates are NOT removed: MinHash's column-min is
+    unaffected by multiplicity, so dedup would be wasted work."""
+    b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+    if len(b) == 0:
         return np.empty(0, dtype=np.uint64)
-    return pd.util.hash_array(np.array(shingles, dtype=object))
+    with np.errstate(over="ignore"):
+        if len(b) < k:
+            win = b.astype(np.uint64)[None, :]
+            weights = np.power(_SHINGLE_BASE,
+                               np.arange(len(b), dtype=np.uint64))
+        else:
+            win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+            weights = np.power(_SHINGLE_BASE, np.arange(k, dtype=np.uint64))
+        h = (win * weights).sum(axis=1, dtype=np.uint64)
+        h = (h ^ (h >> np.uint64(33))) * _MIX  # avalanche mix
+    return h
 
 
 def _perm_params(num_perm: int, seed: int = 12345):

@@ -55,6 +55,11 @@ class QualityScorer:
     def __init__(self, col: str = "text"):
         self.col = col
         self.stop = set(_STOPWORDS)
+        # one alternation regex counts stopword tokens vectorized; the
+        # lookarounds make it equivalent to "maximal [a-z]+ run ∈ set"
+        self.stop_re = (r"(?<![a-z])(?:"
+                        + "|".join(sorted(self.stop, key=len, reverse=True))
+                        + r")(?![a-z])")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         s = batch[self.col].fillna("")
@@ -63,9 +68,8 @@ class QualityScorer:
         n_punct = s.str.count(r"[.,;:!?]").astype("int64")
         n_upper = s.str.count(r"[A-Z]").astype("int64")
         lower = s.str.lower()
-        words = lower.str.findall(r"[a-z]+")
-        n_stop = words.map(lambda ws: sum(1 for w in ws if w in self.stop)).astype("int64")
-        n_lower_words = words.str.len().astype("int64")
+        n_stop = lower.str.count(self.stop_re).astype("int64")
+        n_lower_words = lower.str.count(r"[a-z]+").astype("int64")
 
         denom_c = n_chars.clip(lower=1)
         denom_t = n_lower_words.clip(lower=1)
@@ -109,29 +113,32 @@ class LanguageId:
 
     def __init__(self, col: str = "text"):
         self.col = col
-        self.profiles = {k: frozenset(v.split()) for k, v in _LANG_PROFILES.items()}
-        self.word_re = re.compile(r"[a-z']+")
+        # one alternation-count regex per language → fully vectorized
+        # scoring (pandas str.count), built once per actor
+        self.langs = list(_LANG_PROFILES)
+        self.patterns = {
+            l: (r"(?<![a-z'])(?:"
+                + "|".join(sorted(_LANG_PROFILES[l].split(), key=len,
+                                  reverse=True))
+                + r")(?![a-z'])")
+            for l in self.langs
+        }
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        langs = list(self.profiles)
-        preds, confs = [], []
-        for text in batch[self.col].fillna(""):
-            words = set(self.word_re.findall(text.lower()))
-            if not words:
-                preds.append(None)
-                confs.append(0.0)
-                continue
-            scores = np.array([len(words & self.profiles[l]) for l in langs], dtype=float)
-            total = scores.sum()
-            if total == 0:
-                preds.append(None)
-                confs.append(0.0)
-            else:
-                i = int(scores.argmax())
-                preds.append(langs[i])
-                confs.append(round(float(scores[i] / total), 6))
-        batch["lang_pred"] = preds
-        batch["lang_conf"] = confs
+        lower = batch[self.col].fillna("").str.lower()
+        scores = np.stack([
+            lower.str.count(self.patterns[l]).to_numpy(dtype=np.float64)
+            for l in self.langs
+        ])  # (n_langs, n_rows)
+        total = scores.sum(axis=0)
+        best = scores.argmax(axis=0)
+        has_hit = total > 0
+        lang_arr = np.array(self.langs, dtype=object)
+        batch["lang_pred"] = np.where(has_hit, lang_arr[best], None)
+        with np.errstate(invalid="ignore"):
+            conf = np.where(has_hit, scores[best, np.arange(scores.shape[1])]
+                            / np.maximum(total, 1), 0.0)
+        batch["lang_conf"] = np.round(conf, 6)
         return batch
 
 
