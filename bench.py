@@ -34,7 +34,7 @@ _CDC_SIZES = {
 _QUERY_NAMES = [
     "q1_pricing_summary", "lww_upsert", "grouped_counts", "exact_dedup",
     "minhash_dedup", "token_count", "quality_score", "ann_topk",
-    "dropper_filter", "lookup_join",
+    "dropper_filter", "lookup_join", "running_sum", "scalar_math",
 ]
 
 
