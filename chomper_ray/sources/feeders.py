@@ -29,6 +29,21 @@ import json
 import pyarrow as pa
 
 
+def _settled_count(ray, counter) -> int:
+    """Counter adds are fire-and-forget from workers — settle until two
+    consecutive reads agree (bounded)."""
+    import time as _time
+
+    prev = None
+    for _ in range(50):
+        cur = ray.get(counter.get.remote())
+        if cur == prev:
+            return cur
+        prev = cur
+        _time.sleep(0.05)
+    return prev
+
+
 def from_records(rows: list[dict]):
     """ListFeeder: in-memory list of dicts → Dataset."""
     import ray.data as rd
@@ -94,7 +109,7 @@ def read_csv_strict(paths, columns: list[str], *, skip: int = 0,
     parsed_ds = ds.map_batches(parse, batch_format="pyarrow")
 
     def dropped_count() -> int:
-        return ray.get(counter.get.remote())
+        return _settled_count(ray, counter)
 
     return parsed_ds, dropped_count
 
@@ -141,7 +156,7 @@ def read_jsonl(paths):
     parsed = ds.map_batches(parse, batch_format="pyarrow")
 
     def dropped_count() -> int:
-        return ray.get(counter.get.remote())
+        return _settled_count(ray, counter)
 
     return parsed, dropped_count
 
