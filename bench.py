@@ -83,12 +83,18 @@ def run_bench() -> dict:
         ExtractText(), batch_format="pyarrow").count()
 
     lake_root = tempfile.mkdtemp(prefix="chomper_bench_lake_")
+    # staging (transient shuffle files) on tmpfs — emulates the local-NVMe
+    # shuffle dirs / fast shared storage a real cluster provides
+    staging_root = tempfile.mkdtemp(prefix="chomper_bench_staging_",
+                                    dir="/dev/shm")
     t0 = time.perf_counter()
     # num_partitions fixed across parallelism levels: identical work at 8
     # and 32 CPUs is what makes the scaling ratio meaningful
-    res = run_cdc(log_dir, lake_root, num_partitions=32)
+    res = run_cdc(log_dir, lake_root, num_partitions=32,
+                  lake_kwargs={"staging_root": staging_root})
     cdc_sec = time.perf_counter() - t0
     shutil.rmtree(lake_root, ignore_errors=True)
+    shutil.rmtree(staging_root, ignore_errors=True)
     events_per_sec = res.events_applied / cdc_sec if cdc_sec else 0.0
 
     query_secs = {}

@@ -116,8 +116,9 @@ class _PartitionMerger:
                  schema_json: list[dict], key: str, overwrite: bool,
                  protected: tuple[str, ...], managed_timestamps: bool,
                  commit_ts_us: int, collect_changes: bool,
-                 insert_missing: bool = True):
+                 insert_missing: bool = True, staging_root: str | None = None):
         self.root = root
+        self.staging_root = staging_root or root
         self.epoch = epoch
         self.prev_files = prev_files
         self.schema_json = schema_json
@@ -136,7 +137,7 @@ class _PartitionMerger:
     def _merge_one(self, pid: int) -> pa.Table:
         t0 = time.perf_counter()
         staged = sorted(
-            (Path(self.root) / _STAGING_DIR / f"epoch={self.epoch:06d}"
+            (Path(self.staging_root) / _STAGING_DIR / f"epoch={self.epoch:06d}"
              / f"p={pid:05d}").glob("*.parquet"))
         changes = pa.concat_tables(
             [pq.read_table(f) for f in staged], promote_options="default")
@@ -257,8 +258,14 @@ class LakeTable:
                  protected: tuple[str, ...] = (),
                  managed_timestamps: bool = False,
                  collect_changes: bool = True,
-                 insert_missing: bool = True):
+                 insert_missing: bool = True,
+                 staging_root: str | Path | None = None):
         self.root = Path(root)
+        # staging is transient shuffle data: on a cluster it lives on the
+        # shared lake filesystem (or local NVMe shuffle dirs); single-node
+        # callers may point it at tmpfs — correctness only needs it to
+        # survive until the epoch's manifest commit
+        self.staging_root = Path(staging_root) if staging_root else self.root
         self.key = key
         self.version = version
         self.num_partitions = num_partitions
@@ -338,7 +345,7 @@ class LakeTable:
         # sort-shuffle for binary/text payloads on this Ray version.
         # Duplicate staging from retried map tasks is harmless — the merge
         # dedups by (key, version), which is idempotent under duplicates.
-        stage_root = self.root / _STAGING_DIR / f"epoch={epoch:06d}"
+        stage_root = self.staging_root / _STAGING_DIR / f"epoch={epoch:06d}"
         if stage_root.exists():  # leftovers from a crashed attempt
             shutil.rmtree(stage_root)
         stage_root.mkdir(parents=True, exist_ok=True)
@@ -362,7 +369,10 @@ class LakeTable:
                 if hi > lo:
                     d = stage_root / f"p={p:05d}"
                     d.mkdir(exist_ok=True)
-                    pq.write_table(t.slice(lo, hi - lo), d / f"{tid}.parquet")
+                    # staging is transient shuffle data (deleted at commit):
+                    # skip compression — CPU for no storage benefit
+                    pq.write_table(t.slice(lo, hi - lo), d / f"{tid}.parquet",
+                                   compression="none")
                     touched.append(p)
                     counts.append(hi - lo)
             return pa.table({"pid": pa.array(touched, type=pa.int32()),
@@ -381,6 +391,7 @@ class LakeTable:
             str(self.root), epoch, prev_files, schema_json, key,
             self.overwrite, self.protected, self.managed_timestamps,
             commit_ts_us, self.collect_changes, self.insert_missing,
+            str(self.staging_root),
         )
 
         def merge_partitions(batch: pa.Table, _m=merger) -> pa.Table:
