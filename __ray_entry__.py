@@ -210,6 +210,42 @@ def _q_lookup_join(sf_dir: str):
                               batch_format="pyarrow")
 
 
+def _q_hash_join(sf_dir: str):
+    from chomper_ray.pipelines.relational import hash_join
+    from chomper_ray.stages.transforms import Picker, Renamer
+
+    # large-large equi-join: co-hash-partitioned buckets (guide pattern)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey",
+                                              "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]) \
+        .map_batches(Renamer({"c_custkey": "o_custkey"}), batch_format="pyarrow")
+    out = hash_join(orders, cust, on="o_custkey", num_buckets=8)
+    return out.map_batches(Picker(["o_orderkey", "o_custkey", "o_totalprice",
+                                   "c_name"]), batch_format="pyarrow")
+
+
+def _q_semi_join(sf_dir: str):
+    from chomper_ray.pipelines.relational import semi_join
+
+    seg = pq.read_table(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = seg.loc[seg["c_mktsegment"] == "BUILDING", "c_custkey"]
+    return semi_join(_read(sf_dir, "orders",
+                           columns=["o_orderkey", "o_custkey"]),
+                     keys, on="o_custkey")
+
+
+def _q_anti_join(sf_dir: str):
+    from chomper_ray.pipelines.relational import anti_join
+
+    seg = pq.read_table(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = seg.loc[seg["c_mktsegment"] == "BUILDING", "c_custkey"]
+    return anti_join(_read(sf_dir, "orders",
+                           columns=["o_orderkey", "o_custkey"]),
+                     keys, on="o_custkey")
+
+
 def _q_grouped_counts(sf_dir: str):
     import pandas as pd
 
@@ -454,6 +490,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_sum": _q_running_sum,
         "lww_upsert": _q_lww_upsert,
         "lookup_join": _q_lookup_join,
+        "hash_join": _q_hash_join,
+        "semi_join": _q_semi_join,
+        "anti_join": _q_anti_join,
         "grouped_counts": _q_grouped_counts,
         "q1_pricing_summary": _q_q1,
         "topk_orders": _q_topk_orders,
@@ -524,6 +563,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, round(sum(value) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING), 2) AS run_sum FROM events"
+        ),
+        "hash_join": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, c_name FROM orders "
+            "JOIN customer ON o_custkey = c_custkey"
+        ),
+        "semi_join": (
+            "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN "
+            "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
+        ),
+        "anti_join": (
+            "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey NOT IN "
+            "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
         ),
         "grouped_counts": (
             "SELECT event_type, round(sum(value), 2) AS sum_value, "

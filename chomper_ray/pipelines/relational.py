@@ -65,6 +65,95 @@ def grouped_agg(ds, keys: Sequence[str], sums: Sequence[str] = (),
     return partials.groupby(keys).map_groups(final, batch_format="pandas")
 
 
+def semi_join(ds, keys, on: str):
+    """Keep rows whose ``on`` value is in ``keys`` (broadcast key set —
+    the scalable filter-by-membership; at very large key cardinality a
+    Bloom filter slots in the same place)."""
+    import ray
+
+    ref = ray.put(frozenset(keys))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(ref)
+        return batch[batch[on].isin(ks)]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def anti_join(ds, keys, on: str):
+    """Drop rows whose ``on`` value is in ``keys``."""
+    import ray
+
+    ref = ray.put(frozenset(keys))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(ref)
+        return batch[~batch[on].isin(ks)]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def hash_join(left, right, on: str, num_buckets: int = 16,
+              how: str = "inner", suffix: str = "_r"):
+    """Large-large equi-join: co-hash-partition BOTH sides on the key,
+    then join matching buckets pairwise — the explicit partitioned hash
+    join (guide pattern; ``Dataset.join`` exists in this Ray version but
+    the explicit form keeps the partitioning assumption visible and lets
+    the same bucket column be reused by downstream stages).
+
+    Skew note: a hot key lands in one bucket; for skewed keys pre-split
+    the hot side by a salt and replicate the other side's hot rows.
+    """
+    from chomper_ray.stages.merge import stable_bucket
+
+    def tag(side: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["_jb"] = stable_bucket(batch[on].to_numpy(), num_buckets)
+            batch["_side"] = side
+            return batch
+
+        return f
+
+    l = left.map_batches(tag("l"), batch_format="pandas")
+    r = right.map_batches(tag("r"), batch_format="pandas")
+    # union pads each side with the other's columns as null — remember
+    # which columns belong to whom
+    lcols = [c for c in left.schema().names]
+    rcols = [c for c in right.schema().names]
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == "l"][lcols]
+        rg = g[g["_side"] == "r"][rcols]
+        return lg.merge(rg, on=on, how=how, suffixes=("", suffix))
+
+    return (l.union(r).groupby("_jb")
+            .map_groups(join_bucket, batch_format="pandas"))
+
+
+def asof_join(ds, right: pd.DataFrame, on: str, by: str | None = None,
+              direction: str = "backward", suffix: str = "_r"):
+    """As-of join against a broadcast right side: each left row picks the
+    nearest right row at-or-before (``backward``) its ``on`` value,
+    optionally exact-matching ``by`` first — ``pd.merge_asof`` per batch
+    over the sorted broadcast table. Large-large as-of joins compose this
+    with ``stable_bucket`` on ``by`` (sort within buckets)."""
+    import ray
+
+    right_sorted = right.sort_values(([by] if by else []) + [on],
+                                     kind="stable").reset_index(drop=True)
+    ref = ray.put(right_sorted)
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(ref)
+        b = batch.sort_values(on, kind="stable")
+        out = pd.merge_asof(b, r.sort_values(on, kind="stable"), on=on,
+                            by=by, direction=direction, suffixes=("", suffix))
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
 def topk(ds, by: str, k: int, descending: bool = True,
          tie_break: str | None = None) -> pd.DataFrame:
     """Global top-k without a global sort: local top-k per block, then a

@@ -1,0 +1,86 @@
+"""Relational helpers vs pandas oracles: joins, agg, topk, distinct."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from chomper_ray.pipelines import relational as rel
+
+
+def mk_ds(df: pd.DataFrame, blocks: int = 4):
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(blocks)
+
+
+RNG = np.random.default_rng(5)
+LEFT = pd.DataFrame({
+    "k": RNG.integers(0, 40, 300),
+    "v": RNG.random(300).round(4),
+})
+RIGHT = pd.DataFrame({
+    "k": np.arange(0, 50, 2),
+    "name": [f"n{i}" for i in range(0, 50, 2)],
+})
+
+
+def test_broadcast_join_matches_pandas():
+    got = rel.broadcast_join(mk_ds(LEFT), RIGHT, on="k").to_pandas()
+    exp = LEFT.merge(RIGHT, on="k")
+    assert len(got) == len(exp)
+    assert got.groupby("k").size().to_dict() == exp.groupby("k").size().to_dict()
+
+
+def test_hash_join_matches_pandas():
+    got = rel.hash_join(mk_ds(LEFT), mk_ds(RIGHT, 2), on="k").to_pandas()
+    exp = LEFT.merge(RIGHT, on="k")
+    assert len(got) == len(exp)
+    g = got.sort_values(["k", "v"]).reset_index(drop=True)
+    x = exp.sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g[["k", "v", "name"]], x[["k", "v", "name"]])
+
+
+def test_semi_anti_join_partition():
+    keys = set(RIGHT["k"])
+    semi = rel.semi_join(mk_ds(LEFT), keys, on="k").to_pandas()
+    anti = rel.anti_join(mk_ds(LEFT), keys, on="k").to_pandas()
+    assert len(semi) + len(anti) == len(LEFT)
+    assert set(semi["k"]) <= keys
+    assert not (set(anti["k"]) & keys)
+
+
+def test_asof_join_matches_merge_asof():
+    left = pd.DataFrame({
+        "ts": np.sort(RNG.integers(0, 1000, 100)),
+        "g": RNG.integers(0, 3, 100),
+    })
+    right = pd.DataFrame({
+        "ts": np.arange(0, 1000, 50),
+        "g": np.tile(np.arange(3), 20)[:20],
+        "rate": np.linspace(1, 2, 20).round(3),
+    })
+    got = rel.asof_join(mk_ds(left, 3), right, on="ts", by="g").to_pandas()
+    exp = pd.merge_asof(left.sort_values("ts"),
+                        right.sort_values("ts"), on="ts", by="g")
+    g = got.sort_values(["ts", "g"]).reset_index(drop=True)
+    x = exp.sort_values(["ts", "g"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g[["ts", "g", "rate"]], x[["ts", "g", "rate"]])
+
+
+def test_grouped_agg_means():
+    out = rel.grouped_agg(mk_ds(LEFT), keys=["k"], sums=["v"], means=["v"]) \
+        .to_pandas().set_index("k").sort_index()
+    exp = LEFT.groupby("k")["v"].agg(["sum", "mean", "size"])
+    assert np.allclose(out["sum_v"], exp["sum"])
+    assert np.allclose(out["avg_v"], exp["mean"])
+    assert (out["n_rows"] == exp["size"]).all()
+
+
+def test_topk_and_distinct():
+    top = rel.topk(mk_ds(LEFT), by="v", k=7, tie_break="k")
+    assert len(top) == 7
+    assert np.allclose(sorted(top["v"], reverse=True),
+                       sorted(LEFT["v"], reverse=True)[:7])
+    dis = rel.distinct(mk_ds(LEFT), ["k"]).to_pandas()
+    assert sorted(dis["k"]) == sorted(LEFT["k"].unique())
