@@ -194,3 +194,34 @@ def test_frame_sampling():
     out = SampleFrames(n_frames=3)(df)
     ts = out["frame_ts_ms"].iloc[0]
     assert len(ts) == 3 and ts == sorted(ts)
+
+
+# ------------------------------------------------------------------ sketches
+
+def test_hll_accuracy_and_merge():
+    from chomper_ray.stages.sketches import HyperLogLog
+
+    rng = np.random.default_rng(4)
+    vals = rng.integers(0, 50_000, 200_000)  # ~49k distinct
+    exact = len(np.unique(vals))
+    h1, h2 = HyperLogLog(12), HyperLogLog(12)
+    h1.add_values(vals[:100_000])
+    h2.add_values(vals[100_000:])
+    merged = h1.merge(h2)
+    est = merged.estimate()
+    assert abs(est - exact) / exact < 0.05  # ~1.6% stderr at p=12
+    # merge == add-all (register-wise max is associative)
+    h_all = HyperLogLog(12)
+    h_all.add_values(vals)
+    assert (merged.registers == h_all.registers).all()
+
+
+def test_approx_distinct_dataset():
+    from chomper_ray.stages.sketches import approx_distinct
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 5_000, 50_000)
+    exact = len(np.unique(vals))
+    ds = rd.from_arrow(pa.table({"k": vals})).repartition(8)
+    est = approx_distinct(ds, "k")
+    assert abs(est - exact) / exact < 0.05
