@@ -198,6 +198,40 @@ def _q_running_sum(sf_dir: str):
     return _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])         .groupby("user_id").map_groups(window, batch_format="pandas")
 
 
+def _q_tumbling_window(sf_dir: str):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chomper_ray.pipelines.relational import grouped_agg
+
+    # tumbling event-time window = derive window-start column, then the
+    # pre-aggregated grouped_agg (no watermark needed: batch semantics)
+    def add_window(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t["ts"], unit="hour")
+        return t.append_column("w", w).drop_columns(["ts"])
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"]) \
+        .map_batches(add_window, batch_format="pyarrow")
+    out = grouped_agg(ds, keys=["user_id", "w"], sums=["value"], counts=True)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(2)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def _q_approx_distinct(sf_dir: str):
+    import pandas as pd
+
+    from chomper_ray.stages.sketches import approx_distinct
+
+    est = approx_distinct(_read(sf_dir, "events", columns=["user_id"]),
+                          "user_id")
+    return pd.DataFrame({"approx_users": [round(est)]})
+
+
 def _q_lookup_join(sf_dir: str):
     from chomper_ray.pipelines.relational import broadcast_join
     from chomper_ray.stages.transforms import Picker
@@ -494,6 +528,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
         "grouped_counts": _q_grouped_counts,
+        "tumbling_window": _q_tumbling_window,
+        "approx_distinct": _q_approx_distinct,
         "q1_pricing_summary": _q_q1,
         "topk_orders": _q_topk_orders,
         "distinct_priorities": _q_distinct_priorities,
@@ -579,6 +615,11 @@ def oracle_sql() -> dict[str, str]:
         "grouped_counts": (
             "SELECT event_type, round(sum(value), 2) AS sum_value, "
             "count(*) AS n_rows FROM events GROUP BY event_type"
+        ),
+        "tumbling_window": (
+            "SELECT user_id, date_trunc('hour', ts) AS w, "
+            "round(sum(value), 2) AS sum_value, count(*) AS n_rows "
+            "FROM events GROUP BY user_id, date_trunc('hour', ts)"
         ),
         "q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "

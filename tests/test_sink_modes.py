@@ -117,3 +117,22 @@ def test_time_travel_and_compaction(small_log, tmp_path):
     assert after < before and res["removed_files"] == before - after
     # current state still reads identically after GC
     pd.testing.assert_frame_equal(full, lake.read_pandas())
+
+
+def test_crashed_staging_is_cleaned_and_recommitted(small_log, tmp_path):
+    """Crash between staging and manifest commit: leftover staging files
+    for the uncommitted epoch are wiped and the commit redone — final
+    state identical to a clean run (exactly-once under partial failure)."""
+    clean_root = tmp_path / "clean"
+    run_cdc(small_log, clean_root, num_partitions=4)
+    h_clean = LakeTable(clean_root, num_partitions=4).snapshot_hash()
+
+    crash_root = tmp_path / "crash"
+    run_cdc(small_log, crash_root, num_partitions=4, max_epochs=1)
+    # simulate a crashed epoch-1 attempt: stale garbage staging exists
+    stale = crash_root / "_staging" / "epoch=000001" / "p=00000"
+    stale.mkdir(parents=True)
+    (stale / "deadbeef.parquet").write_bytes(b"not a parquet file")
+    run_cdc(small_log, crash_root, num_partitions=4)  # resume
+    assert LakeTable(crash_root, num_partitions=4).snapshot_hash() == h_clean
+    assert not (crash_root / "_staging" / "epoch=000001").exists()
