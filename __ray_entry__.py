@@ -280,6 +280,30 @@ def _q_anti_join(sf_dir: str):
                      keys, on="o_custkey")
 
 
+def _q_asof_join(sf_dir: str):
+    import pandas as pd
+    import pyarrow as pa
+
+    from chomper_ray.pipelines.relational import asof_join_partitioned
+    from chomper_ray.stages.transforms import Renamer
+
+    # for each event: the latest order of customer user_id at-or-before ts.
+    # Only the matched o_orderdate is emitted (deterministic under ties).
+    left = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]) \
+        .map_batches(Renamer({"user_id": "k", "ts": "t"}), batch_format="pyarrow")
+    right = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"]) \
+        .map_batches(lambda tb: tb.rename_columns(["k", "t"])
+                     .append_column("o_orderdate", tb["o_orderdate"]),
+                     batch_format="pyarrow")
+    out = asof_join_partitioned(left, right, on="t", by="k", num_buckets=8)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"k": "user_id"})
+        return df[["event_id", "user_id", "o_orderdate"]]
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def _q_grouped_counts(sf_dir: str):
     import pandas as pd
 
@@ -525,6 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lww_upsert": _q_lww_upsert,
         "lookup_join": _q_lookup_join,
         "hash_join": _q_hash_join,
+        "asof_join": _q_asof_join,
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
         "grouped_counts": _q_grouped_counts,
@@ -603,6 +628,11 @@ def oracle_sql() -> dict[str, str]:
         "hash_join": (
             "SELECT o_orderkey, o_custkey, o_totalprice, c_name FROM orders "
             "JOIN customer ON o_custkey = c_custkey"
+        ),
+        "asof_join": (
+            "SELECT e.event_id, e.user_id, o.o_orderdate FROM events e "
+            "ASOF JOIN orders o ON e.user_id = o.o_custkey "
+            "AND e.ts >= o.o_orderdate"
         ),
         "semi_join": (
             "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN "

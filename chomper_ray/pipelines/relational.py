@@ -154,6 +154,51 @@ def asof_join(ds, right: pd.DataFrame, on: str, by: str | None = None,
     return ds.map_batches(f, batch_format="pandas")
 
 
+def asof_join_partitioned(left, right, on: str, by: str,
+                          num_buckets: int = 16, suffix: str = "_r"):
+    """Large-large as-of join: co-hash-partition BOTH sides on the exact
+    ``by`` key, then within each bucket sort by ``on`` and
+    ``pd.merge_asof`` (backward: nearest right row at-or-before the left
+    row's ``on``). The guide's bucketed as-of pattern — no broadcast, one
+    co-locating shuffle.
+
+    Both sides must share the ``on``/``by`` column names (rename first);
+    right-side payload columns keep their names (``suffix`` on clashes).
+    """
+    from chomper_ray.stages.merge import stable_bucket
+
+    def tag(side: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["_jb"] = stable_bucket(batch[by].to_numpy(), num_buckets)
+            batch["_side"] = side
+            return batch
+
+        return f
+
+    l = left.map_batches(tag("l"), batch_format="pandas")
+    r = right.map_batches(tag("r"), batch_format="pandas")
+    lcols = list(left.schema().names)
+    rcols = list(right.schema().names)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == "l"][lcols].sort_values(on, kind="stable")
+        rg = g[g["_side"] == "r"][rcols].sort_values(on, kind="stable")
+        if not len(lg):
+            return lg
+        if not len(rg):
+            out = lg.copy()
+            for c in rcols:
+                if c not in (on, by):
+                    out[c] = None
+            return out
+        return pd.merge_asof(lg, rg, on=on, by=by, direction="backward",
+                             suffixes=("", suffix))
+
+    return (l.union(r).groupby("_jb")
+            .map_groups(join_bucket, batch_format="pandas"))
+
+
 def topk(ds, by: str, k: int, descending: bool = True,
          tie_break: str | None = None) -> pd.DataFrame:
     """Global top-k without a global sort: local top-k per block, then a

@@ -84,3 +84,25 @@ def test_topk_and_distinct():
                        sorted(LEFT["v"], reverse=True)[:7])
     dis = rel.distinct(mk_ds(LEFT), ["k"]).to_pandas()
     assert sorted(dis["k"]) == sorted(LEFT["k"].unique())
+
+
+def test_asof_join_partitioned_matches_broadcast():
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({
+        "t": rng.integers(0, 1000, 200),
+        "k": rng.integers(0, 5, 200),
+        "lid": np.arange(200),
+    })
+    right = pd.DataFrame({
+        "t": np.sort(rng.choice(np.arange(0, 1000), 40, replace=False)),
+        "k": rng.integers(0, 5, 40),
+        "val": np.arange(40),
+    })
+    got = rel.asof_join_partitioned(mk_ds(left, 3), mk_ds(right, 2),
+                                    on="t", by="k", num_buckets=4).to_pandas()
+    exp = pd.merge_asof(left.sort_values("t", kind="stable"),
+                        right.sort_values("t", kind="stable"), on="t", by="k")
+    g = got.sort_values("lid").reset_index(drop=True)
+    x = exp.sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g[["lid", "val"]], x[["lid", "val"]],
+                                  check_dtype=False)
