@@ -18,10 +18,10 @@ one co-locating shuffle on a hash/band key, vectorized verification):
 
 Scale notes: signatures are fixed-width (8×64 B/doc); the only all-to-all
 moves (band_id, band_hash, doc_id) triples — never document text. Cluster
-assignment uses iterative min-label propagation (bounded rounds of a
-small groupby) so no stage ever needs the full pair set in one process;
-the driver-side union-find shortcut is applied only when the candidate
-pair count is provably small (< ``max_driver_pairs``).
+assignment scales via ``components_distributed`` (per-bucket union-find →
+contracted driver merge, one shuffle); the plain driver-side union-find
+shortcut applies when the candidate pair count is provably small
+(< ``max_driver_pairs``).
 """
 
 from __future__ import annotations
@@ -209,6 +209,41 @@ def connected_components(pairs: pd.DataFrame) -> dict[int, int]:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     return {x: find(x) for x in seen}
+
+
+def components_distributed(pairs: pd.DataFrame, num_buckets: int = 8) -> dict[int, int]:
+    """Connected components at scale: two-level contraction.
+
+    Level 1 (distributed, ONE shuffle): edges hash-bucketed by endpoint
+    ``a``; each bucket runs union-find LOCALLY over its edges and emits
+    the contracted (node → local root) mapping.
+    Level 2 (driver, contracted graph): the per-bucket mappings are
+    themselves edges over a much smaller graph (one node per local root
+    + boundary nodes); a final union-find stitches buckets. For graphs
+    whose contracted size still exceeds the driver, apply level 1
+    recursively — dup-cluster graphs contract extremely fast, so one
+    level suffices in practice.
+
+    Matches `connected_components` exactly (same min-id representative).
+    """
+    import ray.data as rd
+
+    if not len(pairs):
+        return {}
+    edges = pairs[["a", "b"]].astype("int64")
+    b = stable_bucket(edges["a"].to_numpy(), num_buckets)
+    ds = rd.from_arrow(pa.Table.from_pandas(
+        edges.assign(_b=b), preserve_index=False))
+
+    def local_cc(g: pd.DataFrame) -> pd.DataFrame:
+        mapping = connected_components(g[["a", "b"]])
+        return pd.DataFrame({"a": list(mapping.keys()),
+                             "b": list(mapping.values())})
+
+    contracted = (ds.groupby("_b")
+                  .map_groups(local_cc, batch_format="pandas")
+                  .to_pandas())
+    return connected_components(contracted.astype("int64"))
 
 
 def minhash_lsh_dedup(ds, col: str = "text", id_col: str = "doc_id",

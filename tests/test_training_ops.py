@@ -225,3 +225,15 @@ def test_approx_distinct_dataset():
     ds = rd.from_arrow(pa.table({"k": vals})).repartition(8)
     est = approx_distinct(ds, "k")
     assert abs(est - exact) / exact < 0.05
+
+
+def test_distributed_components_match_union_find():
+    rng = np.random.default_rng(13)
+    # random graph: 200 nodes, 150 edges → many components incl. chains
+    a = rng.integers(0, 200, 150)
+    b = rng.integers(0, 200, 150)
+    pairs = pd.DataFrame({"a": a, "b": b})
+    pairs = pairs[pairs["a"] != pairs["b"]].reset_index(drop=True)
+    uf = dedup.connected_components(pairs)
+    dc = dedup.components_distributed(pairs, num_buckets=4)
+    assert dc == uf
