@@ -91,7 +91,7 @@ def run_bench() -> dict:
     # num_partitions fixed across parallelism levels: identical work at 8
     # and 32 CPUs is what makes the scaling ratio meaningful
     res = run_cdc(log_dir, lake_root, num_partitions=32,
-                  lake_kwargs={"staging_root": staging_root})
+                  lake_kwargs={"staging_root": staging_root}, drain=True)
     cdc_sec = time.perf_counter() - t0
     shutil.rmtree(lake_root, ignore_errors=True)
     shutil.rmtree(staging_root, ignore_errors=True)

@@ -80,6 +80,7 @@ def run_cdc(
     extract_batch_size: int | None = None,
     max_epochs: int | None = None,
     lake_kwargs: dict | None = None,
+    drain: bool = False,
 ) -> CdcRunResult:
     """Tail the change log from the lake's checkpoint cursor to the log
     head, committing one epoch at a time. Idempotent + resumable.
@@ -101,6 +102,11 @@ def run_cdc(
 
     res = CdcRunResult()
     extract = ExtractText()
+
+    if drain and len(pending) > 1:
+        return _run_cdc_drain(log_dir, lake, pending, extract,
+                              extract_batch_size, res, t0)
+
     for epoch in pending:
         files = ev.epoch_files(log_dir, epoch)
         n_raw = sum(pq.read_metadata(f).num_rows for f in files)
@@ -128,6 +134,63 @@ def run_cdc(
             res.epochs_run.append(epoch)
             res.events_applied += n_raw
     res.wall_s = time.perf_counter() - t0
+    return res
+
+
+def _run_cdc_drain(log_dir, lake, pending, extract, batch_size, res, t0):
+    """Backlog-drain mode: when the tail has fallen behind by several
+    epochs, stage ALL pending epochs in ONE parallel pass (one Dataset
+    over every pending segment file — no per-epoch barrier), then merge +
+    commit sequentially (manifests must land in order). Target schemas
+    are resolved by chaining the registry over segment schemas up front,
+    which is exactly what sequential commits would resolve
+    (reconcile is order-insensitive — property-tested).
+
+    Exactly-once: staging for every pending epoch is wiped on entry, so
+    a crash mid-drain re-enters cleanly from the committed cursor.
+    """
+    import time as _time
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    # resolve each pending epoch's target schema by chaining the registry
+    base = lake.current_schema()
+    targets: dict[int, object] = {}
+    n_raw: dict[int, int] = {}
+    for e in pending:
+        seg_schema = ev.epoch_schema(log_dir, e)
+        transformed = extract(seg_schema.empty_table()).schema
+        base = lake.resolve_target_schema(transformed, base)
+        targets[e] = base
+        n_raw[e] = sum(pq.read_metadata(f).num_rows
+                       for f in ev.epoch_files(log_dir, e))
+        lake.wipe_staging(e)
+
+    # ONE staging pass over all pending epochs' files
+    all_files = [f for e in pending for f in ev.epoch_files(log_dir, e)]
+    ds = rd.read_parquet(all_files)
+    kwargs = dict(batch_format="pyarrow")
+    if batch_size:
+        kwargs["batch_size"] = batch_size
+    ds = ds.map_batches(extract, **kwargs)
+    t_stage = _time.perf_counter()
+    stage = lake._stage_writer({e: lake._envelope(t) for e, t in targets.items()})
+    staged = ds.map_batches(stage, batch_format="pyarrow").to_pandas()
+    stage_s = _time.perf_counter() - t_stage
+
+    # sequential merge + commit per epoch (order matters for manifests)
+    for e in pending:
+        pids = sorted(staged.loc[staged["epoch"] == e, "pid"].unique().tolist())
+        commit = lake.commit_staged(e, targets[e], pids,
+                                    stage_s=stage_s / len(pending))
+        res.commits.append(commit)
+        if commit.skipped:
+            res.epochs_skipped.append(e)
+        else:
+            res.epochs_run.append(e)
+            res.events_applied += n_raw[e]
+    res.wall_s = _time.perf_counter() - t0
     return res
 
 

@@ -51,6 +51,12 @@ from chomper_ray.stages.merge import (
 )
 from chomper_ray.state import schema as schema_mod
 
+def pc_unique_int(col) -> list[int]:
+    import pyarrow.compute as _pc
+
+    return sorted(v.as_py() for v in _pc.unique(col))
+
+
 _MANIFEST_DIR = "_manifest"
 _DATA_DIR = "data"
 _CHANGES_DIR = "changes"
@@ -297,98 +303,112 @@ class LakeTable:
         return f"{acc:016x}"
 
     # -- commit -----------------------------------------------------------
-    def commit_epoch(self, changes_ds, epoch: int,
-                     commit_ts_us: int | None = None,
-                     schema_hint: pa.Schema | None = None) -> CommitResult:
-        """Apply one epoch's (transformed) change events. Exactly-once:
-        if ``epoch`` is already in the manifest log this is a no-op.
+    def resolve_target_schema(self, incoming: pa.Schema,
+                              base: pa.Schema | None = None) -> pa.Schema:
+        """Evolve ``base`` (default: current lake schema) with an incoming
+        (transformed) segment schema; envelope/bookkeeping columns are
+        ignored. Chaining this per epoch reproduces exactly what
+        sequential commits would resolve — order-insensitive (tested)."""
+        inc = pa.schema(
+            [pa.field(n, t) for n, t in zip(incoming.names, incoming.types)
+             if n not in ("op", "seq", "epoch", BUCKET_COL)])
+        if base is None:
+            base = self.current_schema()
+        return schema_mod.reconcile(base, inc) if base is not None else inc
 
-        ``changes_ds``: Ray Dataset with the event envelope (``op``,
-        ``seq``) + data columns; ``html`` should already be dropped /
-        ``text`` extracted by the upstream transform chain.
-        """
+    def _envelope(self, target: pa.Schema) -> pa.Schema:
+        return pa.schema(
+            [pa.field("op", pa.string()), pa.field("seq", pa.int64())]
+            + list(target))
+
+    def _stage_writer(self, envelopes: dict[int, pa.Schema]):
+        """Phase-A map fn: conform + partial LWW reduce (the combiner —
+        a hot key leaves each block at most once, which is the salting
+        step) + one uncompressed staging file per touched bucket, written
+        to the lake's staging storage. No object-store all-to-all:
+        measured ~2× faster and better-scaling than
+        ``groupby().map_groups`` sort-shuffle for text payloads.
+        Duplicate staging from retried map tasks is harmless — the merge
+        dedups by (key, version)."""
+        key, version, nb = self.key, self.version, self.num_partitions
+        staging_base = self.staging_root / _STAGING_DIR
+        env_json = {e: schema_mod.schema_to_json(v) for e, v in envelopes.items()}
+
+        def stage(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            out_pid, out_n, out_epoch = [], [], []
+            if "epoch" in t.column_names:
+                epochs_in_batch = pc_unique_int(t["epoch"])
+            else:
+                epochs_in_batch = list(env_json)  # single implicit epoch
+            for e in epochs_in_batch:
+                te = t.filter(pa.compute.equal(t["epoch"], e)) \
+                    if "epoch" in t.column_names and len(epochs_in_batch) > 1 else t
+                if "epoch" in te.column_names:
+                    te = te.drop_columns(["epoch"])
+                envelope = schema_mod.schema_from_json(env_json[e])
+                te = schema_mod.conform(te, envelope)
+                te = lww_dedup_table(te, key, version)
+                b = stable_bucket(te[key], nb)
+                order = np.argsort(b, kind="stable")
+                te = te.take(pa.array(order))
+                bs = b[order]
+                bounds = np.searchsorted(bs, np.arange(nb + 1))
+                tid = uuid.uuid4().hex[:12]
+                for p in range(nb):
+                    lo, hi = int(bounds[p]), int(bounds[p + 1])
+                    if hi > lo:
+                        d = staging_base / f"epoch={e:06d}" / f"p={p:05d}"
+                        d.mkdir(parents=True, exist_ok=True)
+                        pq.write_table(te.slice(lo, hi - lo),
+                                       d / f"{tid}.parquet",
+                                       compression="none")
+                        out_pid.append(p)
+                        out_n.append(hi - lo)
+                        out_epoch.append(e)
+            return pa.table({"epoch": pa.array(out_epoch, type=pa.int64()),
+                             "pid": pa.array(out_pid, type=pa.int32()),
+                             "n": pa.array(out_n, type=pa.int64())})
+
+        return stage
+
+    def wipe_staging(self, epoch: int) -> None:
+        stage_root = self.staging_root / _STAGING_DIR / f"epoch={epoch:06d}"
+        if stage_root.exists():
+            shutil.rmtree(stage_root)
+
+    def stage_epoch(self, changes_ds, epoch: int, target: pa.Schema):
+        """Phase A alone: returns (touched_pids, stage_seconds)."""
+        self.wipe_staging(epoch)  # leftovers from a crashed attempt
+        t0 = time.perf_counter()
+        stage = self._stage_writer({epoch: self._envelope(target)})
+        staged = changes_ds.map_batches(stage, batch_format="pyarrow").to_pandas()
+        pids = sorted(staged["pid"].unique().tolist())
+        return pids, time.perf_counter() - t0
+
+    def commit_staged(self, epoch: int, target: pa.Schema,
+                      touched_pids: list[int],
+                      commit_ts_us: int | None = None,
+                      stage_s: float = 0.0,
+                      events_in_override: int | None = None) -> CommitResult:
+        """Phase B + atomic manifest for an already-staged epoch."""
+        import ray.data as rd
+
         t0 = time.perf_counter()
         if _manifest_path(self.root, epoch).exists():
             return CommitResult(epoch=epoch, skipped=True)
-
         prev = load_manifest(self.root)
-        prev_schema = schema_mod.schema_from_json(prev["schema"]) if prev else None
-        prev_files = {int(p): v["file"] for p, v in (prev or {"partitions": {}})["partitions"].items()}
+        prev_files = {int(p): v["file"]
+                      for p, v in (prev or {"partitions": {}})["partitions"].items()}
         prev_parts = (prev or {}).get("partitions", {})
-
-        if schema_hint is not None:
-            names, types = schema_hint.names, schema_hint.types
-        else:
-            incoming = changes_ds.schema()  # may execute one block
-            names, types = incoming.names, incoming.types
-        inc_schema = pa.schema(
-            [pa.field(n, t) for n, t in zip(names, types)
-             if n not in ("op", "seq", "epoch", BUCKET_COL)])
-        target = schema_mod.reconcile(prev_schema, inc_schema) if prev_schema else inc_schema
         schema_json = schema_mod.schema_to_json(target)
         if commit_ts_us is None:
             # deterministic per epoch (replays produce identical timestamps)
             commit_ts_us = 1_600_000_000_000_000 + epoch * 1_000_000
 
-        key, version, nb = self.key, self.version, self.num_partitions
-        envelope = pa.schema(
-            [pa.field("op", pa.string()), pa.field("seq", pa.int64())]
-            + list(target)
-        )
-
-        # -- phase A: map-side staging shuffle ----------------------------
-        # Each map task conforms + partially LWW-reduces its block (the
-        # combiner: a hot key leaves each block at most once — this IS the
-        # salting step) and appends one staging file per bucket it touches
-        # to the lake's own storage. No object-store all-to-all: measured
-        # ~2× faster and near-linearly scaling vs `groupby().map_groups`
-        # sort-shuffle for binary/text payloads on this Ray version.
-        # Duplicate staging from retried map tasks is harmless — the merge
-        # dedups by (key, version), which is idempotent under duplicates.
-        stage_root = self.staging_root / _STAGING_DIR / f"epoch={epoch:06d}"
-        if stage_root.exists():  # leftovers from a crashed attempt
-            shutil.rmtree(stage_root)
-        stage_root.mkdir(parents=True, exist_ok=True)
-
-        def stage(t: pa.Table) -> pa.Table:
-            import numpy as np
-
-            if "epoch" in t.column_names:
-                t = t.drop_columns(["epoch"])
-            t = schema_mod.conform(t, envelope)
-            t = lww_dedup_table(t, key, version)  # partial reduce (combiner)
-            b = stable_bucket(t[key], nb)
-            order = np.argsort(b, kind="stable")
-            t = t.take(pa.array(order))
-            bs = b[order]
-            bounds = np.searchsorted(bs, np.arange(nb + 1))
-            tid = uuid.uuid4().hex[:12]
-            touched, counts = [], []
-            for p in range(nb):
-                lo, hi = int(bounds[p]), int(bounds[p + 1])
-                if hi > lo:
-                    d = stage_root / f"p={p:05d}"
-                    d.mkdir(exist_ok=True)
-                    # staging is transient shuffle data (deleted at commit):
-                    # skip compression — CPU for no storage benefit
-                    pq.write_table(t.slice(lo, hi - lo), d / f"{tid}.parquet",
-                                   compression="none")
-                    touched.append(p)
-                    counts.append(hi - lo)
-            return pa.table({"pid": pa.array(touched, type=pa.int32()),
-                             "n": pa.array(counts, type=pa.int64())})
-
-        import ray.data as rd
-
-        t_stage0 = time.perf_counter()
-        staged = changes_ds.map_batches(stage, batch_format="pyarrow").to_pandas()
-        touched_pids = sorted(staged["pid"].unique().tolist())
-        stage_s = time.perf_counter() - t_stage0
-        t_merge0 = time.perf_counter()
-
-        # -- phase B: one merge task per touched partition ----------------
         merger = _PartitionMerger(
-            str(self.root), epoch, prev_files, schema_json, key,
+            str(self.root), epoch, prev_files, schema_json, self.key,
             self.overwrite, self.protected, self.managed_timestamps,
             commit_ts_us, self.collect_changes, self.insert_missing,
             str(self.staging_root),
@@ -403,8 +423,8 @@ class LakeTable:
             .map_batches(merge_partitions, batch_format="pyarrow")
             .to_pandas()  # ≤ num_partitions rows — driver-side is metadata only
         )
-        merge_s = time.perf_counter() - t_merge0
-        shutil.rmtree(stage_root, ignore_errors=True)
+        merge_s = time.perf_counter() - t0
+        self.wipe_staging(epoch)
 
         partitions = dict(prev_parts)  # carry forward untouched partitions
         lineage = []
@@ -423,7 +443,7 @@ class LakeTable:
                 "wall_s": float(r.wall_s),
             })
 
-        wall = time.perf_counter() - t0
+        wall = stage_s + merge_s
         manifest = {
             "epoch": epoch,
             "key": self.key,
@@ -442,6 +462,25 @@ class LakeTable:
             total_rows=sum(int(v["live_rows"]) for v in partitions.values()),
             wall_s=wall, stage_s=stage_s, merge_s=merge_s, lineage=lineage,
         )
+
+    def commit_epoch(self, changes_ds, epoch: int,
+                     commit_ts_us: int | None = None,
+                     schema_hint: pa.Schema | None = None) -> CommitResult:
+        """Apply one epoch's (transformed) change events. Exactly-once:
+        if ``epoch`` is already in the manifest log this is a no-op.
+
+        ``changes_ds``: Ray Dataset with the event envelope (``op``,
+        ``seq``) + data columns; ``html`` should already be dropped /
+        ``text`` extracted by the upstream transform chain.
+        """
+        if _manifest_path(self.root, epoch).exists():
+            return CommitResult(epoch=epoch, skipped=True)
+        if schema_hint is None:
+            schema_hint = changes_ds.schema()  # may execute one block
+        target = self.resolve_target_schema(schema_hint)
+        pids, stage_s = self.stage_epoch(changes_ds, epoch, target)
+        return self.commit_staged(epoch, target, pids,
+                                  commit_ts_us=commit_ts_us, stage_s=stage_s)
 
     # -- read -------------------------------------------------------------
     def files(self, as_of_epoch: int | None = None) -> list[str]:

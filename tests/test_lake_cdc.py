@@ -145,3 +145,19 @@ def test_num_partitions_layout(change_log, tmp_path):
     run_cdc(change_log, lake_root, num_partitions=8)
     files = LakeTable(lake_root, num_partitions=8).files()
     assert 1 < len(files) <= 8
+
+
+def test_drain_mode_equals_sequential(change_log, tmp_path):
+    """Backlog-drain (single staging pass over all epochs) must produce
+    the identical final state as sequential per-epoch commits."""
+    seq_root = tmp_path / "seq"
+    run_cdc(change_log, seq_root, num_partitions=4)
+    h_seq = LakeTable(seq_root, num_partitions=4).snapshot_hash()
+
+    drain_root = tmp_path / "drain"
+    res = run_cdc(change_log, drain_root, num_partitions=4, drain=True)
+    assert res.epochs_run == [0, 1, 2, 3]
+    lake = LakeTable(drain_root, num_partitions=4)
+    assert lake.snapshot_hash() == h_seq
+    # schema evolution resolved identically
+    assert lake.current_schema() == LakeTable(seq_root, num_partitions=4).current_schema()
