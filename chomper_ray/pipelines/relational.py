@@ -154,6 +154,16 @@ def asof_join(ds, right: pd.DataFrame, on: str, by: str | None = None,
     return ds.map_batches(f, batch_format="pandas")
 
 
+def native_join(left, right, on: str, right_on: str | None = None,
+                num_partitions: int = 16, how: str = "inner"):
+    """Ray's built-in hash-partitioned ``Dataset.join`` (this Ray version
+    ships it) — measured comparable to the explicit ``hash_join`` here;
+    kept as an alternative since the explicit path makes the partitioning
+    reusable downstream and works on older Ray."""
+    return left.join(right, how, num_partitions=num_partitions,
+                     on=(on,), right_on=(right_on or on,))
+
+
 def asof_join_partitioned(left, right, on: str, by: str,
                           num_buckets: int = 16, suffix: str = "_r"):
     """Large-large as-of join: co-hash-partition BOTH sides on the exact

@@ -106,3 +106,10 @@ def test_asof_join_partitioned_matches_broadcast():
     x = exp.sort_values("lid").reset_index(drop=True)
     pd.testing.assert_frame_equal(g[["lid", "val"]], x[["lid", "val"]],
                                   check_dtype=False)
+
+
+def test_native_join_matches_explicit():
+    got = rel.native_join(mk_ds(LEFT), mk_ds(RIGHT, 2), on="k",
+                          num_partitions=4).to_pandas()
+    exp = LEFT.merge(RIGHT, on="k")
+    assert len(got) == len(exp)
