@@ -84,6 +84,47 @@ class DecodeImage:
         return batch
 
 
+class AudioFeatures:
+    """audio payload → fixed-width feature vector (stub decode).
+
+    Real path: load a codec + feature extractor once per actor in
+    ``__init__`` (the actor-pool shape), decode + e.g. mel-spectrogram in
+    ``__call__``. Here ``_decode_audio_impl`` is stubbed: 'strict' raises,
+    'fake' derives a deterministic waveform from the payload bytes so the
+    schema/batching/actor plumbing is fully exercised.
+    """
+
+    def __init__(self, mode: str = "fake", n_features: int = 16):
+        self.mode = mode
+        self.n_features = n_features
+
+    def _decode_audio_impl(self, payload: bytes, duration_ms) -> np.ndarray:
+        if self.mode == "strict":
+            raise NotImplementedError(
+                "real audio decoding needs soundfile/ffmpeg (not in this "
+                "container); run with mode='fake' for plumbing tests")
+        seed = int(pd.util.hash_array(np.array([payload], dtype=object))[0]) & 0x7FFFFFFF
+        n = max(64, int(duration_ms) if pd.notna(duration_ms) else 1000)
+        return np.random.default_rng(seed).standard_normal(min(n, 4096))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        feats, rms = [], []
+        for payload, d in zip(batch["payload"], batch.get("duration_ms")):
+            if payload is None:
+                feats.append(None)
+                rms.append(None)
+                continue
+            wave = self._decode_audio_impl(payload, d)
+            # fixed-width band energies (stand-in for a mel spectrogram)
+            bands = np.array_split(wave ** 2, self.n_features)
+            feats.append(np.array([float(b.mean()) for b in bands],
+                                  dtype=np.float32))
+            rms.append(round(float(np.sqrt((wave ** 2).mean())), 6))
+        batch["audio_feat"] = feats
+        batch["rms"] = rms
+        return batch
+
+
 class SampleFrames:
     """video payload → deterministic frame-sample timestamps + per-frame
     fake features. Real frame extraction would replace ``_frames_impl``."""

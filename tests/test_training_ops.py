@@ -237,3 +237,17 @@ def test_distributed_components_match_union_find():
     uf = dedup.connected_components(pairs)
     dc = dedup.components_distributed(pairs, num_buckets=4)
     assert dc == uf
+
+
+def test_audio_features_plumbing():
+    from chomper_ray.stages.multimodal import AudioFeatures
+
+    df = make_fake_media_table(24).to_pandas()
+    out = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .map_batches(AudioFeatures, batch_format="pandas", batch_size=8,
+                     concurrency=2).to_pandas()
+    assert len(out) == 24
+    assert out["rms"].notna().all()
+    assert len(out["audio_feat"].iloc[0]) == 16
+    with pytest.raises(NotImplementedError):
+        AudioFeatures(mode="strict")(df)
