@@ -46,6 +46,12 @@ def main(argv=None):
     r.add_argument("--lake-root", required=True)
     r.add_argument("--num-partitions", type=int, default=16)
     r.add_argument("--max-epochs", type=int, default=None)
+    r.add_argument("--staging-root", default=None,
+                   help="fast transient storage for shuffle staging files "
+                        "(e.g. local NVMe / tmpfs); default: under lake root")
+    r.add_argument("--drain", action="store_true",
+                   help="stage all pending epochs in one parallel pass "
+                        "(backlog catch-up mode)")
     r.add_argument("--tail", action="store_true",
                    help="continuous: poll for new epochs (Ctrl-C to stop)")
 
@@ -72,10 +78,15 @@ def main(argv=None):
         _ray_init()
         from chomper_ray.pipelines.cdc import run_cdc, tail_cdc
 
+        lake_kwargs = {}
+        if args.staging_root:
+            lake_kwargs["staging_root"] = args.staging_root
         fn = tail_cdc if args.tail else run_cdc
+        extra = {} if args.tail else {"max_epochs": args.max_epochs,
+                                      "drain": args.drain}
         res = fn(args.log_dir, args.lake_root,
                  num_partitions=args.num_partitions,
-                 **({} if args.tail else {"max_epochs": args.max_epochs}))
+                 lake_kwargs=lake_kwargs, **extra)
         print(json.dumps({
             "epochs_run": res.epochs_run,
             "epochs_skipped": res.epochs_skipped,

@@ -161,3 +161,25 @@ def test_drain_mode_equals_sequential(change_log, tmp_path):
     assert lake.snapshot_hash() == h_seq
     # schema evolution resolved identically
     assert lake.current_schema() == LakeTable(seq_root, num_partitions=4).current_schema()
+
+
+def test_duplicate_event_delivery_is_idempotent(tmp_path):
+    """At-least-once input: the same event delivered twice (same
+    (url, warc_ts, seq), same payload) must not change the outcome —
+    the LWW dedup collapses exact duplicate versions deterministically."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def mk(op, seq, url, ts, text):
+        return {"op": op, "seq": seq, "url": url,
+                "warc_ts": pd.Timestamp(ts, unit="s"), "text": text,
+                "lang": "en"}
+
+    rows = [mk("insert", 0, "u1", 10, "a"), mk("update", 1, "u1", 20, "b"),
+            mk("insert", 2, "u2", 5, "c")]
+    dup_rows = rows + rows  # duplicated delivery
+    l1 = LakeTable(tmp_path / "l1", num_partitions=2)
+    l1.commit_epoch(rd.from_arrow(pa.Table.from_pylist(rows)), 0)
+    l2 = LakeTable(tmp_path / "l2", num_partitions=2)
+    l2.commit_epoch(rd.from_arrow(pa.Table.from_pylist(dup_rows)), 0)
+    assert l1.snapshot_hash() == l2.snapshot_hash()
