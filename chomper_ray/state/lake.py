@@ -574,6 +574,88 @@ class LakeTable:
         return CommitResult(epoch=epoch, total_rows=0)
 
     # -- maintenance -------------------------------------------------------
+    def purge_tombstones(self, epoch: int, watermark_ts_us: int) -> CommitResult:
+        """Maintenance commit: physically drop tombstoned rows whose
+        version ``warc_ts < watermark``.
+
+        A tombstone must outlive any event it could still have to defeat
+        (LWW: a late OLD update loses only because the tombstone's newer
+        version is present). Purging is therefore only safe under a
+        WATERMARK contract: the producer guarantees no future event
+        carries ``warc_ts`` ≤ the watermark (bounded out-of-orderness —
+        the CDC norm). Runs as a normal exactly-once commit: per-partition
+        rewrite tasks → new snapshots → atomic manifest.
+        """
+        import ray.data as rd
+
+        t0 = time.perf_counter()
+        if _manifest_path(self.root, epoch).exists():
+            return CommitResult(epoch=epoch, skipped=True)
+        prev = load_manifest(self.root)
+        if not prev:
+            return CommitResult(epoch=epoch, skipped=True)
+        prev_parts = prev["partitions"]
+        root = str(self.root)
+        key = self.key
+        ver_col = self.version[0]
+
+        def rewrite(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            out = []
+            for pid, rel in zip(batch["pid"].to_pylist(),
+                                batch["file"].to_pylist()):
+                tbl = pq.read_table(Path(root) / rel)
+                drop = pc.and_(
+                    tbl[INTERNAL_DELETED],
+                    pc.less(tbl[ver_col],
+                            pa.scalar(watermark_ts_us,
+                                      type=tbl[ver_col].type)))
+                kept = tbl.filter(pc.invert(pc.fill_null(drop, False)))
+                new_rel = f"{_DATA_DIR}/p={pid:05d}/snap-{epoch:06d}.parquet"
+                tmp = Path(root) / f"{_DATA_DIR}/p={pid:05d}/.snap-{epoch:06d}.parquet.tmp"
+                pq.write_table(kept, tmp)
+                os.replace(tmp, Path(root) / new_rel)
+                h = snapshot_content_hash(kept.to_pandas(), key)
+                live = int(pa.compute.sum(
+                    pa.compute.invert(kept[INTERNAL_DELETED])).as_py() or 0)
+                out.append((pid, new_rel, kept.num_rows, live, h,
+                            tbl.num_rows - kept.num_rows))
+            return pa.table({
+                "pid": [o[0] for o in out], "file": [o[1] for o in out],
+                "rows": [o[2] for o in out], "live": [o[3] for o in out],
+                "hash": [o[4] for o in out], "purged": [o[5] for o in out],
+            })
+
+        pids = pa.table({
+            "pid": pa.array([int(p) for p in sorted(prev_parts)], type=pa.int32()),
+            "file": pa.array([prev_parts[p]["file"] for p in sorted(prev_parts)]),
+        })
+        stats = (rd.from_arrow(pids).repartition(max(1, pids.num_rows))
+                 .map_batches(rewrite, batch_format="pyarrow").to_pandas())
+
+        partitions = {}
+        for r in stats.itertuples(index=False):
+            partitions[str(r.pid)] = {"file": r.file, "rows": int(r.rows),
+                                      "live_rows": int(r.live), "hash": r.hash}
+        manifest = {
+            "epoch": epoch, "key": self.key,
+            "num_partitions": self.num_partitions,
+            "schema": prev["schema"],
+            "commit_ts_us": 1_600_000_000_000_000 + epoch * 1_000_000,
+            "partitions": partitions,
+            "lineage": [],
+            "purged_tombstones": int(stats["purged"].sum()),
+            "watermark_ts_us": watermark_ts_us,
+            "wall_s": round(time.perf_counter() - t0, 4),
+        }
+        _atomic_write_json(_manifest_path(self.root, epoch), manifest)
+        return CommitResult(
+            epoch=epoch, partitions_touched=len(stats),
+            rows_deleted=int(stats["purged"].sum()),
+            total_rows=int(stats["live"].sum()),
+            wall_s=time.perf_counter() - t0)
+
     def compact(self, keep_epochs: int = 1) -> dict:
         """Garbage-collect snapshot files no manifest in the retained
         window references. Copy-on-write leaves one snapshot per

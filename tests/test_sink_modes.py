@@ -136,3 +136,33 @@ def test_crashed_staging_is_cleaned_and_recommitted(small_log, tmp_path):
     run_cdc(small_log, crash_root, num_partitions=4)  # resume
     assert LakeTable(crash_root, num_partitions=4).snapshot_hash() == h_clean
     assert not (crash_root / "_staging" / "epoch=000001").exists()
+
+
+def test_purge_tombstones_with_watermark(tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    lake = LakeTable(tmp_path / "lake", num_partitions=2)
+
+    def mk(op, seq, url, ts, text):
+        return {"op": op, "seq": seq, "url": url,
+                "warc_ts": pd.Timestamp(ts, unit="s"), "text": text,
+                "lang": "en"}
+
+    lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist([
+        mk("insert", 0, "old", 100, "x"), mk("insert", 1, "new", 100, "y"),
+        mk("delete", 2, "old", 200, None),      # old tombstone (< watermark)
+        mk("insert", 3, "u3", 100, "z"),
+        mk("delete", 4, "u3", 5000, None),      # recent tombstone (>= wm)
+    ])), 0)
+    df0 = lake.read_pandas(include_deleted=True)
+    assert len(df0) == 3  # new + 2 tombstones
+
+    wm_us = int(pd.Timestamp(1000, unit="s").value // 1000)
+    res = lake.purge_tombstones(epoch=1, watermark_ts_us=wm_us)
+    assert res.rows_deleted == 1  # only the pre-watermark tombstone purged
+    after = lake.read_pandas(include_deleted=True, include_internal=True)
+    assert "old" not in set(after["url"])        # purged
+    assert True in set(after["_deleted"])        # recent tombstone kept
+    # exactly-once
+    assert lake.purge_tombstones(epoch=1, watermark_ts_us=wm_us).skipped
