@@ -96,6 +96,8 @@ def run_bench() -> dict:
     shutil.rmtree(lake_root, ignore_errors=True)
     shutil.rmtree(staging_root, ignore_errors=True)
     events_per_sec = res.events_applied / cdc_sec if cdc_sec else 0.0
+    stage_sec = round(sum(c.stage_s for c in res.commits), 3)
+    merge_sec = round(sum(c.merge_s for c in res.commits), 3)
 
     query_secs = {}
     if os.environ.get("CHOMPER_BENCH_CDC_ONLY"):
@@ -104,6 +106,7 @@ def run_bench() -> dict:
             "metric": "cdc_pipeline_sec", "value": round(cdc_sec, 3),
             "unit": "sec", "events_applied": res.events_applied,
             "events_per_sec": round(events_per_sec, 1),
+            "cdc_stage_sec": stage_sec, "cdc_merge_sec": merge_sec,
             "queries": {}, "sf": tag, "num_cpus": NUM_CPUS,
         }
 
@@ -125,6 +128,7 @@ def run_bench() -> dict:
         "unit": "sec",
         "events_applied": res.events_applied,
         "events_per_sec": round(events_per_sec, 1),
+        "cdc_stage_sec": stage_sec, "cdc_merge_sec": merge_sec,
         "queries": query_secs,
         "queries_total_sec": round(sum(query_secs.values()), 3),
         "sf": tag,
