@@ -122,9 +122,11 @@ class _PartitionMerger:
                  schema_json: list[dict], key: str, overwrite: bool,
                  protected: tuple[str, ...], managed_timestamps: bool,
                  commit_ts_us: int, collect_changes: bool,
-                 insert_missing: bool = True, staging_root: str | None = None):
+                 insert_missing: bool = True, staging_root: str | None = None,
+                 version_ts: str = "warc_ts"):
         self.root = root
         self.staging_root = staging_root or root
+        self.version_ts = version_ts
         self.epoch = epoch
         self.prev_files = prev_files
         self.schema_json = schema_json
@@ -169,8 +171,8 @@ class _PartitionMerger:
         ch = changes.to_pandas()
         commit_ts = pd.Timestamp(self.commit_ts_us, unit="us")
         new, events = apply_changes(
-            base, ch, key=self.key, overwrite=self.overwrite,
-            protected=self.protected,
+            base, ch, key=self.key, version_ts=self.version_ts,
+            overwrite=self.overwrite, protected=self.protected,
             managed_timestamps=self.managed_timestamps,
             commit_ts=commit_ts, collect_changes=self.collect_changes,
             insert_missing=self.insert_missing,
@@ -411,7 +413,7 @@ class LakeTable:
             str(self.root), epoch, prev_files, schema_json, self.key,
             self.overwrite, self.protected, self.managed_timestamps,
             commit_ts_us, self.collect_changes, self.insert_missing,
-            str(self.staging_root),
+            str(self.staging_root), version_ts=self.version[0],
         )
 
         def merge_partitions(batch: pa.Table, _m=merger) -> pa.Table:
