@@ -168,8 +168,13 @@ def apply_changes(
     if overwrite:
         new = last.copy()
         if protected:
-            # protected columns on keys that had a base row keep base values
-            base_idx = base.set_index(key)
+            # protected columns keep base values, but only where a LIVE
+            # base row existed (a tombstoned key doesn't "exist", so a
+            # re-insert keeps its own values — reference semantics:
+            # never-touch applies to existing rows, exporters.py:119-120)
+            base_live = base[~base[INTERNAL_DELETED].astype(bool)] \
+                if len(base) else base
+            base_idx = base_live.set_index(key)
             inter = new.index.intersection(base_idx.index)
             for c in protected:
                 if c in base_idx.columns:

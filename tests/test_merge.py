@@ -209,3 +209,17 @@ class TestChangeListeners:
         _, ev = apply_changes(base, events([("delete", 1, "a", 20, None)]))
         got = set(map(tuple, ev[["field", "event"]].fillna("").values))
         assert ("", "delete") in got
+
+
+def test_protected_not_restored_from_tombstone():
+    """A protected column on a re-inserted key keeps the NEW value — the
+    tombstoned prior row doesn't 'exist' for never-touch purposes."""
+    base, _ = apply_changes(empty_base(),
+                            events([("insert", 0, "a", 10, "orig"),
+                                    ("delete", 1, "a", 20, None)]),
+                            collect_changes=False)
+    assert base[INTERNAL_DELETED].tolist() == [True]
+    new, _ = apply_changes(base, events([("insert", 2, "a", 30, "fresh")]),
+                           protected=("text",), collect_changes=False)
+    row = new.set_index("url").loc["a"]
+    assert row["text"] == "fresh" and not row[INTERNAL_DELETED]

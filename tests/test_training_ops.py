@@ -22,8 +22,7 @@ def docs_ds(texts):
 
 
 def test_exact_dedup_keeps_min_id():
-    ds = docs_ds(["aa", "bb", "aa", "cc", "bb", "aa"])
-    out = ds and dedup.exact_dedup(docs_ds(["aa", "bb", "aa", "cc", "bb", "aa"])) \
+    out = dedup.exact_dedup(docs_ds(["aa", "bb", "aa", "cc", "bb", "aa"])) \
         .to_pandas().sort_values("doc_id")
     assert out["doc_id"].tolist() == [0, 1, 3]
 
