@@ -48,8 +48,8 @@ class Transform:
 
 
 def _set_column(table: pa.Table, name: str, values) -> pa.Table:
-    """Replace-or-append a column, casting to the existing column's type
-    when compatible (keeps schema stable across batches)."""
+    """Replace-or-append a column (length-checked; the value's own Arrow
+    type wins — callers cast when cross-batch schema stability matters)."""
     if not isinstance(values, (pa.Array, pa.ChunkedArray)):
         values = pa.array(values)
     if len(values) != table.num_rows:

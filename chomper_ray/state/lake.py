@@ -242,11 +242,9 @@ def snapshot_content_hash(df: pd.DataFrame, key: str) -> str:
     processes (fixed pandas hash key)."""
     if not len(df):
         return "0"
+    s = df.sort_values(key, kind="stable").reset_index(drop=True)
     h = pd.util.hash_pandas_object(
-        df.sort_values(key, kind="stable").reset_index(drop=True)
-        .astype(object).where(df.notna(), None),
-        index=False,
-    )
+        s.astype(object).where(s.notna(), None), index=False)
     return f"{int(h.sum()) & 0xFFFFFFFFFFFFFFFF:016x}"
 
 
