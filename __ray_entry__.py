@@ -429,7 +429,7 @@ def _q_minhash_dedup(sf_dir: str):
     from chomper_ray.stages.dedup import minhash_lsh_dedup
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    clusters, _pairs = minhash_lsh_dedup(ds, threshold=0.8, concurrency=2)
+    clusters, _pairs = minhash_lsh_dedup(ds, threshold=0.8, concurrency=8)
     ids = sorted(pq.read_table(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])["doc_id"].to_pylist())
     return pd.DataFrame({
@@ -444,7 +444,7 @@ def _q_simhash_dedup(sf_dir: str):
     from chomper_ray.stages.dedup import simhash_dedup
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    clusters, _pairs = simhash_dedup(ds, max_hamming=3, concurrency=2)
+    clusters, _pairs = simhash_dedup(ds, max_hamming=3, concurrency=8)
     ids = sorted(pq.read_table(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])["doc_id"].to_pylist())
     return pd.DataFrame({

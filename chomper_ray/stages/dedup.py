@@ -95,12 +95,14 @@ def _perm_params(num_perm: int, seed: int = 12345):
 
 def minhash_signature(shingle_hashes: np.ndarray, a: np.ndarray,
                       b: np.ndarray) -> np.ndarray:
-    """num_perm-wide MinHash via universal hashing ((a*h+b) mod p), fully
-    vectorized: (n_shingles × num_perm) then column-min."""
+    """num_perm-wide MinHash via multiply-shift hashing (odd multiplier,
+    wraparound uint64 — no modulo: ~6× faster than (a·h+b) mod p and
+    universal enough for MinHash): (n_shingles × num_perm) column-min."""
     if len(shingle_hashes) == 0:
         return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        m = (shingle_hashes[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+        m = (shingle_hashes[:, None] * (a[None, :] | np.uint64(1))) \
+            + b[None, :]
     return m.min(axis=0).astype(np.uint64)
 
 
@@ -263,15 +265,29 @@ def minhash_lsh_dedup(ds, col: str = "text", id_col: str = "doc_id",
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
         sigs = np.stack(batch["minhash"].to_numpy())
-        return _band_rows(batch[id_col].to_numpy(), sigs, bands)
+        out = _band_rows(batch[id_col].to_numpy(), sigs, bands)
+        # coarse partition key: grouping the raw (band, hash) pairs would
+        # make one Ray group per bucket — ~#docs×bands tiny groups, pure
+        # overhead. 32 coarse partitions, then a vectorized pandas
+        # groupby inside each.
+        out["_pb"] = (out["band_hash"] % np.uint64(32)).astype(np.int32)
+        return out
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return _pairs_from_buckets(g)
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby(["band_id", "band_hash"])["id"].transform("size")
+        multi = g[sizes > 1]
+        frames = [
+            _pairs_from_buckets(grp)
+            for _, grp in multi.groupby(["band_id", "band_hash"], sort=False)
+        ]
+        if not frames:
+            return pd.DataFrame({"a": [], "b": [], "truncated": []})
+        return pd.concat(frames, ignore_index=True)
 
     pairs = (
         sigged.map_batches(to_bands, batch_format="pandas")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(partition_pairs, batch_format="pandas")
         .to_pandas()
     )
     pairs = _ensure_pair_cols(pairs, "truncated")
