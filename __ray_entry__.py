@@ -371,6 +371,14 @@ def _q_token_count(sf_dir: str):
         .map_batches(lambda df: df[["doc_id", "n_tokens"]], batch_format="pandas")
 
 
+def _q_word_count(sf_dir: str):
+    from chomper_ray.stages.text import count_words
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(count_words, batch_format="pandas") \
+        .map_batches(lambda df: df[["doc_id", "n_words"]], batch_format="pandas")
+
+
 def _q_quality_score(sf_dir: str):
     from chomper_ray.stages.text import QualityScorer
 
@@ -562,6 +570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data operators
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
+        "word_count": _q_word_count,
         "quality_score": _q_quality_score,
         "ann_topk": _q_ann_topk,
         "minhash_dedup": _q_minhash_dedup,
@@ -677,6 +686,10 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             r"SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT "
             "AS n_tokens FROM documents"
+        ),
+        "word_count": (
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            "'[A-Za-z0-9]+(?:''[a-z]+)?'))::BIGINT AS n_words FROM documents"
         ),
         "quality_score": (
             f"SELECT doc_id, {q['n_chars_q']}::BIGINT AS n_chars_q, "
