@@ -183,3 +183,19 @@ def test_duplicate_event_delivery_is_idempotent(tmp_path):
     l2 = LakeTable(tmp_path / "l2", num_partitions=2)
     l2.commit_epoch(rd.from_arrow(pa.Table.from_pylist(dup_rows)), 0)
     assert l1.snapshot_hash() == l2.snapshot_hash()
+
+
+def test_drain_resume_after_partial_crash(change_log, tmp_path):
+    """Crash mid-drain: epochs 0-1 committed, stale staging for epoch 2 —
+    a fresh drain resumes from the cursor and converges."""
+    root = tmp_path / "lake"
+    run_cdc(change_log, root, num_partitions=4, max_epochs=2)
+    stale = root / "_staging" / "epoch=000002" / "p=00001"
+    stale.mkdir(parents=True)
+    (stale / "garbage.parquet").write_bytes(b"junk")
+    res = run_cdc(change_log, root, num_partitions=4, drain=True)
+    assert res.epochs_run == [2, 3]
+    full = tmp_path / "full"
+    run_cdc(change_log, full, num_partitions=4)
+    assert LakeTable(root, num_partitions=4).snapshot_hash() == \
+        LakeTable(full, num_partitions=4).snapshot_hash()
