@@ -514,6 +514,34 @@ class LakeTable:
             )
         return ds
 
+    def lookup(self, key_value, columns=None, as_of_epoch: int | None = None):
+        """Point lookup: read ONLY the one partition the key hashes to
+        (the same ``stable_bucket`` that routed writes), column-pruned.
+        O(one partition file), not a table scan — the lake-native
+        replacement for the reference's per-row SELECT
+        (contrib/postgres.py:354-358)."""
+        import pyarrow.compute as pc
+
+        m = load_manifest(self.root, as_of_epoch)
+        if not m:
+            return pd.DataFrame()
+        pid = int(stable_bucket([key_value], self.num_partitions)[0])
+        part = m["partitions"].get(str(pid))
+        if part is None:
+            return pd.DataFrame()
+        read_cols = columns
+        if read_cols is not None:
+            read_cols = list({*read_cols, self.key, INTERNAL_DELETED})
+        tbl = pq.read_table(self.root / part["file"], columns=read_cols)
+        tbl = tbl.filter(pc.equal(tbl[self.key], key_value))
+        df = tbl.to_pandas()
+        df = df[~df[INTERNAL_DELETED]]
+        if columns is not None:
+            df = df[[c for c in columns]]
+        else:
+            df = df.drop(columns=[c for c in INTERNAL_COLS if c in df.columns])
+        return df.reset_index(drop=True)
+
     def read_pandas(self, **kw) -> pd.DataFrame:
         """Small-table convenience for tests: full snapshot as pandas."""
         tables = [pq.read_table(f) for f in self.files()]

@@ -166,3 +166,16 @@ def test_purge_tombstones_with_watermark(tmp_path):
     assert True in set(after["_deleted"])        # recent tombstone kept
     # exactly-once
     assert lake.purge_tombstones(epoch=1, watermark_ts_us=wm_us).skipped
+
+
+def test_point_lookup_reads_one_partition(small_log, tmp_path):
+    run_cdc(small_log, tmp_path / "lake", num_partitions=4)
+    lake = LakeTable(tmp_path / "lake", num_partitions=4)
+    df = lake.read_pandas()
+    url = df["url"].iloc[0]
+    hit = lake.lookup(url)
+    assert len(hit) == 1 and hit["url"].iloc[0] == url
+    assert hit["text"].iloc[0] == df.set_index("url").loc[url, "text"]
+    # column pruning + miss behavior
+    assert list(lake.lookup(url, columns=["url", "lang"]).columns) == ["url", "lang"]
+    assert lake.lookup("https://no.such/url").empty
