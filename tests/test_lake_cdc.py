@@ -199,3 +199,71 @@ def test_drain_resume_after_partial_crash(change_log, tmp_path):
     run_cdc(change_log, full, num_partitions=4)
     assert LakeTable(root, num_partitions=4).snapshot_hash() == \
         LakeTable(full, num_partitions=4).snapshot_hash()
+
+
+def test_exactly_once_under_task_retry(tmp_path):
+    """A staging map task that crashes once (Ray retries it) must not
+    duplicate or lose data — staged duplicates are version-deduped and
+    the commit converges to the clean-run snapshot hash."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    @ray.remote
+    class FailOnce:
+        def __init__(self):
+            self.failed = False
+
+        def should_fail(self):
+            if not self.failed:
+                self.failed = True
+                return True
+            return False
+
+    coord = FailOnce.remote()
+
+    def mk(op, seq, url, ts, text):
+        return {"op": op, "seq": seq, "url": url,
+                "warc_ts": pd.Timestamp(ts, unit="s"), "text": text,
+                "lang": "en"}
+
+    rows = [mk("insert", i, f"u{i % 7}", 10 + i, f"t{i}") for i in range(40)]
+
+    def flaky(t: pa.Table) -> pa.Table:
+        if ray.get(coord.should_fail.remote()):
+            raise RuntimeError("injected failure (retried by Ray)")
+        return t
+
+    clean = LakeTable(tmp_path / "clean", num_partitions=2)
+    clean.commit_epoch(rd.from_arrow(pa.Table.from_pylist(rows)), 0)
+
+    lake = LakeTable(tmp_path / "flaky", num_partitions=2)
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4) \
+        .map_batches(flaky, batch_format="pyarrow",
+                     max_retries=3, retry_exceptions=True)
+    lake.commit_epoch(ds, 0)
+    assert lake.snapshot_hash() == clean.snapshot_hash()
+
+
+def test_schema_narrowing_rejected_at_commit(tmp_path):
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from chomper_ray.state.schema import SchemaEvolutionError
+
+    lake = LakeTable(tmp_path / "lake", num_partitions=2)
+
+    def mk(seq, status):
+        return {"op": "insert", "seq": seq, "url": f"u{seq}",
+                "warc_ts": pd.Timestamp(seq, unit="s"), "status": status}
+
+    lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(
+        [mk(0, 200)])), 0)
+    bad = pa.table({
+        "op": ["insert"], "seq": pa.array([1], type=pa.int64()),
+        "url": ["u9"], "warc_ts": pa.array([pd.Timestamp(1, unit="s")]),
+        "status": ["oops-now-a-string"],   # int → string: incompatible
+    })
+    with _pytest.raises(SchemaEvolutionError):
+        lake.commit_epoch(rd.from_arrow(bad), 1)
