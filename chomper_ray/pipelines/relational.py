@@ -11,6 +11,39 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _combined_schema(left, right):
+    import pyarrow as _pa
+
+    ls, rs = left.schema(), right.schema()
+    fields = {n: t for n, t in zip(ls.names, ls.types)}
+    order = list(ls.names)
+    for n, t in zip(rs.names, rs.types):
+        if n not in fields:
+            fields[n] = t
+            order.append(n)
+    return _pa.schema([_pa.field(n, fields[n]) for n in order]), \
+        list(ls.names), list(rs.names)
+
+
+def _tagger(schema, bucket_on, num_buckets, side):
+    """Arrow-level pad-to-shared-schema + bucket + side tag. Typed null
+    padding (schema.conform) keeps dtypes intact through Ray's union,
+    which does NOT reconcile block schemas."""
+    import numpy as np
+    import pyarrow as _pa
+
+    from chomper_ray.stages.merge import stable_bucket
+    from chomper_ray.state.schema import conform
+
+    def f(t: _pa.Table) -> _pa.Table:
+        t = conform(t, schema)
+        b = stable_bucket(t[bucket_on], num_buckets)
+        t = t.append_column("_jb", _pa.array(b, type=_pa.int32()))
+        return t.append_column("_side", _pa.array([side] * t.num_rows))
+
+    return f
+
+
 def broadcast_join(ds, small: pd.DataFrame, on: str | list[str],
                    how: str = "inner", suffix: str = "_r"):
     """Join a Dataset with a SMALL side: the small table is ``ray.put``
@@ -104,23 +137,11 @@ def hash_join(left, right, on: str, num_buckets: int = 16,
     Skew note: a hot key lands in one bucket; for skewed keys pre-split
     the hot side by a salt and replicate the other side's hot rows.
     """
-    from chomper_ray.stages.merge import stable_bucket
-
-    def tag(side: str):
-        def f(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.copy()
-            batch["_jb"] = stable_bucket(batch[on].to_numpy(), num_buckets)
-            batch["_side"] = side
-            return batch
-
-        return f
-
-    l = left.map_batches(tag("l"), batch_format="pandas")
-    r = right.map_batches(tag("r"), batch_format="pandas")
-    # union pads each side with the other's columns as null — remember
-    # which columns belong to whom
-    lcols = [c for c in left.schema().names]
-    rcols = [c for c in right.schema().names]
+    schema, lcols, rcols = _combined_schema(left, right)
+    l = left.map_batches(_tagger(schema, on, num_buckets, "l"),
+                         batch_format="pyarrow")
+    r = right.map_batches(_tagger(schema, on, num_buckets, "r"),
+                          batch_format="pyarrow")
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == "l"][lcols]
@@ -175,32 +196,23 @@ def asof_join_partitioned(left, right, on: str, by: str,
     Both sides must share the ``on``/``by`` column names (rename first);
     right-side payload columns keep their names (``suffix`` on clashes).
     """
-    from chomper_ray.stages.merge import stable_bucket
-
-    def tag(side: str):
-        def f(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.copy()
-            batch["_jb"] = stable_bucket(batch[by].to_numpy(), num_buckets)
-            batch["_side"] = side
-            return batch
-
-        return f
-
-    l = left.map_batches(tag("l"), batch_format="pandas")
-    r = right.map_batches(tag("r"), batch_format="pandas")
-    lcols = list(left.schema().names)
-    rcols = list(right.schema().names)
+    schema, lcols, rcols = _combined_schema(left, right)
+    l = left.map_batches(_tagger(schema, by, num_buckets, "l"),
+                         batch_format="pyarrow")
+    r = right.map_batches(_tagger(schema, by, num_buckets, "r"),
+                          batch_format="pyarrow")
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == "l"][lcols].sort_values(on, kind="stable")
         rg = g[g["_side"] == "r"][rcols].sort_values(on, kind="stable")
-        if not len(lg):
-            return lg
-        if not len(rg):
+        extra = [c if c not in lcols else f"{c}{suffix}"
+                 for c in rcols if c not in (on, by)]
+        if not len(lg) or not len(rg):
+            # keep the merged column set stable across buckets (a bucket
+            # may hold only one side's rows)
             out = lg.copy()
-            for c in rcols:
-                if c not in (on, by):
-                    out[c] = None
+            for c in extra:
+                out[c] = None
             return out
         return pd.merge_asof(lg, rg, on=on, by=by, direction="backward",
                              suffixes=("", suffix))
