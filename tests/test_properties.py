@@ -126,3 +126,31 @@ def test_schema_reconcile_order_insensitive(s1, s2, s3):
     b = sm.reconcile(s1, sm.reconcile(s3, s2))
     c = sm.reconcile(sm.reconcile(s3, s1), s2)
     assert norm(a) == norm(b) == norm(c)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 6))
+def test_hash_join_matches_pandas_property(seed, num_buckets):
+    import ray.data as rd
+
+    from chomper_ray.pipelines.relational import hash_join
+
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 20, 80),
+        "v": rng.integers(0, 1000, 80).astype("int64"),
+    })
+    # right keys only partially overlap; some left keys have no match
+    right = pd.DataFrame({
+        "k": rng.choice(np.arange(10, 30), 15, replace=False),
+        "w": rng.integers(0, 1000, 15).astype("int64"),
+    })
+    got = hash_join(
+        rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)).repartition(3),
+        rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False)).repartition(2),
+        on="k", num_buckets=num_buckets).to_pandas()
+    exp = left.merge(right, on="k")
+    g = got.sort_values(["k", "v", "w"]).reset_index(drop=True)
+    x = exp.sort_values(["k", "v", "w"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g[["k", "v", "w"]], x[["k", "v", "w"]],
+                                  check_dtype=False)
