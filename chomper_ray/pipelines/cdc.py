@@ -181,7 +181,8 @@ def _run_cdc_drain(log_dir, lake, pending, extract, batch_size, res, t0):
 
     # sequential merge + commit per epoch (order matters for manifests)
     for e in pending:
-        pids = sorted(staged.loc[staged["epoch"] == e, "pid"].unique().tolist())
+        pids = sorted(staged.loc[staged["epoch"] == e, "pid"].unique().tolist()) \
+            if "pid" in staged.columns else []
         commit = lake.commit_staged(e, targets[e], pids,
                                     stage_s=stage_s / len(pending))
         res.commits.append(commit)

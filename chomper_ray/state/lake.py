@@ -384,7 +384,9 @@ class LakeTable:
         t0 = time.perf_counter()
         stage = self._stage_writer({epoch: self._envelope(target)})
         staged = changes_ds.map_batches(stage, batch_format="pyarrow").to_pandas()
-        pids = sorted(staged["pid"].unique().tolist())
+        # an all-empty dataset loses column names through to_pandas
+        pids = sorted(staged["pid"].unique().tolist()) \
+            if "pid" in staged.columns else []
         return pids, time.perf_counter() - t0
 
     def commit_staged(self, epoch: int, target: pa.Schema,
@@ -417,12 +419,18 @@ class LakeTable:
         def merge_partitions(batch: pa.Table, _m=merger) -> pa.Table:
             return _m(batch)
 
-        stats = (
-            rd.from_arrow(pa.table({"pid": pa.array(touched_pids, type=pa.int32())}))
-            .repartition(max(1, len(touched_pids)))
-            .map_batches(merge_partitions, batch_format="pyarrow")
-            .to_pandas()  # ≤ num_partitions rows — driver-side is metadata only
-        )
+        if touched_pids:
+            stats = (
+                rd.from_arrow(pa.table({"pid": pa.array(touched_pids,
+                                                        type=pa.int32())}))
+                .repartition(len(touched_pids))
+                .map_batches(merge_partitions, batch_format="pyarrow")
+                .to_pandas()  # ≤ num_partitions rows — driver metadata only
+            )
+        else:  # an empty epoch still commits (cursor advances, no-op data)
+            stats = pd.DataFrame(columns=[
+                "partition_id", "file", "rows", "live_rows", "deleted_rows",
+                "events_in", "change_events", "changes_file", "hash", "wall_s"])
         merge_s = time.perf_counter() - t0
         self.wipe_staging(epoch)
 

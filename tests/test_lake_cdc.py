@@ -267,3 +267,17 @@ def test_schema_narrowing_rejected_at_commit(tmp_path):
     })
     with _pytest.raises(SchemaEvolutionError):
         lake.commit_epoch(rd.from_arrow(bad), 1)
+
+
+def test_empty_epoch_commits_and_advances_cursor(tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from chomper_ray.state.schema import EVENT_SCHEMA
+
+    lake = LakeTable(tmp_path / "lake", num_partitions=2)
+    empty = rd.from_arrow(EVENT_SCHEMA.empty_table())
+    res = lake.commit_epoch(empty, 0)
+    assert not res.skipped and res.partitions_touched == 0
+    assert lake.last_committed_epoch() == 0
+    assert lake.files() == []
