@@ -508,7 +508,9 @@ class LakeTable:
         files = self.files(as_of_epoch)
         if not files:
             raise FileNotFoundError(f"lake at {self.root} has no committed data")
-        ds = rd.read_parquet(files, columns=columns)
+        # partitioning=None: the p=NNNNN layout must not be hive-inferred
+        # into a spurious column
+        ds = rd.read_parquet(files, columns=columns, partitioning=None)
         if not include_deleted:
             ds = ds.map_batches(
                 lambda t: t.filter(pa.compute.invert(t[INTERNAL_DELETED])),
