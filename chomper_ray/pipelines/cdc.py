@@ -169,7 +169,7 @@ def _run_cdc_drain(log_dir, lake, pending, extract, batch_size, res, t0):
 
     # ONE staging pass over all pending epochs' files
     all_files = [f for e in pending for f in ev.epoch_files(log_dir, e)]
-    ds = rd.read_parquet(all_files)
+    ds = rd.read_parquet(all_files, partitioning=None)
     kwargs = dict(batch_format="pyarrow")
     if batch_size:
         kwargs["batch_size"] = batch_size

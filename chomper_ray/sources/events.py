@@ -187,4 +187,7 @@ def read_epoch(log_dir: str | Path, epoch: int, columns=None):
     """
     import ray.data as rd
 
-    return rd.read_parquet(epoch_files(log_dir, epoch), columns=columns)
+    # partitioning=None: the epoch=NNNNNN layout is addressed explicitly;
+    # hive inference would shadow the envelope's own `epoch` column
+    return rd.read_parquet(epoch_files(log_dir, epoch), columns=columns,
+                           partitioning=None)
