@@ -84,6 +84,7 @@ def _manifest_path(root: Path, epoch: int) -> Path:
 
 
 def _atomic_write_json(path: Path, obj) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
     tmp = path.with_name("." + path.name + ".tmp")
     tmp.write_text(json.dumps(obj, indent=1, sort_keys=True))
     os.replace(tmp, path)
@@ -280,7 +281,6 @@ class LakeTable:
         self.managed_timestamps = managed_timestamps
         self.collect_changes = collect_changes
         self.insert_missing = insert_missing
-        (self.root / _MANIFEST_DIR).mkdir(parents=True, exist_ok=True)
 
     # -- metadata ---------------------------------------------------------
     def last_committed_epoch(self) -> int | None:
@@ -600,7 +600,8 @@ class LakeTable:
         manifest = {
             "epoch": epoch,
             "key": self.key,
-            "num_partitions": self.num_partitions,
+            "num_partitions": (prev or {}).get("num_partitions",
+                                               self.num_partitions),
             "schema": (prev or {}).get("schema", []),
             "commit_ts_us": 1_600_000_000_000_000 + epoch * 1_000_000,
             "partitions": {},
