@@ -389,6 +389,14 @@ def _q_quality_score(sf_dir: str):
         .map_batches(lambda df: df[cols], batch_format="pandas")
 
 
+def _q_systematic_sample(sf_dir: str):
+    from chomper_ray.pipelines.relational import systematic_sample
+
+    return systematic_sample(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]),
+        key="o_orderkey", modulus=10, keep=3)
+
+
 def _q_topk_orders(sf_dir: str):
     from chomper_ray.pipelines.relational import topk
 
@@ -565,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": _q_approx_distinct,
         "q1_pricing_summary": _q_q1,
         "topk_orders": _q_topk_orders,
+        "systematic_sample": _q_systematic_sample,
         "distinct_priorities": _q_distinct_priorities,
         "union_keys": _q_union_keys,
         # training-data operators
@@ -669,6 +678,10 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS count_order "
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
             "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "systematic_sample": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "WHERE o_orderkey % 10 = 3"
         ),
         "topk_orders": (
             "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"

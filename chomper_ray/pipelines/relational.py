@@ -221,6 +221,24 @@ def asof_join_partitioned(left, right, on: str, by: str,
             .map_groups(join_bucket, batch_format="pandas"))
 
 
+def systematic_sample(ds, key: str, modulus: int, keep: int = 0):
+    """Deterministic systematic sample: keep rows where
+    ``key % modulus == keep`` — reproducible across runs/cluster sizes
+    (unlike seeded ``random_sample``, whose output depends on block
+    layout) and cheap: a vectorized filter, no shuffle, no materialized
+    randomness. For string keys, hash to int with ``stable_bucket`` first.
+    """
+    import numpy as np
+    import pyarrow as _pa
+
+    def f(t):
+        # pyarrow has no modulo kernel — numpy on the zero-copy view
+        k = t[key].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(_pa.array(k % modulus == keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def topk(ds, by: str, k: int, descending: bool = True,
          tie_break: str | None = None) -> pd.DataFrame:
     """Global top-k without a global sort: local top-k per block, then a
