@@ -297,11 +297,11 @@ def _q_asof_join(sf_dir: str):
                      batch_format="pyarrow")
     out = asof_join_partitioned(left, right, on="t", by="k", num_buckets=8)
 
-    def fin(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.rename(columns={"k": "user_id"})
-        return df[["event_id", "user_id", "o_orderdate"]]
+    def fin(t: pa.Table) -> pa.Table:
+        return t.select(["event_id", "k", "o_orderdate"]) \
+            .rename_columns(["event_id", "user_id", "o_orderdate"])
 
-    return out.map_batches(fin, batch_format="pandas")
+    return out.map_batches(fin, batch_format="pyarrow")
 
 
 def _q_grouped_counts(sf_dir: str):

@@ -25,6 +25,18 @@ def _combined_schema(left, right):
         list(ls.names), list(rs.names)
 
 
+def _to_schema(df: pd.DataFrame, out_schema: pa.Schema) -> pa.Table:
+    """pandas → Arrow under an EXPLICIT schema. Per-bucket pandas joins
+    must all emit the same block schema or Ray's downstream stages see
+    dtype flips (int64-with-nulls degrades to float64 in pandas, and
+    ``12345.0`` value-hashes differently from ``12345``).
+    ``from_pandas=True`` maps NaN/NaT → null before the cast, so integer
+    columns survive a null-introducing outer join."""
+    arrays = [pa.array(df[f.name], type=f.type, from_pandas=True)
+              for f in out_schema]
+    return pa.Table.from_arrays(arrays, schema=out_schema)
+
+
 def _tagger(schema, bucket_on, num_buckets, side):
     """Arrow-level pad-to-shared-schema + bucket + side tag. Typed null
     padding (schema.conform) keeps dtypes intact through Ray's union,
@@ -137,19 +149,33 @@ def hash_join(left, right, on: str, num_buckets: int = 16,
     Skew note: a hot key lands in one bucket; for skewed keys pre-split
     the hot side by a salt and replicate the other side's hot rows.
     """
+    import pyarrow.compute as pc
+
     schema, lcols, rcols = _combined_schema(left, right)
+    out_fields = [schema.field(c) for c in lcols]
+    for c in rcols:
+        if c == on:
+            continue
+        out_fields.append(pa.field(c if c not in lcols else f"{c}{suffix}",
+                                   schema.field(c).type))
+    out_schema = pa.schema(out_fields)
+
     l = left.map_batches(_tagger(schema, on, num_buckets, "l"),
                          batch_format="pyarrow")
     r = right.map_batches(_tagger(schema, on, num_buckets, "r"),
                           batch_format="pyarrow")
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["_side"] == "l"][lcols]
-        rg = g[g["_side"] == "r"][rcols]
-        return lg.merge(rg, on=on, how=how, suffixes=("", suffix))
+    def join_bucket(g: pa.Table) -> pa.Table:
+        # split sides while still Arrow: each side's own columns carry no
+        # padding nulls, so the pandas conversion keeps int64 as int64
+        lm = pc.equal(g["_side"], "l")
+        lg = g.filter(lm).select(lcols).to_pandas()
+        rg = g.filter(pc.invert(lm)).select(rcols).to_pandas()
+        out = lg.merge(rg, on=on, how=how, suffixes=("", suffix))
+        return _to_schema(out, out_schema)
 
     return (l.union(r).groupby("_jb")
-            .map_groups(join_bucket, batch_format="pandas"))
+            .map_groups(join_bucket, batch_format="pyarrow"))
 
 
 def asof_join(ds, right: pd.DataFrame, on: str, by: str | None = None,
@@ -186,39 +212,57 @@ def native_join(left, right, on: str, right_on: str | None = None,
 
 
 def asof_join_partitioned(left, right, on: str, by: str,
-                          num_buckets: int = 16, suffix: str = "_r"):
+                          num_buckets: int = 16, suffix: str = "_r",
+                          how: str = "inner"):
     """Large-large as-of join: co-hash-partition BOTH sides on the exact
     ``by`` key, then within each bucket sort by ``on`` and
     ``pd.merge_asof`` (backward: nearest right row at-or-before the left
     row's ``on``). The guide's bucketed as-of pattern — no broadcast, one
     co-locating shuffle.
 
-    Both sides must share the ``on``/``by`` column names (rename first);
-    right-side payload columns keep their names (``suffix`` on clashes).
+    ``how='inner'`` (default) drops unmatched left rows — DuckDB
+    ``ASOF JOIN`` semantics; ``how='left'`` keeps them with null payload
+    (``pd.merge_asof`` shape). Both sides must share the ``on``/``by``
+    column names (rename first); right-side payload columns keep their
+    names (``suffix`` on clashes). Output blocks are conformed to one
+    Arrow schema so per-bucket pandas dtype drift can't leak out.
     """
+    import pyarrow.compute as pc
+
     schema, lcols, rcols = _combined_schema(left, right)
+    extra = [c if c not in lcols else f"{c}{suffix}"
+             for c in rcols if c not in (on, by)]
+    out_fields = [schema.field(c) for c in lcols] + [
+        pa.field(n, schema.field(c).type)
+        for n, c in zip(extra, [c for c in rcols if c not in (on, by)])]
+    out_schema = pa.schema(out_fields)
+
     l = left.map_batches(_tagger(schema, by, num_buckets, "l"),
                          batch_format="pyarrow")
     r = right.map_batches(_tagger(schema, by, num_buckets, "r"),
                           batch_format="pyarrow")
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["_side"] == "l"][lcols].sort_values(on, kind="stable")
-        rg = g[g["_side"] == "r"][rcols].sort_values(on, kind="stable")
-        extra = [c if c not in lcols else f"{c}{suffix}"
-                 for c in rcols if c not in (on, by)]
+    def join_bucket(g: pa.Table) -> pa.Table:
+        lm = pc.equal(g["_side"], "l")
+        lg = g.filter(lm).select(lcols).to_pandas() \
+            .sort_values(on, kind="stable")
+        rg = g.filter(pc.invert(lm)).select(rcols).to_pandas() \
+            .sort_values(on, kind="stable")
         if not len(lg) or not len(rg):
-            # keep the merged column set stable across buckets (a bucket
-            # may hold only one side's rows)
+            if how == "inner":
+                return out_schema.empty_table()
             out = lg.copy()
             for c in extra:
                 out[c] = None
-            return out
-        return pd.merge_asof(lg, rg, on=on, by=by, direction="backward",
-                             suffixes=("", suffix))
+            return _to_schema(out, out_schema)
+        out = pd.merge_asof(lg, rg.assign(__m=1), on=on, by=by,
+                            direction="backward", suffixes=("", suffix))
+        if how == "inner":
+            out = out[out["__m"].notna()]
+        return _to_schema(out.drop(columns="__m"), out_schema)
 
     return (l.union(r).groupby("_jb")
-            .map_groups(join_bucket, batch_format="pandas"))
+            .map_groups(join_bucket, batch_format="pyarrow"))
 
 
 def systematic_sample(ds, key: str, modulus: int, keep: int = 0):

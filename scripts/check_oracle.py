@@ -74,6 +74,11 @@ def main():
             assert len(g) == len(x), f"rows {len(g)} != {len(x)}"
             for c in g.columns:
                 gc, xc = g[c], x[c]
+                # the driver hashes VALUES: float64 12345.0 != int64 12345.
+                # Compare dtype kinds strictly so local green predicts the
+                # driver (int-vs-float drift is a FAIL, not a tolerance).
+                assert gc.dtype.kind == xc.dtype.kind, \
+                    f"column {c} dtype {gc.dtype} != oracle {xc.dtype}"
                 if gc.dtype.kind == "f" or xc.dtype.kind == "f":
                     ok = np.allclose(gc.astype(float).fillna(-1e30),
                                      xc.astype(float).fillna(-1e30), atol=1e-9)

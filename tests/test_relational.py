@@ -39,6 +39,19 @@ def test_hash_join_matches_pandas():
     g = got.sort_values(["k", "v"]).reset_index(drop=True)
     x = exp.sort_values(["k", "v"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(g[["k", "v", "name"]], x[["k", "v", "name"]])
+    # dtype stability across buckets: int key must NOT degrade to float64
+    # (null-padded pandas conversion bug — CORRECTNESS_r01 hash_match:false)
+    assert got["k"].dtype.kind == "i"
+
+
+def test_hash_join_left_keeps_int_dtype():
+    got = rel.hash_join(mk_ds(LEFT), mk_ds(RIGHT, 2), on="k",
+                        how="left").to_pandas()
+    exp = LEFT.merge(RIGHT, on="k", how="left")
+    assert len(got) == len(exp)
+    # unmatched rows carry null name; k must stay integer regardless
+    assert got["k"].dtype.kind == "i"
+    assert got["name"].isna().sum() == exp["name"].isna().sum()
 
 
 def test_semi_anti_join_partition():
@@ -99,13 +112,23 @@ def test_asof_join_partitioned_matches_broadcast():
         "val": np.arange(40),
     })
     got = rel.asof_join_partitioned(mk_ds(left, 3), mk_ds(right, 2),
-                                    on="t", by="k", num_buckets=4).to_pandas()
+                                    on="t", by="k", num_buckets=4,
+                                    how="left").to_pandas()
     exp = pd.merge_asof(left.sort_values("t", kind="stable"),
                         right.sort_values("t", kind="stable"), on="t", by="k")
     g = got.sort_values("lid").reset_index(drop=True)
     x = exp.sort_values("lid").reset_index(drop=True)
     pd.testing.assert_frame_equal(g[["lid", "val"]], x[["lid", "val"]],
                                   check_dtype=False)
+    # inner (default, DuckDB ASOF JOIN shape): unmatched left rows dropped,
+    # and — dtype stability — val stays int64 across blocks (no null upcast)
+    inner = rel.asof_join_partitioned(mk_ds(left, 3), mk_ds(right, 2),
+                                      on="t", by="k", num_buckets=4).to_pandas()
+    xi = exp[exp["val"].notna()]
+    assert sorted(inner["lid"]) == sorted(xi["lid"])
+    assert inner["val"].dtype.kind == "i"
+    gi = inner.sort_values("lid").reset_index(drop=True)
+    assert list(gi["val"]) == list(xi.sort_values("lid")["val"].astype(int))
 
 
 def test_native_join_matches_explicit():
