@@ -44,7 +44,10 @@ def main(argv=None):
     r = sub.add_parser("run-cdc", help="binlog-tail → lake-upsert from checkpoint")
     r.add_argument("--log-dir", required=True)
     r.add_argument("--lake-root", required=True)
-    r.add_argument("--num-partitions", type=int, default=16)
+    r.add_argument("--num-partitions", type=int, default=None,
+                   help="partition count for a NEW lake; an existing "
+                        "lake's committed count is adopted (a conflicting "
+                        "explicit value fails loudly)")
     r.add_argument("--max-epochs", type=int, default=None)
     r.add_argument("--staging-root", default=None,
                    help="fast transient storage for shuffle staging files "

@@ -75,7 +75,7 @@ def run_cdc(
     log_dir: str | Path,
     lake_root: str | Path,
     *,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     extract_concurrency: int | None = None,
     extract_batch_size: int | None = None,
     max_epochs: int | None = None,

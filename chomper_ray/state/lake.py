@@ -64,6 +64,20 @@ _STAGING_DIR = "_staging"
 
 INTERNAL_COLS = (INTERNAL_SEQ, INTERNAL_DELETED)
 
+DEFAULT_NUM_PARTITIONS = 16
+
+
+class PartitionMismatchError(ValueError):
+    """Constructed partition count contradicts the committed manifest.
+
+    ``num_partitions`` decides which partition a key hashes to — a
+    mismatched count would route lookups to the wrong file (silent empty
+    results) and stage changes into differently-bucketed partitions than
+    the base snapshots (silent cross-partition key duplication, breaking
+    the LWW/exactly-once guarantee). Once a manifest exists its value is
+    authoritative; a conflicting explicit constructor arg fails loudly.
+    """
+
 
 @dataclass
 class CommitResult:
@@ -261,7 +275,7 @@ class LakeTable:
 
     def __init__(self, root: str | Path, key: str = "url",
                  version: tuple[str, str] = ("warc_ts", "seq"),
-                 num_partitions: int = 16, overwrite: bool = True,
+                 num_partitions: int | None = None, overwrite: bool = True,
                  protected: tuple[str, ...] = (),
                  managed_timestamps: bool = False,
                  collect_changes: bool = True,
@@ -275,7 +289,11 @@ class LakeTable:
         self.staging_root = Path(staging_root) if staging_root else self.root
         self.key = key
         self.version = version
-        self.num_partitions = num_partitions
+        # None = adopt the committed manifest's count (or the default on a
+        # fresh lake); an explicit value is validated against the manifest
+        # at first use — see PartitionMismatchError
+        self._requested_partitions = num_partitions
+        self.num_partitions = num_partitions or DEFAULT_NUM_PARTITIONS
         self.overwrite = overwrite
         self.protected = protected
         self.managed_timestamps = managed_timestamps
@@ -283,6 +301,24 @@ class LakeTable:
         self.insert_missing = insert_missing
 
     # -- metadata ---------------------------------------------------------
+    def _sync_partitions(self) -> int:
+        """Reconcile the partition count with the committed manifest —
+        called at every commit / lookup entry point. Manifest present →
+        adopt its value (raise if an explicit constructor arg disagrees);
+        no manifest → the requested value (or the default) seeds the
+        first commit."""
+        m = load_manifest(self.root)
+        if m is not None and m.get("num_partitions") is not None:
+            committed = int(m["num_partitions"])
+            req = self._requested_partitions
+            if req is not None and req != committed:
+                raise PartitionMismatchError(
+                    f"lake at {self.root} is committed with "
+                    f"num_partitions={committed}, but this LakeTable was "
+                    f"constructed with num_partitions={req}")
+            self.num_partitions = committed
+        return self.num_partitions
+
     def last_committed_epoch(self) -> int | None:
         eps = committed_epochs(self.root)
         return eps[-1] if eps else None
@@ -380,6 +416,7 @@ class LakeTable:
 
     def stage_epoch(self, changes_ds, epoch: int, target: pa.Schema):
         """Phase A alone: returns (touched_pids, stage_seconds)."""
+        self._sync_partitions()
         self.wipe_staging(epoch)  # leftovers from a crashed attempt
         t0 = time.perf_counter()
         stage = self._stage_writer({epoch: self._envelope(target)})
@@ -400,6 +437,7 @@ class LakeTable:
         t0 = time.perf_counter()
         if _manifest_path(self.root, epoch).exists():
             return CommitResult(epoch=epoch, skipped=True)
+        self._sync_partitions()
         prev = load_manifest(self.root)
         prev_files = {int(p): v["file"]
                       for p, v in (prev or {"partitions": {}})["partitions"].items()}
@@ -508,15 +546,28 @@ class LakeTable:
         files = self.files(as_of_epoch)
         if not files:
             raise FileNotFoundError(f"lake at {self.root} has no committed data")
-        # partitioning=None: the p=NNNNN layout must not be hive-inferred
-        # into a spurious column
-        ds = rd.read_parquet(files, columns=columns, partitioning=None)
+        if columns is None:
+            # partitioning=None: the p=NNNNN layout must not be
+            # hive-inferred into a spurious column
+            ds = rd.read_parquet(files, columns=None, partitioning=None)
+        else:
+            # the tombstone filter needs _deleted even when pruned out —
+            # read it alongside, drop after filtering (same as lookup()).
+            # NOTE: columns= + partitioning=None together hit a Ray bug
+            # (UnboundLocalError); with an explicit column list the hive
+            # column is pruned anyway, so partitioning is left default.
+            read_cols = list(dict.fromkeys([*columns, INTERNAL_DELETED]))
+            ds = rd.read_parquet(files, columns=read_cols)
         if not include_deleted:
             ds = ds.map_batches(
                 lambda t: t.filter(pa.compute.invert(t[INTERNAL_DELETED])),
                 batch_format="pyarrow",
             )
-        if not include_internal and columns is None:
+        if columns is not None:
+            # exactly the requested columns (lookup() contract)
+            ds = ds.map_batches(lambda t, k=tuple(columns): t.select(list(k)),
+                                batch_format="pyarrow")
+        elif not include_internal:
             drop = [c for c in INTERNAL_COLS]
             ds = ds.map_batches(
                 lambda t: t.drop_columns([c for c in drop if c in t.column_names]),
@@ -535,6 +586,7 @@ class LakeTable:
         m = load_manifest(self.root, as_of_epoch)
         if not m:
             return pd.DataFrame()
+        self._sync_partitions()  # adopt/validate the committed count
         pid = int(stable_bucket([key_value], self.num_partitions)[0])
         part = m["partitions"].get(str(pid))
         if part is None:
@@ -596,6 +648,7 @@ class LakeTable:
         the manifest pointer changes. Exactly-once like any commit."""
         if _manifest_path(self.root, epoch).exists():
             return CommitResult(epoch=epoch, skipped=True)
+        self._sync_partitions()
         prev = load_manifest(self.root)
         manifest = {
             "epoch": epoch,
@@ -630,6 +683,7 @@ class LakeTable:
         t0 = time.perf_counter()
         if _manifest_path(self.root, epoch).exists():
             return CommitResult(epoch=epoch, skipped=True)
+        self._sync_partitions()
         prev = load_manifest(self.root)
         if not prev:
             return CommitResult(epoch=epoch, skipped=True)
@@ -679,7 +733,9 @@ class LakeTable:
                                       "live_rows": int(r.live), "hash": r.hash}
         manifest = {
             "epoch": epoch, "key": self.key,
-            "num_partitions": self.num_partitions,
+            # inherit the previous manifest's count (like truncate) — a
+            # maintenance commit must never re-declare the layout
+            "num_partitions": prev.get("num_partitions", self.num_partitions),
             "schema": prev["schema"],
             "commit_ts_us": 1_600_000_000_000_000 + epoch * 1_000_000,
             "partitions": partitions,

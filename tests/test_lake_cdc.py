@@ -281,3 +281,56 @@ def test_empty_epoch_commits_and_advances_cursor(tmp_path):
     assert not res.skipped and res.partitions_touched == 0
     assert lake.last_committed_epoch() == 0
     assert lake.files() == []
+
+
+def test_partition_count_adopted_and_validated(change_log, tmp_path):
+    """ADVICE r01 (high): a LakeTable constructed with a different
+    num_partitions than the committed manifest must adopt (None) or fail
+    loudly (explicit mismatch) — never silently mis-route keys."""
+    from chomper_ray.state.lake import PartitionMismatchError
+
+    lake_root = tmp_path / "lake"
+    run_cdc(change_log, lake_root, num_partitions=8)
+
+    # default construction adopts the committed count
+    adopted = LakeTable(lake_root)
+    url = adopted.read_pandas()["url"].iloc[0]
+    hit = adopted.lookup(url)
+    assert adopted.num_partitions == 8
+    assert len(hit) == 1 and hit["url"].iloc[0] == url
+
+    # explicit mismatch raises on lookup AND on commit paths
+    wrong = LakeTable(lake_root, num_partitions=16)
+    with pytest.raises(PartitionMismatchError):
+        wrong.lookup(url)
+    import ray.data as rd
+
+    from chomper_ray.state.schema import EVENT_SCHEMA
+    with pytest.raises(PartitionMismatchError):
+        wrong.commit_epoch(rd.from_arrow(EVENT_SCHEMA.empty_table()), 98)
+
+    # truncate keeps the committed count even under a default-constructed
+    # table, and purge_tombstones inherits it too
+    LakeTable(lake_root).truncate(99)
+    from chomper_ray.state.lake import load_manifest
+    assert load_manifest(lake_root, 99)["num_partitions"] == 8
+
+
+def test_read_with_column_pruning(change_log, tmp_path):
+    """ADVICE r01 (medium): read(columns=[...]) must prune at the parquet
+    read, still filter tombstones, and return exactly the asked columns."""
+    lake_root = tmp_path / "lake"
+    run_cdc(change_log, lake_root, num_partitions=4)
+    lake = LakeTable(lake_root)
+
+    full = lake.read_pandas()
+    got = lake.read(columns=["url", "text"]).to_pandas()
+    assert list(got.columns) == ["url", "text"]
+    assert len(got) == len(full)  # tombstones filtered in both paths
+    g = got.sort_values("url").reset_index(drop=True)
+    f = full[["url", "text"]].sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, f)
+
+    # include_deleted composes with pruning
+    with_dead = lake.read(columns=["url"], include_deleted=True).to_pandas()
+    assert len(with_dead) >= len(full)
