@@ -16,12 +16,16 @@ one co-locating shuffle on a hash/band key, vectorized verification):
 - **embedding cosine**: random-hyperplane LSH over an embedding column →
   bucket → cosine verify.
 
-Scale notes: signatures are fixed-width (8×64 B/doc); the only all-to-all
-moves (band_id, band_hash, doc_id) triples — never document text. Cluster
-assignment scales via ``components_distributed`` (per-bucket union-find →
-contracted driver merge, one shuffle); the plain driver-side union-find
-shortcut applies when the candidate pair count is provably small
-(< ``max_driver_pairs``).
+Scale notes: the only all-to-all moves band rows — (band_id, band_hash,
+doc_id) plus the doc's fixed-width verifier data (MinHash signature /
+SimHash fingerprint / normalized embedding) — never document text.
+Verification happens INSIDE the band bucket where candidates are already
+co-located, so no signature table, vector set, or candidate-pair list
+ever gathers on the driver. Cluster assignment runs through
+``components_distributed_ds`` (per-bucket union-find → contracted driver
+merge, one shuffle over verified pairs only); the plain driver-side
+``connected_components`` stays available as the small-input shortcut and
+the property-test oracle.
 """
 
 from __future__ import annotations
@@ -142,9 +146,16 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
 # LSH banding + clustering
 # --------------------------------------------------------------------------
 
-def _band_rows(ids: np.ndarray, sigs: np.ndarray, bands: int) -> pd.DataFrame:
-    """Explode signatures to (band_id, band_hash, id) rows — the ONLY data
-    that shuffles."""
+def _band_rows(ids: np.ndarray, sigs: np.ndarray, bands: int,
+               attach_sigs: bool = False) -> pd.DataFrame:
+    """Explode signatures to (band_id, band_hash, id) rows — with
+    ``attach_sigs`` each band row also carries the doc's signature, so the
+    downstream bucketed stage can VERIFY candidates where they are grouped
+    (no driver-side signature map). Shuffle volume with sigs attached is
+    ``bands × num_perm × 8 B`` per doc (64 perms × 16 bands = 8 KB) —
+    comparable to shuffling the text once; the cheaper-but-extra-shuffle
+    alternative (join pairs back to signatures by id) is noted in
+    ``minhash_lsh_dedup``."""
     n, num_perm = sigs.shape
     rows_per_band = num_perm // bands
     out_id, out_band, out_hash = [], [], []
@@ -158,11 +169,14 @@ def _band_rows(ids: np.ndarray, sigs: np.ndarray, bands: int) -> pd.DataFrame:
             out_id.append(ids)
             out_band.append(np.full(n, bi, dtype=np.int32))
             out_hash.append(h)
-    return pd.DataFrame({
+    out = pd.DataFrame({
         "id": np.concatenate(out_id),
         "band_id": np.concatenate(out_band),
         "band_hash": np.concatenate(out_hash),
     })
+    if attach_sigs:
+        out["minhash"] = list(sigs) * bands
+    return out
 
 
 def _pairs_from_buckets(bucket_df: pd.DataFrame, max_bucket: int = 200) -> pd.DataFrame:
@@ -178,15 +192,6 @@ def _pairs_from_buckets(bucket_df: pd.DataFrame, max_bucket: int = 200) -> pd.Da
     ia, ib = np.triu_indices(len(ids), k=1)
     return pd.DataFrame({"a": ids[ia], "b": ids[ib],
                          "truncated": truncated})
-
-
-def _ensure_pair_cols(pairs: pd.DataFrame, *extra: str) -> pd.DataFrame:
-    """An all-empty map_groups output loses its column names through
-    ``to_pandas`` — restore the canonical pair columns."""
-    for c in ("a", "b", *extra):
-        if c not in pairs.columns:
-            pairs[c] = pd.Series(dtype="int64" if c in ("a", "b") else "float64")
-    return pairs
 
 
 def connected_components(pairs: pd.DataFrame) -> dict[int, int]:
@@ -213,8 +218,8 @@ def connected_components(pairs: pd.DataFrame) -> dict[int, int]:
     return {x: find(x) for x in seen}
 
 
-def components_distributed(pairs: pd.DataFrame, num_buckets: int = 8) -> dict[int, int]:
-    """Connected components at scale: two-level contraction.
+def components_distributed_ds(pairs_ds, num_buckets: int = 8) -> dict[int, int]:
+    """Connected components over a DATASET of edges: two-level contraction.
 
     Level 1 (distributed, ONE shuffle): edges hash-bucketed by endpoint
     ``a``; each bucket runs union-find LOCALLY over its edges and emits
@@ -224,92 +229,133 @@ def components_distributed(pairs: pd.DataFrame, num_buckets: int = 8) -> dict[in
     + boundary nodes); a final union-find stitches buckets. For graphs
     whose contracted size still exceeds the driver, apply level 1
     recursively — dup-cluster graphs contract extremely fast, so one
-    level suffices in practice.
+    level suffices in practice. Duplicate edges (the same pair surfacing
+    from several LSH bands) are harmless — union-find is idempotent.
 
     Matches `connected_components` exactly (same min-id representative).
     """
+    def bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "_b": pa.array([], pa.int32())})
+        t = pa.table({"a": t["a"].cast(pa.int64()),
+                      "b": t["b"].cast(pa.int64())})
+        bk = stable_bucket(t["a"], num_buckets)
+        return t.append_column("_b", pa.array(bk, type=pa.int32()))
+
+    def local_cc(g: pd.DataFrame) -> pd.DataFrame:
+        mapping = connected_components(g[["a", "b"]])
+        return pd.DataFrame({"a": pd.Series(list(mapping.keys()), dtype="int64"),
+                             "b": pd.Series(list(mapping.values()), dtype="int64")})
+
+    contracted = (pairs_ds.map_batches(bucket, batch_format="pyarrow")
+                  .groupby("_b")
+                  .map_groups(local_cc, batch_format="pandas")
+                  .to_pandas())  # contracted graph only — not raw pairs
+    if not len(contracted):
+        return {}
+    return connected_components(contracted.astype("int64"))
+
+
+def components_distributed(pairs: pd.DataFrame, num_buckets: int = 8) -> dict[int, int]:
+    """DataFrame-input convenience wrapper over ``components_distributed_ds``."""
     import ray.data as rd
 
     if not len(pairs):
         return {}
     edges = pairs[["a", "b"]].astype("int64")
-    b = stable_bucket(edges["a"].to_numpy(), num_buckets)
-    ds = rd.from_arrow(pa.Table.from_pandas(
-        edges.assign(_b=b), preserve_index=False))
+    return components_distributed_ds(
+        rd.from_arrow(pa.Table.from_pandas(edges, preserve_index=False)),
+        num_buckets=num_buckets)
 
-    def local_cc(g: pd.DataFrame) -> pd.DataFrame:
-        mapping = connected_components(g[["a", "b"]])
-        return pd.DataFrame({"a": list(mapping.keys()),
-                             "b": list(mapping.values())})
 
-    contracted = (ds.groupby("_b")
-                  .map_groups(local_cc, batch_format="pandas")
-                  .to_pandas())
-    return connected_components(contracted.astype("int64"))
+def _empty_verified_pairs(score_col: str) -> pd.DataFrame:
+    return pd.DataFrame({
+        "a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+        "truncated": pd.Series(dtype="bool"),
+        score_col: pd.Series(dtype="float64"),
+    })
 
 
 def minhash_lsh_dedup(ds, col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
                       threshold: float = 0.8, concurrency: int = 4,
-                      max_driver_pairs: int = 2_000_000):
-    """MinHash+LSH near-dup detection.
+                      num_partitions: int = 32, max_bucket: int = 200):
+    """MinHash+LSH near-dup detection — fully off-driver.
+
+    Pipeline (one co-locating shuffle, verification inside it):
+
+    1. ``MinHasher`` actor pool → per-doc signature.
+    2. Band rows ``(id, band_id, band_hash, minhash)`` — the signature
+       rides with its band row, so the candidate's verifier data is
+       already co-located in the band bucket. Coarse ``_pb`` partitioning
+       (``band_hash % num_partitions``) avoids one-Ray-group-per-bucket
+       overhead; size ``num_partitions`` so a partition's band rows
+       (≈ docs × bands × num_perm × 8 B / num_partitions) fit a worker.
+    3. Per-partition: vectorized pandas groupby over the real
+       (band_id, band_hash) buckets → candidate pairs (capped per bucket)
+       → signature-estimated Jaccard VERIFIED in place → only pairs
+       ≥ threshold leave the stage.
+    4. Clusters via ``components_distributed_ds`` (two-level contraction)
+       — the driver sees only the contracted component graph, never
+       signatures or candidate pairs.
+
+    Shuffle-volume alternative for very wide signatures: ship bare band
+    rows and hash-join the pairs back to the signature table by id
+    (≈ bands× less shuffle, two extra shuffles); this direct layout wins
+    while ``bands × num_perm × 8 B`` stays within ~1× the text payload.
 
     Returns ``(clusters, pairs)``: ``clusters`` maps doc id → cluster
-    representative (min id); ``pairs`` is the verified duplicate-pair
-    DataFrame with signature-estimated Jaccard.
+    representative (min id); ``pairs`` is the VERIFIED duplicate-pair
+    DataFrame (O(actual duplicates), small by construction).
     """
     sigged = ds.map_batches(
         MinHasher(col=col, num_perm=num_perm, shingle_k=shingle_k),
         batch_format="pandas", concurrency=concurrency,
-    ).materialize()  # signatures reused twice (banding + verification)
+    )
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
         sigs = np.stack(batch["minhash"].to_numpy())
-        out = _band_rows(batch[id_col].to_numpy(), sigs, bands)
-        # coarse partition key: grouping the raw (band, hash) pairs would
-        # make one Ray group per bucket — ~#docs×bands tiny groups, pure
-        # overhead. 32 coarse partitions, then a vectorized pandas
-        # groupby inside each.
-        out["_pb"] = (out["band_hash"] % np.uint64(32)).astype(np.int32)
+        out = _band_rows(batch[id_col].to_numpy(), sigs, bands,
+                         attach_sigs=True)
+        out["_pb"] = (out["band_hash"] % np.uint64(num_partitions)) \
+            .astype(np.int32)
         return out
 
-    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def partition_verified_pairs(g: pd.DataFrame) -> pd.DataFrame:
         sizes = g.groupby(["band_id", "band_hash"])["id"].transform("size")
         multi = g[sizes > 1]
-        frames = [
-            _pairs_from_buckets(grp)
-            for _, grp in multi.groupby(["band_id", "band_hash"], sort=False)
-        ]
+        frames = []
+        for _, grp in multi.groupby(["band_id", "band_hash"], sort=False):
+            p = _pairs_from_buckets(grp, max_bucket)
+            if not len(p):
+                continue
+            sig_map = {int(i): np.asarray(s, dtype=np.uint64)
+                       for i, s in zip(grp["id"], grp["minhash"])}
+            est = np.array([
+                jaccard_from_signatures(sig_map[int(a)], sig_map[int(b)])
+                for a, b in zip(p["a"], p["b"])
+            ])
+            p = p.assign(est_jaccard=est)
+            frames.append(p[p["est_jaccard"] >= threshold])
         if not frames:
-            return pd.DataFrame({"a": [], "b": [], "truncated": []})
-        return pd.concat(frames, ignore_index=True)
+            return _empty_verified_pairs("est_jaccard")
+        out = pd.concat(frames, ignore_index=True)
+        # same pair from several bands within this partition: keep one
+        out = out.drop_duplicates(subset=["a", "b"])
+        return out.astype({"a": "int64", "b": "int64", "truncated": "bool",
+                           "est_jaccard": "float64"})
 
-    pairs = (
+    pairs_ds = (
         sigged.map_batches(to_bands, batch_format="pandas")
         .groupby("_pb")
-        .map_groups(partition_pairs, batch_format="pandas")
-        .to_pandas()
+        .map_groups(partition_verified_pairs, batch_format="pandas")
+        .materialize()  # verified pairs only — reused by clustering + return
     )
-    pairs = _ensure_pair_cols(pairs, "truncated")
-    if len(pairs) > max_driver_pairs:
-        raise RuntimeError(
-            f"{len(pairs)} candidate pairs exceed driver cap; raise bands "
-            "or threshold, or switch to min-label propagation")
-    pairs = pairs.drop_duplicates(subset=["a", "b"])
-
-    # verify with signature-estimated Jaccard (broadcast the signature map)
-    sig_df = sigged.select_columns([id_col, "minhash"]).to_pandas()
-    sig_map = {int(i): s for i, s in zip(sig_df[id_col], sig_df["minhash"])}
-    if len(pairs):
-        est = np.array([
-            jaccard_from_signatures(sig_map[int(a)], sig_map[int(b)])
-            for a, b in zip(pairs["a"], pairs["b"])
-        ])
-        pairs = pairs.assign(est_jaccard=est)
-        pairs = pairs[pairs["est_jaccard"] >= threshold].reset_index(drop=True)
-    else:
-        pairs = pairs.assign(est_jaccard=pd.Series(dtype=float))
-    clusters = connected_components(pairs)
+    clusters = components_distributed_ds(pairs_ds)
+    pairs = pairs_ds.to_pandas().drop_duplicates(subset=["a", "b"]) \
+        .reset_index(drop=True)
     return clusters, pairs
 
 
@@ -355,12 +401,17 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def simhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, concurrency: int = 4):
+                  max_hamming: int = 3, concurrency: int = 4,
+                  num_partitions: int = 32):
     """SimHash near-dup: 4×16-bit bands (two docs within Hamming 3 of each
     other share at least one exact 16-bit band by pigeonhole when ≤3 of 4
-    bands differ) → candidate pairs → Hamming verify."""
+    bands differ) → candidate pairs → Hamming verify IN the band bucket
+    (the 8-byte fingerprint rides each band row) → distributed
+    connected-components. Coarse ``_pb`` partitioning + a vectorized
+    pandas groupby inside, same shape as ``minhash_lsh_dedup``; the
+    driver only ever sees the contracted component graph."""
     hashed = ds.map_batches(SimHasher(col=col), batch_format="pandas",
-                            concurrency=concurrency).materialize()
+                            concurrency=concurrency)
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
         h = batch["simhash"].to_numpy().astype(np.uint64)
@@ -373,29 +424,45 @@ def simhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
                 "band_hash": seg.astype(np.int64),
                 "simhash": h,
             }))
-        return pd.concat(frames, ignore_index=True)
+        out = pd.concat(frames, ignore_index=True)
+        out["_pb"] = ((np.left_shift(out["band_id"].to_numpy(np.int64), 16)
+                       | out["band_hash"].to_numpy(np.int64))
+                      % num_partitions).astype(np.int32)
+        return out
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=["id"]).sort_values("id")
         if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "ham": []})
+            return _empty_verified_pairs("ham")[["a", "b", "ham"]]
+        g = g.sort_values("id")
         ids = g["id"].to_numpy()
         hs = g["simhash"].to_numpy().astype(np.uint64)
         ia, ib = np.triu_indices(len(ids), k=1)
         ham = hamming64(hs[ia], hs[ib])
         keep = ham <= max_hamming
-        return pd.DataFrame({"a": ids[ia][keep], "b": ids[ib][keep],
-                             "ham": ham[keep]})
+        return pd.DataFrame({"a": ids[ia][keep].astype(np.int64),
+                             "b": ids[ib][keep].astype(np.int64),
+                             "ham": ham[keep].astype(np.float64)})
 
-    pairs = (
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby(["band_id", "band_hash"])["id"].transform("size")
+        multi = g[sizes > 1].drop_duplicates(subset=["band_id", "band_hash", "id"])
+        frames = [bucket_pairs(grp) for _, grp in
+                  multi.groupby(["band_id", "band_hash"], sort=False)]
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return _empty_verified_pairs("ham")[["a", "b", "ham"]]
+        return pd.concat(frames, ignore_index=True) \
+            .drop_duplicates(subset=["a", "b"])
+
+    pairs_ds = (
         hashed.map_batches(to_bands, batch_format="pandas")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
+        .groupby("_pb")
+        .map_groups(partition_pairs, batch_format="pandas")
+        .materialize()
     )
-    pairs = _ensure_pair_cols(pairs, "ham").drop_duplicates(subset=["a", "b"]) \
+    clusters = components_distributed_ds(pairs_ds)
+    pairs = pairs_ds.to_pandas().drop_duplicates(subset=["a", "b"]) \
         .reset_index(drop=True)
-    clusters = connected_components(pairs)
     return clusters, pairs
 
 
@@ -405,49 +472,71 @@ def simhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
 
 def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                     threshold: float = 0.95, num_planes: int = 16,
-                    seed: int = 777):
+                    seed: int = 777, num_partitions: int = 32):
     """Near-dup by embedding cosine: random-hyperplane LSH buckets →
-    exact cosine verify within bucket. Returns (clusters, pairs)."""
+    exact cosine verify within bucket → distributed connected-components.
+
+    The normalized vectors necessarily ride the bucket shuffle (they ARE
+    the verifier data), but as a zero-copy Arrow ``list<float32>`` column
+    — not pandas object rows — and grouped on a coarse ``_pb`` partition
+    key. Pairs never gather on the driver; clusters come from
+    ``components_distributed_ds``. Returns (clusters, pairs)."""
+    import pyarrow.compute as pc
+
     # dimension probe from one row (metadata-cheap)
     first = ds.take(1)[0]
     dim = len(first[vec_col])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, num_planes)).astype(np.float32)
 
-    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack(batch[vec_col].to_numpy()).astype(np.float32)
+    def bucketize(batch: pa.Table) -> pa.Table:
+        m = np.stack(batch[vec_col].combine_chunks().to_numpy(
+            zero_copy_only=False)).astype(np.float32)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mn = m / norms
         bits = (mn @ planes) > 0
-        bucket = np.zeros(len(batch), dtype=np.int64)
+        bucket = np.zeros(len(m), dtype=np.int64)
         for i in range(num_planes):
             bucket = bucket * 2 + bits[:, i]
-        return pd.DataFrame({
-            "id": batch[id_col].to_numpy(),
-            "bucket": bucket,
-            "vec": [v for v in mn],
+        return pa.table({
+            "id": batch[id_col].cast(pa.int64()),
+            "bucket": pa.array(bucket, type=pa.int64()),
+            "_pb": pa.array(bucket % num_partitions, type=pa.int32()),
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(mn.reshape(-1), type=pa.float32()), dim),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cos": []})
-        g = g.sort_values("id")
-        ids = g["id"].to_numpy()
-        m = np.stack(g["vec"].to_numpy())
+    def bucket_pairs(ids, m):
         sims = m @ m.T
         ia, ib = np.triu_indices(len(ids), k=1)
         keep = sims[ia, ib] >= threshold
-        return pd.DataFrame({"a": ids[ia][keep], "b": ids[ib][keep],
-                             "cos": np.round(sims[ia, ib][keep], 6)})
+        return pd.DataFrame({"a": ids[ia][keep].astype(np.int64),
+                             "b": ids[ib][keep].astype(np.int64),
+                             "cos": np.round(sims[ia, ib][keep], 6)
+                             .astype(np.float64)})
 
-    pairs = (
-        ds.map_batches(bucketize, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("bucket")["id"].transform("size")
+        multi = g[sizes > 1]
+        frames = []
+        for _, grp in multi.groupby("bucket", sort=False):
+            grp = grp.sort_values("id")
+            frames.append(bucket_pairs(
+                grp["id"].to_numpy(),
+                np.stack(grp["vec"].to_numpy()).astype(np.float32)))
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return _empty_verified_pairs("cos")[["a", "b", "cos"]]
+        return pd.concat(frames, ignore_index=True)
+
+    pairs_ds = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(partition_pairs, batch_format="pandas")
+        .materialize()
     )
-    pairs = _ensure_pair_cols(pairs, "cos").drop_duplicates(subset=["a", "b"]) \
+    clusters = components_distributed_ds(pairs_ds)
+    pairs = pairs_ds.to_pandas().drop_duplicates(subset=["a", "b"]) \
         .reset_index(drop=True)
-    clusters = connected_components(pairs)
     return clusters, pairs

@@ -213,27 +213,46 @@ def apply_changes(
 
 
 def _diff_events(old_live, new, key, data_cols, ch) -> pd.DataFrame:
-    """Listener rows (key, field, event) — vectorized old-vs-new diff."""
+    """Listener rows (key, field, event) — fully vectorized old-vs-new
+    diff (matrix compare + stack). No per-key×column Python loop: an
+    epoch touching 10^7 keys × 5 columns builds two boolean matrices and
+    stacks the True cells, instead of allocating 10^8 tuples."""
     touched_keys = pd.Index(ch[key].unique())
     new_t = new[new.index.isin(touched_keys)]
     live_new = new_t[~new_t[INTERNAL_DELETED]]
     old_index = getattr(old_live, "index", pd.Index([]))
 
-    rows: list[tuple] = []
     ins = live_new.index.difference(old_index)
     upd = live_new.index.intersection(old_index)
     dele = new_t[new_t[INTERNAL_DELETED]].index.intersection(old_index)
-    rows += [(k, None, "insert") for k in ins]
-    rows += [(k, None, "update") for k in upd]
-    rows += [(k, None, "delete") for k in dele]
-    for c in data_cols:
+
+    def rows_frame(keys, field, event):
+        return pd.DataFrame({key: keys.to_numpy(),
+                             "field": pd.Series([field] * len(keys),
+                                                dtype=object),
+                             "event": event})
+
+    def change_frame(mask: pd.DataFrame):
+        r, c = np.nonzero(mask.to_numpy(dtype=bool))
+        return pd.DataFrame({
+            key: mask.index.to_numpy()[r],
+            "field": np.asarray(list(mask.columns), dtype=object)[c],
+            "event": "change"})
+
+    frames = [rows_frame(ins, None, "insert"),
+              rows_frame(upd, None, "update"),
+              rows_frame(dele, None, "delete")]
+    cols = [c for c in data_cols]
+    if len(ins) and cols:
         # insert: every present (non-null) column fires change.<field>
-        nv = live_new.loc[ins, c]
-        rows += [(k, c, "change") for k, v in nv.items() if v is not None and v == v]
-        if len(upd):
-            ov = old_live[c].reindex(upd) if c in old_live.columns else pd.Series(None, index=upd, dtype=object)
-            nv = live_new.loc[upd, c]
-            neq = ~((ov.isna() & nv.isna()) | (ov == nv).fillna(False))
-            rows += [(k, c, "change") for k in upd[neq.to_numpy(dtype=bool)]]
-    return pd.DataFrame(rows, columns=[key, "field", "event"]).sort_values(
-        [key, "event", "field"], na_position="first").reset_index(drop=True)
+        frames.append(change_frame(live_new.loc[ins, cols].notna()))
+    if len(upd) and cols:
+        nv = live_new.loc[upd, cols]
+        ov = old_live.reindex(index=upd, columns=cols) \
+            if len(getattr(old_live, "columns", [])) else \
+            pd.DataFrame(None, index=upd, columns=cols, dtype=object)
+        neq = ~((ov.isna() & nv.isna()) | ov.eq(nv).fillna(False))
+        frames.append(change_frame(neq))
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values([key, "event", "field"],
+                           na_position="first").reset_index(drop=True)
