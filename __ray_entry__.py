@@ -166,23 +166,19 @@ def _q_scalar_math(sf_dir: str):
 
 
 def _q_json_field(sf_dir: str):
-    import json as _json
-
-    import pandas as pd
+    import polars as pl
+    import pyarrow as pa
 
     # nested-path access on serialized JSON (reference path DSL over dict
-    # items, utils.py:100-108): parse per row, missing → null
-    def extract(df: pd.DataFrame) -> pd.DataFrame:
-        def get_k(s):
-            try:
-                v = _json.loads(s).get("k")
-                return v
-            except Exception:
-                return None
-        df["k"] = df["props"].map(get_k).astype("Int64")
-        return df[["event_id", "k"]]
+    # items, utils.py:100-108): vectorized JSON-path kernel (polars),
+    # missing / malformed → null — no per-row json.loads
+    def extract(t: pa.Table) -> pa.Table:
+        k = pl.from_arrow(t["props"].combine_chunks()) \
+            .str.json_path_match("$.k").cast(pl.Int64).to_arrow()
+        return pa.table({"event_id": t["event_id"], "k": k})
 
-    return _read(sf_dir, "events", columns=["event_id", "props"])         .map_batches(extract, batch_format="pandas")
+    return _read(sf_dir, "events", columns=["event_id", "props"]) \
+        .map_batches(extract, batch_format="pyarrow")
 
 
 def _q_running_sum(sf_dir: str):
@@ -384,8 +380,11 @@ def _q_quality_score(sf_dir: str):
 
     cols = ["doc_id", "n_chars_q", "n_tokens", "punct_ratio", "upper_ratio",
             "stopword_ratio", "quality_score"]
+    # instance = stateless TASK pool (regex state is construction-cheap);
+    # an actor pool with fixed concurrency=2 starved the stage 16x at 32
+    # CPUs (VERDICT r01 "what's wrong" #5)
     return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
-        .map_batches(QualityScorer, batch_format="pandas", concurrency=2) \
+        .map_batches(QualityScorer(), batch_format="pandas") \
         .map_batches(lambda df: df[cols], batch_format="pandas")
 
 
@@ -427,7 +426,7 @@ def _q_ann_topk(sf_dir: str):
     qdf = emb.to_pandas().sort_values("vec_id").head(3)
     queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     out = ann_topk(_read(sf_dir, "embeddings"), queries, k=10,
-                   dtype=np.float64, concurrency=2)
+                   dtype=np.float64, concurrency=(2, 8))
     qids = qdf["vec_id"].to_numpy()
 
     def remap(df):
@@ -488,7 +487,7 @@ def _q_langid(sf_dir: str):
     from chomper_ray.stages.text import LanguageId
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
-        .map_batches(LanguageId, batch_format="pandas", concurrency=2) \
+        .map_batches(LanguageId(), batch_format="pandas") \
         .map_batches(lambda df: df[["doc_id", "lang_pred", "lang_conf"]],
                      batch_format="pandas")
 
@@ -511,7 +510,8 @@ def _q_ivf_ann(sf_dir: str):
     cent = train_ivf_centroids(sample, n_cells=8)
     queries = np.stack(emb.sort_values("vec_id")["embedding"].head(3).to_numpy())
     assigned = ivf_assign(_read(sf_dir, "embeddings"), cent)
-    return ivf_topk(assigned, cent, queries, k=10, nprobe=3, concurrency=2)
+    return ivf_topk(assigned, cent, queries, k=10, nprobe=3,
+                    concurrency=(2, 8))
 
 
 def _q_multimodal_decode(sf_dir: str):
@@ -521,8 +521,11 @@ def _q_multimodal_decode(sf_dir: str):
         DEFAULT_MEDIA_BATCH_SIZE, DecodeImage, make_fake_media_table)
 
     ds = rd.from_arrow(make_fake_media_table(128))
+    # autoscaling actor pool: decode state loads once per actor, pool
+    # grows to the stage's demand instead of a fixed 2-actor cap
     out = ds.map_batches(DecodeImage, batch_format="pandas",
-                         batch_size=DEFAULT_MEDIA_BATCH_SIZE, concurrency=2)
+                         batch_size=DEFAULT_MEDIA_BATCH_SIZE,
+                         concurrency=(2, 8))
     return out.map_batches(lambda df: df[["media_id", "media_type", "pixel_mean"]],
                            batch_format="pandas")
 
