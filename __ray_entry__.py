@@ -436,6 +436,57 @@ def _q_ann_topk(sf_dir: str):
     return out.map_batches(remap, batch_format="pandas")
 
 
+def _q_sql_table_source(sf_dir: str):
+    import sqlite3
+
+    from chomper_ray.sources.sql import read_sql_table, sqlite_factory
+
+    # seed a sqlite DB from the orders parquet (idempotent, /tmp scratch),
+    # then read it back through the chunked key-sharded SQL source —
+    # round-trip hash-checked against the parquet oracle
+    db = f"/tmp/chomper_ray_sqlsrc_{sf_dir.strip('/').replace('/', '_')}.sqlite"
+    df = pq.read_table(f"{sf_dir}/orders.parquet",
+                       columns=["o_orderkey", "o_custkey", "o_totalprice"]) \
+        .to_pandas()
+    conn = sqlite3.connect(db)
+    df.to_sql("orders", conn, if_exists="replace", index=False)
+    conn.close()
+    return read_sql_table("orders", sqlite_factory(db), chunk=2000,
+                          key_col="o_orderkey")
+
+
+def _q_http_source(sf_dir: str):
+    import functools
+    import http.server
+    import json as _json
+    import threading
+
+    import pandas as pd
+
+    from chomper_ray.sources.http import read_http
+
+    # serve the documents table as JSONL over loopback HTTP, read through
+    # the lines-mode HTTP source, parse back — end-to-end hash-checkable
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    root = tempfile.mkdtemp(prefix="chomper_ray_http_")
+    with open(f"{root}/docs.jsonl", "w") as f:
+        for r in docs:
+            f.write(_json.dumps(r) + "\n")
+    handler = functools.partial(http.server.SimpleHTTPRequestHandler,
+                                directory=root)
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        ds, _dropped = read_http(
+            [f"http://127.0.0.1:{srv.server_address[1]}/docs.jsonl"],
+            lines=True)
+        rows = [_json.loads(t) for t in ds.to_pandas()["text"]]
+    finally:
+        srv.shutdown()
+    return pd.DataFrame(rows)
+
+
 # ---- rows-only (non-SQL-expressible) entries ------------------------------
 
 def _q_minhash_dedup(sf_dir: str):
@@ -579,6 +630,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "systematic_sample": _q_systematic_sample,
         "distinct_priorities": _q_distinct_priorities,
         "union_keys": _q_union_keys,
+        # sources
+        "sql_table_source": _q_sql_table_source,
+        "http_source": _q_http_source,
         # training-data operators
         "exact_dedup": _q_exact_dedup,
         "token_count": _q_token_count,
@@ -690,6 +744,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
         ),
         "distinct_priorities": "SELECT DISTINCT o_orderpriority FROM orders",
+        "sql_table_source": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+        ),
+        "http_source": "SELECT doc_id, text FROM documents",
         "union_keys": (
             "SELECT n_nationkey AS k FROM nation "
             "UNION ALL SELECT r_regionkey AS k FROM region"
