@@ -117,9 +117,10 @@ def apply_changes(
 
     Policies (reference ``contrib/sql/exporters.py:202-322``):
     - ``overwrite=True``  → last writer wins per row (LWW).
-    - ``overwrite=False`` → fill-null-only: existing non-null values are
-      kept; new values only fill nulls (exporters.py:238-241), applied in
-      version order. The row's version still advances to max.
+    - ``overwrite=False`` → truthy-exclusion (exporters.py:239): an
+      update may overwrite a column only while its current value is
+      FALSY (null, 0, '', False) — the first truthy value sticks,
+      applied in version order. The row's version still advances to max.
     - ``protected`` columns are never modified on existing rows
       (exporters.py:50-54, 119-120).
     - ``managed_timestamps`` → ``created_at`` set on insert only,
@@ -180,12 +181,30 @@ def apply_changes(
                 if c in base_idx.columns:
                     new.loc[inter, c] = base_idx.loc[inter, c]
     else:
-        # fill-null-only: order candidates base-first then version asc, take
-        # first non-null per column; version columns still advance to max.
+        # truthy-exclusion fold (reference exporters.py:239: ``exclude =
+        # [col for col, value in result.items() if value]``): each event
+        # overwrites only columns whose CURRENT value is falsy — None, 0,
+        # '' and False are all overwritable, only truthy values stick.
+        # Folded over [base, events in version order], per column that is:
+        # the FIRST TRUTHY value in the chain, else the chain's LAST value.
         order = both.sort_values([key, "_is_base", version_ts, INTERNAL_SEQ],
                                  ascending=[True, False, True, True], kind="stable")
-        first_nonnull = order.groupby(key, sort=True).first()
-        new = first_nonnull
+        g = order.groupby(key, sort=True)
+        new = g.tail(1).set_index(key)  # literal last row (incl. nulls)
+        for c in all_data_cols:
+            v = order[c]
+            truthy = v.notna() & v.astype(object).map(
+                lambda x: x is not None and x == x and bool(x))
+            ft = order.loc[truthy, [key, c]].groupby(key, sort=True)[c].first()
+            new[c] = ft.combine_first(new[c])
+        if protected:
+            base_live = base[~base[INTERNAL_DELETED].astype(bool)] \
+                if len(base) else base
+            base_idx = base_live.set_index(key)
+            inter = new.index.intersection(base_idx.index)
+            for c in protected:
+                if c in base_idx.columns:
+                    new.loc[inter, c] = base_idx.loc[inter, c]
         for c in (version_ts, INTERNAL_SEQ, INTERNAL_DELETED):
             new[c] = last[c]
 

@@ -185,8 +185,13 @@ class ValueMapper(Transform):
         vals = pa.array(list(self.mapping.values()))
         idx = pc.index_in(col, value_set=keys)  # null where unmapped
         replaced = pc.take(vals, idx)
-        out = pc.coalesce(replaced.cast(col.type, safe=False)
-                          if replaced.type != col.type else replaced, col)
+        if replaced.type != col.type and not pa.types.is_null(replaced.type):
+            replaced = replaced.cast(col.type, safe=False)
+        # select on index VALIDITY, not the replaced values: a mapping may
+        # legitimately map a value to null (reference Mapper assigns the
+        # mapped None — processors.py:293-300); coalesce would silently
+        # restore the original
+        out = pc.if_else(pc.is_valid(idx), replaced, col)
         return _set_column(table, self.column, out)
 
 

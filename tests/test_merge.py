@@ -223,3 +223,31 @@ def test_protected_not_restored_from_tombstone():
                            protected=("text",), collect_changes=False)
     row = new.set_index("url").loc["a"]
     assert row["text"] == "fresh" and not row[INTERNAL_DELETED]
+
+
+def test_fill_null_overwrites_falsy_like_reference():
+    """ADVICE r01: reference overwrite(False) excludes only TRUTHY current
+    values (exporters.py:239) — existing 0 / '' / False ARE overwritten."""
+    import pandas as pd
+
+    base = pd.DataFrame({
+        "url": ["a", "b", "c"],
+        "warc_ts": [10, 10, 10],
+        "n": [0, 7, None],
+        "text": ["", "keep", None],
+        INTERNAL_SEQ: [0, 0, 0],
+        INTERNAL_DELETED: [False, False, False],
+    })
+    ch = pd.DataFrame({
+        "op": ["update"] * 3, "seq": [1, 2, 3],
+        "url": ["a", "b", "c"], "warc_ts": [20, 20, 20],
+        "n": [5, 9, 4], "text": ["set", "clobber", "fill"],
+    })
+    new, _ = apply_changes(base, ch, overwrite=False, collect_changes=False)
+    snap = new.set_index("url")
+    assert snap.loc["a", "n"] == 5          # falsy 0 overwritten
+    assert snap.loc["a", "text"] == "set"   # falsy '' overwritten
+    assert snap.loc["b", "n"] == 7          # truthy kept
+    assert snap.loc["b", "text"] == "keep"  # truthy kept
+    assert snap.loc["c", "n"] == 4          # null filled
+    assert snap.loc["c", "text"] == "fill"

@@ -121,3 +121,16 @@ def test_chain_in_map_batches():
     ds = rd.from_arrow(t(a=[1, 2, 3, 4]))
     out = ds.map_batches(chain, batch_format="pyarrow").to_pandas()
     assert sorted(out["two"].tolist()) == [2, 4, 8]
+
+
+def test_value_mapper_can_map_to_null():
+    """ADVICE r01: the reference Mapper assigns a mapped None
+    (processors.py:293-300) — 'mapped to null' must not fall back to the
+    original value."""
+    import pyarrow as pa
+
+    from chomper_ray.stages.transforms import ValueMapper
+
+    t = pa.table({"s": ["drop", "keep", None, "x"]})
+    out = ValueMapper("s", {"drop": None, "x": "y"}).apply(t)
+    assert out["s"].to_pylist() == [None, "keep", None, "y"]
