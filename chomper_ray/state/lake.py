@@ -66,6 +66,18 @@ INTERNAL_COLS = (INTERNAL_SEQ, INTERNAL_DELETED)
 
 DEFAULT_NUM_PARTITIONS = 16
 
+# staging files per task are bounded by grouping buckets into ranges:
+# file count per epoch = tasks × min(STAGING_RANGES, num_partitions)
+# instead of tasks × num_partitions (the 50k-partition small-file storm).
+# Inside a range file each bucket is its own parquet ROW GROUP with
+# _bucket min/max stats, so the per-bucket merge still reads only its own
+# rows (row-group pruning) — no read amplification, parallelism unchanged.
+STAGING_RANGES = 64
+
+
+def _staging_range_size(num_partitions: int) -> int:
+    return max(1, -(-num_partitions // STAGING_RANGES))
+
 
 class PartitionMismatchError(ValueError):
     """Constructed partition count contradicts the committed manifest.
@@ -138,7 +150,8 @@ class _PartitionMerger:
                  protected: tuple[str, ...], managed_timestamps: bool,
                  commit_ts_us: int, collect_changes: bool,
                  insert_missing: bool = True, staging_root: str | None = None,
-                 version_ts: str = "warc_ts"):
+                 version_ts: str = "warc_ts", num_partitions: int = 16):
+        self.num_partitions = num_partitions
         self.root = root
         self.staging_root = staging_root or root
         self.version_ts = version_ts
@@ -159,11 +172,16 @@ class _PartitionMerger:
 
     def _merge_one(self, pid: int) -> pa.Table:
         t0 = time.perf_counter()
+        rid = pid // _staging_range_size(self.num_partitions)
         staged = sorted(
             (Path(self.staging_root) / _STAGING_DIR / f"epoch={self.epoch:06d}"
-             / f"p={pid:05d}").glob("*.parquet"))
+             / f"r={rid:05d}").glob("*.parquet"))
+        # row-group pruning on _bucket stats: only this bucket's rows load
         changes = pa.concat_tables(
-            [pq.read_table(f) for f in staged], promote_options="default")
+            [pq.read_table(f, filters=[(BUCKET_COL, "=", pid)])
+             for f in staged], promote_options="default")
+        if BUCKET_COL in changes.column_names:
+            changes = changes.drop_columns([BUCKET_COL])
         target = schema_mod.schema_from_json(self.schema_json)
 
         root = Path(self.root)
@@ -390,19 +408,36 @@ class LakeTable:
                 order = np.argsort(b, kind="stable")
                 te = te.take(pa.array(order))
                 bs = b[order]
+                te = te.append_column(BUCKET_COL,
+                                      pa.array(bs, type=pa.int32()))
                 bounds = np.searchsorted(bs, np.arange(nb + 1))
+                rng = _staging_range_size(nb)
                 tid = uuid.uuid4().hex[:12]
+                writer = None
+                cur_rid = -1
                 for p in range(nb):
                     lo, hi = int(bounds[p]), int(bounds[p + 1])
-                    if hi > lo:
-                        d = staging_base / f"epoch={e:06d}" / f"p={p:05d}"
+                    if hi <= lo:
+                        continue
+                    rid = p // rng
+                    if rid != cur_rid:
+                        if writer is not None:
+                            writer.close()
+                        d = staging_base / f"epoch={e:06d}" / f"r={rid:05d}"
                         d.mkdir(parents=True, exist_ok=True)
-                        pq.write_table(te.slice(lo, hi - lo),
-                                       d / f"{tid}.parquet",
-                                       compression="none")
-                        out_pid.append(p)
-                        out_n.append(hi - lo)
-                        out_epoch.append(e)
+                        writer = pq.ParquetWriter(
+                            d / f"{tid}.parquet", te.schema,
+                            compression="none")
+                        cur_rid = rid
+                    # one row group per bucket → _bucket stats let the
+                    # merge read exactly its own rows
+                    writer.write_table(te.slice(lo, hi - lo),
+                                       row_group_size=max(1, hi - lo))
+                    out_pid.append(p)
+                    out_n.append(hi - lo)
+                    out_epoch.append(e)
+                if writer is not None:
+                    writer.close()
             return pa.table({"epoch": pa.array(out_epoch, type=pa.int64()),
                              "pid": pa.array(out_pid, type=pa.int32()),
                              "n": pa.array(out_n, type=pa.int64())})
@@ -452,6 +487,7 @@ class LakeTable:
             self.overwrite, self.protected, self.managed_timestamps,
             commit_ts_us, self.collect_changes, self.insert_missing,
             str(self.staging_root), version_ts=self.version[0],
+            num_partitions=self.num_partitions,
         )
 
         def merge_partitions(batch: pa.Table, _m=merger) -> pa.Table:

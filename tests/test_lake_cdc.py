@@ -334,3 +334,30 @@ def test_read_with_column_pruning(change_log, tmp_path):
     # include_deleted composes with pruning
     with_dead = lake.read(columns=["url"], include_deleted=True).to_pandas()
     assert len(with_dead) >= len(full)
+
+
+def test_staging_file_count_bounded(change_log, tmp_path):
+    """VERDICT r01 #8: staging writes one file per (task, bucket-RANGE),
+    not per (task, bucket) — at 50k partitions the old layout was a
+    small-file storm. Verified by counting files mid-stage."""
+    from chomper_ray.pipelines.cdc import ExtractText
+    from chomper_ray.sources import events as ev2
+    from chomper_ray.state.lake import _staging_range_size
+
+    lake = LakeTable(tmp_path / "lake", num_partitions=256)
+    ds = ev2.read_epoch(change_log, 0).map_batches(
+        ExtractText(), batch_format="pyarrow")
+    schema_hint = ExtractText()(
+        ev2.epoch_schema(change_log, 0).empty_table()).schema
+    target = lake.resolve_target_schema(schema_hint)
+    pids, _ = lake.stage_epoch(ds, 0, target)
+    files = list((tmp_path / "lake" / "_staging").rglob("*.parquet"))
+    n_tasks = len({f.name for f in files})
+    # bound: tasks × 64 ranges, NOT tasks × 256 buckets
+    assert len(files) <= n_tasks * 64
+    assert len(pids) > 64  # many buckets touched, through few files
+    assert _staging_range_size(256) == 4
+    # and the commit over that staging still lands correctly
+    res = lake.commit_staged(0, target, pids)
+    assert res.partitions_touched == len(pids)
+    assert lake.read_pandas()["url"].is_unique
