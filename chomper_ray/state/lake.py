@@ -37,6 +37,7 @@ import uuid
 from dataclasses import dataclass, field
 from pathlib import Path
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -150,8 +151,12 @@ class _PartitionMerger:
                  protected: tuple[str, ...], managed_timestamps: bool,
                  commit_ts_us: int, collect_changes: bool,
                  insert_missing: bool = True, staging_root: str | None = None,
-                 version_ts: str = "warc_ts", num_partitions: int = 16):
+                 version_ts: str = "warc_ts", num_partitions: int = 16,
+                 id_field: str | None = None,
+                 id_starts: dict[int, int] | None = None):
         self.num_partitions = num_partitions
+        self.id_field = id_field
+        self.id_starts = id_starts or {}
         self.root = root
         self.staging_root = staging_root or root
         self.version_ts = version_ts
@@ -198,9 +203,20 @@ class _PartitionMerger:
                                 pa.field("updated_at", pa.timestamp("us"))]
             base_tbl = pa.schema(base_fields).empty_table()
         # widen an older snapshot to the evolved schema
-        base_tbl = _conform_snapshot(base_tbl, target, self.managed_timestamps)
+        base_tbl = _conform_snapshot(base_tbl, target, self.managed_timestamps,
+                                     id_field=self.id_field)
 
         base = base_tbl.to_pandas(types_mapper=None)
+        # surrogate ids are ENGINE-managed (reference identity column,
+        # sql/exporters.py:64-68): strip before the merge so they neither
+        # ride LWW as data nor fire change listeners; reattached below
+        prev_ids = None
+        if self.id_field:
+            if self.id_field in base.columns:
+                prev_ids = base.set_index(self.key)[self.id_field]
+                base = base.drop(columns=[self.id_field])
+            else:
+                prev_ids = pd.Series(dtype="int64")
         ch = changes.to_pandas()
         commit_ts = pd.Timestamp(self.commit_ts_us, unit="us")
         new, events = apply_changes(
@@ -212,7 +228,20 @@ class _PartitionMerger:
         )
         new = new.sort_values(self.key, kind="stable").reset_index(drop=True)
 
-        out_fields = list(target) + [
+        if self.id_field:
+            # existing keys keep their id; NEW keys (incl. same-epoch
+            # tombstones — identity is never reused) take dense ranks in
+            # key order from this partition's offset (computed by the
+            # driver from per-partition new-key counts + manifest max_id)
+            ids = new[self.key].map(prev_ids)
+            is_new = ids.isna().to_numpy()
+            start = int(self.id_starts.get(pid, 0))
+            ids = ids.to_numpy(dtype="float64")
+            ids[is_new] = start + np.arange(int(is_new.sum()), dtype="float64")
+            new[self.id_field] = ids.astype("int64")
+
+        out_fields = ([pa.field(self.id_field, pa.int64())]
+                      if self.id_field else []) + list(target) + [
             pa.field(INTERNAL_SEQ, pa.int64()),
             pa.field(INTERNAL_DELETED, pa.bool_()),
         ]
@@ -260,12 +289,16 @@ class _PartitionMerger:
         })
 
 
-def _conform_snapshot(tbl: pa.Table, target: pa.Schema, managed: bool) -> pa.Table:
+def _conform_snapshot(tbl: pa.Table, target: pa.Schema, managed: bool,
+                      id_field: str | None = None) -> pa.Table:
     extra = [pa.field(INTERNAL_SEQ, pa.int64()), pa.field(INTERNAL_DELETED, pa.bool_())]
     if managed:
         extra += [pa.field("created_at", pa.timestamp("us")),
                   pa.field("updated_at", pa.timestamp("us"))]
-    full = pa.schema(list(target) + [f for f in extra if f.name not in target.names])
+    head = [pa.field(id_field, pa.int64())] \
+        if id_field and id_field not in target.names else []
+    full = pa.schema(head + list(target)
+                     + [f for f in extra if f.name not in target.names])
     return schema_mod.conform(tbl, full)
 
 
@@ -298,7 +331,8 @@ class LakeTable:
                  managed_timestamps: bool = False,
                  collect_changes: bool = True,
                  insert_missing: bool = True,
-                 staging_root: str | Path | None = None):
+                 staging_root: str | Path | None = None,
+                 id_field: str | None = None):
         self.root = Path(root)
         # staging is transient shuffle data: on a cluster it lives on the
         # shared lake filesystem (or local NVMe shuffle dirs); single-node
@@ -317,6 +351,11 @@ class LakeTable:
         self.managed_timestamps = managed_timestamps
         self.collect_changes = collect_changes
         self.insert_missing = insert_missing
+        # opt-in surrogate identity column (reference ``id_field()``,
+        # sql/exporters.py:64-68): dense int64 ids assigned at commit,
+        # stable across epochs, never reused. Costs one extra key-column
+        # pass per commit (the new-key count phase).
+        self.id_field = id_field
 
     # -- metadata ---------------------------------------------------------
     def _sync_partitions(self) -> int:
@@ -461,6 +500,46 @@ class LakeTable:
             if "pid" in staged.columns else []
         return pids, time.perf_counter() - t0
 
+    def _count_new_keys(self, epoch: int, touched_pids: list[int],
+                        prev_files: dict[int, str]) -> dict[int, int]:
+        """Phase B0 (only with ``id_field``): per touched partition, count
+        staged keys absent from the base snapshot — key-column reads only,
+        fanned out as Ray tasks; the driver sees one count per partition
+        and turns them into dense id offsets."""
+        import ray.data as rd
+
+        root, staging_root = str(self.root), str(self.staging_root)
+        key, nb = self.key, self.num_partitions
+        rng = _staging_range_size(nb)
+
+        def count(batch: pa.Table) -> pa.Table:
+            out_pid, out_n = [], []
+            for pid in batch["pid"].to_pylist():
+                pid = int(pid)
+                files = sorted((Path(staging_root) / _STAGING_DIR
+                                / f"epoch={epoch:06d}"
+                                / f"r={pid // rng:05d}").glob("*.parquet"))
+                keys: set = set()
+                for f in files:
+                    t = pq.read_table(f, columns=[key],
+                                      filters=[(BUCKET_COL, "=", pid)])
+                    keys.update(t[key].to_pylist())
+                prev_rel = prev_files.get(pid)
+                if prev_rel:
+                    bt = pq.read_table(Path(root) / prev_rel, columns=[key])
+                    keys.difference_update(bt[key].to_pylist())
+                out_pid.append(pid)
+                out_n.append(len(keys))
+            return pa.table({"pid": pa.array(out_pid, type=pa.int32()),
+                             "n_new": pa.array(out_n, type=pa.int64())})
+
+        stats = (rd.from_arrow(pa.table({
+                    "pid": pa.array(touched_pids, type=pa.int32())}))
+                 .repartition(len(touched_pids))
+                 .map_batches(count, batch_format="pyarrow")
+                 .to_pandas())  # one row per partition — metadata only
+        return {int(r.pid): int(r.n_new) for r in stats.itertuples(index=False)}
+
     def commit_staged(self, epoch: int, target: pa.Schema,
                       touched_pids: list[int],
                       commit_ts_us: int | None = None,
@@ -482,12 +561,23 @@ class LakeTable:
             # deterministic per epoch (replays produce identical timestamps)
             commit_ts_us = 1_600_000_000_000_000 + epoch * 1_000_000
 
+        id_starts: dict[int, int] = {}
+        next_max_id = (prev or {}).get("max_id")
+        if self.id_field and touched_pids:
+            counts = self._count_new_keys(epoch, touched_pids, prev_files)
+            acc = int((prev or {}).get("max_id") or 0) + 1
+            for pid in sorted(counts):
+                id_starts[pid] = acc
+                acc += counts[pid]
+            next_max_id = acc - 1
+
         merger = _PartitionMerger(
             str(self.root), epoch, prev_files, schema_json, self.key,
             self.overwrite, self.protected, self.managed_timestamps,
             commit_ts_us, self.collect_changes, self.insert_missing,
             str(self.staging_root), version_ts=self.version[0],
             num_partitions=self.num_partitions,
+            id_field=self.id_field, id_starts=id_starts,
         )
 
         def merge_partitions(batch: pa.Table, _m=merger) -> pa.Table:
@@ -536,6 +626,8 @@ class LakeTable:
             "lineage": lineage,
             "wall_s": round(wall, 4),
         }
+        if next_max_id is not None:
+            manifest["max_id"] = int(next_max_id)
         _atomic_write_json(_manifest_path(self.root, epoch), manifest)
         return CommitResult(
             epoch=epoch, skipped=False, partitions_touched=len(stats),
@@ -698,6 +790,8 @@ class LakeTable:
             "truncated": True,
             "wall_s": 0.0,
         }
+        if (prev or {}).get("max_id") is not None:
+            manifest["max_id"] = prev["max_id"]  # identity is never reused
         _atomic_write_json(_manifest_path(self.root, epoch), manifest)
         return CommitResult(epoch=epoch, total_rows=0)
 
@@ -780,6 +874,8 @@ class LakeTable:
             "watermark_ts_us": watermark_ts_us,
             "wall_s": round(time.perf_counter() - t0, 4),
         }
+        if prev.get("max_id") is not None:
+            manifest["max_id"] = prev["max_id"]
         _atomic_write_json(_manifest_path(self.root, epoch), manifest)
         return CommitResult(
             epoch=epoch, partitions_touched=len(stats),

@@ -361,3 +361,56 @@ def test_staging_file_count_bounded(change_log, tmp_path):
     res = lake.commit_staged(0, target, pids)
     assert res.partitions_touched == len(pids)
     assert lake.read_pandas()["url"].is_unique
+
+
+def test_id_field_surrogate_keys(tmp_path):
+    """Reference id_field() backfill (sql/exporters.py:64-68,
+    test_sql.py:130-141) as a lake policy: dense int64 ids assigned at
+    commit, stable across epochs, never reused (tombstoned keys keep
+    their identity — deviation note: the lake persists key identity
+    through deletes, unlike a DB row that is physically gone)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from chomper_ray.state.lake import load_manifest
+
+    def mk(op, seq, url, ts, text):
+        return {"op": op, "seq": seq, "url": url,
+                "warc_ts": pd.Timestamp(ts, unit="s"), "text": text}
+
+    def commit(lake, rows, epoch):
+        lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(rows)), epoch)
+
+    lake = LakeTable(tmp_path / "lake", num_partitions=4, id_field="id")
+    commit(lake, [mk("insert", 0, "a", 10, "x"), mk("insert", 1, "b", 10, "y"),
+                  mk("insert", 2, "c", 10, "z")], 0)
+    df0 = lake.read_pandas().set_index("url")
+    assert sorted(df0["id"]) == [1, 2, 3]
+    assert load_manifest(lake.root)["max_id"] == 3
+
+    # update keeps id; new key extends the sequence
+    commit(lake, [mk("update", 3, "a", 20, "x2"), mk("insert", 4, "d", 20, "w")], 1)
+    df1 = lake.read_pandas().set_index("url")
+    assert df1.loc["a", "id"] == df0.loc["a", "id"]
+    assert df1.loc["d", "id"] == 4
+    assert load_manifest(lake.root)["max_id"] == 4
+
+    # delete + reinsert: key keeps its identity; no id reuse either way
+    commit(lake, [mk("delete", 5, "b", 30, None)], 2)
+    commit(lake, [mk("insert", 6, "b", 40, "back"), mk("insert", 7, "e", 40, "v")], 3)
+    df3 = lake.read_pandas().set_index("url")
+    assert df3.loc["b", "id"] == df0.loc["b", "id"]
+    assert df3.loc["e", "id"] == 5
+    assert df3["id"].is_unique
+
+    # replay of a committed epoch is a no-op for ids too
+    h = lake.snapshot_hash()
+    commit(lake, [mk("insert", 6, "b", 40, "back")], 3)
+    assert lake.snapshot_hash() == h
+
+    # identical input → identical assignment (deterministic, replayable)
+    lake2 = LakeTable(tmp_path / "lake2", num_partitions=4, id_field="id")
+    commit(lake2, [mk("insert", 0, "a", 10, "x"), mk("insert", 1, "b", 10, "y"),
+                   mk("insert", 2, "c", 10, "z")], 0)
+    df0b = lake2.read_pandas().set_index("url")
+    assert df0b["id"].to_dict() == df0["id"].to_dict()
