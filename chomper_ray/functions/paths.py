@@ -112,6 +112,103 @@ def path_set_row(row: dict, path: str, value) -> dict:
     return row
 
 
+def _as_array(values, nrows: int) -> pa.Array:
+    if isinstance(values, pa.ChunkedArray):
+        return values.combine_chunks()
+    if isinstance(values, pa.Array):
+        return values
+    return pa.array([values] * nrows)
+
+
+def _rebuild_struct(col, parts: list[str], values: pa.Array,
+                    nrows: int) -> pa.StructArray:
+    """Functional struct update: copy existing fields, set/descend into
+    ``parts``, creating intermediate structs where missing (the
+    reference's ``setdefault`` chain, utils.py:111-130). A null parent
+    row becomes a struct row holding the new value — exactly what
+    setdefault-into-a-fresh-dict produces."""
+    fields: dict[str, pa.Array] = {}
+    if col is not None and pa.types.is_struct(col.type):
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        for name in _struct_field_names(col.type):
+            f = pc.struct_field(col, name)
+            fields[name] = f.combine_chunks() \
+                if isinstance(f, pa.ChunkedArray) else f
+    head = parts[0]
+    if len(parts) == 1:
+        fields[head] = values
+    else:
+        sub = fields.get(head)
+        if sub is not None and not pa.types.is_struct(sub.type):
+            sub = None  # overwrite a scalar on the path like setdefault-dict
+        fields[head] = _rebuild_struct(sub, parts[1:], values, nrows)
+    names = list(fields)
+    return pa.StructArray.from_arrays([fields[n] for n in names], names)
+
+
+def path_set_column(table: pa.Table, path: str, values) -> pa.Table:
+    """Batch-level nested SET: ``path_set_row`` semantics as one Arrow
+    struct rebuild per batch (a projection, no per-row Python).
+    ``values`` is an Array/ChunkedArray (one value per row) or a scalar
+    broadcast to the batch. List-index targets are row-level-only (the
+    reference mutates an existing list in place; a vectorized list write
+    needs the list to exist per row — raise loudly rather than guess)."""
+    parts = path_split(path)
+    if not parts:
+        return table
+    if any(isinstance(p, int) for p in parts):
+        raise NotImplementedError(
+            "list-index nested writes are row-level only (path_set_row)")
+    vals = _as_array(values, table.num_rows)
+    head = parts[0]
+    if len(parts) == 1:
+        new_col = vals
+    else:
+        col = table[head] if head in table.column_names else None
+        new_col = _rebuild_struct(col, parts[1:], vals, table.num_rows)
+    if head in table.column_names:
+        return table.set_column(table.schema.get_field_index(head), head,
+                                new_col)
+    return table.append_column(head, new_col)
+
+
+def path_del_column(table: pa.Table, path: str) -> pa.Table:
+    """Batch-level nested DELETE (reference ``utils.py:133-148``): drop a
+    top-level column, or rebuild the enclosing struct without the leaf
+    field. Missing path → unchanged (never KeyError)."""
+    parts = path_split(path)
+    if not parts or any(isinstance(p, int) for p in parts):
+        if any(isinstance(p, int) for p in parts):
+            raise NotImplementedError(
+                "list-index nested deletes are row-level only")
+        return table
+    head = parts[0]
+    if head not in table.column_names:
+        return table
+    if len(parts) == 1:
+        return table.drop_columns([head])
+
+    def rebuild_without(col, sub_parts):
+        if col is None or not pa.types.is_struct(col.type):
+            return col  # path doesn't resolve — unchanged
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        names = _struct_field_names(col.type)
+        leaf = sub_parts[0]
+        if leaf not in names:
+            return col
+        if len(sub_parts) == 1:
+            keep = [n for n in names if n != leaf]
+            return pa.StructArray.from_arrays(
+                [pc.struct_field(col, n) for n in keep], keep)
+        rebuilt = rebuild_without(pc.struct_field(col, leaf), sub_parts[1:])
+        return pa.StructArray.from_arrays(
+            [rebuilt if n == leaf else pc.struct_field(col, n)
+             for n in names], names)
+
+    new_col = rebuild_without(table[head], parts[1:])
+    return table.set_column(table.schema.get_field_index(head), head, new_col)
+
+
 def flatten_struct(table: pa.Table, column: str, *, sep: str = ".") -> pa.Table:
     """Explode one struct column into top-level ``column.sub`` columns —
     the batch path for pipelines that want the reference's flat-dict view

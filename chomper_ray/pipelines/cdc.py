@@ -179,12 +179,18 @@ def _run_cdc_drain(log_dir, lake, pending, extract, batch_size, res, t0):
     staged = ds.map_batches(stage, batch_format="pyarrow").to_pandas()
     stage_s = _time.perf_counter() - t_stage
 
-    # sequential merge + commit per epoch (order matters for manifests)
+    # ONE merge pass across all pending epochs (each partition task
+    # threads its snapshot through the epoch chain), manifests sequential
+    touched = {}
+    if "pid" in staged.columns:
+        for e in pending:
+            touched[e] = sorted(
+                staged.loc[staged["epoch"] == e, "pid"].unique().tolist())
+    commits = lake.commit_staged_multi([(e, targets[e]) for e in pending],
+                                       touched, stage_s=stage_s)
+    by_epoch = {c.epoch: c for c in commits}
     for e in pending:
-        pids = sorted(staged.loc[staged["epoch"] == e, "pid"].unique().tolist()) \
-            if "pid" in staged.columns else []
-        commit = lake.commit_staged(e, targets[e], pids,
-                                    stage_s=stage_s / len(pending))
+        commit = by_epoch.get(e, CommitResult(epoch=e, skipped=True))
         res.commits.append(commit)
         if commit.skipped:
             res.epochs_skipped.append(e)

@@ -32,6 +32,24 @@ MEDIA_SCHEMA = pa.schema([
 DEFAULT_MEDIA_BATCH_SIZE = 256
 
 
+def _require_codec(modules: tuple[str, ...], what: str) -> None:
+    """Strict-mode contract: fail at STAGE CONSTRUCTION (actor __init__ /
+    pipeline build), not mid-run on the first payload — a 100 TB job must
+    refuse to start without its codec, not die hours in."""
+    import importlib
+
+    missing = []
+    for m in modules:
+        try:
+            importlib.import_module(m)
+        except ImportError:
+            missing.append(m)
+    if missing:
+        raise NotImplementedError(
+            f"strict {what} decoding needs {'/'.join(missing)} (not in "
+            "this container); run with mode='fake' for plumbing tests")
+
+
 def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
     """Deterministic fake decode: payload bytes → (h, w, 3) uint8."""
     seed = int(pd.util.hash_array(np.array([payload], dtype=object))[0]) & 0x7FFFFFFF
@@ -49,14 +67,14 @@ class DecodeImage:
     def __init__(self, mode: str = "fake", resize: tuple[int, int] = (32, 32)):
         if mode not in ("fake", "strict"):
             raise ValueError("mode must be 'fake' or 'strict'")
+        if mode == "strict":
+            _require_codec(("PIL",), "image")  # fail at build, not mid-run
         self.mode = mode
         self.resize = resize
 
     def _decode_image_impl(self, payload: bytes, w, h) -> np.ndarray:
-        if self.mode == "strict":
-            raise NotImplementedError(
-                "real image decoding needs PIL/libjpeg (not in this "
-                "container); run with mode='fake' for plumbing tests")
+        if self.mode == "strict":  # codec verified importable in __init__
+            raise NotImplementedError("real PIL decode not yet wired")
         rh = int(h) if pd.notna(h) else 16
         rw = int(w) if pd.notna(w) else 16
         return _fake_pixels(payload, min(rh, 64), min(rw, 64))
@@ -95,14 +113,14 @@ class AudioFeatures:
     """
 
     def __init__(self, mode: str = "fake", n_features: int = 16):
+        if mode == "strict":
+            _require_codec(("soundfile",), "audio")
         self.mode = mode
         self.n_features = n_features
 
     def _decode_audio_impl(self, payload: bytes, duration_ms) -> np.ndarray:
-        if self.mode == "strict":
-            raise NotImplementedError(
-                "real audio decoding needs soundfile/ffmpeg (not in this "
-                "container); run with mode='fake' for plumbing tests")
+        if self.mode == "strict":  # codec verified importable in __init__
+            raise NotImplementedError("real soundfile decode not yet wired")
         seed = int(pd.util.hash_array(np.array([payload], dtype=object))[0]) & 0x7FFFFFFF
         n = max(64, int(duration_ms) if pd.notna(duration_ms) else 1000)
         return np.random.default_rng(seed).standard_normal(min(n, 4096))
@@ -130,12 +148,14 @@ class SampleFrames:
     fake features. Real frame extraction would replace ``_frames_impl``."""
 
     def __init__(self, mode: str = "fake", n_frames: int = 4):
+        if mode == "strict":
+            _require_codec(("av",), "video")
         self.mode = mode
         self.n_frames = n_frames
 
     def _frames_impl(self, payload: bytes, duration_ms) -> list[int]:
-        if self.mode == "strict":
-            raise NotImplementedError("real video decoding needs ffmpeg")
+        if self.mode == "strict":  # codec verified importable in __init__
+            raise NotImplementedError("real PyAV frame extraction not yet wired")
         d = int(duration_ms) if pd.notna(duration_ms) else 1000
         return [int(t) for t in np.linspace(0, d, self.n_frames, endpoint=False)]
 

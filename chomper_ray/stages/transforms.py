@@ -29,6 +29,8 @@ tables, ``/root/reference/tests/test_processors.py``):
 
 from __future__ import annotations
 
+import json
+import logging
 from typing import Any, Callable, Sequence
 
 import pyarrow as pa
@@ -232,6 +234,72 @@ class Omitter(Transform):
     def apply(self, table: pa.Table) -> pa.Table:
         keep = [n for n in table.column_names if n not in self.columns]
         return table.select(keep)
+
+
+class PathAssigner(Transform):
+    """Nested SET as a first-class batch operator: ``a.b.c`` targets
+    rebuild the enclosing struct column (reference nested set,
+    utils.py:111-130). ``value`` is a constant or ``fn(table) → Array``.
+    """
+
+    def __init__(self, path: str, value):
+        self.path = path
+        self.value = value
+
+    def apply(self, table: pa.Table) -> pa.Table:
+        from chomper_ray.functions.paths import path_set_column
+
+        v = self.value(table) if callable(self.value) else self.value
+        return path_set_column(table, self.path, v)
+
+
+class PathDeleter(Transform):
+    """Nested DELETE (reference utils.py:133-148): drop a leaf field out
+    of a struct column, or a top-level column; missing paths are no-ops.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def apply(self, table: pa.Table) -> pa.Table:
+        from chomper_ray.functions.paths import path_del_column
+
+        return path_del_column(table, self.path)
+
+
+class Logger(Transform):
+    """Identity observability op (reference ``Logger``,
+    processors.py:359-368: logs every item as JSON at a chosen level).
+
+    Batch-shaped: logging 10^9 rows row-at-a-time is the one reference
+    behavior that must NOT scale up, so this logs a per-batch summary
+    (rows, columns) plus up to ``sample_rows`` sampled rows as sorted
+    JSON — and only every ``every`` batches. Rows pass through untouched;
+    cumulative row counts live in the `Pipeline` counters.
+    """
+
+    def __init__(self, name: str = "chomper_ray.logger",
+                 level: int = logging.DEBUG, sample_rows: int = 1,
+                 every: int = 1):
+        self.logger = logging.getLogger(name)
+        self.level = level
+        self.sample_rows = sample_rows
+        self.every = max(1, every)
+        self._batch_no = 0
+
+    def apply(self, table: pa.Table) -> pa.Table:
+        self._batch_no += 1
+        if self._batch_no % self.every == 0 and \
+                self.logger.isEnabledFor(self.level):
+            head = [
+                json.dumps(r, sort_keys=True, default=str)
+                for r in table.slice(0, self.sample_rows).to_pylist()
+            ]
+            self.logger.log(
+                self.level, "batch %d: %d rows, cols=%s%s", self._batch_no,
+                table.num_rows, table.column_names,
+                (" sample=" + "; ".join(head)) if head else "")
+        return table
 
 
 class Chain(Transform):

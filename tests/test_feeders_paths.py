@@ -142,3 +142,78 @@ def test_flatten_struct():
     out = paths.flatten_struct(NESTED, "job")
     assert "job.title" in out.column_names
     assert out["job.title"].to_pylist() == ["dev", "ops"]
+
+
+class TestBatchNestedWrites:
+    """path_set_column / path_del_column vs the row-level oracle
+    (reference utils.py:111-148) — batch nested writes as struct
+    rebuilds, VERDICT r01 'missing' #4."""
+
+    def _rows(self, table):
+        return table.to_pylist()
+
+    def test_set_leaf_in_struct(self):
+        import pyarrow as pa
+
+        out = paths.path_set_column(NESTED, "job.company.name", "acme")
+        got = self._rows(out)
+        exp = [paths.path_set_row(dict(r), "job.company.name", "acme")
+               for r in self._rows(NESTED)]
+        assert [r["job"]["company"]["name"] for r in got] == \
+               [r["job"]["company"]["name"] for r in exp] == ["acme", "acme"]
+        # sibling fields untouched
+        assert [r["job"].get("title") for r in got] == \
+               [r["job"].get("title") for r in self._rows(NESTED)]
+
+    def test_set_creates_intermediate_structs(self):
+        out = paths.path_set_column(NESTED, "meta.source.kind", "crawl")
+        for r in self._rows(out):
+            assert r["meta"]["source"]["kind"] == "crawl"
+
+    def test_set_per_row_values_and_top_level(self):
+        import pyarrow as pa
+
+        vals = pa.array([10, 20])
+        out = paths.path_set_column(NESTED, "job.level", vals)
+        assert [r["job"]["level"] for r in self._rows(out)] == [10, 20]
+        out2 = paths.path_set_column(NESTED, "rank", pa.array([1, 2]))
+        assert out2["rank"].to_pylist() == [1, 2]
+
+    def test_del_leaf_and_missing_noop(self):
+        out = paths.path_del_column(NESTED, "job.company.name")
+        for r in self._rows(out):
+            assert "name" not in r["job"]["company"]
+        # missing paths: no error, unchanged
+        assert paths.path_del_column(NESTED, "nope.x") is NESTED or \
+            self._rows(paths.path_del_column(NESTED, "nope.x")) == self._rows(NESTED)
+        assert self._rows(paths.path_del_column(NESTED, "job.nope")) == \
+            self._rows(NESTED)
+
+    def test_del_top_level(self):
+        out = paths.path_del_column(NESTED, "job")
+        assert "job" not in out.column_names
+
+    def test_list_index_writes_raise(self):
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            paths.path_set_column(NESTED, "friends[0].name", "x")
+        with _pytest.raises(NotImplementedError):
+            paths.path_del_column(NESTED, "friends[0].name")
+
+
+def test_logger_transform_passthrough_and_sampling(caplog):
+    import logging
+
+    import pyarrow as pa
+
+    from chomper_ray.stages.transforms import Logger
+
+    t = pa.table({"a": [1, 2, 3]})
+    log = Logger(name="test.logger", level=logging.INFO, every=2)
+    with caplog.at_level(logging.INFO, logger="test.logger"):
+        out1 = log.apply(t)   # batch 1: not logged (every=2)
+        out2 = log.apply(t)   # batch 2: logged
+    assert out1 is t and out2 is t  # identity — rows untouched
+    assert len(caplog.records) == 1
+    assert "3 rows" in caplog.records[0].getMessage()

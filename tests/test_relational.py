@@ -136,3 +136,39 @@ def test_native_join_matches_explicit():
                           num_partitions=4).to_pandas()
     exp = LEFT.merge(RIGHT, on="k")
     assert len(got) == len(exp)
+
+
+def test_bloom_semi_anti_join_matches_exact():
+    """Dataset-to-dataset Bloom-prefiltered semi/anti: must be EXACT
+    (false positives killed by the bucketed verification; negatives are
+    correct by Bloom's no-false-negative property)."""
+    rng = np.random.default_rng(21)
+    left = pd.DataFrame({"k": rng.integers(0, 1000, 2000),
+                         "v": np.arange(2000)})
+    right = pd.DataFrame({"k": rng.choice(1000, 150, replace=False),
+                          "extra": "x"})
+    semi = rel.bloom_semi_join(mk_ds(left, 4), mk_ds(right, 2),
+                               on="k").to_pandas()
+    anti = rel.bloom_semi_join(mk_ds(left, 4), mk_ds(right, 2),
+                               on="k", anti=True).to_pandas()
+    keys = set(right["k"])
+    exp_semi = left[left["k"].isin(keys)]
+    exp_anti = left[~left["k"].isin(keys)]
+    assert sorted(semi["v"]) == sorted(exp_semi["v"])
+    assert sorted(anti["v"]) == sorted(exp_anti["v"])
+    assert len(semi) + len(anti) == len(left)
+    assert semi["k"].dtype.kind == "i" and anti["k"].dtype.kind == "i"
+
+
+def test_bloom_filter_no_false_negatives():
+    vals = np.arange(5000, dtype=np.int64)
+    m, k = rel._bloom_params(len(vals), 0.01)
+    bits = np.zeros(m // 64, dtype=np.uint64)
+    pos = rel._bloom_positions(vals, m, k).ravel()
+    np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (pos & np.uint64(63)))
+    assert rel._bloom_test(bits, vals, m, k).all()  # every member hits
+    # fpp in the right ballpark on non-members
+    others = np.arange(10_000, 60_000, dtype=np.int64)
+    fp = rel._bloom_test(bits, others, m, k).mean()
+    assert fp < 0.05

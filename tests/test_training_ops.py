@@ -250,3 +250,19 @@ def test_audio_features_plumbing():
     assert len(out["audio_feat"].iloc[0]) == 16
     with pytest.raises(NotImplementedError):
         AudioFeatures(mode="strict")(df)
+
+
+def test_strict_mode_fails_at_stage_construction():
+    """VERDICT r01 #10: without its codec library, strict mode must
+    refuse at pipeline BUILD (stage construction), not hours into a run
+    on the first payload."""
+    from chomper_ray.stages.multimodal import (AudioFeatures, DecodeImage,
+                                               SampleFrames)
+
+    for cls in (DecodeImage, AudioFeatures, SampleFrames):
+        try:
+            cls(mode="strict")
+        except NotImplementedError as e:
+            assert "mode='fake'" in str(e)
+        else:  # codec IS installed in this environment — strict builds
+            pass
