@@ -254,26 +254,31 @@ def _q_hash_join(sf_dir: str):
                                    "c_name"]), batch_format="pyarrow")
 
 
-def _q_semi_join(sf_dir: str):
-    from chomper_ray.pipelines.relational import semi_join
+def _build_side(sf_dir: str):
+    import pandas as pd
 
-    seg = pq.read_table(f"{sf_dir}/customer.parquet",
-                        columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    keys = seg.loc[seg["c_mktsegment"] == "BUILDING", "c_custkey"]
-    return semi_join(_read(sf_dir, "orders",
-                           columns=["o_orderkey", "o_custkey"]),
-                     keys, on="o_custkey")
+    return _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda df: df[df["c_mktsegment"] == "BUILDING"]
+                     [["c_custkey"]], batch_format="pandas")
+
+
+def _q_semi_join(sf_dir: str):
+    # dataset-to-dataset: distributed Bloom build + bucketed exact verify
+    # (round 1 collected the key set on the driver — what's wrong #6)
+    from chomper_ray.pipelines.relational import bloom_semi_join
+
+    return bloom_semi_join(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        _build_side(sf_dir), on="o_custkey", right_on="c_custkey")
 
 
 def _q_anti_join(sf_dir: str):
-    from chomper_ray.pipelines.relational import anti_join
+    from chomper_ray.pipelines.relational import bloom_semi_join
 
-    seg = pq.read_table(f"{sf_dir}/customer.parquet",
-                        columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    keys = seg.loc[seg["c_mktsegment"] == "BUILDING", "c_custkey"]
-    return anti_join(_read(sf_dir, "orders",
-                           columns=["o_orderkey", "o_custkey"]),
-                     keys, on="o_custkey")
+    return bloom_semi_join(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]),
+        _build_side(sf_dir), on="o_custkey", right_on="c_custkey",
+        anti=True)
 
 
 def _q_asof_join(sf_dir: str):
