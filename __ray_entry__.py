@@ -499,8 +499,10 @@ def _q_minhash_dedup(sf_dir: str):
 
     from chomper_ray.stages.dedup import minhash_lsh_dedup
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    clusters, _pairs = minhash_lsh_dedup(ds, threshold=0.8, concurrency=8)
+    # single-file table reads as one block — repartition so the hash
+    # stage parallelizes (at real scale the input is already many files)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(16)
+    clusters, _pairs = minhash_lsh_dedup(ds, threshold=0.8)
     ids = sorted(pq.read_table(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])["doc_id"].to_pylist())
     return pd.DataFrame({
@@ -514,8 +516,8 @@ def _q_simhash_dedup(sf_dir: str):
 
     from chomper_ray.stages.dedup import simhash_dedup
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    clusters, _pairs = simhash_dedup(ds, max_hamming=3, concurrency=8)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(16)
+    clusters, _pairs = simhash_dedup(ds, max_hamming=3)
     ids = sorted(pq.read_table(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])["doc_id"].to_pylist())
     return pd.DataFrame({
@@ -529,7 +531,7 @@ def _q_embedding_dedup(sf_dir: str):
 
     from chomper_ray.stages.dedup import embedding_dedup
 
-    ds = _read(sf_dir, "embeddings")
+    ds = _read(sf_dir, "embeddings").repartition(8)
     clusters, _pairs = embedding_dedup(ds, threshold=0.95)
     ids = sorted(pq.read_table(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id"])["vec_id"].to_pylist())

@@ -258,6 +258,25 @@ def components_distributed_ds(pairs_ds, num_buckets: int = 8) -> dict[int, int]:
     return connected_components(contracted.astype("int64"))
 
 
+DRIVER_EDGE_CAP = 200_000
+
+
+def components_auto(pairs_mat, num_buckets: int = 8,
+                    driver_edge_cap: int = DRIVER_EDGE_CAP):
+    """Route clustering by edge volume: verified-duplicate edges are
+    O(actual duplicates), so below ``driver_edge_cap`` the contracted
+    graph IS essentially the graph and the distributed contraction's
+    extra shuffle is pure overhead — use the driver union-find. Above
+    the cap, two-level contraction. ``pairs_mat`` must be a MATERIALIZED
+    Dataset (count() is then metadata-only)."""
+    n = pairs_mat.count()
+    if n == 0:
+        return {}
+    if n <= driver_edge_cap:
+        return connected_components(pairs_mat.to_pandas())
+    return components_distributed_ds(pairs_mat, num_buckets=num_buckets)
+
+
 def components_distributed(pairs: pd.DataFrame, num_buckets: int = 8) -> dict[int, int]:
     """DataFrame-input convenience wrapper over ``components_distributed_ds``."""
     import ray.data as rd
@@ -280,7 +299,7 @@ def _empty_verified_pairs(score_col: str) -> pd.DataFrame:
 
 def minhash_lsh_dedup(ds, col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
-                      threshold: float = 0.8, concurrency: int = 4,
+                      threshold: float = 0.8, concurrency: int | None = None,
                       num_partitions: int = 32, max_bucket: int = 200):
     """MinHash+LSH near-dup detection — fully off-driver.
 
@@ -310,9 +329,12 @@ def minhash_lsh_dedup(ds, col: str = "text", id_col: str = "doc_id",
     representative (min id); ``pairs`` is the VERIFIED duplicate-pair
     DataFrame (O(actual duplicates), small by construction).
     """
+    # instance without concurrency = stateless TASK pool (the perm
+    # params are construction-cheap); pass concurrency for an actor pool
+    kw = {"concurrency": concurrency} if concurrency else {}
     sigged = ds.map_batches(
         MinHasher(col=col, num_perm=num_perm, shingle_k=shingle_k),
-        batch_format="pandas", concurrency=concurrency,
+        batch_format="pandas", **kw,
     )
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
@@ -353,7 +375,7 @@ def minhash_lsh_dedup(ds, col: str = "text", id_col: str = "doc_id",
         .map_groups(partition_verified_pairs, batch_format="pandas")
         .materialize()  # verified pairs only — reused by clustering + return
     )
-    clusters = components_distributed_ds(pairs_ds)
+    clusters = components_auto(pairs_ds)
     pairs = pairs_ds.to_pandas().drop_duplicates(subset=["a", "b"]) \
         .reset_index(drop=True)
     return clusters, pairs
@@ -401,7 +423,7 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def simhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, concurrency: int = 4,
+                  max_hamming: int = 3, concurrency: int | None = None,
                   num_partitions: int = 32):
     """SimHash near-dup: 4×16-bit bands (two docs within Hamming 3 of each
     other share at least one exact 16-bit band by pigeonhole when ≤3 of 4
@@ -410,8 +432,8 @@ def simhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
     connected-components. Coarse ``_pb`` partitioning + a vectorized
     pandas groupby inside, same shape as ``minhash_lsh_dedup``; the
     driver only ever sees the contracted component graph."""
-    hashed = ds.map_batches(SimHasher(col=col), batch_format="pandas",
-                            concurrency=concurrency)
+    kw = {"concurrency": concurrency} if concurrency else {}
+    hashed = ds.map_batches(SimHasher(col=col), batch_format="pandas", **kw)
 
     def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
         h = batch["simhash"].to_numpy().astype(np.uint64)
@@ -460,7 +482,7 @@ def simhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
         .map_groups(partition_pairs, batch_format="pandas")
         .materialize()
     )
-    clusters = components_distributed_ds(pairs_ds)
+    clusters = components_auto(pairs_ds)
     pairs = pairs_ds.to_pandas().drop_duplicates(subset=["a", "b"]) \
         .reset_index(drop=True)
     return clusters, pairs
@@ -536,7 +558,7 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
         .map_groups(partition_pairs, batch_format="pandas")
         .materialize()
     )
-    clusters = components_distributed_ds(pairs_ds)
+    clusters = components_auto(pairs_ds)
     pairs = pairs_ds.to_pandas().drop_duplicates(subset=["a", "b"]) \
         .reset_index(drop=True)
     return clusters, pairs
