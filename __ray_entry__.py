@@ -441,6 +441,115 @@ def _q_ann_topk(sf_dir: str):
     return out.map_batches(remap, batch_format="pandas")
 
 
+def _q_sessionize(sf_dir: str):
+    from chomper_ray.pipelines.relational import sessionize
+
+    out = sessionize(_read(sf_dir, "events",
+                           columns=["event_id", "user_id", "ts"]),
+                     by="user_id", ts="ts", tie="event_id", gap_s=1800)
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "session_id"]],
+        batch_format="pandas")
+
+
+def _q_median_tokens(sf_dir: str):
+    from chomper_ray.pipelines.relational import grouped_quantile
+    from chomper_ray.stages.text import count_tokens
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"]) \
+        .map_batches(count_tokens, batch_format="pandas")
+    return grouped_quantile(ds, key="lang", value="n_tokens", q=0.5,
+                            out="med_tokens")
+
+
+def _q_normalize_text(sf_dir: str):
+    from chomper_ray.stages.text import normalize_text
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(normalize_text, batch_format="pandas") \
+        .map_batches(lambda df: df[["doc_id", "text_norm"]],
+                     batch_format="pandas")
+
+
+def _q_top_bigrams(sf_dir: str):
+    import pandas as pd
+
+    from chomper_ray.pipelines.relational import grouped_agg, topk
+
+    # per-block bigram pre-count (combiner) → grouped sum over DISTINCT
+    # bigrams only → driver top-k over per-block candidates
+    def bigrams(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        ex = words.explode().dropna()
+        nxt = ex.groupby(level=0).shift(-1)
+        bg = (ex + " " + nxt).dropna()
+        counts = bg.value_counts()
+        return pd.DataFrame({"bigram": counts.index, "n": counts.to_numpy()})
+
+    ds = _read(sf_dir, "documents", columns=["text"]).repartition(8) \
+        .map_batches(bigrams, batch_format="pandas")
+    agg = grouped_agg(ds, keys=["bigram"], sums=["n"], counts=False)
+    out = topk(agg, by="sum_n", k=20, descending=True, tie_break="bigram")
+    out = out.rename(columns={"sum_n": "n"})
+    out["n"] = out["n"].astype("int64")
+    return out[["bigram", "n"]]
+
+
+def _q_top_revenue_orders(sf_dir: str):
+    import pandas as pd
+
+    from chomper_ray.pipelines.relational import (bloom_semi_join,
+                                                  grouped_agg, hash_join,
+                                                  topk)
+    from chomper_ray.stages.transforms import Renamer
+
+    import pyarrow as pa
+
+    # composite pipeline (TPC-H Q3 shape): segment filter → semi join →
+    # large-large hash join → combiner-grouped revenue → top-k.
+    # Schemas passed statically (from parquet FOOTERS, zero execution):
+    # probing schema() on a shuffle-bearing plan would run the shuffle
+    # twice.
+    def sub(table, cols, rename=None):
+        s = pq.read_schema(f"{sf_dir}/{table}.parquet")
+        return pa.schema([pa.field((rename or {}).get(c, c),
+                                   s.field(c).type) for c in cols])
+
+    ocols = ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    building = _read(sf_dir, "customer",
+                     columns=["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda df: df[df["c_mktsegment"] == "BUILDING"]
+                     [["c_custkey"]], batch_format="pandas")
+    orders = bloom_semi_join(
+        _read(sf_dir, "orders", columns=ocols),
+        building, on="o_custkey", right_on="c_custkey",
+        left_schema=sub("orders", ocols)) \
+        .map_batches(Renamer({"o_orderkey": "l_orderkey"}),
+                     batch_format="pyarrow")
+    lcols = ["l_orderkey", "l_extendedprice", "l_discount"]
+    li = _read(sf_dir, "lineitem", columns=lcols)
+    joined = hash_join(
+        li, orders, on="l_orderkey", num_buckets=8,
+        left_schema=sub("lineitem", lcols),
+        right_schema=sub("orders", ocols,
+                         rename={"o_orderkey": "l_orderkey"}))
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return df[["l_orderkey", "o_orderdate", "o_orderpriority", "rev"]]
+
+    agg = grouped_agg(joined.map_batches(derive, batch_format="pandas"),
+                      keys=["l_orderkey", "o_orderdate", "o_orderpriority"],
+                      sums=["rev"], counts=False)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["sum_rev"].round(2)
+        return df[["l_orderkey", "o_orderdate", "o_orderpriority", "revenue"]]
+
+    return topk(agg.map_batches(fin, batch_format="pandas"),
+                by="revenue", k=10, descending=True, tie_break="l_orderkey")
+
+
 def _q_sql_table_source(sf_dir: str):
     import sqlite3
 
@@ -637,6 +746,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "systematic_sample": _q_systematic_sample,
         "distinct_priorities": _q_distinct_priorities,
         "union_keys": _q_union_keys,
+        # round-2 wide/composite operators
+        "sessionize": _q_sessionize,
+        "median_tokens": _q_median_tokens,
+        "normalize_text": _q_normalize_text,
+        "top_bigrams": _q_top_bigrams,
+        "top_revenue_orders": _q_top_revenue_orders,
         # sources
         "sql_table_source": _q_sql_table_source,
         "http_source": _q_http_source,
@@ -660,7 +775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from chomper_ray.stages.text import sql_quality_exprs
+    from chomper_ray.stages.text import sql_normalize_expr, sql_quality_exprs
 
     q = sql_quality_exprs()
     return {
@@ -755,6 +870,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
         ),
         "http_source": "SELECT doc_id, text FROM documents",
+        "sessionize": (
+            "SELECT event_id, user_id, sum(is_new) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id FROM ("
+            "SELECT event_id, user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END "
+            "AS is_new FROM events WINDOW w AS ("
+            "PARTITION BY user_id ORDER BY ts, event_id))"
+        ),
+        "median_tokens": (
+            r"SELECT lang, quantile_disc(len(regexp_extract_all(text, "
+            r"'\S+'))::BIGINT, 0.5) AS med_tokens FROM documents GROUP BY lang"
+        ),
+        "normalize_text": (
+            f"SELECT doc_id, {sql_normalize_expr('text')} AS text_norm "
+            "FROM documents"
+        ),
+        "top_bigrams": (
+            "WITH w AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') "
+            "AS ws FROM documents), "
+            "g AS (SELECT ws, unnest(generate_series(1, len(ws)-1)) AS i "
+            "FROM w WHERE len(ws) > 1) "
+            "SELECT ws[i] || ' ' || ws[i+1] AS bigram, count(*)::BIGINT AS n "
+            "FROM g GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"
+        ),
+        "top_revenue_orders": (
+            "SELECT l_orderkey, o_orderdate, o_orderpriority, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
         "union_keys": (
             "SELECT n_nationkey AS k FROM nation "
             "UNION ALL SELECT r_regionkey AS k FROM region"

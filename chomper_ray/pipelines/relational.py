@@ -12,15 +12,37 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _combined_schema(left, right):
+def _arrow_type(t):
+    """Ray's schema() reports PANDAS block types (numpy dtypes / python
+    classes) for datasets whose last stage ran batch_format='pandas' —
+    normalize to Arrow. object/str → string (the only object columns in
+    these pipelines are strings; the runtime conform casts real blocks,
+    so a wrong guess fails loudly there, not silently)."""
+    if isinstance(t, pa.DataType):
+        return t
+    if t in (object, str):
+        return pa.string()
+    try:
+        return pa.from_numpy_dtype(t)
+    except (TypeError, pa.ArrowNotImplementedError):
+        return pa.string()
+
+
+def _combined_schema(left, right, left_schema=None, right_schema=None):
+    """Combined Arrow schema of two datasets. ``ds.schema()`` on a
+    shuffle-bearing plan EXECUTES that shuffle just to see types — pass
+    ``left_schema``/``right_schema`` (plain ``pa.Schema``) when the
+    caller knows them statically (composite pipelines) to keep the probe
+    free."""
     import pyarrow as _pa
 
-    ls, rs = left.schema(), right.schema()
-    fields = {n: t for n, t in zip(ls.names, ls.types)}
+    ls = left_schema if left_schema is not None else left.schema()
+    rs = right_schema if right_schema is not None else right.schema()
+    fields = {n: _arrow_type(t) for n, t in zip(ls.names, ls.types)}
     order = list(ls.names)
     for n, t in zip(rs.names, rs.types):
         if n not in fields:
-            fields[n] = t
+            fields[n] = _arrow_type(t)
             order.append(n)
     return _pa.schema([_pa.field(n, fields[n]) for n in order]), \
         list(ls.names), list(rs.names)
@@ -179,7 +201,7 @@ def _bloom_test(bits: "np.ndarray", values, m: int, k: int) -> "np.ndarray":
 
 def bloom_semi_join(left, right, on: str, right_on: str | None = None,
                     anti: bool = False, fpp: float = 0.001,
-                    num_buckets: int = 16):
+                    num_buckets: int = 16, left_schema=None):
     """Dataset-to-dataset semi/anti join with a Bloom prefilter — the
     scale path the plain ``semi_join`` docstring promises: the build side
     is a DATASET, never collected as a driver key set.
@@ -198,8 +220,12 @@ def bloom_semi_join(left, right, on: str, right_on: str | None = None,
     import ray
 
     right_on = right_on or on
+    # materialized: the distinct key set is read three times (count,
+    # bloom fold, exact verification) — without this the right-side scan
+    # re-executes for each
     rkeys = right.map_batches(
-        lambda df: df[[right_on]].drop_duplicates(), batch_format="pandas")
+        lambda df: df[[right_on]].drop_duplicates(),
+        batch_format="pandas").materialize()
     n_keys = rkeys.count()
     m, k = _bloom_params(n_keys, fpp)
 
@@ -228,7 +254,7 @@ def bloom_semi_join(left, right, on: str, right_on: str | None = None,
     candidates = left.map_batches(lambda df: prefilter(df, True),
                                   batch_format="pandas")
     verified = _hash_semi_anti(candidates, rkeys, on, right_on, anti,
-                               num_buckets)
+                               num_buckets, left_schema=left_schema)
     if not anti:
         return verified
     negatives = left.map_batches(lambda df: prefilter(df, False),
@@ -237,7 +263,7 @@ def bloom_semi_join(left, right, on: str, right_on: str | None = None,
 
 
 def _hash_semi_anti(left, right_keys, on: str, right_on: str, anti: bool,
-                    num_buckets: int):
+                    num_buckets: int, left_schema=None):
     """Bucketed exact semi/anti: co-partition left rows + distinct right
     keys, per bucket keep left rows by key membership."""
     import pyarrow.compute as pc
@@ -245,7 +271,11 @@ def _hash_semi_anti(left, right_keys, on: str, right_on: str, anti: bool,
     r = right_keys.map_batches(
         lambda df: df.rename(columns={right_on: on})[[on]].drop_duplicates(),
         batch_format="pandas")
-    schema, lcols, _ = _combined_schema(left, r)
+    ls = left_schema if left_schema is not None else left.schema()
+    key_schema = pa.schema([pa.field(on, _arrow_type(
+        dict(zip(ls.names, ls.types)).get(on)))])
+    schema, lcols, _ = _combined_schema(left, r, left_schema=ls,
+                                        right_schema=key_schema)
     out_schema = pa.schema([schema.field(c) for c in lcols])
     l = left.map_batches(_tagger(schema, on, num_buckets, "l"),
                          batch_format="pyarrow")
@@ -266,7 +296,8 @@ def _hash_semi_anti(left, right_keys, on: str, right_on: str, anti: bool,
 
 
 def hash_join(left, right, on: str, num_buckets: int = 16,
-              how: str = "inner", suffix: str = "_r"):
+              how: str = "inner", suffix: str = "_r",
+              left_schema=None, right_schema=None):
     """Large-large equi-join: co-hash-partition BOTH sides on the key,
     then join matching buckets pairwise — the explicit partitioned hash
     join (guide pattern; ``Dataset.join`` exists in this Ray version but
@@ -278,7 +309,8 @@ def hash_join(left, right, on: str, num_buckets: int = 16,
     """
     import pyarrow.compute as pc
 
-    schema, lcols, rcols = _combined_schema(left, right)
+    schema, lcols, rcols = _combined_schema(left, right,
+                                            left_schema, right_schema)
     out_fields = [schema.field(c) for c in lcols]
     for c in rcols:
         if c == on:
@@ -390,6 +422,52 @@ def asof_join_partitioned(left, right, on: str, by: str,
 
     return (l.union(r).groupby("_jb")
             .map_groups(join_bucket, batch_format="pyarrow"))
+
+
+def sessionize(ds, by: str = "user_id", ts: str = "ts",
+               tie: str = "event_id", gap_s: float = 1800.0,
+               out: str = "session_id"):
+    """Gap-based sessionization (web-pipeline staple): within each ``by``
+    group ordered by (ts, tie), a new session starts when the gap from
+    the previous event exceeds ``gap_s``. Session ids are 1-based per
+    user. One co-locating shuffle (``groupby``), vectorized cumsum inside
+    — sessions are inherently per-key, so this is the minimal movement.
+    """
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts, tie], kind="stable")
+        dt = g[ts].diff()
+        gap = dt.dt.total_seconds() if hasattr(dt, "dt") else dt
+        new_session = (gap > gap_s) | gap.isna()  # first row starts s.1
+        g[out] = new_session.cumsum().astype("int64")
+        return g
+
+    return ds.groupby(by).map_groups(f, batch_format="pandas")
+
+
+def grouped_quantile(ds, key: str, value: str, q: float = 0.5,
+                     out: str = "quantile"):
+    """Distributed EXACT discrete quantile per group — without a global
+    sort: per-block (key, value) count pre-aggregation (the combiner) →
+    one grouped shuffle of (key, value, n) triples → per-group pick of
+    the element at index ``floor((n-1)·q)`` from the cumulative counts
+    (DuckDB ``quantile_disc`` semantics). Shuffle volume is the number of
+    DISTINCT (key, value) pairs, not rows."""
+    import math
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby([key, value], sort=False, dropna=False) \
+            .size().rename("n").reset_index()
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        kv = g[key].iloc[0]
+        c = g.groupby(value, sort=True)["n"].sum().sort_index()
+        total = int(c.sum())
+        idx = math.floor((total - 1) * q)
+        v = c.index[(c.cumsum() > idx).argmax()]
+        return pd.DataFrame({key: [kv], out: [v]})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby(key).map_groups(pick, batch_format="pandas"))
 
 
 def systematic_sample(ds, key: str, modulus: int, keep: int = 0):

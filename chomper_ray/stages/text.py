@@ -40,6 +40,24 @@ def count_words(batch: pd.DataFrame, col: str = "text",
     return batch
 
 
+def normalize_text(batch: pd.DataFrame, col: str = "text",
+                   out: str = "text_norm") -> pd.DataFrame:
+    """Canonical training-text normalization: lowercase, non-alnum → space
+    (explicit ASCII classes so the DuckDB oracle's RE2 semantics match
+    exactly), collapse runs of whitespace, strip. Vectorized pandas str
+    kernels — SQL oracle in ``sql_normalize_expr``."""
+    s = batch[col].fillna("").str.lower()
+    s = s.str.replace(r"[^a-z0-9 \t\n\r]", " ", regex=True)
+    s = s.str.replace(r"[ \t\n\r]+", " ", regex=True).str.strip()
+    batch[out] = s
+    return batch
+
+
+def sql_normalize_expr(col: str = "text") -> str:
+    return ("trim(regexp_replace(regexp_replace(lower(" + col + "), "
+            "'[^a-z0-9 \\t\\n\\r]', ' ', 'g'), '[ \\t\\n\\r]+', ' ', 'g'))")
+
+
 # --- quality scoring --------------------------------------------------------
 
 class QualityScorer:
