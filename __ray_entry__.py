@@ -430,8 +430,8 @@ def _q_ann_topk(sf_dir: str):
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
     qdf = emb.to_pandas().sort_values("vec_id").head(3)
     queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
-    out = ann_topk(_read(sf_dir, "embeddings"), queries, k=10,
-                   dtype=np.float64, concurrency=(2, 8))
+    out = ann_topk(_read(sf_dir, "embeddings").repartition(8), queries,
+                   k=10, dtype=np.float64)
     qids = qdf["vec_id"].to_numpy()
 
     def remap(df):
@@ -677,8 +677,7 @@ def _q_ivf_ann(sf_dir: str):
     cent = train_ivf_centroids(sample, n_cells=8)
     queries = np.stack(emb.sort_values("vec_id")["embedding"].head(3).to_numpy())
     assigned = ivf_assign(_read(sf_dir, "embeddings"), cent)
-    return ivf_topk(assigned, cent, queries, k=10, nprobe=3,
-                    concurrency=(2, 8))
+    return ivf_topk(assigned, cent, queries, k=10, nprobe=3)
 
 
 def _q_multimodal_decode(sf_dir: str):

@@ -57,12 +57,18 @@ class _TopKScorer:
 
 def ann_topk(ds, queries: np.ndarray, k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             concurrency: int = 4, dtype=np.float32):
+             concurrency=None, dtype=np.float32):
     """Brute-force cosine top-k for each query row in ``queries``.
 
     Returns a Dataset of (query_id, id_col, cos) — exactly k rows per
     query, ties broken by ascending id (deterministic, SQL-oracle
     friendly). ``dtype=np.float64`` for oracle-precision parity.
+
+    Default is a TASK pool: the broadcast query matrix lives in the
+    object store once (``ray.put``) and ``ray.get`` inside a task is a
+    zero-copy shared-memory read, so actor pinning buys nothing until
+    the per-actor state is expensive (a loaded index, a model) — pass
+    ``concurrency`` to force the actor-pool shape then.
     """
     import ray
 
@@ -72,14 +78,16 @@ def ann_topk(ds, queries: np.ndarray, k: int = 10,
         g = g.sort_values(["cos", id_col], ascending=[False, True], kind="stable")
         return g.head(k)
 
-    scorer_args = dict(fn_constructor_kwargs=dict(
-        queries_ref=qref, k=k, vec_col=vec_col, id_col=id_col, dtype=dtype))
-    return (
-        ds.map_batches(_TopKScorer, batch_format="pandas",
-                       concurrency=concurrency, **scorer_args)
-        .groupby("query_id")
-        .map_groups(final_topk, batch_format="pandas")
-    )
+    ctor = dict(queries_ref=qref, k=k, vec_col=vec_col, id_col=id_col,
+                dtype=dtype)
+    if concurrency:
+        scored = ds.map_batches(_TopKScorer, batch_format="pandas",
+                                concurrency=concurrency,
+                                fn_constructor_kwargs=ctor)
+    else:
+        scored = ds.map_batches(_TopKScorer(**ctor), batch_format="pandas")
+    return (scored.groupby("query_id")
+            .map_groups(final_topk, batch_format="pandas"))
 
 
 # --------------------------------------------------------------------------
@@ -121,7 +129,7 @@ def ivf_assign(ds, centroids: np.ndarray, vec_col: str = "embedding"):
 
 def ivf_topk(ds_assigned, centroids: np.ndarray, queries: np.ndarray,
              k: int = 10, nprobe: int = 4, vec_col: str = "embedding",
-             id_col: str = "vec_id", concurrency: int = 4):
+             id_col: str = "vec_id", concurrency=None):
     """ANN top-k probing only the ``nprobe`` nearest cells per query.
 
     Filters the assigned corpus to the probed cell union (a vectorized
