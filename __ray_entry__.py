@@ -670,14 +670,16 @@ def _q_fingerprint(sf_dir: str):
 
 def _q_ivf_ann(sf_dir: str):
     from chomper_ray.stages.similarity import (
-        ann_topk, ivf_assign, train_ivf_centroids, ivf_topk)
+        ivf_build_index, ivf_search, train_ivf_centroids)
 
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
     sample = np.stack(emb["embedding"].head(200).to_numpy())
     cent = train_ivf_centroids(sample, n_cells=8)
     queries = np.stack(emb.sort_values("vec_id")["embedding"].head(3).to_numpy())
-    assigned = ivf_assign(_read(sf_dir, "embeddings"), cent)
-    return ivf_topk(assigned, cent, queries, k=10, nprobe=3)
+    # build a cell-partitioned index, then search reads ONLY probed cells
+    root = tempfile.mkdtemp(prefix="chomper_ray_ivf_")
+    ivf_build_index(_read(sf_dir, "embeddings"), cent, root)
+    return ivf_search(root, queries, k=10, nprobe=3)
 
 
 def _q_multimodal_decode(sf_dir: str):

@@ -127,6 +127,42 @@ def ivf_assign(ds, centroids: np.ndarray, vec_col: str = "embedding"):
     return ds.map_batches(assign, batch_format="pandas")
 
 
+def ivf_build_index(ds, centroids: np.ndarray, root: str,
+                    vec_col: str = "embedding"):
+    """Materialize an IVF index as a CELL-PARTITIONED parquet layout:
+    ``root/ivf_cell=N/…`` — the real scale path the ``ivf_topk`` filter
+    stands in for. Search then READS ONLY the probed cells' files
+    (partition pruning at the storage layer), instead of scanning the
+    corpus and filtering. Centroids are stored alongside
+    (``root/_centroids.npy``) so an index is self-describing."""
+    assigned = ivf_assign(ds, centroids, vec_col=vec_col)
+    assigned.write_parquet(root, partition_cols=["ivf_cell"])
+    np.save(f"{root.rstrip('/')}/_centroids.npy",
+            _normalize(centroids.astype(np.float32)))
+    return root
+
+
+def ivf_search(root: str, queries: np.ndarray, k: int = 10,
+               nprobe: int = 4, vec_col: str = "embedding",
+               id_col: str = "vec_id"):
+    """ANN top-k over a built IVF index: read ONLY the ``nprobe`` nearest
+    cells' partition directories (storage-level pruning — at 10^9 vectors
+    and nprobe/ncells = 4/1024 this touches 0.4 % of the corpus bytes),
+    then brute-force the survivors with the broadcast query matrix."""
+    import glob
+
+    import ray.data as rd
+
+    cent = np.load(f"{root.rstrip('/')}/_centroids.npy")
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
+    cells = np.unique(probe)
+    files = [f for c in cells
+             for f in glob.glob(f"{root.rstrip('/')}/ivf_cell={c}/*.parquet")]
+    ds = rd.read_parquet(files)
+    return ann_topk(ds, queries, k=k, vec_col=vec_col, id_col=id_col)
+
+
 def ivf_topk(ds_assigned, centroids: np.ndarray, queries: np.ndarray,
              k: int = 10, nprobe: int = 4, vec_col: str = "embedding",
              id_col: str = "vec_id", concurrency=None):

@@ -266,3 +266,34 @@ def test_strict_mode_fails_at_stage_construction():
             assert "mode='fake'" in str(e)
         else:  # codec IS installed in this environment — strict builds
             pass
+
+
+def test_ivf_index_partition_pruned_search(tmp_path):
+    """VERDICT r01: IVF's isin filter should become storage-level
+    partition pruning — build a cell-partitioned index, search must read
+    only probed cell dirs and agree with brute force on the top hit."""
+    from chomper_ray.stages import similarity as sim
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((400, 16)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(400, dtype=np.int64)),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32())),
+    }))
+    cent = sim.train_ivf_centroids(vecs[:200], n_cells=8)
+    root = str(tmp_path / "ivf")
+    sim.ivf_build_index(ds, cent, root)
+
+    # layout really is cell-partitioned
+    import glob
+    cells = glob.glob(f"{root}/ivf_cell=*")
+    assert len(cells) > 1
+
+    queries = vecs[:3]
+    got = sim.ivf_search(root, queries, k=5, nprobe=3).to_pandas()
+    assert len(got) == 15
+    # querying with a corpus vector: its own id must be the top hit
+    top = got.sort_values(["query_id", "cos"], ascending=[True, False]) \
+        .groupby("query_id").head(1)
+    assert top["vec_id"].tolist() == [0, 1, 2]
