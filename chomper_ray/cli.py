@@ -65,6 +65,18 @@ def main(argv=None):
     t.add_argument("--lake-root", required=True)
     t.add_argument("--epoch", type=int, required=True)
 
+    c = sub.add_parser("compact", help="garbage-collect unreferenced snapshots")
+    c.add_argument("--lake-root", required=True)
+    c.add_argument("--keep-epochs", type=int, default=1,
+                   help="time-travel window: how many manifests stay readable")
+
+    pg = sub.add_parser("purge", help="drop tombstones older than a watermark")
+    pg.add_argument("--lake-root", required=True)
+    pg.add_argument("--epoch", type=int, required=True)
+    pg.add_argument("--watermark-ts-us", type=int, required=True,
+                    help="producer guarantee: no future event carries "
+                         "warc_ts <= this")
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -121,6 +133,27 @@ def main(argv=None):
 
         res = LakeTable(args.lake_root).truncate(args.epoch)
         print(json.dumps({"epoch": res.epoch, "skipped": res.skipped}))
+        return 0
+
+    if args.cmd == "compact":
+        from chomper_ray.state.lake import LakeTable
+
+        out = LakeTable(args.lake_root).compact(keep_epochs=args.keep_epochs)
+        print(json.dumps(out))
+        return 0
+
+    if args.cmd == "purge":
+        _ray_init()
+        from chomper_ray.state.lake import LakeTable
+
+        res = LakeTable(args.lake_root).purge_tombstones(
+            args.epoch, args.watermark_ts_us)
+        print(json.dumps({"epoch": res.epoch, "skipped": res.skipped,
+                          "rows_purged": res.rows_deleted,
+                          "live_rows": res.total_rows}))
+        import ray
+
+        ray.shutdown()
         return 0
     return 1
 

@@ -96,3 +96,36 @@ def test_cli_generate_run_status(tmp_path):
         capture_output=True, text=True, env=env, check=True)
     st = json.loads(out.stdout)
     assert st["last_committed_epoch"] == 0 and st["live_rows"] > 0
+
+
+def test_cli_compact_and_purge(tmp_path):
+    import os
+
+    log = tmp_path / "log"
+    lake = tmp_path / "lake"
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+
+    def cli(*args, timeout=300):
+        out = subprocess.run([sys.executable, "-m", "chomper_ray.cli", *args],
+                             capture_output=True, text=True, env=env,
+                             check=True, timeout=timeout)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    cli("generate", "--out-dir", str(log), "--n-events", "500",
+        "--n-urls", "80", "--n-epochs", "2")
+    cli("run-cdc", "--log-dir", str(log), "--lake-root", str(lake),
+        "--num-partitions", "2")
+
+    # purge with a far-future watermark drops every tombstone
+    r = cli("purge", "--lake-root", str(lake), "--epoch", "10",
+            "--watermark-ts-us", str(10**18))
+    assert not r["skipped"] and r["live_rows"] > 0
+    # idempotent
+    assert cli("purge", "--lake-root", str(lake), "--epoch", "10",
+               "--watermark-ts-us", str(10**18))["skipped"]
+
+    # compact drops snapshots no retained manifest references
+    r = cli("compact", "--lake-root", str(lake), "--keep-epochs", "1")
+    assert r["removed_files"] >= 1
+    st = cli("status", "--lake-root", str(lake))
+    assert st["live_rows"] > 0  # table still readable after GC
