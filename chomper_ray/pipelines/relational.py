@@ -60,19 +60,72 @@ def _to_schema(df: pd.DataFrame, out_schema: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=out_schema)
 
 
-def _tagger(schema, bucket_on, num_buckets, side):
+def _hash_keys(keys) -> "np.ndarray":
+    arr = np.asarray(keys)
+    if arr.dtype.kind not in ("i", "u"):
+        arr = arr.astype(object)
+    return pd.util.hash_array(arr)
+
+
+def _mix_bucket(h: "np.ndarray", salts: "np.ndarray",
+                num_buckets: int) -> "np.ndarray":
+    with np.errstate(over="ignore"):
+        mixed = (h * np.uint64(0x9E3779B97F4A7C15)) + salts
+    return (mixed % np.uint64(num_buckets)).astype(np.int32)
+
+
+def _salted_bucket(keys, num_buckets: int, side: str,
+                   hot_keys: dict | None) -> "np.ndarray":
+    """Bucket ids with hot-key salting: a key listed in ``hot_keys`` with
+    salt factor n is spread over n buckets — left rows get a round-robin
+    salt r∈[0,n), right rows REPLICATE once per salt (done by the
+    caller); bucket = hash(key) mixed with r, so left salt r meets
+    exactly the right replica r. Non-hot rows use r=0 on both sides."""
+    h = _hash_keys(keys)
+    salts = np.zeros(len(h), dtype=np.uint64)
+    if hot_keys and side == "l":
+        karr = np.asarray(keys)
+        for k, n in hot_keys.items():
+            m = karr == k
+            cnt = int(m.sum())
+            if cnt:
+                salts[m] = np.arange(cnt, dtype=np.uint64) % np.uint64(n)
+    return _mix_bucket(h, salts, num_buckets)
+
+
+def _tagger(schema, bucket_on, num_buckets, side, hot_keys=None):
     """Arrow-level pad-to-shared-schema + bucket + side tag. Typed null
     padding (schema.conform) keeps dtypes intact through Ray's union,
-    which does NOT reconcile block schemas."""
+    which does NOT reconcile block schemas. With ``hot_keys``, right-side
+    hot rows are replicated once per salt before bucketing (skew
+    mitigation — a hot build row must be present wherever a salted probe
+    row can land)."""
     import numpy as np
     import pyarrow as _pa
 
-    from chomper_ray.stages.merge import stable_bucket
     from chomper_ray.state.schema import conform
 
     def f(t: _pa.Table) -> _pa.Table:
         t = conform(t, schema)
-        b = stable_bucket(t[bucket_on], num_buckets)
+        if hot_keys and side == "r":
+            # replicate hot right rows with explicit salts
+            keys = t[bucket_on].to_pandas().to_numpy()
+            parts = [t]
+            salt_cols = [np.zeros(t.num_rows, dtype=np.uint64)]
+            for k, n in hot_keys.items():
+                m = keys == k
+                if m.any():
+                    hot = t.filter(_pa.array(m))
+                    for r in range(1, n):
+                        parts.append(hot)
+                        salt_cols.append(
+                            np.full(hot.num_rows, r, dtype=np.uint64))
+            t = _pa.concat_tables(parts)
+            b = _mix_bucket(_hash_keys(t[bucket_on].to_pandas().to_numpy()),
+                            np.concatenate(salt_cols), num_buckets)
+        else:
+            b = _salted_bucket(t[bucket_on].to_pandas().to_numpy(),
+                               num_buckets, side, hot_keys)
         t = t.append_column("_jb", _pa.array(b, type=_pa.int32()))
         return t.append_column("_side", _pa.array([side] * t.num_rows))
 
@@ -295,20 +348,42 @@ def _hash_semi_anti(left, right_keys, on: str, right_on: str, anti: bool,
             .map_groups(bucket, batch_format="pyarrow"))
 
 
+def detect_hot_keys(ds, on: str, frac_threshold: float = 0.05,
+                    max_salt: int = 16) -> dict:
+    """Pre-pass skew detector: per-block key counts (combiner) → grouped
+    sum → keys above ``frac_threshold`` of total rows, each with a salt
+    factor sized to its share (capped). The result broadcasts to
+    ``hash_join(hot_keys=...)``; the pre-pass shuffles one row per key
+    per block."""
+    counts = grouped_agg(ds.map_batches(
+        lambda df: df[[on]], batch_format="pandas"), keys=[on], counts=True) \
+        .to_pandas()
+    total = counts["n_rows"].sum()
+    hot = counts[counts["n_rows"] >= frac_threshold * total]
+    return {row[on]: int(min(max_salt, max(2, round(
+        row["n_rows"] / (frac_threshold * total)))))
+            for _, row in hot.iterrows()}
+
+
 def hash_join(left, right, on: str, num_buckets: int = 16,
               how: str = "inner", suffix: str = "_r",
-              left_schema=None, right_schema=None):
+              left_schema=None, right_schema=None, hot_keys=None):
     """Large-large equi-join: co-hash-partition BOTH sides on the key,
     then join matching buckets pairwise — the explicit partitioned hash
     join (guide pattern; ``Dataset.join`` exists in this Ray version but
     the explicit form keeps the partitioning assumption visible and lets
     the same bucket column be reused by downstream stages).
 
-    Skew note: a hot key lands in one bucket; for skewed keys pre-split
-    the hot side by a salt and replicate the other side's hot rows.
+    Skew: pass ``hot_keys`` ({key_value: salt_factor}, e.g. from
+    ``detect_hot_keys``) — a hot probe key is spread over salt_factor
+    buckets and the build side's hot rows replicate once per salt, so no
+    single reducer sees the raw hot-key volume. Only valid for
+    ``how='inner'``/'left' (replicas would duplicate right-outer rows).
     """
     import pyarrow.compute as pc
 
+    if hot_keys and how not in ("inner", "left"):
+        raise ValueError("hot_keys salting supports inner/left joins only")
     schema, lcols, rcols = _combined_schema(left, right,
                                             left_schema, right_schema)
     out_fields = [schema.field(c) for c in lcols]
@@ -319,9 +394,9 @@ def hash_join(left, right, on: str, num_buckets: int = 16,
                                    schema.field(c).type))
     out_schema = pa.schema(out_fields)
 
-    l = left.map_batches(_tagger(schema, on, num_buckets, "l"),
+    l = left.map_batches(_tagger(schema, on, num_buckets, "l", hot_keys),
                          batch_format="pyarrow")
-    r = right.map_batches(_tagger(schema, on, num_buckets, "r"),
+    r = right.map_batches(_tagger(schema, on, num_buckets, "r", hot_keys),
                           batch_format="pyarrow")
 
     def join_bucket(g: pa.Table) -> pa.Table:

@@ -172,3 +172,30 @@ def test_bloom_filter_no_false_negatives():
     others = np.arange(10_000, 60_000, dtype=np.int64)
     fp = rel._bloom_test(bits, others, m, k).mean()
     assert fp < 0.05
+
+
+def test_salted_hash_join_skewed_key():
+    """Hot-key salting: a 90%-skewed probe key joins correctly (salted
+    probe rows meet replicated build rows), and the hot key's rows
+    actually spread across multiple buckets."""
+    rng = np.random.default_rng(33)
+    left = pd.DataFrame({
+        "k": np.where(rng.random(3000) < 0.9, 7, rng.integers(0, 40, 3000)),
+        "v": np.arange(3000),
+    })
+    right = pd.DataFrame({"k": np.arange(40), "name": [f"n{i}" for i in range(40)]})
+    hot = rel.detect_hot_keys(mk_ds(left, 4), on="k", frac_threshold=0.05)
+    assert 7 in hot and hot[7] >= 2
+
+    got = rel.hash_join(mk_ds(left, 4), mk_ds(right, 2), on="k",
+                        num_buckets=16, hot_keys=hot).to_pandas()
+    exp = left.merge(right, on="k")
+    assert len(got) == len(exp)
+    g = got.sort_values("v").reset_index(drop=True)
+    x = exp.sort_values("v").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g[["k", "v", "name"]], x[["k", "v", "name"]])
+    assert got["k"].dtype.kind == "i"
+
+    # the salt function really spreads the hot key over >1 bucket
+    buckets = rel._salted_bucket(np.full(1000, 7), 16, "l", hot)
+    assert len(np.unique(buckets)) == min(hot[7], 16) or len(np.unique(buckets)) > 1
