@@ -550,6 +550,23 @@ def _q_top_revenue_orders(sf_dir: str):
                 by="revenue", k=10, descending=True, tie_break="l_orderkey")
 
 
+def _q_median_value_approx(sf_dir: str):
+    # continuous-value quantile sketch (rows-only: approx by design; the
+    # exact path is hash-verified as median_tokens)
+    from chomper_ray.pipelines.relational import grouped_quantile_approx
+
+    out = grouped_quantile_approx(
+        _read(sf_dir, "events", columns=["event_type", "value"]),
+        key="event_type", value="value", q=0.5, out="med_value")
+    import pandas as pd
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["med_value"] = df["med_value"].round(3)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def _q_sql_table_source(sf_dir: str):
     import sqlite3
 
@@ -750,6 +767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-2 wide/composite operators
         "sessionize": _q_sessionize,
         "median_tokens": _q_median_tokens,
+        "median_value_approx": _q_median_value_approx,
         "normalize_text": _q_normalize_text,
         "top_bigrams": _q_top_bigrams,
         "top_revenue_orders": _q_top_revenue_orders,

@@ -545,6 +545,70 @@ def grouped_quantile(ds, key: str, value: str, q: float = 0.5,
             .groupby(key).map_groups(pick, batch_format="pandas"))
 
 
+def grouped_quantile_approx(ds, key: str, value: str, q: float = 0.5,
+                            bins: int = 4096, out: str = "quantile"):
+    """Approximate grouped quantile for CONTINUOUS values — the scale
+    companion to ``grouped_quantile`` (whose distinct-(key,value) shuffle
+    degenerates to all rows for float columns). Mergeable fixed-bin
+    histogram sketch:
+
+    1. per-(block, key) min/max → grouped reduce → tiny {key: range} map
+       broadcast via ``ray.put``;
+    2. per-(block, key) ``bins``-bin histogram (one ``np.histogram`` per
+       key per block) → grouped vector-sum → quantile read off the
+       cumulative bins.
+
+    Error ≤ (max−min)/bins per group. Shuffle volume: one histogram row
+    per (block, key) — never the values.
+    """
+    import math
+
+    import ray
+
+    def mm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, sort=False, dropna=False)[value]
+        return pd.DataFrame({key: g.min().index,
+                             "mn": g.min().to_numpy(),
+                             "mx": g.max().to_numpy()})
+
+    def mm_final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "mn": [g["mn"].min()], "mx": [g["mx"].max()]})
+
+    ranges = (ds.map_batches(mm_partial, batch_format="pandas")
+              .groupby(key).map_groups(mm_final, batch_format="pandas")
+              .to_pandas())  # one row per group — driver metadata only
+    rmap = {r[0]: (float(r[1]), float(r[2]))
+            for r in ranges.itertuples(index=False)}
+    rref = ray.put(rmap)
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rm = ray.get(rref)
+        rows = []
+        for kv, grp in df.groupby(key, sort=False, dropna=False):
+            mn, mx = rm[kv]
+            rng = (mn, mx) if mx > mn else (mn, mn + 1e-12)
+            h, _ = np.histogram(grp[value].dropna().to_numpy(),
+                                bins=bins, range=rng)
+            rows.append((kv, h.astype(np.int64)))
+        return pd.DataFrame({key: [r[0] for r in rows],
+                             "hist": [r[1] for r in rows]})
+
+    def hist_final(g: pd.DataFrame) -> pd.DataFrame:
+        rm = ray.get(rref)
+        kv = g[key].iloc[0]
+        mn, mx = rm[kv]
+        h = np.sum(np.stack(g["hist"].to_numpy()), axis=0)
+        total = int(h.sum())
+        target = math.floor((total - 1) * q)
+        b = int(np.searchsorted(np.cumsum(h), target + 1))
+        width = (mx - mn) / bins if mx > mn else 0.0
+        return pd.DataFrame({key: [kv], out: [mn + (b + 0.5) * width]})
+
+    return (ds.map_batches(hist_partial, batch_format="pandas")
+            .groupby(key).map_groups(hist_final, batch_format="pandas"))
+
+
 def systematic_sample(ds, key: str, modulus: int, keep: int = 0):
     """Deterministic systematic sample: keep rows where
     ``key % modulus == keep`` — reproducible across runs/cluster sizes

@@ -199,3 +199,25 @@ def test_salted_hash_join_skewed_key():
     # the salt function really spreads the hot key over >1 bucket
     buckets = rel._salted_bucket(np.full(1000, 7), 16, "l", hot)
     assert len(np.unique(buckets)) == min(hot[7], 16) or len(np.unique(buckets)) > 1
+
+
+def test_grouped_quantile_exact_and_approx():
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 4, 8000),
+        "x": rng.integers(0, 50, 8000),           # discrete → exact path
+        "y": rng.standard_normal(8000) * 10 + 5,  # continuous → approx
+    })
+    exact = rel.grouped_quantile(mk_ds(df, 4), key="g", value="x", q=0.5) \
+        .to_pandas().set_index("g")["quantile"]
+    for g in range(4):
+        vals = np.sort(df.loc[df["g"] == g, "x"].to_numpy())
+        assert exact[g] == vals[(len(vals) - 1) // 2]  # quantile_disc
+
+    approx = rel.grouped_quantile_approx(mk_ds(df, 4), key="g", value="y",
+                                         q=0.5, bins=2048) \
+        .to_pandas().set_index("g")["quantile"]
+    for g in range(4):
+        sub = df.loc[df["g"] == g, "y"]
+        tol = (sub.max() - sub.min()) / 2048 * 2 + 1e-9
+        assert abs(approx[g] - np.quantile(sub, 0.5)) <= max(tol, 0.1)
