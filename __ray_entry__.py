@@ -732,8 +732,16 @@ def _q_change_listeners(sf_dir: str):
                                  n_events=3000, n_urls=400, n_epochs=3, seed=7)
     lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_listen_")
     run_cdc(log, lake_root, num_partitions=4)
-    ev = LakeTable(lake_root, num_partitions=4).change_events()
-    return ev.groupby(["event"], dropna=False).size().reset_index(name="n")
+    # streaming change-log read (downstream-subscription path) + grouped
+    # count — no driver-side concat of change files
+    from chomper_ray.pipelines.relational import grouped_agg
+
+    ev = LakeTable(lake_root, num_partitions=4).change_events_ds()
+    out = grouped_agg(ev.map_batches(lambda t: t.select(["event"]),
+                                     batch_format="pyarrow"),
+                      keys=["event"], counts=True)
+    return out.map_batches(lambda df: df.rename(columns={"n_rows": "n"}),
+                           batch_format="pandas")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -908,18 +908,53 @@ class LakeTable:
             rows.extend(m.get("lineage", []))
         return pd.DataFrame(rows)
 
-    def change_events(self) -> pd.DataFrame:
-        """All committed change-listener events (url, field, event, epoch)."""
-        frames = []
+    def _change_files(self) -> list[tuple[int, str]]:
+        out = []
         for e in committed_epochs(self.root):
             m = load_manifest(self.root, e)
             for ln in m.get("lineage", []):
                 if ln.get("changes_file"):
-                    df = pq.read_table(self.root / ln["changes_file"]).to_pandas()
-                    df["epoch"] = e
-                    frames.append(df)
-        if not frames:
+                    out.append((e, str(self.root / ln["changes_file"])))
+        return out
+
+    def change_events_ds(self):
+        """Committed change-listener events as a STREAMING Dataset
+        (url, field, event, epoch) — the downstream-subscription read
+        path; at scale the change log is itself big data. The epoch is
+        reconstructed per row from the file path (epoch-NNNNNN naming)."""
+        import ray.data as rd
+
+        files = self._change_files()
+        if not files:
+            return rd.from_arrow(pa.schema(
+                [pa.field(self.key, pa.string()),
+                 pa.field("field", pa.string()),
+                 pa.field("event", pa.string()),
+                 pa.field("epoch", pa.int64())]).empty_table())
+        ds = rd.read_parquet([f for _, f in files], partitioning=None,
+                             include_paths=True)
+
+        def add_epoch(t: pa.Table) -> pa.Table:
+            import re
+
+            eps = [int(re.search(r"epoch-(\d+)\.parquet", p).group(1))
+                   for p in t["path"].to_pylist()]
+            return t.drop_columns(["path"]).append_column(
+                "epoch", pa.array(eps, type=pa.int64()))
+
+        return ds.map_batches(add_epoch, batch_format="pyarrow")
+
+    def change_events(self) -> pd.DataFrame:
+        """Driver-side convenience frame of all change events (tests /
+        small tables); the scale path is ``change_events_ds``."""
+        files = self._change_files()
+        if not files:
             return pd.DataFrame(columns=[self.key, "field", "event", "epoch"])
+        frames = []
+        for e, f in files:
+            df = pq.read_table(f).to_pandas()
+            df["epoch"] = e
+            frames.append(df)
         return pd.concat(frames, ignore_index=True)
 
     # -- full refresh ------------------------------------------------------

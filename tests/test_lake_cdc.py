@@ -414,3 +414,17 @@ def test_id_field_surrogate_keys(tmp_path):
                    mk("insert", 2, "c", 10, "z")], 0)
     df0b = lake2.read_pandas().set_index("url")
     assert df0b["id"].to_dict() == df0["id"].to_dict()
+
+
+def test_change_events_ds_matches_driver_frame(change_log, tmp_path):
+    lake_root = tmp_path / "lake"
+    run_cdc(change_log, lake_root, num_partitions=4)
+    lake = LakeTable(lake_root)
+    a = lake.change_events().sort_values(["url", "epoch", "event", "field"],
+                                         na_position="first") \
+        .reset_index(drop=True)
+    b = lake.change_events_ds().to_pandas() \
+        .sort_values(["url", "epoch", "event", "field"],
+                     na_position="first").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["url", "field", "event", "epoch"]],
+                                  b[["url", "field", "event", "epoch"]])
