@@ -355,13 +355,16 @@ def detect_hot_keys(ds, on: str, frac_threshold: float = 0.05,
     factor sized to its share (capped). The result broadcasts to
     ``hash_join(hot_keys=...)``; the pre-pass shuffles one row per key
     per block."""
+    total = ds.count()
     counts = grouped_agg(ds.map_batches(
-        lambda df: df[[on]], batch_format="pandas"), keys=[on], counts=True) \
-        .to_pandas()
-    total = counts["n_rows"].sum()
-    hot = counts[counts["n_rows"] >= frac_threshold * total]
-    return {row[on]: int(min(max_salt, max(2, round(
-        row["n_rows"] / (frac_threshold * total)))))
+        lambda df: df[[on]], batch_format="pandas"), keys=[on], counts=True)
+    # filter DISTRIBUTED before collecting: at most 1/frac_threshold keys
+    # can exceed the share, so the driver sees a bounded handful — never
+    # one row per distinct key
+    cut = frac_threshold * total
+    hot = counts.map_batches(lambda df: df[df["n_rows"] >= cut],
+                             batch_format="pandas").to_pandas()
+    return {row[on]: int(min(max_salt, max(2, round(row["n_rows"] / cut))))
             for _, row in hot.iterrows()}
 
 
