@@ -35,6 +35,7 @@ _QUERY_NAMES = [
     "q1_pricing_summary", "lww_upsert", "grouped_counts", "exact_dedup",
     "minhash_dedup", "token_count", "quality_score", "ann_topk",
     "dropper_filter", "lookup_join", "running_sum", "scalar_math",
+    "sessionize", "top_bigrams", "median_tokens",
 ]
 
 
