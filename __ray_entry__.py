@@ -550,6 +550,17 @@ def _q_top_revenue_orders(sf_dir: str):
                 by="revenue", k=10, descending=True, tie_break="l_orderkey")
 
 
+def _q_df_prune_tokens(sf_dir: str):
+    from chomper_ray.stages.text import remove_frequent_segments
+
+    # corpus-level frequent-segment removal (C4-style boilerplate drop,
+    # here at token granularity = document-frequency pruning): tokens in
+    # >= 400 distinct docs are removed from every doc
+    return remove_frequent_segments(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        sep=" ", min_docs=400, out="text_clean")
+
+
 def _q_median_value_approx(sf_dir: str):
     # continuous-value quantile sketch (rows-only: approx by design; the
     # exact path is hash-verified as median_tokens)
@@ -777,6 +788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_tokens": _q_median_tokens,
         "median_value_approx": _q_median_value_approx,
         "normalize_text": _q_normalize_text,
+        "df_prune_tokens": _q_df_prune_tokens,
         "top_bigrams": _q_top_bigrams,
         "top_revenue_orders": _q_top_revenue_orders,
         # sources
@@ -913,6 +925,18 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": (
             f"SELECT doc_id, {sql_normalize_expr('text')} AS text_norm "
             "FROM documents"
+        ),
+        "df_prune_tokens": (
+            "WITH l AS (SELECT doc_id, string_split(text, ' ') AS ls "
+            "FROM documents), "
+            "lx AS (SELECT doc_id, ls[i] AS seg, i FROM ("
+            "SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i "
+            "FROM l)), "
+            "freq AS (SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) "
+            "AS nd FROM lx GROUP BY seg) WHERE nd >= 400) "
+            "SELECT doc_id, string_agg(seg, ' ' ORDER BY i) "
+            "FILTER (WHERE seg NOT IN (SELECT seg FROM freq)) AS text_clean "
+            "FROM lx GROUP BY doc_id"
         ),
         "top_bigrams": (
             "WITH w AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') "

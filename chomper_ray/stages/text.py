@@ -58,6 +58,56 @@ def sql_normalize_expr(col: str = "text") -> str:
             "'[^a-z0-9 \\t\\n\\r]', ' ', 'g'), '[ \\t\\n\\r]+', ' ', 'g'))")
 
 
+def remove_frequent_segments(ds, col: str = "text", id_col: str = "doc_id",
+                             min_docs: int = 3, sep: str = "\n",
+                             out: str = "text_clean"):
+    """Corpus-level boilerplate removal (the C4/RefinedWeb "drop lines
+    shared across many documents" step, generalized over ``sep``):
+    a segment (line for ``sep='\\n'``; token for ``sep=' '`` = document-
+    frequency pruning) is removed from every document when it occurs in
+    ≥ ``min_docs`` DISTINCT documents.
+
+    Shape: pass 1 — per-block DISTINCT (segment, doc) pairs (combiner)
+    → grouped doc-frequency count → DISTRIBUTED filter to the frequent
+    set (bounded: ≤ total_segments / min_docs entries) → driver collect +
+    ``ray.put`` broadcast (swap in a Bloom filter via
+    ``relational.bloom_semi_join`` machinery when the frequent set
+    outgrows a broadcast). Pass 2 — map-only per-doc filter + ordered
+    reassembly; no shuffle touches document text.
+
+    A document whose every segment is removed yields null (matches SQL
+    ``string_agg(...) FILTER`` semantics).
+    """
+    import ray
+
+    from chomper_ray.pipelines.relational import grouped_agg
+
+    def seg_doc_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[col].fillna("").str.split(sep)
+        ex = s.explode()
+        ids = df[id_col].reindex(ex.index)
+        return pd.DataFrame({"seg": ex.to_numpy(),
+                             id_col: ids.to_numpy()}).drop_duplicates()
+
+    counts = grouped_agg(
+        ds.map_batches(seg_doc_pairs, batch_format="pandas"),
+        keys=["seg"], counts=True)
+    freq = counts.map_batches(
+        lambda df: df.loc[df["n_rows"] >= min_docs, ["seg"]],
+        batch_format="pandas").to_pandas()
+    freq_ref = ray.put(frozenset(freq["seg"]))
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        drop = ray.get(freq_ref)
+        def rebuild(t):
+            kept = [x for x in (t or "").split(sep) if x not in drop]
+            return sep.join(kept) if kept else None
+        df[out] = df[col].map(rebuild)
+        return df[[id_col, out]]
+
+    return ds.map_batches(clean, batch_format="pandas")
+
+
 # --- quality scoring --------------------------------------------------------
 
 class QualityScorer:

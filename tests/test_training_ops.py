@@ -297,3 +297,28 @@ def test_ivf_index_partition_pruned_search(tmp_path):
     top = got.sort_values(["query_id", "cos"], ascending=[True, False]) \
         .groupby("query_id").head(1)
     assert top["vec_id"].tolist() == [0, 1, 2]
+
+
+def test_remove_frequent_segments_line_mode():
+    """Boilerplate-line removal: a line occurring in >= min_docs distinct
+    docs disappears everywhere; docs losing every line yield null."""
+    from chomper_ray.stages.text import remove_frequent_segments
+
+    docs = [
+        "keep me\nCOOKIE BANNER\nunique a",
+        "COOKIE BANNER\nunique b",
+        "unique c\nCOOKIE BANNER",
+        "COOKIE BANNER",          # only boilerplate → null
+        "all mine\nno banner",
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(5)), type=pa.int64()),
+        "text": pa.array(docs),
+    })).repartition(2)
+    out = remove_frequent_segments(ds, min_docs=3, sep="\n") \
+        .to_pandas().set_index("doc_id")["text_clean"]
+    assert out[0] == "keep me\nunique a"
+    assert out[1] == "unique b"
+    assert out[2] == "unique c"
+    assert out[3] is None or pd.isna(out[3])
+    assert out[4] == "all mine\nno banner"
