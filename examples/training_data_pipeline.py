@@ -1,0 +1,82 @@
+"""End-to-end training-data curation over the `documents` table:
+
+    read → normalize → quality-score → filter → exact dedup →
+    MinHash near-dup dedup → token stats → resumable partitioned shards
+
+Run standalone (owns its Ray session):
+
+    python examples/training_data_pipeline.py [sf_dir] [out_dir]
+"""
+
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(
+        prefix="chomper_ray_shards_")
+
+    import ray
+    import ray.data as rd
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from chomper_ray.stages.dedup import exact_dedup, minhash_lsh_dedup
+    from chomper_ray.stages.text import (QualityScorer, count_tokens,
+                                         normalize_text)
+    from chomper_ray.state.output import read_partitioned, write_partitioned
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).repartition(8)
+    n0 = docs.count()
+
+    # 1. normalize + quality filter (vectorized task pools)
+    scored = docs.map_batches(normalize_text, batch_format="pandas") \
+        .map_batches(QualityScorer(col="text_norm"), batch_format="pandas")
+    kept = scored.map_batches(
+        lambda df: df[df["quality_score"] >= 0.3]
+        [["doc_id", "text_norm"]].rename(columns={"text_norm": "text"}),
+        batch_format="pandas")
+
+    # 2. exact dedup (hash-bucketed, value-verified)
+    uniq = exact_dedup(kept, col="text", id_col="doc_id")
+    n_exact = uniq.count()
+
+    # 3. near-dup dedup: keep each cluster's min-id representative
+    clusters, _pairs = minhash_lsh_dedup(uniq, threshold=0.8)
+    drop = frozenset(k for k, rep in clusters.items() if rep != k)
+    dref = ray.put(drop)
+
+    def drop_near_dups(df):
+        d = ray.get(dref)
+        return df[~df["doc_id"].isin(d)]
+
+    final = uniq.map_batches(drop_near_dups, batch_format="pandas") \
+        .map_batches(count_tokens, batch_format="pandas")
+
+    # 4. resumable partitioned shards (rerun skips finished partitions)
+    stats = write_partitioned(final, out_dir, key="doc_id",
+                              num_partitions=16)
+    back = read_partitioned(out_dir)
+    print(json.dumps({
+        "input_docs": n0,
+        "after_exact_dedup": n_exact,
+        "near_dup_dropped": len(drop),
+        "shard_partitions": stats["written"],
+        "output_docs": back.count(),
+        "out_dir": out_dir,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
