@@ -153,25 +153,34 @@ def broadcast_join(ds, small: pd.DataFrame, on: str | list[str],
 
 
 def grouped_agg(ds, keys: Sequence[str], sums: Sequence[str] = (),
-                counts: bool = True, means: Sequence[str] = ()):
+                counts: bool = True, means: Sequence[str] = (),
+                mins: Sequence[str] = (), maxs: Sequence[str] = ()):
     """Grouped aggregation with a per-batch partial pre-aggregate (the
     combiner) so the shuffle moves one row per key per block, not raw rows.
 
-    Means are computed as sum/count at finalize (decomposable).
+    All supported aggregates are decomposable: sums/counts/mins/maxs
+    merge directly; means are computed as sum/count at finalize.
     """
     keys = list(keys)
     sum_cols = sorted(set(sums) | set(means))
+    min_cols, max_cols = sorted(set(mins)), sorted(set(maxs))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(keys, sort=False, dropna=False)
         out = g[sum_cols].sum() if sum_cols else g.size().to_frame("__drop")
         out = out.rename(columns={c: f"sum_{c}" for c in sum_cols})
+        for c in min_cols:
+            out[f"min_{c}"] = g[c].min()
+        for c in max_cols:
+            out[f"max_{c}"] = g[c].max()
         out["n_rows"] = g.size()
         return out.reset_index().drop(columns=["__drop"], errors="ignore")
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(keys, sort=False, dropna=False)
         agg = {f"sum_{c}": "sum" for c in sum_cols}
+        agg.update({f"min_{c}": "min" for c in min_cols})
+        agg.update({f"max_{c}": "max" for c in max_cols})
         agg["n_rows"] = "sum"
         out = g.agg(agg).reset_index()
         for c in means:

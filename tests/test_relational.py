@@ -221,3 +221,13 @@ def test_grouped_quantile_exact_and_approx():
         sub = df.loc[df["g"] == g, "y"]
         tol = (sub.max() - sub.min()) / 2048 * 2 + 1e-9
         assert abs(approx[g] - np.quantile(sub, 0.5)) <= max(tol, 0.1)
+
+
+def test_grouped_agg_min_max():
+    out = rel.grouped_agg(mk_ds(LEFT), keys=["k"], sums=["v"],
+                          mins=["v"], maxs=["v"]) \
+        .to_pandas().set_index("k").sort_index()
+    exp = LEFT.groupby("k")["v"].agg(["min", "max", "sum"])
+    assert np.allclose(out["min_v"], exp["min"])
+    assert np.allclose(out["max_v"], exp["max"])
+    assert np.allclose(out["sum_v"], exp["sum"])
