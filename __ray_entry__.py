@@ -185,13 +185,15 @@ def _q_running_sum(sf_dir: str):
     import pandas as pd
 
     # windowed aggregate (SURVEY §2.5 gap): per-user running sum over the
-    # ts-ordered event stream — groupby(key).map_groups with sorted cumsum
-    def window(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        g["run_sum"] = g["value"].cumsum().round(2)
-        return g[["event_id", "user_id", "run_sum"]]
+    # ts-ordered stream — coarse-partitioned, vectorized grouped cumsum
+    from chomper_ray.pipelines.relational import windowed_running_sum
 
-    return _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])         .groupby("user_id").map_groups(window, batch_format="pandas")
+    out = windowed_running_sum(
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]),
+        by="user_id", ts="ts", tie="event_id", value="value")
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "run_sum"]],
+        batch_format="pandas")
 
 
 def _q_tumbling_window(sf_dir: str):

@@ -511,24 +511,59 @@ def asof_join_partitioned(left, right, on: str, by: str,
             .map_groups(join_bucket, batch_format="pyarrow"))
 
 
+def _coarse_keyed(ds, by: str, num_partitions: int):
+    """Coarse hash-partition on a key: ONE Ray group per partition, a
+    vectorized pandas pass inside — not one Ray group per key value
+    (tiny-group dispatch overhead kills per-user windows at 10^8 users).
+    """
+    from chomper_ray.stages.merge import stable_bucket
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        b = stable_bucket(t[by], num_partitions)
+        return t.append_column("_pb", pa.array(b, type=pa.int32()))
+
+    return ds.map_batches(add_pb, batch_format="pyarrow").groupby("_pb")
+
+
 def sessionize(ds, by: str = "user_id", ts: str = "ts",
                tie: str = "event_id", gap_s: float = 1800.0,
-               out: str = "session_id"):
+               out: str = "session_id", num_partitions: int = 64):
     """Gap-based sessionization (web-pipeline staple): within each ``by``
     group ordered by (ts, tie), a new session starts when the gap from
     the previous event exceeds ``gap_s``. Session ids are 1-based per
-    user. One co-locating shuffle (``groupby``), vectorized cumsum inside
-    — sessions are inherently per-key, so this is the minimal movement.
-    """
+    user. One co-locating shuffle on a COARSE key-hash partition; inside
+    each partition everything is one vectorized pass (sort + grouped
+    diff + cumsum) — no per-user Python."""
     def f(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts, tie], kind="stable")
-        dt = g[ts].diff()
+        g = g.sort_values([by, ts, tie], kind="stable")
+        dt = g.groupby(by, sort=False)[ts].diff()
         gap = dt.dt.total_seconds() if hasattr(dt, "dt") else dt
-        new_session = (gap > gap_s) | gap.isna()  # first row starts s.1
-        g[out] = new_session.cumsum().astype("int64")
-        return g
+        new_s = (gap > gap_s) | gap.isna()  # first row per user = True
+        sid = new_s.cumsum()
+        first = sid.where(new_s & gap.isna()).groupby(
+            g[by], sort=False).transform("first")
+        g[out] = (sid - first + 1).astype("int64")
+        return g.drop(columns=["_pb"])
 
-    return ds.groupby(by).map_groups(f, batch_format="pandas")
+    return _coarse_keyed(ds, by, num_partitions) \
+        .map_groups(f, batch_format="pandas")
+
+
+def windowed_running_sum(ds, by: str = "user_id", ts: str = "ts",
+                         tie: str = "event_id", value: str = "value",
+                         out: str = "run_sum", ndigits: int | None = 2,
+                         num_partitions: int = 64):
+    """Per-key running sum over the (ts, tie)-ordered stream — the
+    coarse-partitioned, fully vectorized window (grouped cumsum inside
+    one pandas pass per partition)."""
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([by, ts, tie], kind="stable")
+        s = g.groupby(by, sort=False)[value].cumsum()
+        g[out] = s.round(ndigits) if ndigits is not None else s
+        return g.drop(columns=["_pb"])
+
+    return _coarse_keyed(ds, by, num_partitions) \
+        .map_groups(f, batch_format="pandas")
 
 
 def grouped_quantile(ds, key: str, value: str, q: float = 0.5,
