@@ -574,22 +574,24 @@ def grouped_quantile(ds, key: str, value: str, q: float = 0.5,
     the element at index ``floor((n-1)·q)`` from the cumulative counts
     (DuckDB ``quantile_disc`` semantics). Shuffle volume is the number of
     DISTINCT (key, value) pairs, not rows."""
-    import math
-
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby([key, value], sort=False, dropna=False) \
             .size().rename("n").reset_index()
 
     def pick(g: pd.DataFrame) -> pd.DataFrame:
-        kv = g[key].iloc[0]
-        c = g.groupby(value, sort=True)["n"].sum().sort_index()
-        total = int(c.sum())
-        idx = math.floor((total - 1) * q)
-        v = c.index[(c.cumsum() > idx).argmax()]
-        return pd.DataFrame({key: [kv], out: [v]})
+        # one vectorized pass over ALL keys in this coarse partition
+        g = g.groupby([key, value], sort=True)["n"].sum().reset_index()
+        totals = g.groupby(key, sort=False)["n"].transform("sum")
+        cum = g.groupby(key, sort=False)["n"].cumsum()
+        idx = np.floor((totals - 1) * q)
+        hit = (cum > idx).to_numpy()
+        picked = g[hit].groupby(key, sort=True).first().reset_index()
+        return pd.DataFrame({key: picked[key], out: picked[value]})
 
-    return (ds.map_batches(partial, batch_format="pandas")
-            .groupby(key).map_groups(pick, batch_format="pandas"))
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return _coarse_keyed(partials, key, num_partitions=32) \
+        .map_groups(lambda g: pick(g.drop(columns=["_pb"])),
+                    batch_format="pandas")
 
 
 def grouped_quantile_approx(ds, key: str, value: str, q: float = 0.5,
