@@ -691,14 +691,23 @@ def topk(ds, by: str, k: int, descending: bool = True,
         .reset_index(drop=True)
 
 
-def distinct(ds, columns: Sequence[str]):
+def distinct(ds, columns: Sequence[str], num_partitions: int = 32):
     """Distinct rows over listed columns: per-block dedup (combiner) →
-    hash-grouped final dedup."""
+    ONE coarse hash-partition shuffle → vectorized per-partition dedup
+    (not one Ray group per distinct combination — tiny-group dispatch)."""
     columns = list(columns)
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
         return df[columns].drop_duplicates()
 
+    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pb"] = (pd.util.hash_pandas_object(df[columns], index=False)
+                     % num_partitions).astype("int32")
+        return df
+
     return (ds.map_batches(local, batch_format="pandas")
-              .groupby(columns)
-              .map_groups(lambda g: g.head(1), batch_format="pandas"))
+              .map_batches(add_pb, batch_format="pandas")
+              .groupby("_pb")
+              .map_groups(lambda g: g.drop(columns=["_pb"]).drop_duplicates(),
+                          batch_format="pandas"))
