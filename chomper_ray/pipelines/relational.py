@@ -191,8 +191,20 @@ def grouped_agg(ds, keys: Sequence[str], sums: Sequence[str] = (),
             out = out.drop(columns=["n_rows"])
         return out
 
+    def add_pb(df: pd.DataFrame, np_: int = 32) -> pd.DataFrame:
+        df = df.copy()
+        df["_pb"] = (pd.util.hash_pandas_object(df[keys], index=False)
+                     % np_).astype("int32")
+        return df
+
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby(keys).map_groups(final, batch_format="pandas")
+    # coarse hash partitions: `final` aggregates EVERY key in a partition
+    # in one vectorized groupby — not one UDF call per key (10^6 distinct
+    # keys = 10^6 single-row pandas groupbys otherwise)
+    return (partials.map_batches(add_pb, batch_format="pandas")
+            .groupby("_pb")
+            .map_groups(lambda g: final(g.drop(columns=["_pb"])),
+                        batch_format="pandas"))
 
 
 def semi_join(ds, keys, on: str):
