@@ -428,3 +428,35 @@ def test_change_events_ds_matches_driver_frame(change_log, tmp_path):
                      na_position="first").reset_index(drop=True)
     pd.testing.assert_frame_equal(a[["url", "field", "event", "epoch"]],
                                   b[["url", "field", "event", "epoch"]])
+
+
+def test_multi_epoch_commit_crash_between_manifests(change_log, tmp_path,
+                                                    monkeypatch):
+    """Drain writes ALL snapshots then manifests in epoch order; a crash
+    after the FIRST manifest must leave a resumable lake that converges
+    to the sequential-run snapshot hash."""
+    import chomper_ray.state.lake as lk
+
+    full = tmp_path / "full"
+    run_cdc(change_log, full, num_partitions=4)
+    h = LakeTable(full).snapshot_hash()
+
+    root = tmp_path / "lake"
+    orig = lk._atomic_write_json
+    calls = {"n": 0}
+
+    def boom(path, obj):
+        orig(path, obj)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash after first manifest")
+
+    monkeypatch.setattr(lk, "_atomic_write_json", boom)
+    with pytest.raises(RuntimeError):
+        run_cdc(change_log, root, num_partitions=4, drain=True)
+    monkeypatch.setattr(lk, "_atomic_write_json", orig)
+
+    assert LakeTable(root).last_committed_epoch() == 0  # partial commit
+    res = run_cdc(change_log, root, num_partitions=4, drain=True)
+    assert res.epochs_run == [1, 2, 3]
+    assert LakeTable(root).snapshot_hash() == h

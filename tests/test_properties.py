@@ -154,3 +154,57 @@ def test_hash_join_matches_pandas_property(seed, num_buckets):
     x = exp.sort_values(["k", "v", "w"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(g[["k", "v", "w"]], x[["k", "v", "w"]],
                                   check_dtype=False)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5),        # user
+                          st.integers(0, 50_000),   # ts seconds
+                          st.integers(0, 10**6)),   # tie id
+                min_size=1, max_size=120, unique_by=lambda t: t[2]))
+def test_sessionize_matches_row_oracle(rows):
+    import pandas as pd
+
+    import ray.data as rd
+
+    from chomper_ray.pipelines.relational import sessionize
+
+    df = pd.DataFrame(rows, columns=["u", "t", "i"])
+    ds = rd.from_pandas(df).repartition(3)
+    got = sessionize(ds, by="u", ts="t", tie="i", gap_s=1000) \
+        .to_pandas().set_index("i")["session_id"]
+
+    # row-at-a-time oracle
+    exp = {}
+    for u, grp in df.groupby("u"):
+        sid, prev = 0, None
+        for _, r in grp.sort_values(["t", "i"]).iterrows():
+            if prev is None or r["t"] - prev > 1000:
+                sid += 1
+            exp[r["i"]] = sid
+            prev = r["t"]
+    for i, s in exp.items():
+        assert got[i] == s, (i, s, got[i])
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.floats(0.0005, 0.05))
+def test_bloom_semi_join_exact_property(seed, fpp):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    from chomper_ray.pipelines.relational import bloom_semi_join
+
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame({"k": rng.integers(0, 300, 400),
+                         "v": np.arange(400)})
+    right = pd.DataFrame({"k": rng.choice(300, rng.integers(1, 80),
+                                          replace=False)})
+    lds = rd.from_pandas(left).repartition(3)
+    rds = rd.from_pandas(right).repartition(2)
+    semi = bloom_semi_join(lds, rds, on="k", fpp=fpp).to_pandas()
+    anti = bloom_semi_join(lds, rds, on="k", fpp=fpp, anti=True).to_pandas()
+    keys = set(right["k"])
+    assert sorted(semi["v"]) == sorted(left.loc[left["k"].isin(keys), "v"])
+    assert sorted(anti["v"]) == sorted(left.loc[~left["k"].isin(keys), "v"])
