@@ -728,6 +728,31 @@ def _q_multimodal_decode(sf_dir: str):
                            batch_format="pandas")
 
 
+def _q_multimodal_audio_frames(sf_dir: str):
+    import ray.data as rd
+
+    from chomper_ray.stages.multimodal import (
+        DEFAULT_MEDIA_BATCH_SIZE, AudioFeatures, SampleFrames,
+        make_fake_media_table)
+
+    # audio feature extraction + video frame sampling through the same
+    # actor-pool plumbing as image decode (stub codecs, real Ray side)
+    ds = rd.from_arrow(make_fake_media_table(128))
+    out = ds.map_batches(AudioFeatures, batch_format="pandas",
+                         batch_size=DEFAULT_MEDIA_BATCH_SIZE,
+                         concurrency=(2, 8)) \
+        .map_batches(SampleFrames, batch_format="pandas",
+                     batch_size=DEFAULT_MEDIA_BATCH_SIZE,
+                     concurrency=(2, 8))
+
+    def fin(df):
+        df["n_frames"] = df["frame_ts_ms"].map(
+            lambda v: 0 if v is None else len(v))
+        return df[["media_id", "media_type", "rms", "n_frames"]]
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def _q_cdc_upsert_pages(sf_dir: str):
     # sf-scaled synthetic change stream (the engine's real workload);
     # rows-only check — the pytest suite verifies it against the
@@ -809,6 +834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "ivf_ann": _q_ivf_ann,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_audio_frames": _q_multimodal_audio_frames,
         # CDC flagship
         "cdc_upsert_pages": _q_cdc_upsert_pages,
         "change_listeners": _q_change_listeners,

@@ -22,4 +22,4 @@ Nothing in this package calls ``ray.init()`` — sessions are owned by the
 caller (driver, bench.py, or the test fixture).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
