@@ -688,6 +688,25 @@ def systematic_sample(ds, key: str, modulus: int, keep: int = 0):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def sample_n_by_hash(ds, key: str, n: int):
+    """Deterministic uniform-ish n-row sample via BOTTOM-K HASHING
+    (min-wise sampling): keep the n rows whose stable key hash is
+    smallest. Reproducible across runs, cluster sizes and block layouts
+    (unlike seeded ``random_sample``), mergeable (per-block bottom-k →
+    driver bottom-k over ≤ blocks×n candidates), and consistent: the
+    sample of a superset contains the sample of the subset's survivors —
+    the property that makes it the standard sketch for cross-snapshot
+    overlap estimates."""
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        h = _hash_keys(df[key].to_numpy())
+        df = df.assign(_h=h)
+        return df.nsmallest(n, "_h")
+
+    cand = ds.map_batches(local, batch_format="pandas").to_pandas()
+    return cand.nsmallest(n, "_h").drop(columns="_h") \
+        .sort_values(key, kind="stable").reset_index(drop=True)
+
+
 def topk(ds, by: str, k: int, descending: bool = True,
          tie_break: str | None = None) -> pd.DataFrame:
     """Global top-k without a global sort: local top-k per block, then a

@@ -72,27 +72,34 @@ def read_sql_table(
     chunk: int = DEFAULT_CHUNK,
     key_col: str | None = None,
     columns: list[str] | None = None,
+    where: str | None = None,
     concurrency: int | None = None,
 ):
     """TableFeeder parity: SELECT ``columns`` FROM ``table`` as a Ray
     Dataset, split into ~``chunk``-row read tasks (see module docstring
-    for the key-sharded vs OFFSET-paged split)."""
+    for the key-sharded vs OFFSET-paged split). ``where`` pushes a SQL
+    predicate into every shard query — filter at the database, not after
+    the transfer (the prune-at-the-read rule)."""
     import ray.data as rd
 
     chunk = _validate_chunk(chunk)
     cols = ", ".join(columns) if columns else "*"
-    base = f"SELECT {cols} FROM {table}"
+    pred = f" WHERE ({where})" if where else ""
+    base = f"SELECT {cols} FROM {table}{pred}"
 
     if not chunk:
         return rd.read_sql(base, connection_factory, concurrency=concurrency)
 
-    n_rows = int(_scalar(connection_factory, f"SELECT COUNT(*) FROM {table}") or 0)
+    n_rows = int(_scalar(
+        connection_factory,
+        f"SELECT COUNT(*) FROM {table}{pred}") or 0)
     n_shards = max(1, min(math.ceil(n_rows / chunk), _MAX_SHARDS))
     if n_shards == 1:
         return rd.read_sql(base, connection_factory, concurrency=concurrency)
 
+    shard_kw = "AND" if where else "WHERE"
     if key_col:
-        queries = [f"{base} WHERE ({key_col} % {n_shards}) = {i}"
+        queries = [f"{base} {shard_kw} ({key_col} % {n_shards}) = {i}"
                    for i in range(n_shards)]
     else:
         queries = [f"{base} LIMIT {chunk} OFFSET {i * chunk}"

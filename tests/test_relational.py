@@ -231,3 +231,15 @@ def test_grouped_agg_min_max():
     assert np.allclose(out["min_v"], exp["min"])
     assert np.allclose(out["max_v"], exp["max"])
     assert np.allclose(out["sum_v"], exp["sum"])
+
+
+def test_sample_n_by_hash_deterministic_and_consistent():
+    df = pd.DataFrame({"k": [f"u{i}" for i in range(1000)],
+                       "v": np.arange(1000)})
+    s1 = rel.sample_n_by_hash(mk_ds(df, 4), key="k", n=50)
+    s2 = rel.sample_n_by_hash(mk_ds(df, 7), key="k", n=50)  # other layout
+    assert len(s1) == 50
+    assert s1["k"].tolist() == s2["k"].tolist()  # layout-independent
+    # consistency: the 20-sample is a prefix (by hash) of the 50-sample
+    s3 = rel.sample_n_by_hash(mk_ds(df, 4), key="k", n=20)
+    assert set(s3["k"]) <= set(s1["k"])

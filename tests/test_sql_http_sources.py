@@ -133,3 +133,13 @@ def test_http_unreachable_host_dropped():
     ds, dropped = read_http(["http://127.0.0.1:9/none"], timeout_s=2)
     assert len(ds.to_pandas()) == 0
     assert dropped() == 1
+
+
+def test_sql_table_where_pushdown(db_path):
+    factory = sqlite_factory(db_path)
+    ds = read_sql_table("users", factory, chunk=100, key_col="id",
+                        where="id < 100 AND score > 10")
+    got = ds.to_pandas()
+    assert (got["id"] < 100).all() and (got["score"] > 10).all()
+    exp = [i for i in range(100) if i * 1.5 > 10]
+    assert sorted(got["id"]) == exp
