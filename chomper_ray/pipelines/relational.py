@@ -290,6 +290,11 @@ def bloom_semi_join(left, right, on: str, right_on: str | None = None,
     3. Exact verification of the ~|matches| × (1+fpp) survivors via the
        bucketed co-partition (kills false positives) — only survivors and
        distinct right keys shuffle.
+
+    Known Ray limitation: ``to_pandas()`` on an ENTIRELY empty result
+    returns a column-less frame (Ray drops schema for 0-row datasets;
+    applies to every bucketed join here). Guard ``len(df)`` before
+    column access when a join can legitimately match nothing.
     """
     import ray
 

@@ -206,5 +206,13 @@ def test_bloom_semi_join_exact_property(seed, fpp):
     semi = bloom_semi_join(lds, rds, on="k", fpp=fpp).to_pandas()
     anti = bloom_semi_join(lds, rds, on="k", fpp=fpp, anti=True).to_pandas()
     keys = set(right["k"])
-    assert sorted(semi["v"]) == sorted(left.loc[left["k"].isin(keys), "v"])
-    assert sorted(anti["v"]) == sorted(left.loc[~left["k"].isin(keys), "v"])
+    exp_semi = left.loc[left["k"].isin(keys), "v"]
+    exp_anti = left.loc[~left["k"].isin(keys), "v"]
+    # Ray drops schema on fully-empty to_pandas (documented limitation):
+    # value-compare only when the side is non-empty
+    assert len(semi) == len(exp_semi)
+    if len(semi):
+        assert sorted(semi["v"]) == sorted(exp_semi)
+    assert len(anti) == len(exp_anti)
+    if len(anti):
+        assert sorted(anti["v"]) == sorted(exp_anti)
