@@ -112,9 +112,28 @@ def _manifest_path(root: Path, epoch: int) -> Path:
 
 def _atomic_write_json(path: Path, obj) -> None:
     path.parent.mkdir(parents=True, exist_ok=True)
-    tmp = path.with_name("." + path.name + ".tmp")
+    tmp = path.with_name("." + path.name + f".{uuid.uuid4().hex[:8]}.tmp")
     tmp.write_text(json.dumps(obj, indent=1, sort_keys=True))
     os.replace(tmp, path)
+
+
+def _commit_manifest_exclusive(path: Path, obj) -> bool:
+    """FIRST-WRITER-WINS manifest creation: two racing runners may both
+    reach the commit point for the same epoch; ``os.link`` (create-
+    exclusive) lets exactly one land its manifest, the loser returns
+    False and treats the epoch as already committed. (A plain rename
+    would let the LOSER overwrite the winner — and the loser's merge may
+    have read staging the winner already cleaned.)"""
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_name("." + path.name + f".{uuid.uuid4().hex[:8]}.tmp")
+    tmp.write_text(json.dumps(obj, indent=1, sort_keys=True))
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        tmp.unlink(missing_ok=True)
 
 
 def committed_epochs(root: str | Path) -> list[int]:
@@ -205,7 +224,7 @@ class _PartitionMerger:
     def _read_staged(self, pid: int, epoch: int) -> pa.Table:
         rid = pid // _staging_range_size(self.num_partitions)
         staged = sorted(
-            (Path(self.staging_root) / _STAGING_DIR / f"epoch={epoch:06d}"
+            (Path(self.staging_root) / f"epoch={epoch:06d}"
              / f"r={rid:05d}").glob("*.parquet"))
         # row-group pruning on _bucket stats: only this bucket's rows load
         changes = pa.concat_tables(
@@ -383,8 +402,12 @@ class LakeTable:
         # staging is transient shuffle data: on a cluster it lives on the
         # shared lake filesystem (or local NVMe shuffle dirs); single-node
         # callers may point it at tmpfs — correctness only needs it to
-        # survive until the epoch's manifest commit
+        # survive until the epoch's manifest commit. Each LakeTable
+        # instance stages under its own attempt=<id> subdir so two racing
+        # runners never read/wipe each other's staging (their merges stay
+        # deterministic-identical; manifests are first-writer-wins).
         self.staging_root = Path(staging_root) if staging_root else self.root
+        self._attempt = uuid.uuid4().hex[:10]
         self.key = key
         self.version = version
         # None = adopt the committed manifest's count (or the default on a
@@ -470,7 +493,7 @@ class LakeTable:
         Duplicate staging from retried map tasks is harmless — the merge
         dedups by (key, version)."""
         key, version, nb = self.key, self.version, self.num_partitions
-        staging_base = self.staging_root / _STAGING_DIR
+        staging_base = self._staging_base
         env_json = {e: schema_mod.schema_to_json(v) for e, v in envelopes.items()}
 
         def stage(t: pa.Table) -> pa.Table:
@@ -529,8 +552,12 @@ class LakeTable:
 
         return stage
 
+    @property
+    def _staging_base(self) -> Path:
+        return self.staging_root / _STAGING_DIR / f"attempt={self._attempt}"
+
     def wipe_staging(self, epoch: int) -> None:
-        stage_root = self.staging_root / _STAGING_DIR / f"epoch={epoch:06d}"
+        stage_root = self._staging_base / f"epoch={epoch:06d}"
         if stage_root.exists():
             shutil.rmtree(stage_root)
 
@@ -554,7 +581,7 @@ class LakeTable:
         and turns them into dense id offsets."""
         import ray.data as rd
 
-        root, staging_root = str(self.root), str(self.staging_root)
+        root, staging_root = str(self.root), str(self._staging_base)
         key, nb = self.key, self.num_partitions
         rng = _staging_range_size(nb)
 
@@ -562,7 +589,7 @@ class LakeTable:
             out_pid, out_n = [], []
             for pid in batch["pid"].to_pylist():
                 pid = int(pid)
-                files = sorted((Path(staging_root) / _STAGING_DIR
+                files = sorted((Path(staging_root)
                                 / f"epoch={epoch:06d}"
                                 / f"r={pid // rng:05d}").glob("*.parquet"))
                 keys: set = set()
@@ -621,7 +648,7 @@ class LakeTable:
             str(self.root), epoch, prev_files, schema_json, self.key,
             self.overwrite, self.protected, self.managed_timestamps,
             commit_ts_us, self.collect_changes, self.insert_missing,
-            str(self.staging_root), version_ts=self.version[0],
+            str(self._staging_base), version_ts=self.version[0],
             num_partitions=self.num_partitions,
             id_field=self.id_field, id_starts=id_starts,
         )
@@ -674,7 +701,9 @@ class LakeTable:
         }
         if next_max_id is not None:
             manifest["max_id"] = int(next_max_id)
-        _atomic_write_json(_manifest_path(self.root, epoch), manifest)
+        if not _commit_manifest_exclusive(_manifest_path(self.root, epoch),
+                                          manifest):
+            return CommitResult(epoch=epoch, skipped=True)  # lost the race
         return CommitResult(
             epoch=epoch, skipped=False, partitions_touched=len(stats),
             rows_upserted=int(stats["events_in"].sum()),
@@ -726,7 +755,7 @@ class LakeTable:
             schema_mod.schema_to_json(plan[0][1]), self.key,
             self.overwrite, self.protected, self.managed_timestamps,
             ts(plan[0][0]), self.collect_changes, self.insert_missing,
-            str(self.staging_root), version_ts=self.version[0],
+            str(self._staging_base), version_ts=self.version[0],
             num_partitions=self.num_partitions,
         )
         merger.epoch_plan = [(e, schema_mod.schema_to_json(t), ts(e))
@@ -780,7 +809,14 @@ class LakeTable:
                 "lineage": lineage,
                 "wall_s": round((stage_s + merge_s) / len(plan), 4),
             }
-            _atomic_write_json(_manifest_path(self.root, e), manifest)
+            if not _commit_manifest_exclusive(_manifest_path(self.root, e),
+                                              manifest):
+                # lost the race to a concurrent runner: epoch already
+                # committed with IDENTICAL content (merges are
+                # deterministic over the same log) — mark skipped and
+                # keep going; later manifests in this chain remain valid
+                results.append(CommitResult(epoch=e, skipped=True))
+                continue
             results.append(CommitResult(
                 epoch=e, skipped=False, partitions_touched=len(es),
                 rows_upserted=int(es["events_in"].sum()) if len(es) else 0,
@@ -982,7 +1018,9 @@ class LakeTable:
         }
         if (prev or {}).get("max_id") is not None:
             manifest["max_id"] = prev["max_id"]  # identity is never reused
-        _atomic_write_json(_manifest_path(self.root, epoch), manifest)
+        if not _commit_manifest_exclusive(_manifest_path(self.root, epoch),
+                                          manifest):
+            return CommitResult(epoch=epoch, skipped=True)
         return CommitResult(epoch=epoch, total_rows=0)
 
     # -- maintenance -------------------------------------------------------
@@ -1066,7 +1104,9 @@ class LakeTable:
         }
         if prev.get("max_id") is not None:
             manifest["max_id"] = prev["max_id"]
-        _atomic_write_json(_manifest_path(self.root, epoch), manifest)
+        if not _commit_manifest_exclusive(_manifest_path(self.root, epoch),
+                                          manifest):
+            return CommitResult(epoch=epoch, skipped=True)
         return CommitResult(
             epoch=epoch, partitions_touched=len(stats),
             rows_deleted=int(stats["purged"].sum()),
@@ -1102,6 +1142,11 @@ class LakeTable:
             if e not in keep:
                 _manifest_path(self.root, e).unlink()
                 removed_manifests += 1
+        # stale staging attempts (crashed runners) — compact is the
+        # maintenance window where no runner is assumed live
+        stale = self.staging_root / _STAGING_DIR
+        if stale.is_dir():
+            shutil.rmtree(stale, ignore_errors=True)
         return {"removed_files": removed_files,
                 "removed_manifests": removed_manifests,
                 "kept_epochs": keep}

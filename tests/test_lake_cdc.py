@@ -442,21 +442,51 @@ def test_multi_epoch_commit_crash_between_manifests(change_log, tmp_path,
     h = LakeTable(full).snapshot_hash()
 
     root = tmp_path / "lake"
-    orig = lk._atomic_write_json
+    orig = lk._commit_manifest_exclusive
     calls = {"n": 0}
 
     def boom(path, obj):
-        orig(path, obj)
+        ok = orig(path, obj)
         calls["n"] += 1
         if calls["n"] == 1:
             raise RuntimeError("simulated crash after first manifest")
+        return ok
 
-    monkeypatch.setattr(lk, "_atomic_write_json", boom)
+    monkeypatch.setattr(lk, "_commit_manifest_exclusive", boom)
     with pytest.raises(RuntimeError):
         run_cdc(change_log, root, num_partitions=4, drain=True)
-    monkeypatch.setattr(lk, "_atomic_write_json", orig)
+    monkeypatch.setattr(lk, "_commit_manifest_exclusive", orig)
 
     assert LakeTable(root).last_committed_epoch() == 0  # partial commit
     res = run_cdc(change_log, root, num_partitions=4, drain=True)
     assert res.epochs_run == [1, 2, 3]
     assert LakeTable(root).snapshot_hash() == h
+
+
+def test_concurrent_runners_converge(change_log, tmp_path):
+    """Two runner PROCESSES racing on the same log+lake (accidental
+    double-scheduling): snapshot paths are deterministic and manifest
+    renames atomic, so the survivors must equal a clean single run."""
+    import os
+    import subprocess
+    import sys
+
+    lake = tmp_path / "lake"
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+    cmd = [sys.executable, "-m", "chomper_ray.cli", "run-cdc",
+           "--log-dir", str(change_log), "--lake-root", str(lake),
+           "--num-partitions", "4", "--drain"]
+    p1 = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                          stderr=subprocess.DEVNULL)
+    p2 = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                          stderr=subprocess.DEVNULL)
+    rc1, rc2 = p1.wait(timeout=300), p2.wait(timeout=300)
+    # both runners may race the same staging dirs; at least one must
+    # succeed, and the LAKE must converge regardless
+    assert rc1 == 0 or rc2 == 0
+
+    full = tmp_path / "full"
+    run_cdc(change_log, full, num_partitions=4)
+    assert LakeTable(lake).last_committed_epoch() == 3
+    assert LakeTable(lake).snapshot_hash() == \
+        LakeTable(full, num_partitions=4).snapshot_hash()

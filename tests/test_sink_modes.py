@@ -129,13 +129,18 @@ def test_crashed_staging_is_cleaned_and_recommitted(small_log, tmp_path):
 
     crash_root = tmp_path / "crash"
     run_cdc(small_log, crash_root, num_partitions=4, max_epochs=1)
-    # simulate a crashed epoch-1 attempt: stale garbage staging exists
-    stale = crash_root / "_staging" / "epoch=000001" / "p=00000"
+    # simulate a crashed attempt's leftover garbage staging: it lives in
+    # its OWN attempt dir, so a resuming runner never reads it (merges
+    # stay clean); compact() is the maintenance window that sweeps it
+    stale = (crash_root / "_staging" / "attempt=deadcafe01"
+             / "epoch=000001" / "r=00000")
     stale.mkdir(parents=True)
     (stale / "deadbeef.parquet").write_bytes(b"not a parquet file")
     run_cdc(small_log, crash_root, num_partitions=4)  # resume
     assert LakeTable(crash_root, num_partitions=4).snapshot_hash() == h_clean
-    assert not (crash_root / "_staging" / "epoch=000001").exists()
+    assert stale.exists()  # untouched: another attempt's dir is never wiped
+    LakeTable(crash_root).compact(keep_epochs=1)
+    assert not (crash_root / "_staging").exists()  # swept at maintenance
 
 
 def test_purge_tombstones_with_watermark(tmp_path):
