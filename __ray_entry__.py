@@ -636,12 +636,15 @@ def _q_http_source(sf_dir: str):
 def _q_minhash_dedup(sf_dir: str):
     import pandas as pd
 
-    from chomper_ray.stages.dedup import minhash_lsh_dedup
+    from chomper_ray.stages.dedup import clusters_dict, minhash_lsh_dedup
 
     # single-file table reads as one block — repartition so the hash
     # stage parallelizes (at real scale the input is already many files)
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(16)
-    clusters, _pairs = minhash_lsh_dedup(ds, threshold=0.8)
+    clusters_ds, _pairs = minhash_lsh_dedup(ds, threshold=0.8)
+    # driver-compare surface only — the engine path is Dataset-native
+    # (dedup_apply); this query flattens to (doc_id, cluster_id) rows
+    clusters = clusters_dict(clusters_ds)
     ids = sorted(pq.read_table(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])["doc_id"].to_pylist())
     return pd.DataFrame({
@@ -653,10 +656,11 @@ def _q_minhash_dedup(sf_dir: str):
 def _q_simhash_dedup(sf_dir: str):
     import pandas as pd
 
-    from chomper_ray.stages.dedup import simhash_dedup
+    from chomper_ray.stages.dedup import clusters_dict, simhash_dedup
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(16)
-    clusters, _pairs = simhash_dedup(ds, max_hamming=3)
+    clusters_ds, _pairs = simhash_dedup(ds, max_hamming=3)
+    clusters = clusters_dict(clusters_ds)
     ids = sorted(pq.read_table(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])["doc_id"].to_pylist())
     return pd.DataFrame({
@@ -668,10 +672,11 @@ def _q_simhash_dedup(sf_dir: str):
 def _q_embedding_dedup(sf_dir: str):
     import pandas as pd
 
-    from chomper_ray.stages.dedup import embedding_dedup
+    from chomper_ray.stages.dedup import clusters_dict, embedding_dedup
 
     ds = _read(sf_dir, "embeddings").repartition(8)
-    clusters, _pairs = embedding_dedup(ds, threshold=0.95)
+    clusters_ds, _pairs = embedding_dedup(ds, threshold=0.95)
+    clusters = clusters_dict(clusters_ds)
     ids = sorted(pq.read_table(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id"])["vec_id"].to_pylist())
     return pd.DataFrame({

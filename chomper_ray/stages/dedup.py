@@ -22,10 +22,19 @@ SimHash fingerprint / normalized embedding) — never document text.
 Verification happens INSIDE the band bucket where candidates are already
 co-located, so no signature table, vector set, or candidate-pair list
 ever gathers on the driver. Cluster assignment runs through
-``components_distributed_ds`` (per-bucket union-find → contracted driver
-merge, one shuffle over verified pairs only); the plain driver-side
+``components_auto_ds`` (per-bucket union-find → per-node stitch stage →
+tiny driver stitch over boundary roots only); the plain driver-side
 ``connected_components`` stays available as the small-input shortcut and
 the property-test oracle.
+
+Result surface (Dataset-native, 100 TB-safe): every near-dup family
+returns ``(clusters_ds, pairs_ds)`` — both ``ray.data.Dataset``s.
+``clusters_ds`` has columns ``(id:int64, rep:int64)``, one row per doc
+that participates in a duplicate cluster (singletons are absent —
+absence means rep == id). ``pairs_ds`` is the verified duplicate-pair
+Dataset. Neither ever materializes on the driver; apply the result with
+``dedup_apply`` (a bucketed anti-join), never by collecting clusters
+into a driver-side set.
 """
 
 from __future__ import annotations
@@ -179,21 +188,6 @@ def _band_rows(ids: np.ndarray, sigs: np.ndarray, bands: int,
     return out
 
 
-def _pairs_from_buckets(bucket_df: pd.DataFrame, max_bucket: int = 200) -> pd.DataFrame:
-    """Candidate pairs (a<b) within one (band_id, band_hash) bucket.
-    Oversized buckets (degenerate content, e.g. empty docs) are capped —
-    logged via the ``truncated`` flag rather than silently exploding."""
-    ids = np.sort(bucket_df["id"].unique())
-    truncated = len(ids) > max_bucket
-    if truncated:
-        ids = ids[:max_bucket]
-    if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": [], "truncated": []})
-    ia, ib = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"a": ids[ia], "b": ids[ib],
-                         "truncated": truncated})
-
-
 def connected_components(pairs: pd.DataFrame) -> dict[int, int]:
     """Union-find over verified duplicate pairs → {id: cluster_min_id}.
 
@@ -218,23 +212,41 @@ def connected_components(pairs: pd.DataFrame) -> dict[int, int]:
     return {x: find(x) for x in seen}
 
 
-def components_distributed_ds(pairs_ds, num_buckets: int = 8) -> dict[int, int]:
-    """Connected components over a DATASET of edges: two-level contraction.
+def _empty_clusters_ds():
+    import ray.data as rd
 
-    Level 1 (distributed, ONE shuffle): edges hash-bucketed by endpoint
-    ``a``; each bucket runs union-find LOCALLY over its edges and emits
-    the contracted (node → local root) mapping.
-    Level 2 (driver, contracted graph): the per-bucket mappings are
-    themselves edges over a much smaller graph (one node per local root
-    + boundary nodes); a final union-find stitches buckets. For graphs
-    whose contracted size still exceeds the driver, apply level 1
-    recursively — dup-cluster graphs contract extremely fast, so one
-    level suffices in practice. Duplicate edges (the same pair surfacing
-    from several LSH bands) are harmless — union-find is idempotent.
+    return rd.from_arrow(pa.table({"id": pa.array([], pa.int64()),
+                                   "rep": pa.array([], pa.int64())}))
 
-    Matches `connected_components` exactly (same min-id representative).
+
+def components_ds(pairs_ds, num_buckets: int = 8):
+    """Connected components over a DATASET of edges → DATASET of
+    ``(id, rep)`` rows. Nothing O(duplicate nodes) ever lands on the
+    driver. Three stages:
+
+    1. Edges hash-bucketed by endpoint ``a``; each bucket runs
+       union-find LOCALLY over its edges and emits (node, local_root)
+       rows — a node reached from several buckets has one row per
+       bucket. Stays a Dataset.
+    2. (node, root) rows hash-bucketed by node; per node emit ONE
+       assignment row (node, min_root) plus, for nodes whose buckets
+       disagree, STITCH edges (min_root, other_root). Two local roots
+       belong to one true component iff some chain of shared nodes
+       connects them — exactly what the stitch edges encode.
+    3. Driver union-find over the stitch edges ONLY — O(boundary
+       roots), a contraction of the contraction, tiny for dup-cluster
+       graphs — broadcast via ``ray.put``; assignment rows map through
+       it distributively.
+
+    Duplicate edges (the same pair surfacing from several LSH bands)
+    are harmless — union-find is idempotent. Matches
+    ``connected_components`` exactly (same min-id representative): the
+    component's global-min node is a local root in every bucket that
+    sees it, so the stitched min over local roots is the global min.
     """
-    def bucket(t: pa.Table) -> pa.Table:
+    import ray
+
+    def bucket_edges(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64()),
@@ -246,47 +258,155 @@ def components_distributed_ds(pairs_ds, num_buckets: int = 8) -> dict[int, int]:
 
     def local_cc(g: pd.DataFrame) -> pd.DataFrame:
         mapping = connected_components(g[["a", "b"]])
-        return pd.DataFrame({"a": pd.Series(list(mapping.keys()), dtype="int64"),
-                             "b": pd.Series(list(mapping.values()), dtype="int64")})
+        return pd.DataFrame({"id": pd.Series(list(mapping.keys()), dtype="int64"),
+                             "root": pd.Series(list(mapping.values()), dtype="int64")})
 
-    contracted = (pairs_ds.map_batches(bucket, batch_format="pyarrow")
-                  .groupby("_b")
-                  .map_groups(local_cc, batch_format="pandas")
-                  .to_pandas())  # contracted graph only — not raw pairs
-    if not len(contracted):
-        return {}
-    return connected_components(contracted.astype("int64"))
+    m1 = (pairs_ds.map_batches(bucket_edges, batch_format="pyarrow")
+          .groupby("_b").map_groups(local_cc, batch_format="pandas"))
+
+    def bucket_nodes(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "id" not in t.column_names:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "root": pa.array([], pa.int64()),
+                             "_nb": pa.array([], pa.int32())})
+        t = t.select(["id", "root"])
+        bk = stable_bucket(t["id"], num_buckets)
+        return t.append_column("_nb", pa.array(bk, type=pa.int32()))
+
+    def per_node(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["id", "root"])
+        minroot = g.groupby("id")["root"].min().rename("minroot")
+        g2 = g.join(minroot, on="id")
+        edges = g2[g2["root"] != g2["minroot"]]
+        nodes = minroot.reset_index()
+        return pd.concat([
+            pd.DataFrame({"u": nodes["id"].astype("int64"),
+                          "v": nodes["minroot"].astype("int64"),
+                          "kind": np.int8(0)}),
+            pd.DataFrame({"u": edges["minroot"].astype("int64"),
+                          "v": edges["root"].astype("int64"),
+                          "kind": np.int8(1)}),
+        ], ignore_index=True)
+
+    m2 = (m1.map_batches(bucket_nodes, batch_format="pyarrow")
+          .groupby("_nb").map_groups(per_node, batch_format="pandas")
+          .materialize())
+
+    # stitch graph only: O(boundary roots), not O(duplicate nodes)
+    stitch = m2.map_batches(
+        lambda df: df[df["kind"] == 1][["u", "v"]]
+        .rename(columns={"u": "a", "v": "b"})
+        if len(df) and "kind" in df.columns
+        else pd.DataFrame({"a": pd.Series(dtype="int64"),
+                           "b": pd.Series(dtype="int64")}),
+        batch_format="pandas").to_pandas()
+    final = connected_components(stitch) if len(stitch) else {}
+    final_ref = ray.put(final)
+
+    def apply_final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "kind" not in df.columns:
+            return pd.DataFrame({"id": pd.Series(dtype="int64"),
+                                 "rep": pd.Series(dtype="int64")})
+        df = df[df["kind"] == 0]
+        fm = ray.get(final_ref)
+        rep = df["v"]
+        if fm:
+            rep = rep.map(fm).fillna(rep)  # dict map is C-level, not a row loop
+        return pd.DataFrame({"id": df["u"].astype("int64").to_numpy(),
+                             "rep": rep.astype("int64").to_numpy()})
+
+    return m2.map_batches(apply_final, batch_format="pandas")
 
 
 DRIVER_EDGE_CAP = 200_000
 
 
-def components_auto(pairs_mat, num_buckets: int = 8,
-                    driver_edge_cap: int = DRIVER_EDGE_CAP):
-    """Route clustering by edge volume: verified-duplicate edges are
-    O(actual duplicates), so below ``driver_edge_cap`` the contracted
-    graph IS essentially the graph and the distributed contraction's
-    extra shuffle is pure overhead — use the driver union-find. Above
-    the cap, two-level contraction. ``pairs_mat`` must be a MATERIALIZED
-    Dataset (count() is then metadata-only)."""
+def components_auto_ds(pairs_mat, num_buckets: int = 8,
+                       driver_edge_cap: int = DRIVER_EDGE_CAP):
+    """Route clustering by edge volume → Dataset of ``(id, rep)``.
+
+    Verified-duplicate edges are O(actual duplicates), so below
+    ``driver_edge_cap`` (bounded by construction — never unbounded
+    input) the driver union-find beats the distributed contraction's
+    extra shuffles; above it, ``components_ds``. ``pairs_mat`` must be
+    a MATERIALIZED Dataset (count() is then metadata-only)."""
+    import ray.data as rd
+
     n = pairs_mat.count()
     if n == 0:
-        return {}
+        return _empty_clusters_ds()
     if n <= driver_edge_cap:
-        return connected_components(pairs_mat.to_pandas())
-    return components_distributed_ds(pairs_mat, num_buckets=num_buckets)
+        mapping = connected_components(pairs_mat.to_pandas())
+        ids = np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
+        reps = np.fromiter(mapping.values(), dtype=np.int64, count=len(mapping))
+        return rd.from_arrow(pa.table({"id": pa.array(ids),
+                                       "rep": pa.array(reps)}))
+    return components_ds(pairs_mat, num_buckets=num_buckets)
 
 
 def components_distributed(pairs: pd.DataFrame, num_buckets: int = 8) -> dict[int, int]:
-    """DataFrame-input convenience wrapper over ``components_distributed_ds``."""
+    """DataFrame-in/dict-out convenience wrapper over ``components_ds``
+    (test oracle + small-input shortcut; NOT the scale path)."""
     import ray.data as rd
 
     if not len(pairs):
         return {}
     edges = pairs[["a", "b"]].astype("int64")
-    return components_distributed_ds(
+    out = components_ds(
         rd.from_arrow(pa.Table.from_pandas(edges, preserve_index=False)),
-        num_buckets=num_buckets)
+        num_buckets=num_buckets).to_pandas()
+    if not len(out):
+        return {}
+    return dict(zip(out["id"].astype(int), out["rep"].astype(int)))
+
+
+def clusters_dict(clusters_ds) -> dict[int, int]:
+    """Collect a clusters Dataset to a driver dict — TEST/driver-compare
+    convenience only; the engine path is ``dedup_apply``."""
+    df = clusters_ds.to_pandas()
+    if not len(df):
+        return {}
+    return dict(zip(df["id"].astype(int), df["rep"].astype(int)))
+
+
+def _dedup_pairs_ds(pairs_ds, num_buckets: int = 16):
+    """Distributed drop-duplicates on (a, b): the same pair can surface
+    from several LSH bands routed to DIFFERENT coarse partitions, so the
+    per-partition dedup inside the verify stage isn't global. One small
+    shuffle over O(verified duplicates) rows."""
+    def bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_db", pa.array([], pa.int32()))
+        bk = stable_bucket(t["a"], num_buckets)
+        return t.append_column("_db", pa.array(bk, type=pa.int32()))
+
+    def drop(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["a", "b"]).drop(columns=["_db"])
+
+    return (pairs_ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_db").map_groups(drop, batch_format="pandas"))
+
+
+def dedup_apply(ds, clusters_ds, id_col: str = "doc_id",
+                num_buckets: int = 16, schema=None):
+    """Apply a dedup result: drop every non-representative cluster member
+    from ``ds`` via a bucketed anti-join — no O(#duplicates) set ever
+    forms on the driver (the scale-safe replacement for collecting
+    ``clusters_ds`` into a frozenset).
+
+    ``schema``: pass ``ds``'s static Arrow schema when ``ds`` carries a
+    pending shuffle — ``ds.schema()`` on such a plan EXECUTES it. A
+    materialized or freshly-read ``ds`` needs nothing."""
+    from chomper_ray.pipelines.relational import _hash_semi_anti
+
+    dup_ids = clusters_ds.map_batches(
+        lambda df: df[df["id"] != df["rep"]][["id"]]
+        if len(df) and "id" in df.columns
+        else pd.DataFrame({"id": pd.Series(dtype="int64")}),
+        batch_format="pandas")
+    return _hash_semi_anti(ds, dup_ids, on=id_col, right_on="id",
+                           anti=True, num_buckets=num_buckets,
+                           left_schema=schema)
 
 
 def _empty_verified_pairs(score_col: str) -> pd.DataFrame:
@@ -300,7 +420,8 @@ def _empty_verified_pairs(score_col: str) -> pd.DataFrame:
 def minhash_lsh_dedup(ds, col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
                       threshold: float = 0.8, concurrency: int | None = None,
-                      num_partitions: int = 32, max_bucket: int = 200):
+                      num_partitions: int = 32, max_bucket: int = 200,
+                      driver_edge_cap: int = DRIVER_EDGE_CAP):
     """MinHash+LSH near-dup detection — fully off-driver.
 
     Pipeline (one co-locating shuffle, verification inside it):
@@ -314,20 +435,19 @@ def minhash_lsh_dedup(ds, col: str = "text", id_col: str = "doc_id",
        (≈ docs × bands × num_perm × 8 B / num_partitions) fit a worker.
     3. Per-partition: vectorized pandas groupby over the real
        (band_id, band_hash) buckets → candidate pairs (capped per bucket)
-       → signature-estimated Jaccard VERIFIED in place → only pairs
-       ≥ threshold leave the stage.
-    4. Clusters via ``components_distributed_ds`` (two-level contraction)
-       — the driver sees only the contracted component graph, never
-       signatures or candidate pairs.
+       → signature-estimated Jaccard VERIFIED in place — stacked
+       signature matrices compared row-wise, no per-pair Python call —
+       only pairs ≥ threshold leave the stage.
+    4. Clusters via ``components_auto_ds`` — the driver sees only the
+       boundary stitch graph, never signatures or candidate pairs.
 
     Shuffle-volume alternative for very wide signatures: ship bare band
     rows and hash-join the pairs back to the signature table by id
     (≈ bands× less shuffle, two extra shuffles); this direct layout wins
     while ``bands × num_perm × 8 B`` stays within ~1× the text payload.
 
-    Returns ``(clusters, pairs)``: ``clusters`` maps doc id → cluster
-    representative (min id); ``pairs`` is the VERIFIED duplicate-pair
-    DataFrame (O(actual duplicates), small by construction).
+    Returns ``(clusters_ds, pairs_ds)`` — both Datasets (see module
+    docstring); apply with ``dedup_apply``.
     """
     # instance without concurrency = stateless TASK pool (the perm
     # params are construction-cheap); pass concurrency for an actor pool
@@ -346,21 +466,35 @@ def minhash_lsh_dedup(ds, col: str = "text", id_col: str = "doc_id",
         return out
 
     def partition_verified_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["band_id", "band_hash", "id"])
         sizes = g.groupby(["band_id", "band_hash"])["id"].transform("size")
         multi = g[sizes > 1]
         frames = []
         for _, grp in multi.groupby(["band_id", "band_hash"], sort=False):
-            p = _pairs_from_buckets(grp, max_bucket)
-            if not len(p):
+            grp = grp.sort_values("id")
+            truncated = len(grp) > max_bucket
+            if truncated:
+                # degenerate bucket (e.g. empty docs): cap, flag — don't
+                # silently explode to O(n²) pairs
+                grp = grp.iloc[:max_bucket]
+            if len(grp) < 2:
                 continue
-            sig_map = {int(i): np.asarray(s, dtype=np.uint64)
-                       for i, s in zip(grp["id"], grp["minhash"])}
-            est = np.array([
-                jaccard_from_signatures(sig_map[int(a)], sig_map[int(b)])
-                for a, b in zip(p["a"], p["b"])
-            ])
-            p = p.assign(est_jaccard=est)
-            frames.append(p[p["est_jaccard"] >= threshold])
+            ids = grp["id"].to_numpy()
+            sigs = np.stack([np.asarray(s, dtype=np.uint64)
+                             for s in grp["minhash"].to_numpy()])
+            ia, ib = np.triu_indices(len(ids), k=1)
+            # vectorized signature-Jaccard: one matrix compare for the
+            # whole bucket, no per-pair Python call
+            est = (sigs[ia] == sigs[ib]).mean(axis=1)
+            keep = est >= threshold
+            if not keep.any():
+                continue
+            frames.append(pd.DataFrame({
+                "a": ids[ia][keep].astype(np.int64),
+                "b": ids[ib][keep].astype(np.int64),
+                "truncated": truncated,
+                "est_jaccard": est[keep].astype(np.float64),
+            }))
         if not frames:
             return _empty_verified_pairs("est_jaccard")
         out = pd.concat(frames, ignore_index=True)
@@ -369,16 +503,15 @@ def minhash_lsh_dedup(ds, col: str = "text", id_col: str = "doc_id",
         return out.astype({"a": "int64", "b": "int64", "truncated": "bool",
                            "est_jaccard": "float64"})
 
-    pairs_ds = (
+    pairs_raw = (
         sigged.map_batches(to_bands, batch_format="pandas")
         .groupby("_pb")
         .map_groups(partition_verified_pairs, batch_format="pandas")
-        .materialize()  # verified pairs only — reused by clustering + return
     )
-    clusters = components_auto(pairs_ds)
-    pairs = pairs_ds.to_pandas().drop_duplicates(subset=["a", "b"]) \
-        .reset_index(drop=True)
-    return clusters, pairs
+    # verified pairs only — globally deduped, reused by clustering + return
+    pairs_ds = _dedup_pairs_ds(pairs_raw).materialize()
+    clusters_ds = components_auto_ds(pairs_ds, driver_edge_cap=driver_edge_cap)
+    return clusters_ds, pairs_ds
 
 
 # --------------------------------------------------------------------------
@@ -424,14 +557,16 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def simhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3, concurrency: int | None = None,
-                  num_partitions: int = 32):
+                  num_partitions: int = 32,
+                  driver_edge_cap: int = DRIVER_EDGE_CAP):
     """SimHash near-dup: 4×16-bit bands (two docs within Hamming 3 of each
     other share at least one exact 16-bit band by pigeonhole when ≤3 of 4
     bands differ) → candidate pairs → Hamming verify IN the band bucket
     (the 8-byte fingerprint rides each band row) → distributed
     connected-components. Coarse ``_pb`` partitioning + a vectorized
     pandas groupby inside, same shape as ``minhash_lsh_dedup``; the
-    driver only ever sees the contracted component graph."""
+    driver only ever sees the boundary stitch graph. Returns
+    ``(clusters_ds, pairs_ds)`` Datasets; apply with ``dedup_apply``."""
     kw = {"concurrency": concurrency} if concurrency else {}
     hashed = ds.map_batches(SimHasher(col=col), batch_format="pandas", **kw)
 
@@ -476,16 +611,14 @@ def simhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
         return pd.concat(frames, ignore_index=True) \
             .drop_duplicates(subset=["a", "b"])
 
-    pairs_ds = (
+    pairs_raw = (
         hashed.map_batches(to_bands, batch_format="pandas")
         .groupby("_pb")
         .map_groups(partition_pairs, batch_format="pandas")
-        .materialize()
     )
-    clusters = components_auto(pairs_ds)
-    pairs = pairs_ds.to_pandas().drop_duplicates(subset=["a", "b"]) \
-        .reset_index(drop=True)
-    return clusters, pairs
+    pairs_ds = _dedup_pairs_ds(pairs_raw).materialize()
+    clusters_ds = components_auto_ds(pairs_ds, driver_edge_cap=driver_edge_cap)
+    return clusters_ds, pairs_ds
 
 
 # --------------------------------------------------------------------------
@@ -494,7 +627,8 @@ def simhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
 
 def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                     threshold: float = 0.95, num_planes: int = 16,
-                    seed: int = 777, num_partitions: int = 32):
+                    seed: int = 777, num_partitions: int = 32,
+                    driver_edge_cap: int = DRIVER_EDGE_CAP):
     """Near-dup by embedding cosine: random-hyperplane LSH buckets →
     exact cosine verify within bucket → distributed connected-components.
 
@@ -502,7 +636,8 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     the verifier data), but as a zero-copy Arrow ``list<float32>`` column
     — not pandas object rows — and grouped on a coarse ``_pb`` partition
     key. Pairs never gather on the driver; clusters come from
-    ``components_distributed_ds``. Returns (clusters, pairs)."""
+    ``components_auto_ds``. Returns ``(clusters_ds, pairs_ds)``
+    Datasets; apply with ``dedup_apply``."""
     import pyarrow.compute as pc
 
     # dimension probe from one row (metadata-cheap)
@@ -552,13 +687,11 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
             return _empty_verified_pairs("cos")[["a", "b", "cos"]]
         return pd.concat(frames, ignore_index=True)
 
-    pairs_ds = (
+    pairs_raw = (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_pb")
         .map_groups(partition_pairs, batch_format="pandas")
-        .materialize()
     )
-    clusters = components_auto(pairs_ds)
-    pairs = pairs_ds.to_pandas().drop_duplicates(subset=["a", "b"]) \
-        .reset_index(drop=True)
-    return clusters, pairs
+    pairs_ds = _dedup_pairs_ds(pairs_raw).materialize()
+    clusters_ds = components_auto_ds(pairs_ds, driver_edge_cap=driver_edge_cap)
+    return clusters_ds, pairs_ds

@@ -30,7 +30,8 @@ def main():
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
-    from chomper_ray.stages.dedup import exact_dedup, minhash_lsh_dedup
+    from chomper_ray.stages.dedup import (dedup_apply, exact_dedup,
+                                          minhash_lsh_dedup)
     from chomper_ray.stages.text import (QualityScorer, count_tokens,
                                          normalize_text)
     from chomper_ray.state.output import read_partitioned, write_partitioned
@@ -47,20 +48,19 @@ def main():
         [["doc_id", "text_norm"]].rename(columns={"text_norm": "text"}),
         batch_format="pandas")
 
-    # 2. exact dedup (hash-bucketed, value-verified)
-    uniq = exact_dedup(kept, col="text", id_col="doc_id")
+    # 2. exact dedup (hash-bucketed, value-verified); materialized because
+    # three consumers follow (count, near-dup signatures, dedup_apply)
+    uniq = exact_dedup(kept, col="text", id_col="doc_id").materialize()
     n_exact = uniq.count()
 
-    # 3. near-dup dedup: keep each cluster's min-id representative
-    clusters, _pairs = minhash_lsh_dedup(uniq, threshold=0.8)
-    drop = frozenset(k for k, rep in clusters.items() if rep != k)
-    dref = ray.put(drop)
-
-    def drop_near_dups(df):
-        d = ray.get(dref)
-        return df[~df["doc_id"].isin(d)]
-
-    final = uniq.map_batches(drop_near_dups, batch_format="pandas") \
+    # 3. near-dup dedup: clusters stay a Dataset end-to-end; dropping
+    # non-representative members is a bucketed anti-join — no driver-side
+    # id set, no matter how many duplicates the corpus holds
+    clusters_ds, _pairs = minhash_lsh_dedup(uniq, threshold=0.8)
+    n_near_dropped = clusters_ds.map_batches(
+        lambda df: df[df["id"] != df["rep"]][["id"]]
+        if len(df) else df, batch_format="pandas").count()
+    final = dedup_apply(uniq, clusters_ds, id_col="doc_id") \
         .map_batches(count_tokens, batch_format="pandas")
 
     # 4. resumable partitioned shards (rerun skips finished partitions)
@@ -70,7 +70,7 @@ def main():
     print(json.dumps({
         "input_docs": n0,
         "after_exact_dedup": n_exact,
-        "near_dup_dropped": len(drop),
+        "near_dup_dropped": n_near_dropped,
         "shard_partitions": stats["written"],
         "output_docs": back.count(),
         "out_dir": out_dir,

@@ -64,30 +64,44 @@ def main():
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
-    from chomper_ray.stages.dedup import minhash_lsh_dedup
+    from chomper_ray.stages.dedup import dedup_apply, minhash_lsh_dedup
 
     tbl, planted = make_docs(n_docs)
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024  # MiB
-    ds = rd.from_arrow(tbl).repartition(num_cpus * 4)
+    ds = rd.from_arrow(tbl).repartition(num_cpus * 4).materialize()
 
     t0 = time.perf_counter()
     # num_perm=32/bands=8 keeps band-row shuffle ≈ docs × 8 × 256 B +
     # overhead; num_partitions sized so one partition's rows stay ≈ tens
     # of MB per worker at 10^6 docs
-    clusters, pairs = minhash_lsh_dedup(
+    clusters_ds, pairs_ds = minhash_lsh_dedup(
         ds, num_perm=32, bands=8, threshold=0.7,
-        concurrency=num_cpus, num_partitions=max(64, num_cpus * 8))
+        concurrency=num_cpus, num_partitions=max(64, num_cpus * 8),
+        driver_edge_cap=0)  # force the fully-distributed components path
+    # apply the result the way a real pipeline would: bucketed anti-join,
+    # consumed by a streaming count — clusters never collect on the driver
+    kept = dedup_apply(ds, clusters_ds, id_col="doc_id").count()
     wall = time.perf_counter() - t0
+    n_pairs = pairs_ds.count()
     rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
 
-    found = sum(1 for b, d in planted if clusters.get(d) == clusters.get(b)
-                and clusters.get(d) is not None)
+    # recall oracle: pull ONLY the planted ids' cluster rows (bounded by
+    # the planted set, a synthesis artifact — not the full assignment)
+    pids = np.unique(np.array(planted, dtype=np.int64).reshape(-1)) \
+        if planted else np.array([], dtype=np.int64)
+    pref = ray.put(pids)
+    sub = clusters_ds.map_batches(
+        lambda df: df[df["id"].isin(ray.get(pref))] if len(df) else df,
+        batch_format="pandas").to_pandas()
+    cmap = dict(zip(sub["id"], sub["rep"])) if len(sub) else {}
+    found = sum(1 for b, d in planted
+                if cmap.get(d) is not None and cmap.get(d) == cmap.get(b, b))
     print(json.dumps({
         "metric": "minhash_stress_sec", "value": round(wall, 2),
         "unit": "sec", "n_docs": n_docs, "docs_per_sec": round(n_docs / wall),
         "planted_pairs": len(planted), "planted_recovered": found,
         "recall": round(found / max(1, len(planted)), 4),
-        "verified_pairs": int(len(pairs)),
+        "verified_pairs": int(n_pairs), "docs_kept_after_apply": int(kept),
         "driver_rss_mib_before": rss0, "driver_rss_mib_after": rss1,
         "num_cpus": num_cpus,
     }))

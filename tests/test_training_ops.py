@@ -33,8 +33,9 @@ def test_minhash_finds_near_dups_not_distinct():
     near = base.replace("lazy", "sleepy")
     other = ("completely different content about database engines and "
              "distributed shuffle performance tuning at scale") * 3
-    clusters, pairs = dedup.minhash_lsh_dedup(
+    clusters_ds, pairs_ds = dedup.minhash_lsh_dedup(
         docs_ds([base, near, other, base]), threshold=0.7, concurrency=2)
+    clusters = dedup.clusters_dict(clusters_ds)
     rep = {i: clusters.get(i, i) for i in range(4)}
     assert rep[0] == rep[1] == rep[3] == 0  # base, near-dup, exact-dup cluster
     assert rep[2] == 2                       # distinct doc alone
@@ -50,8 +51,9 @@ def test_simhash_near_dups():
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
     near = base.replace("kappa", "kappb", 1)
     other = "one two three four five six seven eight nine ten " * 5
-    clusters, pairs = dedup.simhash_dedup(
+    clusters_ds, pairs_ds = dedup.simhash_dedup(
         docs_ds([base, near, other]), max_hamming=6, concurrency=2)
+    clusters = dedup.clusters_dict(clusters_ds)
     assert clusters.get(1, 1) == 0
     assert clusters.get(2, 2) == 2
 
@@ -66,7 +68,7 @@ def test_embedding_dedup_cosine():
         "embedding": pa.array([x.tolist() for x in vecs],
                               type=pa.list_(pa.float32())),
     }))
-    clusters, pairs = dedup.embedding_dedup(ds, threshold=0.95)
+    clusters = dedup.clusters_dict(dedup.embedding_dedup(ds, threshold=0.95)[0])
     assert clusters.get(1, 1) == 0
     assert clusters.get(2, 2) == 2
 
@@ -76,6 +78,67 @@ def test_connected_components_transitive():
     c = dedup.connected_components(pairs)
     assert c[1] == c[2] == c[3] == 1
     assert c[10] == c[11] == 10
+
+
+def test_components_ds_matches_driver_union_find():
+    """The fully Dataset-native path (bucketed local CC → per-node stitch
+    stage → boundary-only driver stitch) must equal the driver oracle on
+    an adversarial random graph (chains spanning buckets)."""
+    rng = np.random.default_rng(41)
+    a = rng.integers(0, 300, 400)
+    b = rng.integers(0, 300, 400)
+    pairs = pd.DataFrame({"a": a, "b": b})
+    pairs = pairs[pairs["a"] != pairs["b"]].reset_index(drop=True)
+    uf = dedup.connected_components(pairs)
+    out = dedup.components_ds(
+        rd.from_arrow(pa.Table.from_pandas(pairs.astype("int64"),
+                                           preserve_index=False)),
+        num_buckets=4).to_pandas()
+    assert len(out) == len(out["id"].unique())  # one row per node
+    assert dict(zip(out["id"], out["rep"])) == uf
+
+
+def test_components_auto_ds_small_and_empty():
+    empty = rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                    "b": pa.array([], pa.int64())}))
+    assert dedup.components_auto_ds(empty.materialize()).count() == 0
+    small = rd.from_arrow(pa.table({"a": pa.array([5, 1], pa.int64()),
+                                    "b": pa.array([7, 5], pa.int64())}))
+    got = dedup.clusters_dict(dedup.components_auto_ds(small.materialize()))
+    assert got == {1: 1, 5: 1, 7: 1}
+
+
+def test_dedup_apply_drops_non_representatives():
+    texts = ["aaa bbb ccc"] * 1 + ["unique one"] + ["xxx yyy zzz"]
+    ds = docs_ds(texts + texts[:1])  # doc 3 duplicates doc 0
+    clusters = rd.from_arrow(pa.table({
+        "id": pa.array([0, 3], pa.int64()),
+        "rep": pa.array([0, 0], pa.int64()),
+    }))
+    kept = dedup.dedup_apply(ds, clusters, id_col="doc_id").to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 1, 2]
+    assert set(kept.columns) == {"doc_id", "text"}
+
+
+def test_dedup_apply_empty_clusters_keeps_all():
+    ds = docs_ds(["a", "b", "c"])
+    from chomper_ray.stages.dedup import _empty_clusters_ds
+    kept = dedup.dedup_apply(ds, _empty_clusters_ds(), id_col="doc_id") \
+        .to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 1, 2]
+
+
+def test_minhash_pairs_ds_globally_unique():
+    """Same pair surfacing from bands routed to different coarse
+    partitions must be deduped in the returned pairs Dataset."""
+    base = ("repeated content block for the pair-dedup test with many "
+            "tokens so shingles overlap heavily across copies ") * 4
+    ds = docs_ds([base, base, base + " tail", "other thing entirely " * 8])
+    _clusters, pairs_ds = dedup.minhash_lsh_dedup(ds, threshold=0.5,
+                                                  num_partitions=8)
+    p = pairs_ds.to_pandas()
+    assert len(p) == len(p.drop_duplicates(subset=["a", "b"]))
+    assert {(0, 1)}.issubset(set(zip(p["a"], p["b"])))
 
 
 # ---------------------------------------------------------------------- text
