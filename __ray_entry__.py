@@ -758,12 +758,35 @@ def _q_multimodal_audio_frames(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+_CDC_ORACLE_LOG = "/tmp/chomper_ray_log_oracle"
+_CDC_ORACLE_PARAMS = dict(n_events=20_000, n_urls=2_000, n_epochs=4,
+                          seed=42, evolution_epoch=2)
+
+
+def _ensure_cdc_oracle_log():
+    """Deterministic fixed-size change log + extracted-text sidecar
+    (idempotent; no Ray needed) — shared by the flagship query and its
+    DuckDB oracle so both see identical bytes regardless of which the
+    driver executes first."""
+    from chomper_ray.sources.events import generate_change_stream
+
+    return generate_change_stream(_CDC_ORACLE_LOG, with_expected_text=True,
+                                  **_CDC_ORACLE_PARAMS)
+
+
 def _q_cdc_upsert_pages(sf_dir: str):
-    # sf-scaled synthetic change stream (the engine's real workload);
-    # rows-only check — the pytest suite verifies it against the
-    # row-at-a-time oracle including byte-identical extraction.
-    n = 20_000 if "0.01" in sf_dir else 4_000
-    return _run_cdc_demo(n, max(200, n // 10), f"q{n}")
+    # The flagship: binlog tail → extract → LWW upsert, hash-verified
+    # against a DuckDB oracle (row_number LWW over the raw event log,
+    # minus tombstones, text bytes joined from the _oracle sidecar).
+    # sf-independent: the binlog is the engine's own workload,
+    # synthesized deterministically per the north rule.
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.state.lake import LakeTable
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_oracle_")
+    run_cdc(log, lake_root, num_partitions=8)
+    return LakeTable(lake_root, num_partitions=8).read()
 
 
 def _q_change_listeners(sf_dir: str):
@@ -850,7 +873,23 @@ def oracle_sql() -> dict[str, str]:
     from chomper_ray.stages.text import sql_normalize_expr, sql_quality_exprs
 
     q = sql_quality_exprs()
+    # generated eagerly so the oracle's read_parquet paths exist even if
+    # the driver evaluates the SQL before running the Ray query
+    cdc_log = _ensure_cdc_oracle_log()
     return {
+        "cdc_upsert_pages": (
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            f"sidecar AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/_oracle/*.parquet')) "
+            "SELECT w.url, w.warc_ts, w.lang, "
+            "CAST(w.fetch_status AS BIGINT) AS fetch_status, "
+            "s.text AS text, w.extra_score "
+            "FROM win w JOIN sidecar s USING (seq)"
+        ),
         "dropper_filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_discount "
             "FROM lineitem WHERE NOT (l_discount > 0.05)"

@@ -74,13 +74,24 @@ def generate_change_stream(
     rows_per_file: int = 50_000,
     html_scale: int = 1,
     force: bool = False,
+    with_expected_text: bool = False,
 ) -> Path:
     """Write the deterministic change log under ``out_dir``. Idempotent:
     if ``out_dir/_COMPLETE`` exists with matching params, returns at once
-    (so bench runs at two parallelism levels share identical input)."""
+    (so bench runs at two parallelism levels share identical input).
+
+    ``with_expected_text`` additionally writes an ``_oracle/`` sidecar of
+    ``(seq, text)`` rows — each event's html run through the SAME public
+    extractor at synthesis time. The engine never reads the sidecar
+    (``epoch_files`` globs only ``epoch=*/part-*.parquet``); a SQL oracle
+    joins it by ``seq`` to hash-verify that the pipeline's extracted
+    bytes survive LWW merge, schema evolution and partition routing
+    end-to-end. (Extraction-algorithm correctness itself is covered by
+    the byte-identical pytest oracle, not this sidecar.)"""
     out = Path(out_dir)
     stamp = (f"{n_events},{n_urls},{n_epochs},{seed},{delete_frac},"
-             f"{ooo_frac},{zipf_a},{evolution_epoch},{html_scale},{rows_per_file}")
+             f"{ooo_frac},{zipf_a},{evolution_epoch},{html_scale},"
+             f"{rows_per_file},{with_expected_text}")
     done = out / "_COMPLETE"
     if done.exists() and not force and done.read_text() == stamp:
         return out
@@ -152,6 +163,18 @@ def generate_change_stream(
             tmp = edir / f".part-{fi:04d}.parquet.tmp"
             pq.write_table(pa.table(cols), tmp)
             os.replace(tmp, edir / f"part-{fi:04d}.parquet")
+            if with_expected_text:
+                from chomper_ray.functions.extract import extract_text_column
+
+                odir = out / "_oracle"
+                odir.mkdir(parents=True, exist_ok=True)
+                otmp = odir / f".e{e:06d}-part-{fi:04d}.parquet.tmp"
+                pq.write_table(pa.table({
+                    "seq": pa.array(seq[idx], type=pa.int64()),
+                    "text": pa.array(extract_text_column(html),
+                                     type=pa.string()),
+                }), otmp)
+                os.replace(otmp, odir / f"e{e:06d}-part-{fi:04d}.parquet")
 
     tmp = out / "._COMPLETE.tmp"
     tmp.write_text(stamp)
