@@ -23,3 +23,51 @@ caller (driver, bench.py, or the test fixture).
 """
 
 __version__ = "0.2.0"
+
+
+def _pin_fsspec_http_stub():
+    """Make ``fsspec.implementations.http`` imports deterministic.
+
+    Ray Data probes ``from fsspec.implementations.http import
+    HTTPFileSystem`` on EVERY path resolution
+    (``ray/data/datasource/path_util.py:_is_http_filesystem``), catching
+    only ``ModuleNotFoundError``. In containers without ``aiohttp`` that
+    import fails every time — and Python does not cache failed imports, so
+    two concurrently-executing datasets (e.g. concurrent tail runners in
+    one process) can race the repeated import/cleanup cycle: one thread
+    observes the half-initialized module and gets a plain ``ImportError``
+    ("cannot import name 'HTTPFileSystem'"), which escapes Ray's guard and
+    kills the read. Pin a stub module into ``sys.modules`` once, under a
+    single thread at package import, so every later lookup is a race-free
+    dict hit. The stub's ``HTTPFileSystem`` matches no real filesystem, so
+    ``_is_http_filesystem`` correctly returns False; nothing else can use
+    fsspec-over-http here anyway (no aiohttp, no network).
+    """
+    import sys
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return  # real module available: nothing to pin
+    except ImportError:
+        pass
+    import types
+    try:
+        import fsspec.implementations as _fsspec_impl
+    except ImportError:  # pragma: no cover - fsspec itself absent
+        return
+
+    stub = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # pragma: no cover - never instantiated
+        def __init__(self, *a, **k):
+            raise ImportError(
+                "fsspec HTTP filesystem unavailable: aiohttp is not "
+                "installed in this environment")
+
+    stub.HTTPFileSystem = HTTPFileSystem
+    stub.__doc__ = "chomper_ray stub (aiohttp absent; see _pin_fsspec_http_stub)"
+    sys.modules.setdefault("fsspec.implementations.http", stub)
+    if not hasattr(_fsspec_impl, "http"):
+        _fsspec_impl.http = sys.modules["fsspec.implementations.http"]
+
+
+_pin_fsspec_http_stub()

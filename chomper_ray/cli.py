@@ -63,7 +63,8 @@ def main(argv=None):
 
     t = sub.add_parser("truncate", help="full-refresh commit")
     t.add_argument("--lake-root", required=True)
-    t.add_argument("--epoch", type=int, required=True)
+    t.add_argument("--epoch", type=int, default=None,
+                   help="chain id for the commit; default: next free id")
 
     c = sub.add_parser("compact", help="garbage-collect unreferenced snapshots")
     c.add_argument("--lake-root", required=True)
@@ -72,7 +73,8 @@ def main(argv=None):
 
     pg = sub.add_parser("purge", help="drop tombstones older than a watermark")
     pg.add_argument("--lake-root", required=True)
-    pg.add_argument("--epoch", type=int, required=True)
+    pg.add_argument("--epoch", type=int, default=None,
+                    help="chain id for the commit; default: next free id")
     pg.add_argument("--watermark-ts-us", type=int, required=True,
                     help="producer guarantee: no future event carries "
                          "warc_ts <= this")
@@ -120,6 +122,7 @@ def main(argv=None):
         m = load_manifest(args.lake_root)
         print(json.dumps({
             "last_committed_epoch": lake.last_committed_epoch(),
+            "last_applied_log_epoch": lake.last_applied_log_epoch(),
             "snapshot_hash": lake.snapshot_hash(),
             "num_partitions": (m or {}).get("num_partitions"),
             "live_rows": sum(v.get("live_rows", 0)

@@ -95,7 +95,9 @@ def run_cdc(
     t0 = time.perf_counter()
     lake = LakeTable(lake_root, num_partitions=num_partitions,
                      **(lake_kwargs or {}))
-    last = lake.last_committed_epoch()
+    # the BINLOG cursor, not the manifest-chain head: maintenance commits
+    # (purge/compact between polls) advance the chain but not the cursor
+    last = lake.last_applied_log_epoch()
     pending = [e for e in ev.list_epochs(log_dir) if last is None or e > last]
     if max_epochs is not None:
         pending = pending[:max_epochs]

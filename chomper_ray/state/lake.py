@@ -95,6 +95,9 @@ class PartitionMismatchError(ValueError):
 @dataclass
 class CommitResult:
     epoch: int
+    # manifest-chain id this commit landed at; equals ``epoch`` unless
+    # maintenance commits (purge/truncate) interleaved with the tail
+    commit_id: int | None = None
     skipped: bool = False
     partitions_touched: int = 0
     rows_upserted: int = 0
@@ -172,10 +175,15 @@ class _PartitionMerger:
                  insert_missing: bool = True, staging_root: str | None = None,
                  version_ts: str = "warc_ts", num_partitions: int = 16,
                  id_field: str | None = None,
-                 id_starts: dict[int, int] | None = None):
+                 id_starts: dict[int, int] | None = None,
+                 commit_id: int | None = None):
         self.num_partitions = num_partitions
         self.id_field = id_field
         self.id_starts = id_starts or {}
+        # manifest-chain id: names the output snapshot files (unique across
+        # the chain even when maintenance commits interleave or a truncate
+        # re-feeds the same log epochs); defaults to the log epoch
+        self.commit_id = epoch if commit_id is None else commit_id
         self.root = root
         self.staging_root = staging_root or root
         self.version_ts = version_ts
@@ -190,13 +198,13 @@ class _PartitionMerger:
         self.collect_changes = collect_changes
         self.insert_missing = insert_missing
 
-    # multi-epoch drain plan: [(epoch, schema_json, commit_ts_us), ...] —
-    # set by commit_staged_multi; when present, each partition task
-    # threads its snapshot through EVERY pending epoch in one invocation
-    # (one Ray dataset execution for the whole backlog instead of one per
-    # epoch — the per-epoch driver barrier was the dominant fixed cost in
-    # the scaling analysis)
-    epoch_plan: list[tuple[int, list, int]] | None = None
+    # multi-epoch drain plan: [(log_epoch, commit_id, schema_json,
+    # commit_ts_us), ...] — set by commit_staged_multi; when present, each
+    # partition task threads its snapshot through EVERY pending epoch in
+    # one invocation (one Ray dataset execution for the whole backlog
+    # instead of one per epoch — the per-epoch driver barrier was the
+    # dominant fixed cost in the scaling analysis)
+    epoch_plan: list[tuple[int, int, list, int]] | None = None
 
     def __call__(self, pids: pa.Table) -> pa.Table:
         if self.epoch_plan is None:
@@ -210,14 +218,15 @@ class _PartitionMerger:
     def _merge_chain(self, pid: int) -> list[pa.Table]:
         base_tbl = self._load_base(pid,
                                    schema_mod.schema_from_json(
-                                       self.epoch_plan[0][1]))
+                                       self.epoch_plan[0][2]))
         rows = []
-        for epoch, schema_json, commit_ts_us in self.epoch_plan:
+        for epoch, cid, schema_json, commit_ts_us in self.epoch_plan:
             changes = self._read_staged(pid, epoch)
             if changes.num_rows == 0:
                 continue  # epoch didn't touch this partition
             base_tbl, row = self._merge_step(pid, base_tbl, changes, epoch,
-                                             schema_json, commit_ts_us)
+                                             schema_json, commit_ts_us,
+                                             commit_id=cid)
             rows.append(row)
         return rows
 
@@ -253,16 +262,17 @@ class _PartitionMerger:
         changes = self._read_staged(pid, self.epoch)
         _, row = self._merge_step(pid, self._load_base(pid, target), changes,
                                   self.epoch, self.schema_json,
-                                  self.commit_ts_us)
+                                  self.commit_ts_us, commit_id=self.commit_id)
         return row
 
     def _merge_step(self, pid: int, base_tbl: pa.Table, changes: pa.Table,
-                    epoch: int, schema_json: list, commit_ts_us: int
-                    ) -> tuple[pa.Table, pa.Table]:
+                    epoch: int, schema_json: list, commit_ts_us: int,
+                    commit_id: int | None = None) -> tuple[pa.Table, pa.Table]:
         """One epoch's copy-on-write merge for one partition; returns
         ``(new_snapshot_table, lineage_row)`` so a drain can thread the
         snapshot straight into the next epoch without a re-read."""
         t0 = time.perf_counter()
+        cid = epoch if commit_id is None else commit_id
         target = schema_mod.schema_from_json(schema_json)
         root = Path(self.root)
         # widen an older snapshot to the evolved schema
@@ -319,8 +329,8 @@ class _PartitionMerger:
 
         pdir = root / _DATA_DIR / f"p={pid:05d}"
         pdir.mkdir(parents=True, exist_ok=True)
-        rel = f"{_DATA_DIR}/p={pid:05d}/snap-{epoch:06d}.parquet"
-        tmp = pdir / f".snap-{epoch:06d}.parquet.tmp"
+        rel = f"{_DATA_DIR}/p={pid:05d}/snap-{cid:06d}.parquet"
+        tmp = pdir / f".snap-{cid:06d}.parquet.tmp"
         pq.write_table(out_tbl, tmp)
         os.replace(tmp, root / rel)
 
@@ -329,8 +339,11 @@ class _PartitionMerger:
         if events is not None and len(events):
             cdir = root / _CHANGES_DIR / f"p={pid:05d}"
             cdir.mkdir(parents=True, exist_ok=True)
-            ch_rel = f"{_CHANGES_DIR}/p={pid:05d}/epoch-{epoch:06d}.parquet"
-            ctmp = cdir / f".epoch-{epoch:06d}.parquet.tmp"
+            # log epoch first (the user-facing change-event epoch), commit
+            # id second (uniqueness across truncate-refeed chains)
+            ch_rel = (f"{_CHANGES_DIR}/p={pid:05d}/"
+                      f"epoch-{epoch:06d}-c{cid:06d}.parquet")
+            ctmp = cdir / f".epoch-{epoch:06d}-c{cid:06d}.parquet.tmp"
             pq.write_table(pa.Table.from_pandas(events, preserve_index=False), ctmp)
             os.replace(ctmp, root / ch_rel)
             n_events = len(events)
@@ -449,6 +462,29 @@ class LakeTable:
         eps = committed_epochs(self.root)
         return eps[-1] if eps else None
 
+    def last_applied_log_epoch(self) -> int | None:
+        """The binlog cursor: highest source-log epoch applied to the
+        table. Decoupled from ``last_committed_epoch`` (the manifest-chain
+        id) so maintenance commits — purge/compact between tail polls —
+        never advance the cursor past unapplied log epochs. Maintenance
+        manifests carry the cursor forward; ``truncate`` resets it (full
+        refresh = re-feed from scratch). Pre-decoupling manifests have no
+        ``log_epoch`` field: there the two numberings coincide."""
+        m = load_manifest(self.root)
+        if not m:
+            return None
+        le = m.get("log_epoch", m.get("epoch"))
+        return None if le is None else int(le)
+
+    def _alloc_commit_id(self, log_epoch: int) -> int:
+        """Next manifest-chain id for an ingest commit. Deterministic
+        given the observed chain head, so concurrent runners at the same
+        cursor collide on the same manifest path (first-writer-wins); a
+        stale runner always computes an id <= the current head and loses
+        the exclusive create."""
+        last = self.last_committed_epoch()
+        return log_epoch if last is None else max(last + 1, log_epoch)
+
     def current_schema(self) -> pa.Schema | None:
         m = load_manifest(self.root)
         return schema_mod.schema_from_json(m["schema"]) if m else None
@@ -510,6 +546,18 @@ class LakeTable:
                 if "epoch" in te.column_names:
                     te = te.drop_columns(["epoch"])
                 envelope = schema_mod.schema_from_json(env_json[e])
+                # a drain reads many epochs' files in one task; Ray's
+                # batch-level schema unification back-fills later epochs'
+                # additive columns as ALL-NULL onto earlier epochs' rows.
+                # Those artifacts are safe to drop; a non-null column the
+                # envelope doesn't know still fails loudly in conform.
+                artifacts = [
+                    c for c in te.column_names
+                    if c not in envelope.names
+                    and te[c].null_count == len(te)
+                ]
+                if artifacts:
+                    te = te.drop_columns(artifacts)
                 te = schema_mod.conform(te, envelope)
                 te = lww_dedup_table(te, key, version)
                 b = stable_bucket(te[key], nb)
@@ -618,21 +666,27 @@ class LakeTable:
                       commit_ts_us: int | None = None,
                       stage_s: float = 0.0,
                       events_in_override: int | None = None) -> CommitResult:
-        """Phase B + atomic manifest for an already-staged epoch."""
+        """Phase B + atomic manifest for an already-staged epoch.
+        ``epoch`` is the LOG epoch; the manifest lands at an allocated
+        chain id (== log epoch unless maintenance commits interleaved)."""
         import ray.data as rd
 
         t0 = time.perf_counter()
-        if _manifest_path(self.root, epoch).exists():
+        applied = self.last_applied_log_epoch()
+        if applied is not None and epoch <= applied:
             return CommitResult(epoch=epoch, skipped=True)
         self._sync_partitions()
+        cid = self._alloc_commit_id(epoch)
+        if _manifest_path(self.root, cid).exists():
+            return CommitResult(epoch=epoch, commit_id=cid, skipped=True)
         prev = load_manifest(self.root)
         prev_files = {int(p): v["file"]
                       for p, v in (prev or {"partitions": {}})["partitions"].items()}
         prev_parts = (prev or {}).get("partitions", {})
         schema_json = schema_mod.schema_to_json(target)
         if commit_ts_us is None:
-            # deterministic per epoch (replays produce identical timestamps)
-            commit_ts_us = 1_600_000_000_000_000 + epoch * 1_000_000
+            # deterministic per chain id (replays produce identical timestamps)
+            commit_ts_us = 1_600_000_000_000_000 + cid * 1_000_000
 
         id_starts: dict[int, int] = {}
         next_max_id = (prev or {}).get("max_id")
@@ -651,6 +705,7 @@ class LakeTable:
             str(self._staging_base), version_ts=self.version[0],
             num_partitions=self.num_partitions,
             id_field=self.id_field, id_starts=id_starts,
+            commit_id=cid,
         )
 
         def merge_partitions(batch: pa.Table, _m=merger) -> pa.Table:
@@ -690,7 +745,8 @@ class LakeTable:
 
         wall = stage_s + merge_s
         manifest = {
-            "epoch": epoch,
+            "epoch": cid,
+            "log_epoch": epoch,
             "key": self.key,
             "num_partitions": self.num_partitions,
             "schema": schema_json,
@@ -701,11 +757,13 @@ class LakeTable:
         }
         if next_max_id is not None:
             manifest["max_id"] = int(next_max_id)
-        if not _commit_manifest_exclusive(_manifest_path(self.root, epoch),
+        if not _commit_manifest_exclusive(_manifest_path(self.root, cid),
                                           manifest):
-            return CommitResult(epoch=epoch, skipped=True)  # lost the race
+            # lost the race
+            return CommitResult(epoch=epoch, commit_id=cid, skipped=True)
         return CommitResult(
-            epoch=epoch, skipped=False, partitions_touched=len(stats),
+            epoch=epoch, commit_id=cid, skipped=False,
+            partitions_touched=len(stats),
             rows_upserted=int(stats["events_in"].sum()),
             rows_deleted=int(stats["deleted_rows"].sum()),
             total_rows=sum(int(v["live_rows"]) for v in partitions.values()),
@@ -735,8 +793,9 @@ class LakeTable:
             return [self.commit_staged(e, t, touched_by_epoch.get(e, []),
                                        stage_s=stage_s / n)
                     for e, t in plan]
+        applied = self.last_applied_log_epoch()
         plan = [(e, t) for e, t in plan
-                if not _manifest_path(self.root, e).exists()]
+                if applied is None or e > applied]
         results = []
         if not plan:
             return results
@@ -747,8 +806,18 @@ class LakeTable:
                       for p, v in (prev or {"partitions": {}})["partitions"].items()}
         prev_parts = (prev or {}).get("partitions", {})
 
+        # chain ids for the whole drain, allocated once against the
+        # observed head (deterministic across racing runners at the same
+        # cursor — the per-manifest exclusive create arbitrates)
+        cids: dict[int, int] = {}
+        nxt = self._alloc_commit_id(plan[0][0])
+        for e, _ in plan:
+            nxt = max(nxt, e)
+            cids[e] = nxt
+            nxt += 1
+
         def ts(e):
-            return 1_600_000_000_000_000 + e * 1_000_000
+            return 1_600_000_000_000_000 + cids[e] * 1_000_000
 
         merger = _PartitionMerger(
             str(self.root), plan[0][0], prev_files,
@@ -757,8 +826,9 @@ class LakeTable:
             ts(plan[0][0]), self.collect_changes, self.insert_missing,
             str(self._staging_base), version_ts=self.version[0],
             num_partitions=self.num_partitions,
+            commit_id=cids[plan[0][0]],
         )
-        merger.epoch_plan = [(e, schema_mod.schema_to_json(t), ts(e))
+        merger.epoch_plan = [(e, cids[e], schema_mod.schema_to_json(t), ts(e))
                              for e, t in plan]
         all_pids = sorted(set().union(
             *[set(touched_by_epoch.get(e, [])) for e, _ in plan]))
@@ -800,7 +870,8 @@ class LakeTable:
                     "wall_s": float(r.wall_s),
                 })
             manifest = {
-                "epoch": e,
+                "epoch": cids[e],
+                "log_epoch": e,
                 "key": self.key,
                 "num_partitions": self.num_partitions,
                 "schema": schema_mod.schema_to_json(target),
@@ -809,16 +880,18 @@ class LakeTable:
                 "lineage": lineage,
                 "wall_s": round((stage_s + merge_s) / len(plan), 4),
             }
-            if not _commit_manifest_exclusive(_manifest_path(self.root, e),
-                                              manifest):
+            if not _commit_manifest_exclusive(
+                    _manifest_path(self.root, cids[e]), manifest):
                 # lost the race to a concurrent runner: epoch already
                 # committed with IDENTICAL content (merges are
                 # deterministic over the same log) — mark skipped and
                 # keep going; later manifests in this chain remain valid
-                results.append(CommitResult(epoch=e, skipped=True))
+                results.append(CommitResult(epoch=e, commit_id=cids[e],
+                                            skipped=True))
                 continue
             results.append(CommitResult(
-                epoch=e, skipped=False, partitions_touched=len(es),
+                epoch=e, commit_id=cids[e], skipped=False,
+                partitions_touched=len(es),
                 rows_upserted=int(es["events_in"].sum()) if len(es) else 0,
                 rows_deleted=int(es["deleted_rows"].sum()) if len(es) else 0,
                 total_rows=sum(int(v["live_rows"]) for v in partitions.values()),
@@ -838,7 +911,8 @@ class LakeTable:
         ``seq``) + data columns; ``html`` should already be dropped /
         ``text`` extracted by the upstream transform chain.
         """
-        if _manifest_path(self.root, epoch).exists():
+        applied = self.last_applied_log_epoch()
+        if applied is not None and epoch <= applied:
             return CommitResult(epoch=epoch, skipped=True)
         if schema_hint is None:
             schema_hint = changes_ds.schema()  # may execute one block
@@ -950,7 +1024,10 @@ class LakeTable:
             m = load_manifest(self.root, e)
             for ln in m.get("lineage", []):
                 if ln.get("changes_file"):
-                    out.append((e, str(self.root / ln["changes_file"])))
+                    # lineage rows carry the LOG epoch (the user-facing
+                    # change-event epoch; the manifest id may differ)
+                    out.append((int(ln.get("epoch", e)),
+                                str(self.root / ln["changes_file"])))
         return out
 
     def change_events_ds(self):
@@ -973,7 +1050,9 @@ class LakeTable:
         def add_epoch(t: pa.Table) -> pa.Table:
             import re
 
-            eps = [int(re.search(r"epoch-(\d+)\.parquet", p).group(1))
+            # epoch-<log>[-c<commit_id>].parquet — first group is the
+            # user-facing log epoch
+            eps = [int(re.search(r"epoch-(\d+)", p).group(1))
                    for p in t["path"].to_pylist()]
             return t.drop_columns(["path"]).append_column(
                 "epoch", pa.array(eps, type=pa.int64()))
@@ -994,18 +1073,28 @@ class LakeTable:
         return pd.concat(frames, ignore_index=True)
 
     # -- full refresh ------------------------------------------------------
-    def truncate(self, epoch: int) -> CommitResult:
-        """Full-refresh commit: the table state after ``epoch`` is empty
+    def truncate(self, epoch: int | None = None) -> CommitResult:
+        """Full-refresh commit: the table state after this commit is empty
         (reference ``PostgresTruncator``, contrib/postgres.py:262-292 —
         used as a pipeline step before re-feeding). Data files of earlier
         snapshots remain on disk for time travel until compaction; only
-        the manifest pointer changes. Exactly-once like any commit."""
+        the manifest pointer changes. Exactly-once like any commit.
+
+        Resets the binlog cursor (``log_epoch: None``) so the re-feed
+        replays the source from scratch. ``epoch=None`` auto-allocates
+        the next chain id."""
+        last = self.last_committed_epoch()
+        if epoch is None:
+            epoch = 0 if last is None else last + 1
+        elif last is not None and epoch <= last:
+            return CommitResult(epoch=epoch, skipped=True)
         if _manifest_path(self.root, epoch).exists():
             return CommitResult(epoch=epoch, skipped=True)
         self._sync_partitions()
         prev = load_manifest(self.root)
         manifest = {
             "epoch": epoch,
+            "log_epoch": None,
             "key": self.key,
             "num_partitions": (prev or {}).get("num_partitions",
                                                self.num_partitions),
@@ -1024,7 +1113,8 @@ class LakeTable:
         return CommitResult(epoch=epoch, total_rows=0)
 
     # -- maintenance -------------------------------------------------------
-    def purge_tombstones(self, epoch: int, watermark_ts_us: int) -> CommitResult:
+    def purge_tombstones(self, epoch: int | None = None,
+                         watermark_ts_us: int = 0) -> CommitResult:
         """Maintenance commit: physically drop tombstoned rows whose
         version ``warc_ts < watermark``.
 
@@ -1035,10 +1125,21 @@ class LakeTable:
         carries ``warc_ts`` ≤ the watermark (bounded out-of-orderness —
         the CDC norm). Runs as a normal exactly-once commit: per-partition
         rewrite tasks → new snapshots → atomic manifest.
+
+        Carries the binlog cursor (``log_epoch``) forward unchanged, so a
+        purge BETWEEN tail polls never skips pending log epochs.
+        ``epoch=None`` auto-allocates the next chain id.
         """
         import ray.data as rd
 
         t0 = time.perf_counter()
+        last = self.last_committed_epoch()
+        if epoch is None:
+            if last is None:
+                return CommitResult(epoch=-1, skipped=True)
+            epoch = last + 1
+        elif last is not None and epoch <= last:
+            return CommitResult(epoch=epoch, skipped=True)
         if _manifest_path(self.root, epoch).exists():
             return CommitResult(epoch=epoch, skipped=True)
         self._sync_partitions()
@@ -1063,8 +1164,11 @@ class LakeTable:
                             pa.scalar(watermark_ts_us,
                                       type=tbl[ver_col].type)))
                 kept = tbl.filter(pc.invert(pc.fill_null(drop, False)))
-                new_rel = f"{_DATA_DIR}/p={pid:05d}/snap-{epoch:06d}.parquet"
-                tmp = Path(root) / f"{_DATA_DIR}/p={pid:05d}/.snap-{epoch:06d}.parquet.tmp"
+                # 'm' suffix: a maintenance rewrite must never share a
+                # snapshot path with a racing ingest merge at the same
+                # chain id (different content, first-writer-wins manifests)
+                new_rel = f"{_DATA_DIR}/p={pid:05d}/snap-{epoch:06d}m.parquet"
+                tmp = Path(root) / f"{_DATA_DIR}/p={pid:05d}/.snap-{epoch:06d}m.parquet.tmp"
                 pq.write_table(kept, tmp)
                 os.replace(tmp, Path(root) / new_rel)
                 h = snapshot_content_hash(kept.to_pandas(), key)
@@ -1091,6 +1195,8 @@ class LakeTable:
                                       "live_rows": int(r.live), "hash": r.hash}
         manifest = {
             "epoch": epoch, "key": self.key,
+            # the binlog cursor passes through maintenance untouched
+            "log_epoch": prev.get("log_epoch", prev.get("epoch")),
             # inherit the previous manifest's count (like truncate) — a
             # maintenance commit must never re-declare the layout
             "num_partitions": prev.get("num_partitions", self.num_partitions),
