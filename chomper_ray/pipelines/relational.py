@@ -612,13 +612,14 @@ def grouped_quantile(ds, key: str, value: str, q: float = 0.5,
 
 
 def grouped_quantile_approx(ds, key: str, value: str, q: float = 0.5,
-                            bins: int = 4096, out: str = "quantile"):
+                            bins: int = 4096, out: str = "quantile",
+                            max_groups: int = 1_000_000):
     """Approximate grouped quantile for CONTINUOUS values — the scale
     companion to ``grouped_quantile`` (whose distinct-(key,value) shuffle
     degenerates to all rows for float columns). Mergeable fixed-bin
     histogram sketch:
 
-    1. per-(block, key) min/max → grouped reduce → tiny {key: range} map
+    1. per-(block, key) min/max → grouped reduce → {key: range} map
        broadcast via ``ray.put``;
     2. per-(block, key) ``bins``-bin histogram (one ``np.histogram`` per
        key per block) → grouped vector-sum → quantile read off the
@@ -626,6 +627,16 @@ def grouped_quantile_approx(ds, key: str, value: str, q: float = 0.5,
 
     Error ≤ (max−min)/bins per group. Shuffle volume: one histogram row
     per (block, key) — never the values.
+
+    The broadcast range map is O(#groups) on the driver and in every
+    task's heap, so the sketch only pays off for FEW groups × MANY values
+    per group. Above ``max_groups`` distinct keys (counted distributed,
+    before anything is collected) this routes to the exact co-partitioned
+    ``grouped_quantile`` instead: at that cardinality the mean group is
+    small, a row shuffle of (key, value) is the cheaper plan, and no
+    per-group object ever forms on the driver. Result column/name
+    contract is identical on both paths (exact path error = 0, within the
+    sketch's error bar).
     """
     import math
 
@@ -641,9 +652,12 @@ def grouped_quantile_approx(ds, key: str, value: str, q: float = 0.5,
         return pd.DataFrame({key: [g[key].iloc[0]],
                              "mn": [g["mn"].min()], "mx": [g["mx"].max()]})
 
-    ranges = (ds.map_batches(mm_partial, batch_format="pandas")
-              .groupby(key).map_groups(mm_final, batch_format="pandas")
-              .to_pandas())  # one row per group — driver metadata only
+    ranges_ds = (ds.map_batches(mm_partial, batch_format="pandas")
+                 .groupby(key).map_groups(mm_final, batch_format="pandas")
+                 .materialize())  # one row per group, held in the object store
+    if ranges_ds.count() > max_groups:
+        return grouped_quantile(ds, key, value, q=q, out=out)
+    ranges = ranges_ds.to_pandas()  # bounded by max_groups — driver metadata
     rmap = {r[0]: (float(r[1]), float(r[2]))
             for r in ranges.itertuples(index=False)}
     rref = ray.put(rmap)
