@@ -29,6 +29,58 @@ class TestExtract:
         rows = [extract_text(h) for h in htmls]
         assert all(b.encode() == r.encode() for b, r in zip(batch, rows))
 
+    def test_optimized_kernel_matches_naive_spec(self):
+        """The shipped kernel skips no-op whitespace rewrites and fuses
+        the script/style/comment scans; this pins it byte-identical to
+        the straightforward one-pattern-per-step spec it replaced, on
+        generator pages, adversarial fragments, and random byte soup."""
+        import re
+
+        import numpy as np
+
+        from chomper_ray.sources.events import _make_html
+
+        SS = re.compile(rb"<(script|style)\b[^>]*>.*?</\1\s*>",
+                        re.IGNORECASE | re.DOTALL)
+        CMT = re.compile(rb"<!--.*?-->", re.DOTALL)
+        TAG = re.compile(rb"<[^>]+>")
+        WS = re.compile(rb"[ \t\r\f\v]+")
+        NL = re.compile(rb"\n\s*\n+")
+        ENTS = [(b"&nbsp;", b" "), (b"&amp;", b"&"), (b"&lt;", b"<"),
+                (b"&gt;", b">"), (b"&quot;", b'"'), (b"&#39;", b"'")]
+
+        def naive(html):
+            b = CMT.sub(b" ", SS.sub(b" ", html))
+            b = TAG.sub(b"\n", b)
+            for e, r in ENTS:
+                b = b.replace(e, r)
+            b = NL.sub(b"\n", WS.sub(b" ", b))
+            t = b.decode("utf-8", errors="replace")
+            return "\n".join(s.strip() for s in t.split("\n") if s.strip())
+
+        cases = [
+            b"", b"<p>a  b\tc</p>", b"a \t b", b"  lead", b"trail   ",
+            b"<script>x</script>y<!--z-->w",
+            b"<ScRiPt a=b>var x=1</script  >tail",
+            b"<style media='x'>p{}</style>ok",
+            b"\xc2\xa0  hi \xff<b>q</b>", b"&nbsp;&amp;&lt;&gt;&quot;&#39;",
+            b"a\r\nb\f\vc", b"no tags", b"< notatag", b"a\n\n\n\nb",
+            b"x<!-- unterminated", b"<script>never closed", b"tab\there",
+            b"a \n b", b"<!--<script>nested</script>-->kept",
+        ]
+        cases += [_make_html(f"https://s{i % 7}.com/p/{i}", i, i * 13,
+                             scale=1 + i % 4) for i in range(200)]
+        rng = np.random.default_rng(3)
+        alphabet = (b"<>/! -\t\r\n\f\vscriptyle&ampnbsq;#39\"'abz\xc2\xa0\xff"
+                    b"\xe2\x82\xac")
+        for n in (0, 1, 7, 40, 300):
+            for _ in range(40):
+                frag = bytes(rng.choice(np.frombuffer(alphabet, np.uint8),
+                                        size=n))
+                cases.append(frag)
+        for c in cases:
+            assert extract_text(c) == naive(c), c
+
 
 class TestSchemaEvolution:
     def test_widen_ints_and_floats(self):
