@@ -473,6 +473,25 @@ def _q_normalize_text(sf_dir: str):
                      batch_format="pandas")
 
 
+def _q_pii_scrub(sf_dir: str):
+    from chomper_ray.stages.text import scrub_pii
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(scrub_pii, batch_format="pandas") \
+        .map_batches(lambda df: df[["doc_id", "text_scrubbed", "n_pii"]],
+                     batch_format="pandas")
+
+
+def _q_repetition_stats(sf_dir: str):
+    from chomper_ray.stages.text import repetition_stats
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(repetition_stats, batch_format="pandas") \
+        .map_batches(
+            lambda df: df[["doc_id", "dup_word_frac", "top_word_frac"]],
+            batch_format="pandas")
+
+
 def _q_top_bigrams(sf_dir: str):
     import pandas as pd
 
@@ -843,6 +862,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_tokens": _q_median_tokens,
         "median_value_approx": _q_median_value_approx,
         "normalize_text": _q_normalize_text,
+        "pii_scrub": _q_pii_scrub,
+        "repetition_stats": _q_repetition_stats,
         "df_prune_tokens": _q_df_prune_tokens,
         "top_bigrams": _q_top_bigrams,
         "top_revenue_orders": _q_top_revenue_orders,
@@ -870,9 +891,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from chomper_ray.stages.text import sql_normalize_expr, sql_quality_exprs
+    from chomper_ray.stages.text import (sql_normalize_expr, sql_pii_exprs,
+                                         sql_quality_exprs,
+                                         sql_repetition_exprs)
 
     q = sql_quality_exprs()
+    _pii = sql_pii_exprs()
+    _rep = sql_repetition_exprs()
     # generated eagerly so the oracle's read_parquet paths exist even if
     # the driver evaluates the SQL before running the Ray query
     cdc_log = _ensure_cdc_oracle_log()
@@ -997,6 +1022,20 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": (
             f"SELECT doc_id, {sql_normalize_expr('text')} AS text_norm "
             "FROM documents"
+        ),
+        "pii_scrub": (
+            f"SELECT doc_id, {_pii['text_scrubbed']} AS text_scrubbed, "
+            f"{_pii['n_pii']}::BIGINT AS n_pii FROM documents"
+        ),
+        "repetition_stats": (
+            "WITH w AS (SELECT doc_id, unnest(string_split(coalesce(text, "
+            "''), ' ')) AS word FROM documents), "
+            "c AS (SELECT doc_id, word, count(*) AS n FROM w "
+            "GROUP BY doc_id, word), "
+            "t AS (SELECT doc_id, round(max(n) * 1.0 / sum(n), 6) AS "
+            "top_word_frac FROM c GROUP BY doc_id) "
+            f"SELECT d.doc_id, {_rep['dup_word_frac']} AS dup_word_frac, "
+            "t.top_word_frac FROM documents d JOIN t USING (doc_id)"
         ),
         "df_prune_tokens": (
             "WITH l AS (SELECT doc_id, string_split(text, ' ') AS ls "

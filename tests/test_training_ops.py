@@ -149,6 +149,66 @@ def test_token_count_matches_split():
     assert out["n_tokens"].tolist() == [3, 0, 0, 1]
 
 
+def test_pii_scrub_parity_with_duckdb():
+    """Planted-PII redaction: the engine's Python-re pass must be
+    byte-identical to the DuckDB RE2 oracle (same patterns, same order),
+    including counts, nulls, and non-matches."""
+    import duckdb
+
+    from chomper_ray.stages.text import scrub_pii, sql_pii_exprs
+
+    texts = [
+        "contact me at john.doe+spam@ex-ample.org or call +1 (555) 123-4567",
+        "server at 192.168.0.1 and 10.0.0.255 ping",
+        "no pii here just words words words",
+        "a@b.co x@y.io 555 1234567 end",
+        "edge@case.museum trailing phone 0123456789",
+        "", None,
+        "dots.1.2.3.4.5 not ip 1.2.3.4 yes",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = scrub_pii(df.copy())
+    con = duckdb.connect()
+    con.register("docs", df)
+    e = sql_pii_exprs()
+    sql = con.sql(
+        f"select doc_id, {e['text_scrubbed']} as s, {e['n_pii']} as n "
+        "from docs order by doc_id").df()
+    for i in range(len(df)):
+        a, b = out.loc[i, "text_scrubbed"], sql.loc[i, "s"]
+        assert (pd.isna(a) and pd.isna(b)) or a == b, (i, a, b)
+        assert out.loc[i, "n_pii"] == sql.loc[i, "n"]
+    assert out.loc[0, "text_scrubbed"] == \
+        "contact me at <EMAIL> or call <PHONE>"
+
+
+def test_repetition_stats_parity_with_duckdb():
+    import duckdb
+
+    from chomper_ray.stages.text import (repetition_stats,
+                                         sql_repetition_exprs)
+
+    texts = ["the the the the unique", "word", "a b a b a b", "", None,
+             "x y z w v u t s"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = repetition_stats(df.copy())
+    con = duckdb.connect()
+    con.register("docs", df)
+    dup = sql_repetition_exprs()["dup_word_frac"]
+    sql = con.sql(f"""
+        with w as (select doc_id, unnest(string_split(coalesce(text, ''),
+                   ' ')) word from docs),
+        c as (select doc_id, word, count(*) n from w group by doc_id, word),
+        t as (select doc_id, round(max(n) * 1.0 / sum(n), 6) tf
+              from c group by doc_id)
+        select d.doc_id, {dup} df, t.tf from docs d join t using (doc_id)
+        order by d.doc_id""").df()
+    assert np.allclose(out["dup_word_frac"], sql["df"])
+    assert np.allclose(out["top_word_frac"], sql["tf"])
+    assert out.loc[0, "dup_word_frac"] == 0.6          # 5 words, 2 distinct
+    assert out.loc[0, "top_word_frac"] == 0.8
+
+
 def test_quality_scorer_ranges():
     df = pd.DataFrame({"text": [
         "The quick brown fox and the lazy dog were in the yard.",
