@@ -220,6 +220,32 @@ def _q_tumbling_window(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def _q_hopping_window(sf_dir: str):
+    import pandas as pd
+
+    from chomper_ray.pipelines.relational import hopping_window
+
+    # 1h windows hopping every 15min: each event lands in 4 windows
+    out = hopping_window(
+        _read(sf_dir, "events", columns=["user_id", "ts", "value"]),
+        ts="ts", size_s=3600, hop_s=900, keys=("user_id",),
+        sums=("value",))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(2)
+        return df
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
+def _q_stratified_sample(sf_dir: str):
+    from chomper_ray.pipelines.relational import stratified_sample
+
+    return stratified_sample(
+        _read(sf_dir, "documents", columns=["doc_id", "lang"]),
+        group="lang", key="doc_id", n=5)
+
+
 def _q_approx_distinct(sf_dir: str):
     import pandas as pd
 
@@ -851,6 +877,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": _q_anti_join,
         "grouped_counts": _q_grouped_counts,
         "tumbling_window": _q_tumbling_window,
+        "hopping_window": _q_hopping_window,
+        "stratified_sample": _q_stratified_sample,
         "approx_distinct": _q_approx_distinct,
         "q1_pricing_summary": _q_q1,
         "topk_orders": _q_topk_orders,
@@ -983,6 +1011,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, date_trunc('hour', ts) AS w, "
             "round(sum(value), 2) AS sum_value, count(*) AS n_rows "
             "FROM events GROUP BY user_id, date_trunc('hour', ts)"
+        ),
+        "hopping_window": (
+            # each event belongs to size/hop = 4 overlapping windows;
+            # window starts as BIGINT epoch seconds (timezone-proof)
+            "SELECT user_id, "
+            "(epoch_us(ts) // 900000000) * 900 - g.i * 900 AS w_start_s, "
+            "round(sum(value), 2) AS sum_value, count(*) AS n_rows "
+            "FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) g "
+            "GROUP BY user_id, w_start_s"
+        ),
+        "stratified_sample": (
+            # deterministic n-per-group: smallest Knuth multiplicative
+            # hash of the key, ties by key (doc_id < 2^32 at test SFs so
+            # the int64 product never wraps; engine computes mod 2^64)
+            "SELECT doc_id, lang FROM ("
+            "SELECT doc_id, lang, row_number() OVER ("
+            "PARTITION BY lang "
+            "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn "
+            "FROM documents) WHERE rn <= 5"
         ),
         "q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "

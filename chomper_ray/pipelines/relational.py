@@ -761,3 +761,66 @@ def distinct(ds, columns: Sequence[str], num_partitions: int = 32):
               .groupby("_pb")
               .map_groups(lambda g: g.drop(columns=["_pb"]).drop_duplicates(),
                           batch_format="pandas"))
+
+
+def hopping_window(ds, ts: str = "ts", size_s: int = 3600,
+                   hop_s: int = 900, keys: Sequence[str] = ("user_id",),
+                   sums: Sequence[str] = ("value",),
+                   out: str = "w_start_s"):
+    """Hopping (sliding) event-time windows: every event belongs to
+    ``size_s / hop_s`` overlapping windows; aggregate per (keys, window).
+
+    The expansion is a vectorized repeat/take inside ``map_batches``
+    (each Arrow batch grows by the fixed factor k — no Python per row),
+    after which the pre-aggregated ``grouped_agg`` combiner shrinks it
+    back to one row per (key, window) per block before the shuffle, so
+    the all-to-all volume is ~k× the TUMBLING window's combiner output,
+    never k× the raw rows. Window starts are emitted as BIGINT epoch
+    seconds (timezone-proof hash/compare; SQL parity via
+    ``epoch_us(ts) // (hop*10^6) * hop - i*hop``).
+    """
+    import pyarrow.compute as pc
+
+    if size_s % hop_s:
+        raise ValueError("size_s must be a multiple of hop_s")
+    k = size_s // hop_s
+    hop_us = hop_s * 1_000_000
+
+    def expand(t: pa.Table) -> pa.Table:
+        us = pc.cast(t[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        last = (us // hop_us) * hop_s  # latest containing window, seconds
+        n = len(us)
+        idx = np.repeat(np.arange(n, dtype=np.int64), k)
+        w = (np.repeat(last, k)
+             - np.tile(np.arange(k, dtype=np.int64) * hop_s, n))
+        return (t.drop_columns([ts]).take(pa.array(idx))
+                .append_column(out, pa.array(w, type=pa.int64())))
+
+    expanded = ds.map_batches(expand, batch_format="pyarrow")
+    return grouped_agg(expanded, keys=[*keys, out], sums=list(sums),
+                       counts=True)
+
+
+def stratified_sample(ds, group: str, key: str, n: int,
+                      num_partitions: int = 32):
+    """Deterministic fixed-n-per-group sample (balanced sampling across
+    languages / sources — the training-data mix knob): within each group
+    keep the n rows whose Knuth multiplicative hash of ``key`` is
+    smallest (ties broken by ``key``). Layout- and cluster-size-
+    independent, superset-consistent per group, and SQL-replicable:
+    ``row_number() over (partition by g order by (key*2654435761) %
+    4294967296, key) <= n``.
+
+    One coarse hash shuffle on ``group``; the per-partition pick is a
+    vectorized sort + cumcount (no per-group Ray dispatch).
+    """
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df[key].to_numpy(np.uint64) * np.uint64(2654435761)
+             ) % np.uint64(4294967296)
+        df = df.assign(_h=h).sort_values([group, "_h", key], kind="stable")
+        keep = df.groupby(group, sort=False).cumcount() < n
+        return df[keep].drop(columns=["_h"])
+
+    return _coarse_keyed(ds, group, num_partitions=num_partitions) \
+        .map_groups(lambda g: pick(g.drop(columns=["_pb"])),
+                    batch_format="pandas")

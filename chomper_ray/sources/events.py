@@ -21,6 +21,7 @@ inherently per-string; at bench scale it runs once and is cached on disk.
 from __future__ import annotations
 
 import os
+import uuid
 from pathlib import Path
 
 import numpy as np
@@ -160,7 +161,11 @@ def generate_change_stream(
             }
             if evolved:
                 cols["extra_score"] = pa.array(extra_score[idx], type=pa.float64())
-            tmp = edir / f".part-{fi:04d}.parquet.tmp"
+            # attempt-isolated tmp: two processes may both miss the
+            # _COMPLETE stamp and generate concurrently (identical
+            # deterministic bytes); a shared tmp path lets the loser's
+            # os.replace hit FileNotFoundError after the winner's rename
+            tmp = edir / f".part-{fi:04d}.{uuid.uuid4().hex[:8]}.parquet.tmp"
             pq.write_table(pa.table(cols), tmp)
             os.replace(tmp, edir / f"part-{fi:04d}.parquet")
             if with_expected_text:
@@ -168,7 +173,8 @@ def generate_change_stream(
 
                 odir = out / "_oracle"
                 odir.mkdir(parents=True, exist_ok=True)
-                otmp = odir / f".e{e:06d}-part-{fi:04d}.parquet.tmp"
+                otmp = (odir / f".e{e:06d}-part-{fi:04d}"
+                        f".{uuid.uuid4().hex[:8]}.parquet.tmp")
                 pq.write_table(pa.table({
                     "seq": pa.array(seq[idx], type=pa.int64()),
                     "text": pa.array(extract_text_column(html),
@@ -176,7 +182,7 @@ def generate_change_stream(
                 }), otmp)
                 os.replace(otmp, odir / f"e{e:06d}-part-{fi:04d}.parquet")
 
-    tmp = out / "._COMPLETE.tmp"
+    tmp = out / f"._COMPLETE.{uuid.uuid4().hex[:8]}.tmp"
     tmp.write_text(stamp)
     os.replace(tmp, done)
     return out

@@ -330,7 +330,12 @@ class _PartitionMerger:
         pdir = root / _DATA_DIR / f"p={pid:05d}"
         pdir.mkdir(parents=True, exist_ok=True)
         rel = f"{_DATA_DIR}/p={pid:05d}/snap-{cid:06d}.parquet"
-        tmp = pdir / f".snap-{cid:06d}.parquet.tmp"
+        # attempt-isolated tmp name: two concurrent drain attempts may
+        # race to write the SAME final path (identical content,
+        # first-writer-wins manifest); a shared deterministic tmp lets
+        # the loser's os.replace hit FileNotFoundError after the
+        # winner's rename consumed it
+        tmp = pdir / f".snap-{cid:06d}.{uuid.uuid4().hex[:8]}.parquet.tmp"
         pq.write_table(out_tbl, tmp)
         os.replace(tmp, root / rel)
 
@@ -343,7 +348,8 @@ class _PartitionMerger:
             # id second (uniqueness across truncate-refeed chains)
             ch_rel = (f"{_CHANGES_DIR}/p={pid:05d}/"
                       f"epoch-{epoch:06d}-c{cid:06d}.parquet")
-            ctmp = cdir / f".epoch-{epoch:06d}-c{cid:06d}.parquet.tmp"
+            ctmp = (cdir / f".epoch-{epoch:06d}-c{cid:06d}"
+                    f".{uuid.uuid4().hex[:8]}.parquet.tmp")
             pq.write_table(pa.Table.from_pandas(events, preserve_index=False), ctmp)
             os.replace(ctmp, root / ch_rel)
             n_events = len(events)
@@ -1168,7 +1174,8 @@ class LakeTable:
                 # snapshot path with a racing ingest merge at the same
                 # chain id (different content, first-writer-wins manifests)
                 new_rel = f"{_DATA_DIR}/p={pid:05d}/snap-{epoch:06d}m.parquet"
-                tmp = Path(root) / f"{_DATA_DIR}/p={pid:05d}/.snap-{epoch:06d}m.parquet.tmp"
+                tmp = (Path(root) / f"{_DATA_DIR}/p={pid:05d}/"
+                       f".snap-{epoch:06d}m.{uuid.uuid4().hex[:8]}.parquet.tmp")
                 pq.write_table(kept, tmp)
                 os.replace(tmp, Path(root) / new_rel)
                 h = snapshot_content_hash(kept.to_pandas(), key)

@@ -20,6 +20,7 @@ overwrites with identical bytes.
 from __future__ import annotations
 
 import os
+import uuid
 from pathlib import Path
 
 import pandas as pd
@@ -54,7 +55,9 @@ def write_partitioned(ds, root: str | Path, key: str,
         g = g.drop_columns([BUCKET_COL]).sort_by(key)
         d = Path(roots) / f"p={pid:05d}"
         d.mkdir(parents=True, exist_ok=True)
-        tmp = d / ".part.parquet.tmp"
+        # attempt-isolated tmp: two resumed runs racing on the same
+        # partition must not share a tmp path (see lake.py snapshot note)
+        tmp = d / f".part.{uuid.uuid4().hex[:8]}.parquet.tmp"
         pq.write_table(g, tmp)
         os.replace(tmp, d / "part.parquet")
         (d / "_SUCCESS").touch()

@@ -243,3 +243,78 @@ def test_sample_n_by_hash_deterministic_and_consistent():
     # consistency: the 20-sample is a prefix (by hash) of the 50-sample
     s3 = rel.sample_n_by_hash(mk_ds(df, 4), key="k", n=20)
     assert set(s3["k"]) <= set(s1["k"])
+
+
+def test_hopping_window_matches_pandas_expansion():
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 20, n),
+        "ts": pd.to_datetime(
+            rng.integers(1_600_000_000, 1_600_200_000, n), unit="s"),
+        "value": rng.random(n).round(4),
+    })
+    out = rel.hopping_window(mk_ds(df, 4), ts="ts", size_s=3600, hop_s=900,
+                             keys=("user_id",), sums=("value",)) \
+        .to_pandas().sort_values(["user_id", "w_start_s"]) \
+        .reset_index(drop=True)
+
+    # oracle: explicit expansion — each event joins k=4 windows
+    s = df["ts"].astype("int64") // 1_000_000
+    rows = []
+    for i in range(4):
+        w = (s // 900) * 900 - i * 900
+        rows.append(pd.DataFrame({"user_id": df["user_id"],
+                                  "w_start_s": w, "value": df["value"]}))
+    exp = (pd.concat(rows).groupby(["user_id", "w_start_s"])
+           .agg(sum_value=("value", "sum"), n_rows=("value", "size"))
+           .reset_index().sort_values(["user_id", "w_start_s"])
+           .reset_index(drop=True))
+    assert len(out) == len(exp)
+    assert (out["n_rows"].to_numpy() == exp["n_rows"].to_numpy()).all()
+    assert np.allclose(out["sum_value"], exp["sum_value"])
+    # every window holds >= the events of the tumbling hop slice it covers
+    assert int(out["n_rows"].sum()) == 4 * n
+
+
+def test_hopping_window_rejects_non_multiple():
+    df = pd.DataFrame({"user_id": [1], "value": [1.0],
+                       "ts": pd.to_datetime([1_600_000_000], unit="s")})
+    try:
+        rel.hopping_window(mk_ds(df, 1), size_s=3600, hop_s=700)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_stratified_sample_deterministic_and_balanced():
+    rng = np.random.default_rng(12)
+    df = pd.DataFrame({
+        "doc_id": np.arange(3000, dtype=np.int64),
+        "lang": rng.choice(["en", "de", "fr", "ja"], 3000,
+                           p=[0.7, 0.15, 0.1, 0.05]),
+    })
+    got = rel.stratified_sample(mk_ds(df, 4), group="lang", key="doc_id",
+                                n=7).to_pandas()
+    # exactly n per group (every group has >= n members here)
+    assert got.groupby("lang").size().eq(7).all()
+
+    # oracle: smallest Knuth hash per group, ties by key
+    h = (df["doc_id"].to_numpy(np.uint64) * np.uint64(2654435761)) \
+        % np.uint64(4294967296)
+    exp = (df.assign(_h=h).sort_values(["lang", "_h", "doc_id"])
+           .groupby("lang").head(7))
+    assert set(map(tuple, got[["lang", "doc_id"]].to_numpy())) == \
+        set(map(tuple, exp[["lang", "doc_id"]].to_numpy()))
+
+    # layout-independence: same picks from a different block count
+    got2 = rel.stratified_sample(mk_ds(df, 9), group="lang", key="doc_id",
+                                 n=7).to_pandas()
+    assert set(got2["doc_id"]) == set(got["doc_id"])
+
+    # groups smaller than n keep all their rows
+    tiny = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                         "lang": ["xx", "xx", "yy"]})
+    g3 = rel.stratified_sample(mk_ds(tiny, 2), group="lang", key="doc_id",
+                               n=7).to_pandas()
+    assert len(g3) == 3
