@@ -698,6 +698,22 @@ def _q_minhash_dedup(sf_dir: str):
     })
 
 
+def _q_ngram_dedup(sf_dir: str):
+    import pandas as pd
+
+    from chomper_ray.stages.dedup import clusters_dict, ngram_jaccard_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(16)
+    clusters_ds, _pairs = ngram_jaccard_dedup(ds, threshold=0.8)
+    clusters = clusters_dict(clusters_ds)
+    ids = sorted(pq.read_table(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])["doc_id"].to_pylist())
+    return pd.DataFrame({
+        "doc_id": ids,
+        "cluster_id": [clusters.get(i, i) for i in ids],
+    })
+
+
 def _q_simhash_dedup(sf_dir: str):
     import pandas as pd
 
@@ -905,6 +921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality_score,
         "ann_topk": _q_ann_topk,
         "minhash_dedup": _q_minhash_dedup,
+        "ngram_dedup": _q_ngram_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "embedding_dedup": _q_embedding_dedup,
         "langid": _q_langid,

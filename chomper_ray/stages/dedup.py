@@ -515,6 +515,235 @@ def minhash_lsh_dedup(ds, col: str = "text", id_col: str = "doc_id",
 
 
 # --------------------------------------------------------------------------
+# n-gram Jaccard (exact verification) dedup
+# --------------------------------------------------------------------------
+
+def exact_jaccard_batch(sh_a, sh_b) -> np.ndarray:
+    """Vectorized EXACT Jaccard for a batch of candidate pairs: each side
+    is a sequence of unique uint64 shingle-hash arrays. One structured
+    ``(pair, hash)`` ``np.intersect1d`` for the whole batch — no per-pair
+    Python call. Exact up to 64-bit shingle-hash collisions (~n²/2⁶⁵).
+    Both-empty pairs score 1.0 (identical empty docs), matching
+    ``ngram_jaccard``."""
+    n = len(sh_a)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    la = np.fromiter((len(x) for x in sh_a), np.int64, n)
+    lb = np.fromiter((len(x) for x in sh_b), np.int64, n)
+    dt = np.dtype([("p", "<i8"), ("h", "<u8")])
+
+    def keys(sh, ln):
+        k = np.empty(int(ln.sum()), dt)
+        k["p"] = np.repeat(np.arange(n), ln)
+        k["h"] = np.concatenate(
+            [np.asarray(x, dtype=np.uint64) for x in sh])
+        return k
+
+    inter_k = np.intersect1d(keys(sh_a, la), keys(sh_b, lb),
+                             assume_unique=True)
+    inter = np.bincount(inter_k["p"], minlength=n)
+    union = la + lb - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+
+
+class ShingleSetter:
+    """Task-pool stage: text → UNIQUE k-shingle hash set (list<uint64>).
+    Only ever run on LSH-candidate docs (post Bloom semi-join), so the
+    heavy set payload is computed and shuffled for the candidate subset,
+    never the corpus."""
+
+    def __init__(self, col: str = "text", shingle_k: int = 5):
+        self.col = col
+        self.k = shingle_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["sh"] = [
+            np.unique(char_shingle_hashes(t, self.k)).astype("uint64")
+            for t in batch[self.col].fillna("")
+        ]
+        return batch
+
+
+def _attach_shingles(pairs_ds, pair_key: str, docs_ds, id_col: str,
+                     out_col: str, carry: list[tuple[str, pa.DataType]],
+                     num_buckets: int = 16):
+    """Bucketed join-back: attach each candidate doc's shingle set to the
+    pair rows that reference it via ``pair_key``. Same co-hash-partition
+    shape as ``relational.hash_join``, specialized to one list column so
+    the pair schema (which grows across the two attach passes) stays
+    explicit. Shuffle volume: pairs + candidate shingle sets — never the
+    corpus."""
+    sh_t = pa.list_(pa.uint64())
+    out_fields = ([pa.field("a", pa.int64()), pa.field("b", pa.int64()),
+                   pa.field("truncated", pa.bool_())]
+                  + [pa.field(c, t) for c, t in carry]
+                  + [pa.field(out_col, sh_t)])
+    out_schema = pa.schema(out_fields)
+    pair_cols = ["a", "b", "truncated"] + [c for c, _ in carry]
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in pair_cols}
+        cols["_id"] = t[pair_key]
+        cols["sh"] = pa.nulls(t.num_rows, sh_t)
+        cols["_side"] = pa.array(["p"] * t.num_rows)
+        out = pa.table(cols)
+        bk = stable_bucket(out["_id"], num_buckets)
+        return out.append_column("_jb", pa.array(bk, type=pa.int32()))
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = {c: pa.nulls(t.num_rows, out_schema.field(
+            c if c != pair_key else "a").type) for c in pair_cols}
+        cols["_id"] = pc.cast(t[id_col], pa.int64())
+        cols["sh"] = t["sh"].combine_chunks() if isinstance(
+            t["sh"], pa.ChunkedArray) else t["sh"]
+        cols["_side"] = pa.array(["d"] * t.num_rows)
+        out = pa.table(cols)
+        bk = stable_bucket(out["_id"], num_buckets)
+        return out.append_column("_jb", pa.array(bk, type=pa.int32()))
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        p = g[g["_side"] == "p"]
+        d = g[g["_side"] == "d"][["_id", "sh"]]
+        out = p.drop(columns=["sh", "_side", "_jb"]).merge(
+            d, on="_id", how="inner").drop(columns=["_id"]) \
+            .rename(columns={"sh": out_col})
+        if not len(out):
+            out = pd.DataFrame({f.name: pd.Series(dtype="object")
+                                for f in out_schema})
+        return pa.Table.from_pandas(out[[f.name for f in out_schema]],
+                                    schema=out_schema,
+                                    preserve_index=False)
+
+    tagged_p = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow")
+    tagged_d = docs_ds.map_batches(tag_docs, batch_format="pyarrow")
+    return (tagged_p.union(tagged_d).groupby("_jb")
+            .map_groups(join_bucket, batch_format="pandas"))
+
+
+def ngram_jaccard_dedup(ds, col: str = "text", id_col: str = "doc_id",
+                        num_perm: int = 64, bands: int = 16,
+                        shingle_k: int = 5, threshold: float = 0.7,
+                        num_partitions: int = 32, max_bucket: int = 200,
+                        driver_edge_cap: int = DRIVER_EDGE_CAP):
+    """Near-dup detection with EXACT n-gram Jaccard verification — the
+    fourth dedup family, for thresholds where the 64-perm signature
+    estimate (σ ≈ 1/√perms ≈ 0.125) is too coarse.
+
+    vs ``minhash_lsh_dedup``, candidate generation is identical (MinHash
+    bands) but verification data takes the join-back route the minhash
+    docstring sketches, because shingle SETS are ~|text| × 8 B — far too
+    heavy to ride every band row:
+
+    1. BARE band rows (no signatures) → per-partition candidate pairs.
+    2. Global pair dedup (O(candidates) rows).
+    3. ``bloom_semi_join`` prunes the corpus to candidate docs, THEN
+       ``ShingleSetter`` computes sets for those docs only — recompute
+       beats storing: no materialized corpus-wide shingle table.
+    4. Two bucketed join-backs co-locate (pair, sh_a, sh_b); one
+       structured-dtype ``np.intersect1d`` per batch verifies exactly.
+    5. Pairs ≥ threshold cluster via ``components_auto_ds``.
+
+    Returns ``(clusters_ds, pairs_ds)``; ``pairs_ds`` carries the true
+    ``jaccard`` per verified pair. Apply with ``dedup_apply``."""
+    from chomper_ray.pipelines.relational import bloom_semi_join
+
+    sigged = ds.map_batches(
+        MinHasher(col=col, num_perm=num_perm, shingle_k=shingle_k),
+        batch_format="pandas",
+    )
+
+    def to_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack(batch["minhash"].to_numpy())
+        out = _band_rows(batch[id_col].to_numpy(), sigs, bands,
+                         attach_sigs=False)
+        out["_pb"] = (out["band_hash"] % np.uint64(num_partitions)) \
+            .astype(np.int32)
+        return out
+
+    def partition_candidates(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["band_id", "band_hash", "id"])
+        sizes = g.groupby(["band_id", "band_hash"])["id"].transform("size")
+        multi = g[sizes > 1]
+        frames = []
+        for _, grp in multi.groupby(["band_id", "band_hash"], sort=False):
+            grp = grp.sort_values("id")
+            truncated = len(grp) > max_bucket
+            if truncated:
+                grp = grp.iloc[:max_bucket]
+            if len(grp) < 2:
+                continue
+            ids = grp["id"].to_numpy()
+            ia, ib = np.triu_indices(len(ids), k=1)
+            frames.append(pd.DataFrame({
+                "a": ids[ia].astype(np.int64),
+                "b": ids[ib].astype(np.int64),
+                "truncated": truncated,
+            }))
+        if not frames:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "truncated": pd.Series(dtype="bool")})
+        return (pd.concat(frames, ignore_index=True)
+                .drop_duplicates(subset=["a", "b"]))
+
+    cand = (sigged.map_batches(to_bands, batch_format="pandas")
+            .groupby("_pb")
+            .map_groups(partition_candidates, batch_format="pandas"))
+    # candidates deduped globally BEFORE any shingle payload attaches
+    cand = _dedup_pairs_ds(cand).materialize()
+
+    cand_ids = cand.map_batches(
+        lambda df: pd.DataFrame(
+            {"id": np.concatenate([df["a"].to_numpy(np.int64),
+                                   df["b"].to_numpy(np.int64)])
+             if len(df) else np.empty(0, np.int64)}),
+        batch_format="pandas")
+    def sh_to_arrow(df: pd.DataFrame) -> pa.Table:
+        # explicit list<uint64>: letting pandas->Arrow inference run
+        # would produce Ray's variable-shaped tensor extension type,
+        # which cannot concat with the plain list nulls the pair side
+        # carries through the attach shuffle
+        return pa.table({
+            id_col: pa.array(df[id_col], type=pa.int64()),
+            "sh": pa.array(list(df["sh"]), type=pa.list_(pa.uint64())),
+        })
+
+    cand_docs = bloom_semi_join(
+        ds, cand_ids, on=id_col, right_on="id") \
+        .map_batches(ShingleSetter(col=col, shingle_k=shingle_k),
+                     batch_format="pandas") \
+        .map_batches(sh_to_arrow, batch_format="pandas") \
+        .materialize()  # read twice (one per attach pass)
+
+    with_a = _attach_shingles(cand, "a", cand_docs, id_col, "sh_a",
+                              carry=[])
+    with_ab = _attach_shingles(with_a, "b", cand_docs, id_col, "sh_b",
+                               carry=[("sh_a", pa.list_(pa.uint64()))])
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "truncated": pd.Series(dtype="bool"),
+                "jaccard": pd.Series(dtype="float64")})
+        j = exact_jaccard_batch(df["sh_a"].to_numpy(),
+                                df["sh_b"].to_numpy())
+        out = df.loc[j >= threshold, ["a", "b", "truncated"]].copy()
+        out["jaccard"] = j[j >= threshold]
+        return out.astype({"a": "int64", "b": "int64",
+                           "truncated": "bool", "jaccard": "float64"})
+
+    pairs_ds = with_ab.map_batches(verify, batch_format="pandas") \
+        .materialize()
+    clusters_ds = components_auto_ds(pairs_ds,
+                                     driver_edge_cap=driver_edge_cap)
+    return clusters_ds, pairs_ds
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 

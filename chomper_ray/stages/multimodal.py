@@ -91,11 +91,21 @@ class DecodeImage:
             px = self._decode_image_impl(payload, w, h)
             means.append(round(float(px.mean()), 4))
             # "resize": deterministic block-mean downsample to (th, tw)
+            # via an integral image — one cumsum + one fancy-index per
+            # image instead of th*tw Python slice/mean calls. Block sums
+            # of uint8 are exact integers in float64, so the result is
+            # bitwise-identical to the naive per-block .mean().
             ys = np.linspace(0, px.shape[0], th + 1, dtype=int)
             xs = np.linspace(0, px.shape[1], tw + 1, dtype=int)
-            f = np.array([[px[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
-                           for j in range(tw)] for i in range(th)],
-                         dtype=np.float32)
+            s = np.zeros((px.shape[0] + 1, px.shape[1] + 1))
+            s[1:, 1:] = px.sum(axis=2, dtype=np.float64).cumsum(0).cumsum(1)
+            blk = (s[np.ix_(ys[1:], xs[1:])] - s[np.ix_(ys[:-1], xs[1:])]
+                   - s[np.ix_(ys[1:], xs[:-1])] + s[np.ix_(ys[:-1], xs[:-1])])
+            area = np.diff(ys)[:, None] * np.diff(xs)[None, :] * px.shape[2]
+            with np.errstate(invalid="ignore"):
+                # empty blocks (image smaller than target) stay NaN,
+                # matching np.mean-of-empty in the naive spec
+                f = (blk / area).astype(np.float32)
             feats.append(f.ravel())
         batch["pixel_mean"] = means
         batch["image_feat"] = feats

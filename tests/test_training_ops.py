@@ -47,6 +47,54 @@ def test_ngram_jaccard_bounds():
     assert 0 < dedup.ngram_jaccard("abcdefghij", "abcdefgxyz") < 1
 
 
+def test_ngram_jaccard_dedup_exact_verification():
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep dark forest tonight") * 3
+    near = base.replace("lazy", "sleepy")
+    other = ("completely different content about database engines and "
+             "distributed shuffle performance tuning at scale") * 3
+    texts = [base, near, other, base]
+    clusters_ds, pairs_ds = dedup.ngram_jaccard_dedup(
+        docs_ds(texts), threshold=0.7, num_partitions=4)
+    clusters = dedup.clusters_dict(clusters_ds)
+    rep = {i: clusters.get(i, i) for i in range(4)}
+    assert rep[0] == rep[1] == rep[3] == 0
+    assert rep[2] == 2
+    # pairs carry the TRUE jaccard: byte-equal to the scalar oracle
+    pairs = pairs_ds.to_pandas()
+    for _, r in pairs.iterrows():
+        assert abs(r["jaccard"]
+                   - dedup.ngram_jaccard(texts[r["a"]], texts[r["b"]], 5)) \
+            < 1e-12
+    # the exact-dup pair really scores 1.0
+    exact_pair = pairs[(pairs["a"] == 0) & (pairs["b"] == 3)]
+    assert len(exact_pair) == 1 and exact_pair["jaccard"].iloc[0] == 1.0
+
+
+def test_exact_jaccard_batch_matches_scalar():
+    rng = np.random.default_rng(7)
+    texts_a, texts_b = [], []
+    for i in range(30):
+        a = "".join(rng.choice(list("abcdefg "), 80))
+        # mix of near-dups, distinct, identical, and empty edges
+        b = (a if i % 5 == 0 else
+             a[: int(rng.integers(10, 75))] + "".join(
+                 rng.choice(list("abcdefg "), 20)))
+        texts_a.append(a)
+        texts_b.append(b)
+    texts_a.append("")
+    texts_b.append("")
+    sh_a = [np.unique(dedup.char_shingle_hashes(t, 5)) for t in texts_a]
+    sh_b = [np.unique(dedup.char_shingle_hashes(t, 5)) for t in texts_b]
+    got = dedup.exact_jaccard_batch(np.array(sh_a, dtype=object),
+                                    np.array(sh_b, dtype=object))
+    for i, (a, b) in enumerate(zip(texts_a, texts_b)):
+        assert abs(got[i] - dedup.ngram_jaccard(a, b, 5)) < 1e-12
+    assert got[-1] == 1.0  # both-empty convention
+    assert len(dedup.exact_jaccard_batch(np.array([], dtype=object),
+                                         np.array([], dtype=object))) == 0
+
+
 def test_simhash_near_dups():
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
     near = base.replace("kappa", "kappb", 1)
@@ -348,6 +396,33 @@ def test_decode_deterministic():
     a = DecodeImage()(df.copy())["pixel_mean"].tolist()
     b = DecodeImage()(df.copy())["pixel_mean"].tolist()
     assert a == b
+
+
+def test_resize_integral_image_matches_naive_blocks():
+    import warnings
+
+    from chomper_ray.stages.multimodal import _fake_pixels
+
+    rng = np.random.default_rng(0)
+    th, tw = 32, 32
+    d = DecodeImage(resize=(th, tw))
+    for _ in range(8):
+        h, w = (int(x) for x in rng.integers(8, 64, 2))
+        px = _fake_pixels(rng.integers(0, 256, 40, dtype=np.uint8)
+                          .tobytes(), h, w)
+        ys = np.linspace(0, px.shape[0], th + 1, dtype=int)
+        xs = np.linspace(0, px.shape[1], tw + 1, dtype=int)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # mean of empty block
+            naive = np.array(
+                [[px[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+                  for j in range(tw)] for i in range(th)],
+                dtype=np.float32).ravel()
+        d._decode_image_impl = lambda p, W, H: px
+        got = d(pd.DataFrame({"payload": [b"x"], "width": [w],
+                              "height": [h]}))["image_feat"].iloc[0]
+        nn, ng = np.isnan(naive), np.isnan(got)
+        assert (nn == ng).all() and (got[~ng] == naive[~nn]).all()
 
 
 def test_frame_sampling():
