@@ -246,6 +246,36 @@ def _q_stratified_sample(sf_dir: str):
         group="lang", key="doc_id", n=5)
 
 
+def _q_range_join(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chomper_ray.pipelines.relational import range_join
+
+    # points: orders keyed into a 0..99 domain; intervals: overlapping
+    # tiers derived from nation ([k*4, k*4+5] — width 6 > stride 4)
+    def mk_points(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "p": pa.array(k % 100, type=pa.int64())})
+
+    def mk_tiers(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["n_nationkey"], pa.int64())
+        lo = pc.multiply(k, 4)
+        return pa.table({"tier_id": k, "lo": lo,
+                         "hi": pc.add(lo, 5)})
+
+    pts = _read(sf_dir, "orders", columns=["o_orderkey"]) \
+        .map_batches(mk_points, batch_format="pyarrow")
+    tiers = _read(sf_dir, "nation", columns=["n_nationkey"]) \
+        .map_batches(mk_tiers, batch_format="pyarrow")
+    pts_schema = pa.schema([("o_orderkey", pa.int64()), ("p", pa.int64())])
+    tier_schema = pa.schema([("tier_id", pa.int64()), ("lo", pa.int64()),
+                             ("hi", pa.int64())])
+    return range_join(pts, tiers, point="p", chunk=8,
+                      left_schema=pts_schema, right_schema=tier_schema)
+
+
 def _q_approx_distinct(sf_dir: str):
     import pandas as pd
 
@@ -894,6 +924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_counts": _q_grouped_counts,
         "tumbling_window": _q_tumbling_window,
         "hopping_window": _q_hopping_window,
+        "range_join": _q_range_join,
         "stratified_sample": _q_stratified_sample,
         "approx_distinct": _q_approx_distinct,
         "q1_pricing_summary": _q_q1,
@@ -1037,6 +1068,14 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 2) AS sum_value, count(*) AS n_rows "
             "FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) g "
             "GROUP BY user_id, w_start_s"
+        ),
+        "range_join": (
+            "SELECT o.o_orderkey, o.o_orderkey % 100 AS p, "
+            "n.n_nationkey AS tier_id, n.n_nationkey * 4 AS lo, "
+            "n.n_nationkey * 4 + 5 AS hi "
+            "FROM orders o JOIN nation n "
+            "ON o.o_orderkey % 100 "
+            "BETWEEN n.n_nationkey * 4 AND n.n_nationkey * 4 + 5"
         ),
         "stratified_sample": (
             # deterministic n-per-group: smallest Knuth multiplicative

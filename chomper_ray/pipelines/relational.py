@@ -824,3 +824,130 @@ def stratified_sample(ds, group: str, key: str, n: int,
     return _coarse_keyed(ds, group, num_partitions=num_partitions) \
         .map_groups(lambda g: pick(g.drop(columns=["_pb"])),
                     batch_format="pandas")
+
+
+def range_join(left, right, point: str, lo: str = "lo", hi: str = "hi",
+               chunk: int | None = None, num_buckets: int = 32,
+               left_schema=None, right_schema=None):
+    """Interval-containment join: ``left`` rows pair with every ``right``
+    row whose ``[lo, hi]`` (inclusive) contains ``left[point]`` — the
+    range join Ray Data has no native operator for (timestamps: cast to
+    epoch int64 first). Int64 domain, inner join, column names must be
+    disjoint across sides.
+
+    Plan (one union shuffle, no cross product):
+
+    1. The domain splits into fixed-width ``chunk`` intervals. Points tag
+       with their containing chunk; each right interval REPLICATES to
+       every chunk it overlaps (vectorized variable-k ``np.repeat``).
+       Chunks coarse-bucket ``chunk_id % num_buckets`` into Ray groups.
+    2. Inside a bucket, intervals sort by ``(chunk, lo)`` once; a single
+       structured-dtype ``np.searchsorted`` per point batch finds each
+       point's candidate slice (same chunk, ``lo <= p``), pairs expand by
+       repeat/arange, and ``hi >= p`` filters. Pairs materialize only in
+       the point's own chunk, so interval replicas never duplicate a pair.
+
+    Partitioning assumption (document per use): the per-chunk interval
+    count is bounded — replication factor per interval is
+    ``width/chunk + 1``, candidate fan-in per point is the number of
+    intervals overlapping its chunk. ``chunk=None`` derives a width of
+    ~4× the mean interval width from one cheap pass over ``right``
+    (assumed the small/dimension side); override when widths are skewed.
+    """
+    from chomper_ray.state.schema import conform
+
+    schema, lcols, rcols = _combined_schema(left, right,
+                                            left_schema, right_schema)
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"range_join requires disjoint columns; both "
+                         f"sides have {sorted(overlap)}")
+    out_schema = pa.schema([schema.field(c) for c in (*lcols, *rcols)])
+
+    if chunk is None:
+        st = right.map_batches(
+            lambda df: pd.DataFrame({
+                "n": [len(df)],
+                "wsum": [int((df[hi] - df[lo]).sum())],
+                "mn": [df[lo].min()], "mx": [df[hi].max()],
+            }), batch_format="pandas").to_pandas()
+        # empty-dataset to_pandas drops columns (Ray quirk, see
+        # bloom_semi_join) — guard len before column access
+        n = int(st["n"].sum()) if len(st) else 0
+        if n == 0:
+            chunk = 1
+        else:
+            span = int(st["mx"].max()) - int(st["mn"].min()) + 1
+            avg_w = st["wsum"].sum() / n
+            chunk = int(max(1, 4 * avg_w, span // 4096))
+
+    w = np.int64(chunk)
+
+    def tag_points(t: pa.Table) -> pa.Table:
+        t = conform(t, schema)
+        p = np.asarray(t[point].to_numpy(zero_copy_only=False), np.int64)
+        ck = np.floor_divide(p, w)
+        t = t.append_column("_ck", pa.array(ck, type=pa.int64()))
+        t = t.append_column("_jb", pa.array(
+            (ck % num_buckets).astype(np.int32), type=pa.int32()))
+        return t.append_column("_side", pa.array(["p"] * t.num_rows))
+
+    def tag_intervals(t: pa.Table) -> pa.Table:
+        t = conform(t, schema)
+        lo_v = np.asarray(t[lo].to_numpy(zero_copy_only=False), np.int64)
+        hi_v = np.asarray(t[hi].to_numpy(zero_copy_only=False), np.int64)
+        c0 = np.floor_divide(lo_v, w)
+        c1 = np.floor_divide(np.maximum(hi_v, lo_v), w)
+        k = (c1 - c0 + 1).astype(np.int64)  # chunks overlapped
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), k)
+        ck = np.concatenate(
+            [np.arange(a, b + 1, dtype=np.int64)
+             for a, b in zip(c0, c1)]) if t.num_rows else \
+            np.empty(0, np.int64)
+        t = t.take(pa.array(idx))
+        t = t.append_column("_ck", pa.array(ck, type=pa.int64()))
+        t = t.append_column("_jb", pa.array(
+            (ck % num_buckets).astype(np.int32), type=pa.int32()))
+        return t.append_column("_side", pa.array(["i"] * t.num_rows))
+
+    key_dt = np.dtype([("c", "<i8"), ("l", "<i8")])
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        pts = g[g["_side"] == "p"]
+        ivs = g[g["_side"] == "i"]
+        if not len(pts) or not len(ivs):
+            return _to_schema(
+                pd.DataFrame({f.name: pd.Series(dtype="object")
+                              for f in out_schema}), out_schema)
+        ic = ivs["_ck"].to_numpy(np.int64)
+        il = ivs[lo].to_numpy(np.int64)
+        ih = ivs[hi].to_numpy(np.int64)
+        order = np.lexsort((il, ic))
+        ic, il, ih = ic[order], il[order], ih[order]
+        keys = np.empty(len(ic), key_dt)
+        keys["c"], keys["l"] = ic, il
+
+        p = pts[point].to_numpy(np.int64)
+        pc_ = pts["_ck"].to_numpy(np.int64)
+        v_hi = np.empty(len(p), key_dt)
+        v_hi["c"], v_hi["l"] = pc_, p
+        v_lo = np.empty(len(p), key_dt)
+        v_lo["c"], v_lo["l"] = pc_, np.iinfo(np.int64).min
+        end = np.searchsorted(keys, v_hi, side="right")
+        start = np.searchsorted(keys, v_lo, side="left")
+        cnt = end - start
+        pt_idx = np.repeat(np.arange(len(p)), cnt)
+        off = np.concatenate([[0], np.cumsum(cnt)])
+        iv_rank = (np.arange(int(cnt.sum())) - off[pt_idx]
+                   + start[pt_idx])
+        keep = ih[iv_rank] >= p[pt_idx]
+        pt_idx, iv_rank = pt_idx[keep], iv_rank[keep]
+
+        lrows = pts.iloc[pt_idx][lcols].reset_index(drop=True)
+        rrows = ivs.iloc[order[iv_rank]][rcols].reset_index(drop=True)
+        return _to_schema(pd.concat([lrows, rrows], axis=1), out_schema)
+
+    l = left.map_batches(tag_points, batch_format="pyarrow")
+    r = right.map_batches(tag_intervals, batch_format="pyarrow")
+    return (l.union(r).groupby("_jb")
+            .map_groups(join_bucket, batch_format="pandas"))

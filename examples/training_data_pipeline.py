@@ -1,7 +1,8 @@
 """End-to-end training-data curation over the `documents` table:
 
     read → normalize → quality-score → filter → exact dedup →
-    MinHash near-dup dedup → token stats → resumable partitioned shards
+    MinHash near-dup dedup → token stats → balanced per-language mix →
+    resumable partitioned shards
 
 Run standalone (owns its Ray session):
 
@@ -30,6 +31,7 @@ def main():
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
+    from chomper_ray.pipelines.relational import stratified_sample
     from chomper_ray.stages.dedup import (dedup_apply, exact_dedup,
                                           minhash_lsh_dedup)
     from chomper_ray.stages.text import (QualityScorer, count_tokens,
@@ -37,7 +39,7 @@ def main():
     from chomper_ray.state.output import read_partitioned, write_partitioned
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"]).repartition(8)
+                           columns=["doc_id", "text", "lang"]).repartition(8)
     n0 = docs.count()
 
     # 1. normalize + quality filter (vectorized task pools)
@@ -45,7 +47,8 @@ def main():
         .map_batches(QualityScorer(col="text_norm"), batch_format="pandas")
     kept = scored.map_batches(
         lambda df: df[df["quality_score"] >= 0.3]
-        [["doc_id", "text_norm"]].rename(columns={"text_norm": "text"}),
+        [["doc_id", "text_norm", "lang"]]
+        .rename(columns={"text_norm": "text"}),
         batch_format="pandas")
 
     # 2. exact dedup (hash-bucketed, value-verified); materialized because
@@ -60,11 +63,18 @@ def main():
     n_near_dropped = clusters_ds.map_batches(
         lambda df: df[df["id"] != df["rep"]][["id"]]
         if len(df) else df, batch_format="pandas").count()
+    # materialized: two consumers follow (count for the mix cap, sample)
     final = dedup_apply(uniq, clusters_ds, id_col="doc_id") \
-        .map_batches(count_tokens, batch_format="pandas")
+        .map_batches(count_tokens, batch_format="pandas").materialize()
 
-    # 4. resumable partitioned shards (rerun skips finished partitions)
-    stats = write_partitioned(final, out_dir, key="doc_id",
+    # 4. balanced training mix: deterministic fixed-n per language
+    # (the stratified-sampling knob; pick n to the corpus — here the
+    # per-language cap at this scale factor)
+    mixed = stratified_sample(final, group="lang", key="doc_id",
+                              n=max(50, final.count() // 8))
+
+    # 5. resumable partitioned shards (rerun skips finished partitions)
+    stats = write_partitioned(mixed, out_dir, key="doc_id",
                               num_partitions=16)
     back = read_partitioned(out_dir)
     print(json.dumps({

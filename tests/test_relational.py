@@ -318,3 +318,35 @@ def test_stratified_sample_deterministic_and_balanced():
     g3 = rel.stratified_sample(mk_ds(tiny, 2), group="lang", key="doc_id",
                                n=7).to_pandas()
     assert len(g3) == 3
+
+
+def test_range_join_matches_cross_filter_oracle():
+    rng = np.random.default_rng(4)
+    n, m = 2000, 80
+    L = pd.DataFrame({"eid": np.arange(n, dtype=np.int64),
+                      "p": rng.integers(0, 5000, n).astype(np.int64)})
+    lo = rng.integers(0, 5000, m).astype(np.int64)
+    R = pd.DataFrame({"iid": np.arange(m, dtype=np.int64), "lo": lo,
+                      "hi": lo + rng.integers(0, 400, m).astype(np.int64)})
+    exp = L.merge(R, how="cross")
+    exp = exp[(exp.p >= exp.lo) & (exp.p <= exp.hi)] \
+        .sort_values(["eid", "iid"]).reset_index(drop=True)
+    # derived, tiny, and degenerate single-chunk widths all agree
+    for chunk in (None, 32, 5000):
+        out = rel.range_join(mk_ds(L, 4), mk_ds(R, 3), point="p",
+                             chunk=chunk) \
+            .to_pandas().sort_values(["eid", "iid"]).reset_index(drop=True)
+        assert len(out) == len(exp)
+        assert (out[exp.columns].to_numpy() == exp.to_numpy()).all()
+    # empty interval side -> empty result (static schema: an empty
+    # repartitioned dataset reports schema() None)
+    assert rel.range_join(
+        mk_ds(L, 2), mk_ds(R.iloc[:0], 1), point="p",
+        right_schema=pa.Table.from_pandas(
+            R.iloc[:0], preserve_index=False).schema).count() == 0
+    # overlapping column names are rejected, not silently suffixed
+    try:
+        rel.range_join(mk_ds(L, 1), mk_ds(L, 1), point="p")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
