@@ -246,6 +246,18 @@ def _q_stratified_sample(sf_dir: str):
         group="lang", key="doc_id", n=5)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    from chomper_ray.stages.sketches import approx_heavy_hitters
+
+    # sparse regime (few event types << width=2048): CMS rows are
+    # collision-free so estimates EQUAL exact counts — hash-verifiable
+    # against GROUP BY (the pytest suite covers the dense regime's
+    # overcount bound on Zipf keys)
+    return approx_heavy_hitters(
+        _read(sf_dir, "events", columns=["event_type"]).repartition(4),
+        "event_type", k=5)
+
+
 def _q_range_join(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -925,6 +937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": _q_tumbling_window,
         "hopping_window": _q_hopping_window,
         "range_join": _q_range_join,
+        "heavy_hitters": _q_heavy_hitters,
         "stratified_sample": _q_stratified_sample,
         "approx_distinct": _q_approx_distinct,
         "q1_pricing_summary": _q_q1,
@@ -1068,6 +1081,11 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 2) AS sum_value, count(*) AS n_rows "
             "FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) g "
             "GROUP BY user_id, w_start_s"
+        ),
+        "heavy_hitters": (
+            "SELECT cast(event_type AS VARCHAR) AS event_type, "
+            "count(*) AS est_count FROM events GROUP BY event_type "
+            "ORDER BY est_count DESC, event_type LIMIT 5"
         ),
         "range_join": (
             "SELECT o.o_orderkey, o.o_orderkey % 100 AS p, "

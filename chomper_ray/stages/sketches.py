@@ -78,3 +78,112 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
     for b in parts["sketch"]:
         acc = acc.merge(HyperLogLog.from_bytes(b, p))
     return acc.estimate()
+
+
+class CountMinSketch:
+    """Count-Min over stable 64-bit hashes: ``depth`` rows of ``width``
+    counters (width forced to a power of two), per-row multiply-shift
+    hashing — adds are one vectorized pass per row. Point estimates are
+    the row-min: never an underestimate, over by at most ~e·N/width with
+    probability 1 − e^−depth; when the distinct-key count is well below
+    ``width`` the rows are collision-free and the estimate is EXACT.
+    """
+
+    def __init__(self, width: int = 2048, depth: int = 4, seed: int = 7):
+        self.width = 1 << int(np.ceil(np.log2(max(2, width))))
+        self.depth = depth
+        self.shift = np.uint64(64 - int(np.log2(self.width)))
+        rng = np.random.default_rng(seed)
+        self.mults = (rng.integers(1, 2**63, depth, dtype=np.int64)
+                      .astype(np.uint64) | np.uint64(1))
+        self.counts = np.zeros((depth, self.width), dtype=np.int64)
+
+    def _rows(self, hashes: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return np.stack([(hashes * m) >> self.shift
+                             for m in self.mults]).astype(np.int64)
+
+    def add_hashes(self, hashes: np.ndarray, weights=None) -> None:
+        if len(hashes) == 0:
+            return
+        w = (np.ones(len(hashes), dtype=np.int64)
+             if weights is None else np.asarray(weights, dtype=np.int64))
+        for d, idx in enumerate(self._rows(hashes)):
+            np.add.at(self.counts[d], idx, w)
+
+    def query_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.empty(0, dtype=np.int64)
+        rows = self._rows(hashes)
+        return np.min(
+            np.stack([self.counts[d][rows[d]]
+                      for d in range(self.depth)]), axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.width, self.depth) == (other.width, other.depth)
+        self.counts += other.counts
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.counts.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, width: int = 2048, depth: int = 4,
+                   seed: int = 7) -> "CountMinSketch":
+        s = cls(width, depth, seed)
+        s.counts = np.frombuffer(b, dtype=np.int64) \
+            .reshape(depth, s.width).copy()
+        return s
+
+
+def _stable_hash(values: np.ndarray) -> np.ndarray:
+    return pd.util.hash_array(np.asarray(values, dtype=object))
+
+
+def approx_heavy_hitters(ds, col: str, k: int = 10, width: int = 2048,
+                         depth: int = 4,
+                         candidates_per_block: int | None = None
+                         ) -> pd.DataFrame:
+    """Approximate top-k most frequent values (heavy hitters) — one pass,
+    no all-to-all: each block emits (a) its serialized CMS and (b) its
+    local top-``candidates_per_block`` keys (a block's value_counts head).
+    The driver folds CMSes (blocks × depth×width×8 B, e.g. 64 KB each),
+    unions the bounded candidate sets, scores every candidate against the
+    FOLDED sketch, and returns the top k by (est_count desc, key asc).
+
+    Guarantee: estimates never undercount; a key with global frequency
+    ≥ N/candidates_per_block is in its heaviest block's local top list,
+    so true heavy hitters can't be missed by candidacy. When distinct
+    keys ≪ width the folded rows are collision-free and counts are exact
+    (matching ``GROUP BY … ORDER BY count(*) DESC``).
+
+    Keys are compared AS STRINGS (the column is cast before hashing so
+    block-side adds and driver-side queries hash identically regardless
+    of the column's dtype); the returned key column is string-typed."""
+    cpb = candidates_per_block or max(4 * k, 64)
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_pandas().astype(str)
+        vc = vals.value_counts()
+        s = CountMinSketch(width, depth)
+        s.add_hashes(_stable_hash(vc.index.to_numpy()),
+                     vc.to_numpy())
+        head = vc.head(cpb)
+        return pa.table({
+            "sketch": pa.array([s.to_bytes()], type=pa.binary()),
+            "cands": pa.array([[str(x) for x in head.index]],
+                              type=pa.list_(pa.string())),
+        })
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow").to_pandas()
+    acc = CountMinSketch(width, depth)
+    cands: set[str] = set()
+    for b, c in zip(parts["sketch"], parts["cands"]):
+        acc = acc.merge(CountMinSketch.from_bytes(b, width, depth))
+        cands.update(c)
+    cand_arr = np.array(sorted(cands), dtype=object)
+    est = acc.query_hashes(_stable_hash(cand_arr))
+    out = pd.DataFrame({col: cand_arr, "est_count": est}) \
+        .sort_values(["est_count", col], ascending=[False, True],
+                     kind="stable").head(k).reset_index(drop=True)
+    return out

@@ -86,3 +86,40 @@ def test_quantile_cardinality_router_matches_exact(ray_session):
     ex = exact.set_index("g")["med"]
     width = (df["v"].max() - df["v"].min()) / 4096
     assert (np.abs(sk - ex) <= width * 2).all()
+
+
+def test_heavy_hitters_zipf_bounds(ray_session):
+    """CMS bounds on skewed high-cardinality keys: top-k fully recovered,
+    estimates never undercount, overcount within 3x the e*N/width bound."""
+    from chomper_ray.stages.sketches import approx_heavy_hitters
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"u": (rng.zipf(1.4, 200_000) % 50_000)
+                       .astype(np.int64)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+        .repartition(8)
+    got = approx_heavy_hitters(ds, "u", k=10)
+    exact = df["u"].astype(str).value_counts()
+    n = len(df)
+    for _, r in got.iterrows():
+        true = int(exact.get(r["u"], 0))
+        assert r["est_count"] >= true
+        assert r["est_count"] - true <= np.e * n / 2048 * 3
+    assert set(exact.head(10).index) == set(got["u"])
+
+
+def test_heavy_hitters_sparse_regime_exact_vs_duckdb(ray_session):
+    """Distinct keys << width: collision-free rows make CMS estimates
+    EXACT, so the sketch reproduces GROUP BY/ORDER BY counts bit-for-bit
+    (the property the hash-verified driver query rests on)."""
+    from chomper_ray.stages.sketches import approx_heavy_hitters
+
+    path = os.path.join(SF_DIR, "events.parquet")
+    exact = duckdb.sql(
+        f"select cast(event_type as varchar) e, count(*) c from '{path}' "
+        "group by event_type order by c desc, e limit 5").df()
+    got = approx_heavy_hitters(
+        rd.read_parquet(path, columns=["event_type"]).repartition(4),
+        "event_type", k=5)
+    assert got["event_type"].tolist() == exact["e"].tolist()
+    assert got["est_count"].tolist() == exact["c"].tolist()
