@@ -246,6 +246,27 @@ def _q_stratified_sample(sf_dir: str):
         group="lang", key="doc_id", n=5)
 
 
+def _q_lag_lead(sf_dir: str):
+    from chomper_ray.pipelines.relational import lag_lead
+
+    out = lag_lead(_read(sf_dir, "events",
+                         columns=["event_id", "user_id", "ts", "value"]),
+                   by="user_id", order="ts", value="value", tie="event_id")
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "lag_value", "lead_value"]],
+        batch_format="pandas")
+
+
+def _q_group_rank(sf_dir: str):
+    from chomper_ray.pipelines.relational import group_rank
+
+    return group_rank(
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_totalprice"]),
+        by="o_custkey", order="o_totalprice", tie="o_orderkey",
+        descending=True)
+
+
 def _q_heavy_hitters(sf_dir: str):
     from chomper_ray.stages.sketches import approx_heavy_hitters
 
@@ -938,6 +959,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": _q_hopping_window,
         "range_join": _q_range_join,
         "heavy_hitters": _q_heavy_hitters,
+        "lag_lead": _q_lag_lead,
+        "group_rank": _q_group_rank,
         "stratified_sample": _q_stratified_sample,
         "approx_distinct": _q_approx_distinct,
         "q1_pricing_summary": _q_q1,
@@ -1081,6 +1104,19 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 2) AS sum_value, count(*) AS n_rows "
             "FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) g "
             "GROUP BY user_id, w_start_s"
+        ),
+        "lag_lead": (
+            "SELECT event_id, user_id, "
+            "lag(value) OVER w AS lag_value, "
+            "lead(value) OVER w AS lead_value "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "group_rank": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, "
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rank "
+            "FROM orders"
         ),
         "heavy_hitters": (
             "SELECT cast(event_type AS VARCHAR) AS event_type, "

@@ -951,3 +951,53 @@ def range_join(left, right, point: str, lo: str = "lo", hi: str = "hi",
     r = right.map_batches(tag_intervals, batch_format="pyarrow")
     return (l.union(r).groupby("_jb")
             .map_groups(join_bucket, batch_format="pandas"))
+
+
+def lag_lead(ds, by: str, order: str, value: str, tie: str | None = None,
+             lag_out: str = "lag_value", lead_out: str = "lead_value",
+             num_partitions: int = 64):
+    """Per-key ``lag(value, 1)`` / ``lead(value, 1)`` over the
+    ``(order, tie)``-ordered stream — SQL's LAG/LEAD window functions.
+    Same shape as ``windowed_running_sum``: one coarse key-hash shuffle,
+    then a single vectorized pandas pass per partition (sort + grouped
+    shift); first/last row per key gets null. No per-key Ray dispatch."""
+    keys = [by, order] + ([tie] if tie else [])
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys, kind="stable")
+        grp = g.groupby(by, sort=False)[value]
+        g[lag_out] = grp.shift(1)
+        g[lead_out] = grp.shift(-1)
+        return g.drop(columns=["_pb"])
+
+    return _coarse_keyed(ds, by, num_partitions) \
+        .map_groups(f, batch_format="pandas")
+
+
+def group_rank(ds, by: str, order: str, tie: str | None = None,
+               descending: bool = False, method: str = "row_number",
+               out: str = "rank", num_partitions: int = 64):
+    """Per-key ranking — SQL ``row_number()`` / ``rank()`` /
+    ``dense_rank()`` ``OVER (PARTITION BY by ORDER BY order)``. One
+    coarse key-hash shuffle; inside, one sort + grouped cumcount/rank
+    pass (vectorized; pandas ``rank`` handles ties natively). For
+    deterministic ``row_number`` pass ``tie`` — SQL row_number over a
+    non-unique order is nondeterministic and won't hash-compare."""
+    if method not in ("row_number", "rank", "dense_rank"):
+        raise ValueError(f"unknown method {method!r}")
+    sort_cols = [by, order] + ([tie] if tie else [])
+    asc = [True] + [not descending] * (len(sort_cols) - 1)
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, ascending=asc, kind="stable")
+        if method == "row_number":
+            r = g.groupby(by, sort=False).cumcount() + 1
+        else:
+            pm = "min" if method == "rank" else "dense"
+            r = g.groupby(by, sort=False)[order].rank(
+                method=pm, ascending=not descending)
+        g[out] = r.astype("int64")
+        return g.drop(columns=["_pb"])
+
+    return _coarse_keyed(ds, by, num_partitions) \
+        .map_groups(f, batch_format="pandas")

@@ -350,3 +350,50 @@ def test_range_join_matches_cross_filter_oracle():
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_lag_lead_matches_pandas_shift():
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 12, 500),
+        "o": rng.permutation(500),
+        "v": rng.random(500).round(3),
+    })
+    out = rel.lag_lead(mk_ds(df, 4), by="k", order="o", value="v") \
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    exp = df.sort_values(["k", "o"]).reset_index(drop=True)
+    grp = exp.groupby("k", sort=False)["v"]
+    pd.testing.assert_series_equal(out["lag_value"], grp.shift(1),
+                                   check_names=False)
+    pd.testing.assert_series_equal(out["lead_value"], grp.shift(-1),
+                                   check_names=False)
+
+
+def test_group_rank_all_methods():
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 8, 400),
+        "v": rng.integers(0, 20, 400),       # many ties
+        "id": np.arange(400, dtype=np.int64),
+    })
+    srt = df.sort_values(["k", "v", "id"]).reset_index(drop=True)
+    # row_number with tie column: dense sequential per key
+    rn = rel.group_rank(mk_ds(df, 4), by="k", order="v", tie="id") \
+        .to_pandas().sort_values(["k", "v", "id"]).reset_index(drop=True)
+    exp_rn = srt.groupby("k", sort=False).cumcount() + 1
+    assert (rn["rank"].to_numpy() == exp_rn.to_numpy()).all()
+    # rank / dense_rank match pandas reference semantics
+    for method, pm in (("rank", "min"), ("dense_rank", "dense")):
+        got = rel.group_rank(mk_ds(df, 4), by="k", order="v",
+                             method=method) \
+            .to_pandas().sort_values(["k", "v", "id"]) \
+            .reset_index(drop=True)
+        exp = srt.groupby("k", sort=False)["v"].rank(method=pm) \
+            .astype("int64")
+        assert (got["rank"].to_numpy() == exp.to_numpy()).all(), method
+    # descending row_number
+    d = rel.group_rank(mk_ds(df, 4), by="k", order="v", tie="id",
+                       descending=True).to_pandas()
+    top = d[d["rank"] == 1].set_index("k")["v"]
+    exp_top = df.groupby("k")["v"].max()
+    assert (top.sort_index() == exp_top.sort_index()).all()
