@@ -246,6 +246,15 @@ def _q_stratified_sample(sf_dir: str):
         group="lang", key="doc_id", n=5)
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    from chomper_ray.stages.text import tfidf_top_terms
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return tfidf_top_terms(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .repartition(8), k=3, n_docs=n)
+
+
 def _q_lag_lead(sf_dir: str):
     from chomper_ray.pipelines.relational import lag_lead
 
@@ -961,6 +970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "lag_lead": _q_lag_lead,
         "group_rank": _q_group_rank,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "stratified_sample": _q_stratified_sample,
         "approx_distinct": _q_approx_distinct,
         "q1_pricing_summary": _q_q1,
@@ -1104,6 +1114,21 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 2) AS sum_value, count(*) AS n_rows "
             "FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) g "
             "GROUP BY user_id, w_start_s"
+        ),
+        "tfidf_top_terms": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS term FROM documents), "
+            "t AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks "
+            "WHERE term <> '' GROUP BY doc_id, term), "
+            "d AS (SELECT term, count(*)::BIGINT AS df FROM t "
+            "GROUP BY term), "
+            "n AS (SELECT count(*)::DOUBLE AS n FROM documents), "
+            "s AS (SELECT t.doc_id, t.term, t.tf, "
+            "round(t.tf * ln(n.n / d.df), 6) AS tfidf "
+            "FROM t JOIN d USING(term) CROSS JOIN n), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY tfidf DESC, term) AS rank FROM s) "
+            "SELECT doc_id, term, tf, tfidf, rank FROM r WHERE rank <= 3"
         ),
         "lag_lead": (
             "SELECT event_id, user_id, "

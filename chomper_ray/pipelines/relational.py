@@ -986,7 +986,9 @@ def group_rank(ds, by: str, order: str, tie: str | None = None,
     if method not in ("row_number", "rank", "dense_rank"):
         raise ValueError(f"unknown method {method!r}")
     sort_cols = [by, order] + ([tie] if tie else [])
-    asc = [True] + [not descending] * (len(sort_cols) - 1)
+    # tie ALWAYS ascends — SQL's deterministic form is
+    # `ORDER BY order DESC, tie` (tie untouched by the direction)
+    asc = [True, not descending] + [True] * (1 if tie else 0)
 
     def f(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(sort_cols, ascending=asc, kind="stable")

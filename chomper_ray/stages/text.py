@@ -359,3 +359,63 @@ def sql_repetition_exprs(col: str = "text") -> dict[str, str]:
         "dup_word_frac": (f"round(1.0 - len(list_distinct({words})) * 1.0 /"
                           f" greatest(len({words}), 1), 6)"),
     }
+
+
+def tfidf_top_terms(ds, col: str = "text", id_col: str = "doc_id",
+                    k: int = 3, n_docs: int | None = None,
+                    ndigits: int = 6, num_partitions: int = 32):
+    """Per-document top-k terms by TF-IDF (whitespace tokens, the
+    keyword-extraction step of a curation pipeline) — a composition of
+    the engine's own primitives, each already scale-audited:
+
+    1. TF is block-local: a document never splits across blocks, so one
+       explode + groupby per block yields final ``(doc, term, tf)`` rows
+       — no shuffle touches tokens.
+    2. DF = rows per term over the (already-distinct) TF rows:
+       ``grouped_agg`` (combiner shuffle over distinct (term, block)
+       partials).
+    3. ``hash_join`` TF with DF on term (co-partitioned, skew-salting
+       available for stopword-like hot terms if needed).
+    4. score = tf · ln(N/df), rounded to ``ndigits`` (ln is IEEE-double
+       on both sides so DuckDB parity holds after rounding); per-doc
+       top-k via ``group_rank`` (score desc, term asc) ≤ k.
+
+    ``n_docs``: pass the corpus size when known (e.g. parquet row
+    count) to skip the count pass."""
+    from chomper_ray.pipelines.relational import (grouped_agg, group_rank,
+                                                  hash_join)
+
+    if n_docs is None:
+        n_docs = ds.count()
+
+    def tf_stage(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[[id_col, col]].copy()
+        s[col] = s[col].fillna("").str.split(" ")
+        e = s.explode(col)
+        e = e[e[col].notna() & (e[col] != "")]
+        out = (e.groupby([id_col, col], sort=False).size()
+               .rename("tf").reset_index()
+               .rename(columns={col: "term"}))
+        return out.astype({"tf": "int64"})
+
+    tf = ds.map_batches(tf_stage, batch_format="pandas").materialize()
+    df_tbl = grouped_agg(tf, keys=["term"], counts=True).map_batches(
+        lambda d: d.rename(columns={"n_rows": "df"}),
+        batch_format="pandas")
+
+    tf_schema = pa.schema([(id_col, pa.int64()), ("term", pa.string()),
+                           ("tf", pa.int64())])
+    df_schema = pa.schema([("term", pa.string()), ("df", pa.int64())])
+    joined = hash_join(tf, df_tbl, on="term", num_buckets=num_partitions,
+                       left_schema=tf_schema, right_schema=df_schema)
+
+    def score(d: pd.DataFrame) -> pd.DataFrame:
+        d["tfidf"] = (d["tf"] * np.log(n_docs / d["df"])).round(ndigits)
+        return d
+
+    ranked = group_rank(joined.map_batches(score, batch_format="pandas"),
+                        by=id_col, order="tfidf", tie="term",
+                        descending=True, num_partitions=num_partitions)
+    return ranked.map_batches(
+        lambda d: d[d["rank"] <= k][[id_col, "term", "tf", "tfidf", "rank"]],
+        batch_format="pandas")

@@ -391,9 +391,14 @@ def test_group_rank_all_methods():
         exp = srt.groupby("k", sort=False)["v"].rank(method=pm) \
             .astype("int64")
         assert (got["rank"].to_numpy() == exp.to_numpy()).all(), method
-    # descending row_number
+    # descending row_number: order DESC but tie ASC (SQL's deterministic
+    # `ORDER BY v DESC, id` — many duplicate v per key here, so a
+    # tie-direction bug flips real rows)
     d = rel.group_rank(mk_ds(df, 4), by="k", order="v", tie="id",
-                       descending=True).to_pandas()
-    top = d[d["rank"] == 1].set_index("k")["v"]
-    exp_top = df.groupby("k")["v"].max()
-    assert (top.sort_index() == exp_top.sort_index()).all()
+                       descending=True) \
+        .to_pandas().sort_values(["k", "id"]).reset_index(drop=True)
+    exp_d = df.sort_values(["k", "v", "id"],
+                           ascending=[True, False, True])
+    exp_d = exp_d.assign(rank=exp_d.groupby("k", sort=False).cumcount() + 1) \
+        .sort_values(["k", "id"]).reset_index(drop=True)
+    assert (d["rank"].to_numpy() == exp_d["rank"].to_numpy()).all()

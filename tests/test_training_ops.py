@@ -257,6 +257,40 @@ def test_repetition_stats_parity_with_duckdb():
     assert out.loc[0, "top_word_frac"] == 0.8
 
 
+def test_tfidf_top_terms_matches_reference():
+    import math
+
+    from chomper_ray.stages.text import tfidf_top_terms
+
+    texts = [
+        "apple banana apple cherry",
+        "banana cherry cherry date",
+        "apple date date date elderberry",
+        "fig fig fig",
+    ]
+    got = tfidf_top_terms(docs_ds(texts), k=2, n_docs=4).to_pandas() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    # reference: plain python tf-idf with the same conventions
+    tf = {}
+    for i, t in enumerate(texts):
+        for w in t.split(" "):
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    df_ = {}
+    for (_, w) in tf:
+        df_[w] = df_.get(w, 0) + 1
+    rows = [(i, w, c, round(c * math.log(4 / df_[w]), 6))
+            for (i, w), c in tf.items()]
+    exp = pd.DataFrame(rows, columns=["doc_id", "term", "tf", "tfidf"])
+    exp = exp.sort_values(["doc_id", "tfidf", "term"],
+                          ascending=[True, False, True])
+    exp["rank"] = exp.groupby("doc_id").cumcount() + 1
+    exp = exp[exp["rank"] <= 2].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "term", "tf", "tfidf", "rank"]].astype(
+            {"tf": "int64", "rank": "int64"}),
+        exp.astype({"tf": "int64", "rank": "int64"}))
+
+
 def test_quality_scorer_ranges():
     df = pd.DataFrame({"text": [
         "The quick brown fox and the lazy dog were in the yard.",
