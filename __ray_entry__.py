@@ -246,6 +246,15 @@ def _q_stratified_sample(sf_dir: str):
         group="lang", key="doc_id", n=5)
 
 
+def _q_pivot_counts(sf_dir: str):
+    from chomper_ray.pipelines.relational import pivot_counts
+
+    cats = ["click", "error", "purchase", "signup", "view"]
+    return pivot_counts(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]),
+        key="user_id", cat="event_type", categories=cats)
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     from chomper_ray.stages.text import tfidf_top_terms
 
@@ -971,6 +980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_lead": _q_lag_lead,
         "group_rank": _q_group_rank,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "pivot_counts": _q_pivot_counts,
         "stratified_sample": _q_stratified_sample,
         "approx_distinct": _q_approx_distinct,
         "q1_pricing_summary": _q_q1,
@@ -1114,6 +1124,15 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 2) AS sum_value, count(*) AS n_rows "
             "FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) g "
             "GROUP BY user_id, w_start_s"
+        ),
+        "pivot_counts": (
+            "SELECT user_id, "
+            "count(*) FILTER (event_type = 'click')::BIGINT AS click, "
+            "count(*) FILTER (event_type = 'error')::BIGINT AS error, "
+            "count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase, "
+            "count(*) FILTER (event_type = 'signup')::BIGINT AS signup, "
+            "count(*) FILTER (event_type = 'view')::BIGINT AS view "
+            "FROM events GROUP BY user_id"
         ),
         "tfidf_top_terms": (
             "WITH toks AS (SELECT doc_id, "

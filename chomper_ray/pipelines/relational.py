@@ -1003,3 +1003,44 @@ def group_rank(ds, by: str, order: str, tie: str | None = None,
 
     return _coarse_keyed(ds, by, num_partitions) \
         .map_groups(f, batch_format="pandas")
+
+
+def pivot_counts(ds, key: str, cat: str, categories: Sequence[str],
+                 value: str | None = None, ndigits: int | None = None):
+    """Pivot a category column into per-category aggregate columns —
+    SQL's conditional aggregation (``count(*) FILTER (WHERE cat='x')``,
+    or ``sum(value) FILTER`` with ``value``). One column per category in
+    ``categories`` (explicit: a distributed engine can't discover output
+    SCHEMA lazily — the category set is either known or one cheap
+    ``distinct`` away), named ``<cat value>``; unlisted categories are
+    ignored.
+
+    Shape: the pivot happens INSIDE the per-block combiner (vectorized
+    boolean masks × groupby-sum), so the shuffle is the same one-row-
+    per-key-per-block exchange as ``grouped_agg`` — pivoting is free, no
+    extra pass."""
+    cats = list(categories)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {}
+        cv = df[cat].astype(str)
+        src = df[value] if value is not None else None
+        for c in cats:
+            m = (cv == c)
+            cols[c] = (src.where(m, 0.0) if src is not None
+                       else m.astype("int64"))
+        tmp = pd.DataFrame(cols)
+        tmp[key] = df[key].values
+        return tmp.groupby(key, sort=False, dropna=False).sum() \
+            .reset_index()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(key, sort=False, dropna=False).sum().reset_index()
+        if ndigits is not None:
+            for c in cats:
+                out[c] = out[c].round(ndigits)
+        return out
+
+    # combiner → single small grouped shuffle (same plan as grouped_agg)
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby(key).map_groups(final, batch_format="pandas")

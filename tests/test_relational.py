@@ -402,3 +402,58 @@ def test_group_rank_all_methods():
     exp_d = exp_d.assign(rank=exp_d.groupby("k", sort=False).cumcount() + 1) \
         .sort_values(["k", "id"]).reset_index(drop=True)
     assert (d["rank"].to_numpy() == exp_d["rank"].to_numpy()).all()
+
+
+def test_pivot_counts_and_sums():
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame({
+        "u": rng.integers(0, 30, 2000),
+        "t": rng.choice(["click", "view", "buy"], 2000, p=[.5, .4, .1]),
+        "v": rng.random(2000).round(3),
+    })
+    cats = ["click", "view", "buy"]
+    got = rel.pivot_counts(mk_ds(df, 4), key="u", cat="t",
+                           categories=cats) \
+        .to_pandas().set_index("u").sort_index()
+    exp = df.pivot_table(index="u", columns="t", values="v",
+                         aggfunc="size", fill_value=0)
+    for c in cats:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    # value-sum mode
+    gv = rel.pivot_counts(mk_ds(df, 4), key="u", cat="t",
+                          categories=cats, value="v", ndigits=3) \
+        .to_pandas().set_index("u").sort_index()
+    ev = df.pivot_table(index="u", columns="t", values="v",
+                        aggfunc="sum", fill_value=0.0).round(3)
+    for c in cats:
+        assert np.allclose(gv[c].to_numpy(), ev[c].to_numpy()), c
+    # unlisted category silently ignored, missing category all-zero
+    g2 = rel.pivot_counts(mk_ds(df, 4), key="u", cat="t",
+                          categories=["click", "nosuch"]) \
+        .to_pandas().set_index("u").sort_index()
+    assert (g2["nosuch"] == 0).all()
+    assert (g2["click"].to_numpy() == exp["click"].to_numpy()).all()
+
+
+def test_range_join_property_random_frames():
+    """Property-style sweep: random point/interval frames (including
+    empty-width, duplicate, and negative-domain intervals) always match
+    the cross-filter oracle."""
+    rng = np.random.default_rng(13)
+    for trial in range(5):
+        n = int(rng.integers(50, 400))
+        m = int(rng.integers(1, 60))
+        L = pd.DataFrame({
+            "eid": np.arange(n, dtype=np.int64),
+            "p": rng.integers(-500, 500, n).astype(np.int64)})
+        lo = rng.integers(-500, 500, m).astype(np.int64)
+        R = pd.DataFrame({
+            "iid": np.arange(m, dtype=np.int64), "lo": lo,
+            "hi": lo + rng.integers(0, 120, m).astype(np.int64)})
+        exp = L.merge(R, how="cross")
+        exp = exp[(exp.p >= exp.lo) & (exp.p <= exp.hi)]
+        got = rel.range_join(mk_ds(L, 3), mk_ds(R, 2), point="p",
+                             chunk=int(rng.integers(1, 300))).to_pandas()
+        assert len(got) == len(exp), trial
+        assert (set(map(tuple, got[["eid", "iid"]].to_numpy()))
+                == set(map(tuple, exp[["eid", "iid"]].to_numpy()))), trial
