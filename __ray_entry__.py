@@ -255,6 +255,16 @@ def _q_pivot_counts(sf_dir: str):
         key="user_id", cat="event_type", categories=cats)
 
 
+def _q_rollup_agg(sf_dir: str):
+    from chomper_ray.pipelines.relational import rollup_agg
+
+    return rollup_agg(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_linestatus", "l_quantity"]),
+        keys=["l_returnflag", "l_linestatus"], sums=["l_quantity"],
+        ndigits=2)
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     from chomper_ray.stages.text import tfidf_top_terms
 
@@ -981,6 +991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_rank": _q_group_rank,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "pivot_counts": _q_pivot_counts,
+        "rollup_agg": _q_rollup_agg,
         "stratified_sample": _q_stratified_sample,
         "approx_distinct": _q_approx_distinct,
         "q1_pricing_summary": _q_q1,
@@ -1124,6 +1135,12 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 2) AS sum_value, count(*) AS n_rows "
             "FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) g "
             "GROUP BY user_id, w_start_s"
+        ),
+        "rollup_agg": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_l_quantity, "
+            "count(*) AS n_rows FROM lineitem "
+            "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
         ),
         "pivot_counts": (
             "SELECT user_id, "

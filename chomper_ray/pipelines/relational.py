@@ -1044,3 +1044,121 @@ def pivot_counts(ds, key: str, cat: str, categories: Sequence[str],
     # combiner → single small grouped shuffle (same plan as grouped_agg)
     return ds.map_batches(partial, batch_format="pandas") \
         .groupby(key).map_groups(final, batch_format="pandas")
+
+
+def rollup_agg(ds, keys: Sequence[str], sums: Sequence[str] = (),
+               counts: bool = True, ndigits: int | None = None,
+               sets: Sequence[Sequence[str]] | None = None,
+               schema: pa.Schema | None = None):
+    """Grouping-sets aggregation — SQL's ``GROUP BY ROLLUP(keys...)``
+    (default: every prefix of ``keys`` down to the grand total), or an
+    explicit list of ``sets`` (subsets of ``keys``; pass all subsets for
+    CUBE). Key columns absent from a grouping set come back NULL, as in
+    SQL without GROUPING().
+
+    Shape: raw rows are scanned ONCE — the ``grouped_agg`` combiner at
+    the finest grain (one row per key-combo per block rides the
+    shuffle). Every coarser set then re-aggregates the finest RESULT,
+    which is one row per distinct key-combo — vanishingly small next to
+    the input — so each extra grouping set costs a combiner pass over
+    that small dataset, never another scan or raw-row shuffle. All
+    aggregates here are decomposable (sum / count), which is what makes
+    re-aggregating aggregates legal.
+
+    Key columns are assumed non-null (SQL's ROLLUP has the same
+    ambiguity otherwise). ``schema``: Arrow schema of ``ds`` — pass it
+    when ``ds`` already carries a shuffle (``ds.schema()`` would execute
+    it); defaults to probing ``ds.schema()``.
+    """
+    keys = list(keys)
+    sum_cols = sorted(sums)
+    if sets is None:
+        sets = [keys[:i] for i in range(len(keys) - 1, -1, -1)]
+    sets = [list(s) for s in sets]
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s} is not a subset of {keys}")
+
+    if schema is None:
+        schema = ds.schema()
+    in_types = {n: _arrow_type(t) for n, t in zip(schema.names,
+                                                  schema.types)}
+    out_fields = [pa.field(k, in_types[k]) for k in keys]
+    for c in sum_cols:
+        t = in_types[c]
+        out_fields.append(pa.field(
+            f"sum_{c}",
+            pa.float64() if (ndigits is not None
+                             or pa.types.is_floating(t)) else pa.int64()))
+    if counts:
+        out_fields.append(pa.field("n_rows", pa.int64()))
+    out_schema = pa.schema(out_fields)
+
+    def _round(df: pd.DataFrame) -> pd.DataFrame:
+        if ndigits is not None:
+            for c in sum_cols:
+                df[f"sum_{c}"] = df[f"sum_{c}"].round(ndigits)
+        return df
+
+    # one raw scan: finest-grain combiner + small shuffle
+    finest = grouped_agg(ds, keys, sums=sum_cols, counts=True)
+
+    def conform_finest(df: pd.DataFrame) -> pa.Table:
+        df = _round(df)
+        if not counts:
+            df = df.drop(columns=["n_rows"])
+        return _to_schema(df, out_schema)
+
+    pieces = [finest.map_batches(conform_finest, batch_format="pandas")]
+
+    agg_map = {f"sum_{c}": "sum" for c in sum_cols}
+    agg_map["n_rows"] = "sum"
+
+    for s in sets:
+        def make(s=s):
+            dropped = [k for k in keys if k not in s]
+
+            def partial_s(df: pd.DataFrame) -> pd.DataFrame:
+                if s:
+                    return df.groupby(s, sort=False, dropna=False) \
+                        .agg(agg_map).reset_index()
+                out = df.agg(agg_map).to_frame().T
+                out["n_rows"] = out["n_rows"].astype("int64")
+                return out
+
+            def final_s(df: pd.DataFrame) -> pa.Table:
+                if s:
+                    out = df.groupby(s, sort=False, dropna=False) \
+                        .agg(agg_map).reset_index()
+                else:
+                    out = df.agg(agg_map).to_frame().T
+                for k in dropped:
+                    out[k] = None
+                return _to_schema(_round(out if counts else
+                                         out.drop(columns=["n_rows"])),
+                                  out_schema)
+            return partial_s, final_s
+
+        partial_s, final_s = make()
+        lvl = finest.map_batches(partial_s, batch_format="pandas")
+        if s:
+            lvl = (lvl.map_batches(
+                       lambda df, s=s: df.assign(_pb=(
+                           pd.util.hash_pandas_object(df[s], index=False)
+                           % 32).astype("int32")),
+                       batch_format="pandas")
+                   .groupby("_pb")
+                   .map_groups(lambda g, f=final_s:
+                               f(g.drop(columns=["_pb"])),
+                               batch_format="pandas"))
+        else:
+            # grand total: every partial is one row; a single reduce task
+            # sees #blocks rows — bounded by construction
+            lvl = lvl.repartition(1).map_batches(final_s,
+                                                 batch_format="pandas")
+        pieces.append(lvl)
+
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.union(p)
+    return out

@@ -457,3 +457,51 @@ def test_range_join_property_random_frames():
         assert len(got) == len(exp), trial
         assert (set(map(tuple, got[["eid", "iid"]].to_numpy()))
                 == set(map(tuple, exp[["eid", "iid"]].to_numpy()))), trial
+
+
+def test_rollup_agg_matches_duckdb_rollup():
+    import duckdb
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 3000),
+        "b": rng.choice(["p", "q"], 3000),
+        "v": rng.random(3000).round(3),
+    })
+    got = rel.rollup_agg(mk_ds(df, 4), keys=["a", "b"], sums=["v"],
+                         ndigits=2).to_pandas()
+    exp = duckdb.sql(
+        "SELECT a, b, round(sum(v), 2) AS sum_v, count(*) AS n_rows "
+        "FROM df GROUP BY ROLLUP(a, b)").df()
+    key = ["a", "b"]
+    g = got.sort_values(key, na_position="last").reset_index(drop=True)
+    e = exp.sort_values(key, na_position="last").reset_index(drop=True)
+    assert len(g) == len(e)
+    pd.testing.assert_frame_equal(
+        g.astype({"n_rows": "int64"}), e.astype({"n_rows": "int64"}),
+        check_dtype=False)
+
+
+def test_rollup_agg_explicit_sets_cube():
+    import itertools
+
+    rng = np.random.default_rng(10)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y"], 500),
+        "b": rng.choice(["p", "q", "r"], 500),
+        "v": rng.integers(0, 100, 500),
+    })
+    keys = ["a", "b"]
+    sets = [list(s) for n in (1, 0)
+            for s in itertools.combinations(keys, n)]
+    got = rel.rollup_agg(mk_ds(df, 3), keys=keys, sums=["v"],
+                         sets=sets).to_pandas()
+    import duckdb
+    exp = duckdb.sql(
+        "SELECT a, b, sum(v)::BIGINT AS sum_v, count(*) AS n_rows "
+        "FROM df GROUP BY CUBE(a, b)").df()
+    g = got.sort_values(keys, na_position="last").reset_index(drop=True)
+    e = exp.sort_values(keys, na_position="last").reset_index(drop=True)
+    assert len(g) == len(e)
+    assert (g["sum_v"].to_numpy() == e["sum_v"].to_numpy()).all()
+    assert (g["n_rows"].to_numpy() == e["n_rows"].to_numpy()).all()
