@@ -265,6 +265,16 @@ def _q_rollup_agg(sf_dir: str):
         ndigits=2)
 
 
+def _q_grouped_collect(sf_dir: str):
+    from chomper_ray.pipelines.relational import grouped_collect
+
+    return grouped_collect(
+        _read(sf_dir, "events",
+              columns=["user_id", "event_type", "ts", "event_id"]),
+        key="user_id", value="event_type", order=["ts", "event_id"],
+        sep=",", out="events")
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     from chomper_ray.stages.text import tfidf_top_terms
 
@@ -992,6 +1002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "pivot_counts": _q_pivot_counts,
         "rollup_agg": _q_rollup_agg,
+        "grouped_collect": _q_grouped_collect,
         "stratified_sample": _q_stratified_sample,
         "approx_distinct": _q_approx_distinct,
         "q1_pricing_summary": _q_q1,
@@ -1135,6 +1146,11 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 2) AS sum_value, count(*) AS n_rows "
             "FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) g "
             "GROUP BY user_id, w_start_s"
+        ),
+        "grouped_collect": (
+            "SELECT user_id, string_agg(event_type, ',' "
+            "ORDER BY ts, event_id) AS events FROM events "
+            "GROUP BY user_id"
         ),
         "rollup_agg": (
             "SELECT l_returnflag, l_linestatus, "

@@ -1162,3 +1162,40 @@ def rollup_agg(ds, keys: Sequence[str], sums: Sequence[str] = (),
     for p in pieces[1:]:
         out = out.union(p)
     return out
+
+
+def grouped_collect(ds, key: str, value: str, order: Sequence[str],
+                    sep: str = ",", out: str = "collected",
+                    num_partitions: int = 32):
+    """Ordered grouped concatenation — SQL's
+    ``string_agg(value, sep ORDER BY order...)``. Unlike the
+    ``grouped_agg`` family this aggregate is NOT decomposable without
+    carrying every element, so the raw ``(key, order, value)`` rows ride
+    one coarse key-hash shuffle (irreducible for an order-sensitive
+    collect); inside each coarse partition ONE vectorized polars
+    sort + group_by + str.join handles every key in the partition —
+    no per-key UDF dispatch at high key cardinality.
+
+    Output strings are O(rows-per-key); keys hash-spread across
+    ``num_partitions`` so a partition holds ~rows/num_partitions raw
+    rows regardless of key skew (a single pathological key still lands
+    in one partition — same bound SQL engines accept for string_agg).
+    """
+    order = list(order)
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        t = pl.from_pandas(g[[key, value] + order])
+        agg = (t.sort(order)
+               .group_by(key, maintain_order=False)
+               .agg(pl.col(value).str.join(sep).alias(out))
+               .sort(key))
+        return agg.to_pandas()
+
+    cols = [key, value] + order
+    pruned = ds.map_batches(lambda t: t.select(cols),
+                            batch_format="pyarrow")
+    return _coarse_keyed(pruned, key, num_partitions) \
+        .map_groups(lambda g: build(g.drop(columns=["_pb"])),
+                    batch_format="pandas")

@@ -505,3 +505,24 @@ def test_rollup_agg_explicit_sets_cube():
     assert len(g) == len(e)
     assert (g["sum_v"].to_numpy() == e["sum_v"].to_numpy()).all()
     assert (g["n_rows"].to_numpy() == e["n_rows"].to_numpy()).all()
+
+
+def test_grouped_collect_ordered_string_agg():
+    import duckdb
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, 2000),
+        "v": rng.choice(["a", "bb", "ccc", "d"], 2000),
+        "o1": rng.integers(0, 50, 2000),          # deliberate ties in o1
+        "o2": np.arange(2000, dtype=np.int64),
+    })
+    got = rel.grouped_collect(mk_ds(df, 5), key="k", value="v",
+                              order=["o1", "o2"], sep="|", out="s") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    exp = duckdb.sql(
+        "SELECT k, string_agg(v, '|' ORDER BY o1, o2) AS s "
+        "FROM df GROUP BY k ORDER BY k").df()
+    assert len(got) == len(exp)
+    assert (got["k"].to_numpy() == exp["k"].to_numpy()).all()
+    assert (got["s"].to_numpy() == exp["s"].to_numpy()).all()
