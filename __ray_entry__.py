@@ -265,6 +265,25 @@ def _q_rollup_agg(sf_dir: str):
         ndigits=2)
 
 
+def _q_url_parts(sf_dir: str):
+    # webtext provenance: parse every distinct URL in the CDC change
+    # stream into scheme/host/path/domain/tld (sf-independent; the
+    # binlog is the engine's own deterministic workload)
+    import ray.data as rd
+
+    from chomper_ray.pipelines.relational import distinct
+    from chomper_ray.stages.text import url_parts
+
+    import glob as _glob
+
+    log = _ensure_cdc_oracle_log()
+    files = sorted(_glob.glob(f"{log}/epoch=*/part-*.parquet"))
+    urls = distinct(
+        rd.read_parquet(files, columns=["url"]), ["url"],
+        num_partitions=8)
+    return urls.map_batches(url_parts, batch_format="pandas")
+
+
 def _q_grouped_collect(sf_dir: str):
     from chomper_ray.pipelines.relational import grouped_collect
 
@@ -1003,6 +1022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_counts": _q_pivot_counts,
         "rollup_agg": _q_rollup_agg,
         "grouped_collect": _q_grouped_collect,
+        "url_parts": _q_url_parts,
         "stratified_sample": _q_stratified_sample,
         "approx_distinct": _q_approx_distinct,
         "q1_pricing_summary": _q_q1,
@@ -1047,7 +1067,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from chomper_ray.stages.text import (sql_normalize_expr, sql_pii_exprs,
                                          sql_quality_exprs,
-                                         sql_repetition_exprs)
+                                         sql_repetition_exprs,
+                                         sql_url_exprs)
 
     q = sql_quality_exprs()
     _pii = sql_pii_exprs()
@@ -1146,6 +1167,14 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 2) AS sum_value, count(*) AS n_rows "
             "FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) g "
             "GROUP BY user_id, w_start_s"
+        ),
+        "url_parts": (
+            "WITH u AS (SELECT DISTINCT url FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)) "
+            "SELECT url, "
+            + ", ".join(f"{v} AS {k}"
+                        for k, v in sql_url_exprs("url").items())
+            + " FROM u"
         ),
         "grouped_collect": (
             "SELECT user_id, string_agg(event_type, ',' "

@@ -419,3 +419,66 @@ def tfidf_top_terms(ds, col: str = "text", id_col: str = "doc_id",
     return ranked.map_batches(
         lambda d: d[d["rank"] <= k][[id_col, "term", "tf", "tfidf", "rank"]],
         batch_format="pandas")
+
+
+# --- URL structure (webtext provenance signals) ------------------------------
+
+# RE2-safe (no backrefs / lookaround) so the DuckDB oracle runs the SAME
+# patterns — the engine==RE2 parity contract scrub_pii established.
+_URL_SCHEME = r"^([a-z][a-z0-9+.-]*)://"
+_URL_HOST = r"^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+_URL_PATH = r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)"
+_URL_DOMAIN = r"([^.]+\.[^.]+)$"          # naive registered domain
+_URL_TLD = r"\.([^.]+)$"
+
+
+def url_parts(batch: pd.DataFrame, col: str = "url") -> pd.DataFrame:
+    """Decompose a URL column into scheme / host / path / registered
+    domain / TLD — the provenance axes a webtext pipeline filters and
+    stratifies on (per-domain quotas, TLD quality priors, blocklists).
+    One vectorized ``str.extract`` per part; unparseable parts come back
+    as empty strings (DuckDB ``regexp_extract`` no-match parity). The
+    registered domain is the naive last-two-labels heuristic — a real
+    public-suffix list is a broadcast lookup in the same shape.
+    SQL oracle: ``sql_url_exprs``."""
+    s = batch[col].astype(str)
+    batch["scheme"] = s.str.extract(_URL_SCHEME, expand=False).fillna("")
+    host = s.str.extract(_URL_HOST, expand=False).fillna("").str.lower()
+    batch["host"] = host
+    batch["path"] = s.str.extract(_URL_PATH, expand=False).fillna("")
+    batch["domain"] = host.str.extract(_URL_DOMAIN, expand=False).fillna("")
+    batch["tld"] = host.str.extract(_URL_TLD, expand=False).fillna("")
+    return batch
+
+
+def sql_url_exprs(col: str = "url") -> dict[str, str]:
+    """DuckDB renderings of url_parts (same RE2 patterns)."""
+    host = f"lower(regexp_extract({col}, '{_URL_HOST}', 1))"
+    return {
+        "scheme": f"regexp_extract({col}, '{_URL_SCHEME}', 1)",
+        "host": host,
+        "path": f"regexp_extract({col}, '{_URL_PATH}', 1)",
+        "domain": f"regexp_extract({host}, '{_URL_DOMAIN}', 1)",
+        "tld": f"regexp_extract({host}, '\\.([^.]+)$', 1)",
+    }
+
+
+def filter_domains(ds, blocked: set[str], col: str = "url",
+                   keep: bool = False):
+    """Drop (or keep, with ``keep=True``) rows whose URL's registered
+    domain is in ``blocked`` — the standard webtext domain blocklist.
+    The set is broadcast once via ``ray.put`` and read inside every
+    task; rows never shuffle."""
+    import ray
+
+    ref = ray.put(frozenset(d.lower() for d in blocked))
+
+    def f(batch: pd.DataFrame, ref=ref) -> pd.DataFrame:
+        bl = ray.get(ref)
+        host = batch[col].astype(str).str.extract(
+            _URL_HOST, expand=False).fillna("").str.lower()
+        dom = host.str.extract(_URL_DOMAIN, expand=False).fillna("")
+        m = dom.isin(bl)
+        return batch[m if keep else ~m]
+
+    return ds.map_batches(f, batch_format="pandas")

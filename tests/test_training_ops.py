@@ -593,3 +593,37 @@ def test_remove_frequent_segments_line_mode():
     assert out[2] == "unique c"
     assert out[3] is None or pd.isna(out[3])
     assert out[4] == "all mine\nno banner"
+
+
+class TestUrlOps:
+    URLS = ["https://blog.example.org/page/2", "https://example.com/page/0",
+            "http://user@Sub.Host.NET:8080/a/b?q=1#f", "not a url",
+            "https://single", "https://shop.example.net/x/", ""]
+
+    def test_url_parts_matches_duckdb(self):
+        import duckdb
+
+        from chomper_ray.stages.text import sql_url_exprs, url_parts
+
+        df = pd.DataFrame({"url": self.URLS})
+        got = url_parts(df.copy())
+        sel = ", ".join(f"{v} AS {k}"
+                        for k, v in sql_url_exprs().items())
+        exp = duckdb.sql(f"SELECT {sel} FROM df").df()
+        for c in ("scheme", "host", "path", "domain", "tld"):
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+    def test_filter_domains_blocklist(self, ray_session):
+        import ray.data as rd
+
+        from chomper_ray.stages.text import filter_domains
+
+        ds = rd.from_pandas(pd.DataFrame({
+            "url": self.URLS, "i": range(len(self.URLS))})).repartition(2)
+        kept = filter_domains(ds, {"example.org", "host.net"}) \
+            .to_pandas().sort_values("i")
+        assert kept["url"].tolist() == [
+            "https://example.com/page/0", "not a url", "https://single",
+            "https://shop.example.net/x/", ""]
+        only = filter_domains(ds, {"example.org"}, keep=True).to_pandas()
+        assert only["url"].tolist() == ["https://blog.example.org/page/2"]
