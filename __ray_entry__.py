@@ -284,6 +284,16 @@ def _q_url_parts(sf_dir: str):
     return urls.map_batches(url_parts, batch_format="pandas")
 
 
+def _q_decontaminate(sf_dir: str):
+    # eval-set leakage guard: flag corpus docs sharing any token 3-gram
+    # with the "benchmark" slice (every 199th doc — deterministic)
+    from chomper_ray.stages.dedup import decontaminate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = docs.filter(lambda r: r["doc_id"] % 199 == 0)
+    return decontaminate(docs, bench, n=3)
+
+
 def _q_grouped_collect(sf_dir: str):
     from chomper_ray.pipelines.relational import grouped_collect
 
@@ -1023,6 +1033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_agg": _q_rollup_agg,
         "grouped_collect": _q_grouped_collect,
         "url_parts": _q_url_parts,
+        "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "approx_distinct": _q_approx_distinct,
         "q1_pricing_summary": _q_q1,
@@ -1167,6 +1178,20 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 2) AS sum_value, count(*) AS n_rows "
             "FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) g "
             "GROUP BY user_id, w_start_s"
+        ),
+        "decontaminate": (
+            # positional token 3-grams via list slicing; flag = shares
+            # any n-gram with the doc_id%199==0 benchmark slice
+            "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l "
+            "FROM documents), "
+            "g AS (SELECT doc_id, text, list_transform("
+            "generate_series(1, greatest(len(l)-2, 0)), "
+            "i -> array_to_string(l[i:i+2], ' ')) AS ngs FROM t), "
+            "b AS (SELECT list(DISTINCT ng) AS bl FROM "
+            "(SELECT unnest(ngs) AS ng FROM g WHERE doc_id % 199 = 0)) "
+            "SELECT doc_id, text, "
+            "(CASE WHEN array_has_any(g.ngs, b.bl) THEN 1 ELSE 0 END)"
+            "::BIGINT AS contaminated FROM g, b"
         ),
         "url_parts": (
             "WITH u AS (SELECT DISTINCT url FROM read_parquet("

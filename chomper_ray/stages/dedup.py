@@ -924,3 +924,88 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     pairs_ds = _dedup_pairs_ds(pairs_raw).materialize()
     clusters_ds = components_auto_ds(pairs_ds, driver_edge_cap=driver_edge_cap)
     return clusters_ds, pairs_ds
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+def _token_ngram_hashes(texts, n: int):
+    """All positional token n-gram hashes for a batch of documents.
+    Returns ``(row_idx, hashes)`` — one entry per n-gram POSITION (not
+    distinct n-grams). Tokenization is the literal single-space split
+    the rest of the text family uses (SQL ``string_split`` parity).
+
+    Vectorized end-to-end: polars split+explode (Rust), one
+    ``hash_pandas_object`` over every token (SipHash, fixed key —
+    stable across processes), then a numpy rolling polynomial combine
+    with row-boundary masking. No per-document Python loop."""
+    import pandas as pd
+    import polars as pl
+
+    s = pl.Series("t", pd.Series(texts).fillna("").astype(str).tolist())
+    ex = pl.DataFrame({"i": pl.int_range(len(s), eager=True),
+                       "w": s.str.split(" ")}).explode("w")
+    rows = ex["i"].to_numpy()
+    if len(rows) < n:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+    th = pd.util.hash_pandas_object(
+        ex["w"].to_pandas(), index=False).to_numpy().astype(np.uint64)
+    m = len(th) - n + 1
+    with np.errstate(over="ignore"):
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(n):                      # n (~5) shifted adds, not
+            h = h * _SHINGLE_BASE + th[j:m + j]  # a per-ngram loop
+        h = (h ^ (h >> np.uint64(33))) * _MIX
+    valid = rows[:m] == rows[n - 1:]            # n-gram stays in one doc
+    return rows[:m][valid], h[valid]
+
+
+def decontaminate(ds, bench, col: str = "text", id_col: str = "doc_id",
+                  n: int = 5, out: str = "contaminated",
+                  drop: bool = False):
+    """Benchmark decontamination: flag (or drop) corpus documents that
+    contain ANY token n-gram appearing in the benchmark set ``bench``
+    (a Dataset with the same text column) — the standard guard against
+    eval-set leakage into training data.
+
+    Shape: the benchmark's distinct n-gram hashes are built
+    DISTRIBUTED (map_batches → per-block dedup → global distinct), then
+    broadcast once via ``ray.put`` and probed with a vectorized
+    ``np.isin`` inside every corpus task — corpus rows never shuffle.
+    The broadcast is bounded by the BENCHMARK's size (eval sets are
+    MBs; a 10^6-n-gram benchmark is an 8 MB uint64 array), never the
+    corpus's. Equality is positional-token-sequence equality — exactly
+    SQL's ``array_has_any`` over ``array_to_string(l[i:i+n-1], ' ')``
+    lists; hash collisions (~#ngrams² / 2^64) are the only divergence.
+    """
+    import ray
+
+    from chomper_ray.pipelines.relational import distinct
+
+    def bench_hashes(t: pa.Table) -> pa.Table:
+        _, h = _token_ngram_hashes(t[col].to_pandas(), n)
+        return pa.table({"h": pa.array(np.unique(h), type=pa.uint64())})
+
+    bench_distinct = distinct(
+        bench.map_batches(bench_hashes, batch_format="pyarrow"),
+        ["h"], num_partitions=8)
+    hs = np.sort(np.concatenate(
+        [b["h"].to_numpy(zero_copy_only=False)
+         for b in bench_distinct.iter_batches(batch_format="pyarrow")]
+        or [np.empty(0, dtype=np.uint64)]))
+    ref = ray.put(hs)
+
+    def flag(batch: pd.DataFrame, ref=ref) -> pd.DataFrame:
+        bench_h = ray.get(ref)
+        rows, h = _token_ngram_hashes(batch[col], n)
+        hit = np.zeros(len(batch), dtype=bool)
+        if len(h) and len(bench_h):
+            idx = np.searchsorted(bench_h, h)
+            idx[idx == len(bench_h)] = 0
+            m = bench_h[idx] == h
+            hit[np.unique(rows[m])] = True
+        if drop:
+            return batch[~hit]
+        batch[out] = hit.astype("int64")
+        return batch
+
+    return ds.map_batches(flag, batch_format="pandas")

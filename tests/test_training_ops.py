@@ -627,3 +627,66 @@ class TestUrlOps:
             "https://shop.example.net/x/", ""]
         only = filter_domains(ds, {"example.org"}, keep=True).to_pandas()
         assert only["url"].tolist() == ["https://blog.example.org/page/2"]
+
+
+class TestDecontaminate:
+    def _corpus(self):
+        # doc 2 shares a planted 5-gram with bench doc 0; doc 3 shares
+        # only a 4-gram (must NOT flag at n=5); doc 4 is clean
+        bench = pd.DataFrame({
+            "doc_id": [0, 1],
+            "text": ["the quick brown fox jumps over the lazy dog",
+                     "pack my box with five dozen liquor jugs"],
+        })
+        corpus = pd.DataFrame({
+            "doc_id": [2, 3, 4, 5],
+            "text": [
+                "intro quick brown fox jumps over outro words here",
+                "fox jumps over the unrelated tail of this doc",
+                "completely different content with no overlap at all",
+                "",
+            ],
+        })
+        return bench, corpus
+
+    def test_flag_and_drop(self, ray_session):
+        from chomper_ray.stages.dedup import decontaminate
+
+        bench, corpus = self._corpus()
+        bds = rd.from_pandas(bench).repartition(2)
+        cds = rd.from_pandas(corpus).repartition(2)
+        got = decontaminate(cds, bds, n=5).to_pandas() \
+            .sort_values("doc_id")
+        assert got["contaminated"].tolist() == [1, 0, 0, 0]
+        kept = decontaminate(cds, bds, n=5, drop=True).to_pandas()
+        assert sorted(kept["doc_id"].tolist()) == [3, 4, 5]
+        # at n=4 the 4-gram overlap in doc 3 flags too
+        g4 = decontaminate(cds, bds, n=4).to_pandas() \
+            .sort_values("doc_id")
+        assert g4["contaminated"].tolist() == [1, 1, 0, 0]
+
+    def test_matches_duckdb_list_oracle(self, ray_session):
+        import duckdb
+
+        from chomper_ray.stages.dedup import decontaminate
+
+        rng = np.random.default_rng(13)
+        vocab = np.array(["a", "b", "c", "d", "e", "f", "g"])
+        texts = [" ".join(rng.choice(vocab, rng.integers(1, 25)))
+                 for _ in range(300)]
+        df = pd.DataFrame({"doc_id": np.arange(300), "text": texts})
+        ds = rd.from_pandas(df).repartition(4)
+        bench = ds.filter(lambda r: r["doc_id"] % 50 == 0)
+        got = decontaminate(ds, bench, n=4).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        exp = duckdb.sql(
+            "WITH t AS (SELECT doc_id, string_split(text,' ') AS l "
+            "FROM df), g AS (SELECT doc_id, list_transform("
+            "generate_series(1, greatest(len(l)-3, 0)), "
+            "i -> array_to_string(l[i:i+3], ' ')) AS ngs FROM t), "
+            "b AS (SELECT list(DISTINCT ng) AS bl FROM "
+            "(SELECT unnest(ngs) AS ng FROM g WHERE doc_id % 50 = 0)) "
+            "SELECT doc_id, CASE WHEN array_has_any(g.ngs, b.bl) "
+            "THEN 1 ELSE 0 END AS c FROM g, b ORDER BY doc_id").df()
+        assert (got["contaminated"].to_numpy()
+                == exp["c"].to_numpy()).all()
