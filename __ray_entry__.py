@@ -284,6 +284,16 @@ def _q_url_parts(sf_dir: str):
     return urls.map_batches(url_parts, batch_format="pandas")
 
 
+def _q_grouped_stats(sf_dir: str):
+    from chomper_ray.pipelines.relational import grouped_stats
+
+    return grouped_stats(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_extendedprice", "l_discount"]),
+        keys=["l_returnflag"], x="l_extendedprice", y="l_discount",
+        ndigits=4)
+
+
 def _q_decontaminate(sf_dir: str):
     # eval-set leakage guard: flag corpus docs sharing any token 3-gram
     # with the "benchmark" slice (every 199th doc — deterministic)
@@ -1034,6 +1044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_collect": _q_grouped_collect,
         "url_parts": _q_url_parts,
         "decontaminate": _q_decontaminate,
+        "grouped_stats": _q_grouped_stats,
         "stratified_sample": _q_stratified_sample,
         "approx_distinct": _q_approx_distinct,
         "q1_pricing_summary": _q_q1,
@@ -1178,6 +1189,14 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 2) AS sum_value, count(*) AS n_rows "
             "FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) g "
             "GROUP BY user_id, w_start_s"
+        ),
+        "grouped_stats": (
+            "SELECT l_returnflag, count(*) AS n, "
+            "round(avg(l_extendedprice), 4) AS avg_x, "
+            "round(stddev_pop(l_extendedprice), 4) AS std_x, "
+            "round(covar_pop(l_extendedprice, l_discount), 4) AS cov_xy, "
+            "round(corr(l_extendedprice, l_discount), 4) AS corr_xy "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         "decontaminate": (
             # positional token 3-grams via list slicing; flag = shares

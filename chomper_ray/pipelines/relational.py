@@ -1199,3 +1199,57 @@ def grouped_collect(ds, key: str, value: str, order: Sequence[str],
     return _coarse_keyed(pruned, key, num_partitions) \
         .map_groups(lambda g: build(g.drop(columns=["_pb"])),
                     batch_format="pandas")
+
+
+def grouped_stats(ds, keys: Sequence[str], x: str, y: str | None = None,
+                  ndigits: int = 6, num_partitions: int = 32):
+    """Second-moment grouped statistics: per-key ``n``, ``avg_x``,
+    ``std_x`` (population), and — with ``y`` — ``cov_xy`` (population)
+    and ``corr_xy``. All are decomposable through (Σx, Σx², Σxy, n)
+    partials, so the plan is exactly the ``grouped_agg`` combiner shape:
+    one row of moments per key per block rides the shuffle, never raw
+    rows. Results round to ``ndigits`` so block-order-dependent float
+    summation agrees with the SQL oracle's (``stddev_pop`` /
+    ``covar_pop`` / ``corr``).
+    """
+    keys = list(keys)
+    cols = keys + [x] + ([y] if y else [])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({k: df[k] for k in keys})
+        d["sx"] = df[x]
+        d["sxx"] = df[x] * df[x]
+        if y:
+            d["sy"] = df[y]
+            d["syy"] = df[y] * df[y]
+            d["sxy"] = df[x] * df[y]
+        g = d.groupby(keys, sort=False, dropna=False)
+        out = g.sum()
+        out["n"] = g.size()
+        return out.reset_index()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, dropna=False).sum().reset_index()
+        n = g["n"]
+        mx = g["sx"] / n
+        vx = g["sxx"] / n - mx * mx
+        out = g[keys].copy()
+        out["n"] = n.astype("int64")
+        out["avg_x"] = mx.round(ndigits)
+        out["std_x"] = np.sqrt(vx.clip(lower=0)).round(ndigits)
+        if y:
+            my = g["sy"] / n
+            vy = g["syy"] / n - my * my
+            cov = g["sxy"] / n - mx * my
+            out["cov_xy"] = cov.round(ndigits)
+            denom = np.sqrt((vx * vy).clip(lower=0))
+            out["corr_xy"] = (cov / denom.replace(0, np.nan)) \
+                .round(ndigits)
+        return out
+
+    pruned = ds.map_batches(lambda t: t.select(cols),
+                            batch_format="pyarrow")
+    partials = pruned.map_batches(partial, batch_format="pandas")
+    return _coarse_keyed(partials, keys[0], num_partitions) \
+        .map_groups(lambda g: final(g.drop(columns=["_pb"])),
+                    batch_format="pandas")

@@ -526,3 +526,32 @@ def test_grouped_collect_ordered_string_agg():
     assert len(got) == len(exp)
     assert (got["k"].to_numpy() == exp["k"].to_numpy()).all()
     assert (got["s"].to_numpy() == exp["s"].to_numpy()).all()
+
+
+def test_grouped_stats_moments_match_duckdb():
+    import duckdb
+
+    rng = np.random.default_rng(14)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c", "d"], 5000),
+        "x": rng.normal(100.0, 15.0, 5000).round(3),
+        "y": rng.normal(-5.0, 2.0, 5000).round(3),
+    })
+    # correlate x and y inside one group to exercise nonzero corr
+    m = df["k"] == "a"
+    df.loc[m, "y"] = (0.5 * df.loc[m, "x"]
+                      + rng.normal(0, 1, int(m.sum()))).round(3)
+    got = rel.grouped_stats(mk_ds(df, 6), keys=["k"], x="x", y="y",
+                            ndigits=4).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    exp = duckdb.sql(
+        "SELECT k, count(*) AS n, round(avg(x),4) AS avg_x, "
+        "round(stddev_pop(x),4) AS std_x, "
+        "round(covar_pop(x,y),4) AS cov_xy, round(corr(x,y),4) AS corr_xy "
+        "FROM df GROUP BY k ORDER BY k").df()
+    pd.testing.assert_frame_equal(got.astype({"n": "int64"}),
+                                  exp.astype({"n": "int64"}),
+                                  check_dtype=False)
+    # x-only mode drops the covariance columns
+    g1 = rel.grouped_stats(mk_ds(df, 3), keys=["k"], x="x").to_pandas()
+    assert list(g1.columns) == ["k", "n", "avg_x", "std_x"]
