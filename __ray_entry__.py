@@ -294,6 +294,14 @@ def _q_grouped_stats(sf_dir: str):
         ndigits=4)
 
 
+def _q_grouped_mode(sf_dir: str):
+    from chomper_ray.pipelines.relational import grouped_mode
+
+    return grouped_mode(
+        _read(sf_dir, "events", columns=["user_id", "event_type"]),
+        key="user_id", value="event_type")
+
+
 def _q_decontaminate(sf_dir: str):
     # eval-set leakage guard: flag corpus docs sharing any token 3-gram
     # with the "benchmark" slice (every 199th doc — deterministic)
@@ -1045,6 +1053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_parts": _q_url_parts,
         "decontaminate": _q_decontaminate,
         "grouped_stats": _q_grouped_stats,
+        "grouped_mode": _q_grouped_mode,
         "stratified_sample": _q_stratified_sample,
         "approx_distinct": _q_approx_distinct,
         "q1_pricing_summary": _q_q1,
@@ -1189,6 +1198,13 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 2) AS sum_value, count(*) AS n_rows "
             "FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) g "
             "GROUP BY user_id, w_start_s"
+        ),
+        "grouped_mode": (
+            "SELECT user_id, event_type, n FROM ("
+            "SELECT user_id, event_type, count(*) AS n, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY count(*) DESC, event_type) AS rn "
+            "FROM events GROUP BY user_id, event_type) WHERE rn = 1"
         ),
         "grouped_stats": (
             "SELECT l_returnflag, count(*) AS n, "

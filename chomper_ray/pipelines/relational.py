@@ -1253,3 +1253,31 @@ def grouped_stats(ds, keys: Sequence[str], x: str, y: str | None = None,
     return _coarse_keyed(partials, keys[0], num_partitions) \
         .map_groups(lambda g: final(g.drop(columns=["_pb"])),
                     batch_format="pandas")
+
+
+def grouped_mode(ds, key: str, value: str, num_partitions: int = 32):
+    """Most frequent ``value`` per ``key`` (SQL's deterministic mode:
+    highest count, ties broken by smallest value). Decomposable: each
+    block pre-counts (key, value) pairs, so the shuffle carries one row
+    per distinct pair per block — the ``grouped_agg`` combiner shape —
+    then one vectorized sort + drop_duplicates per coarse key partition
+    picks every key's winner at once. Output: ``key, value, n``."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby([key, value], sort=False, dropna=False) \
+            .size().rename("n").reset_index()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([key, value], sort=False, dropna=False)["n"] \
+            .sum().reset_index()
+        g = g.sort_values([key, "n", value],
+                          ascending=[True, False, True], kind="stable")
+        return g.drop_duplicates(subset=[key], keep="first") \
+            .reset_index(drop=True)
+
+    pruned = ds.map_batches(lambda t: t.select([key, value]),
+                            batch_format="pyarrow")
+    partials = pruned.map_batches(partial, batch_format="pandas")
+    return _coarse_keyed(partials, key, num_partitions) \
+        .map_groups(lambda g: final(g.drop(columns=["_pb"])),
+                    batch_format="pandas")

@@ -555,3 +555,23 @@ def test_grouped_stats_moments_match_duckdb():
     # x-only mode drops the covariance columns
     g1 = rel.grouped_stats(mk_ds(df, 3), keys=["k"], x="x").to_pandas()
     assert list(g1.columns) == ["k", "n", "avg_x", "std_x"]
+
+
+def test_grouped_mode_deterministic_ties():
+    import duckdb
+
+    rng = np.random.default_rng(15)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 25, 3000),
+        "v": rng.choice(["zz", "aa", "mm", "bb"], 3000),
+    })
+    got = rel.grouped_mode(mk_ds(df, 5), key="k", value="v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    exp = duckdb.sql(
+        "SELECT k, v, n FROM (SELECT k, v, count(*) AS n, row_number() "
+        "OVER (PARTITION BY k ORDER BY count(*) DESC, v) AS rn "
+        "FROM df GROUP BY k, v) WHERE rn = 1 ORDER BY k").df()
+    assert len(got) == len(exp)
+    assert (got["v"].to_numpy() == exp["v"].to_numpy()).all()
+    assert (got["n"].to_numpy().astype("int64")
+            == exp["n"].to_numpy().astype("int64")).all()
