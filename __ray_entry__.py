@@ -302,6 +302,14 @@ def _q_grouped_mode(sf_dir: str):
         key="user_id", value="event_type")
 
 
+def _q_explode_tokens(sf_dir: str):
+    from chomper_ray.pipelines.relational import explode_split
+
+    return explode_split(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        col="text", keep=["doc_id"])
+
+
 def _q_decontaminate(sf_dir: str):
     # eval-set leakage guard: flag corpus docs sharing any token 3-gram
     # with the "benchmark" slice (every 199th doc — deterministic)
@@ -1054,6 +1062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "grouped_stats": _q_grouped_stats,
         "grouped_mode": _q_grouped_mode,
+        "explode_tokens": _q_explode_tokens,
         "stratified_sample": _q_stratified_sample,
         "approx_distinct": _q_approx_distinct,
         "q1_pricing_summary": _q_q1,
@@ -1198,6 +1207,11 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 2) AS sum_value, count(*) AS n_rows "
             "FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) g "
             "GROUP BY user_id, w_start_s"
+        ),
+        "explode_tokens": (
+            "SELECT doc_id, generate_subscripts(l, 1)::BIGINT AS pos, "
+            "unnest(l) AS token FROM "
+            "(SELECT doc_id, string_split(text, ' ') AS l FROM documents)"
         ),
         "grouped_mode": (
             "SELECT user_id, event_type, n FROM ("

@@ -1281,3 +1281,33 @@ def grouped_mode(ds, key: str, value: str, num_partitions: int = 32):
     return _coarse_keyed(partials, key, num_partitions) \
         .map_groups(lambda g: final(g.drop(columns=["_pb"])),
                     batch_format="pandas")
+
+
+def explode_split(ds, col: str, sep: str = " ", keep: Sequence[str] = (),
+                  out: str = "token", pos_out: str = "pos"):
+    """Split a string column and emit one row per element with its
+    1-based position — SQL's ``unnest(string_split(..)) WITH
+    ORDINALITY``. Pure per-block expansion (polars split + aligned
+    multi-column explode, Rust-vectorized): no shuffle, output blocks
+    grow by the split factor and the streaming executor re-slices them
+    downstream. ``keep``: passthrough columns to replicate per element.
+    """
+    keep = list(keep)
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        t = pl.from_pandas(batch[keep + [col]])
+        lst = pl.col(col).str.split(sep)
+        ex = (t.with_columns(lst.alias("__l"))
+              .with_columns(pl.int_ranges(1, pl.col("__l").list.len() + 1)
+                            .alias(pos_out))
+              .explode(["__l", pos_out])
+              .rename({"__l": out}))
+        return ex.drop(col).to_pandas() if col not in keep \
+            else ex.to_pandas()
+
+    cols = list(dict.fromkeys(keep + [col]))
+    return ds.map_batches(lambda t: t.select(cols),
+                          batch_format="pyarrow") \
+        .map_batches(f, batch_format="pandas")

@@ -575,3 +575,22 @@ def test_grouped_mode_deterministic_ties():
     assert (got["v"].to_numpy() == exp["v"].to_numpy()).all()
     assert (got["n"].to_numpy().astype("int64")
             == exp["n"].to_numpy().astype("int64")).all()
+
+
+def test_explode_split_with_ordinality():
+    import duckdb
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4],
+        "s": ["a b c", "x", "", "p  q"],   # empty string and double sep
+    })
+    got = rel.explode_split(mk_ds(df, 2), col="s", keep=["id"]) \
+        .to_pandas().sort_values(["id", "pos"]).reset_index(drop=True)
+    exp = duckdb.sql(
+        "SELECT id, generate_subscripts(l,1) AS pos, unnest(l) AS token "
+        "FROM (SELECT id, string_split(s, ' ') AS l FROM df) "
+        "ORDER BY id, pos").df()
+    assert len(got) == len(exp)
+    assert (got["token"].to_numpy() == exp["token"].to_numpy()).all()
+    assert (got["pos"].to_numpy().astype("int64")
+            == exp["pos"].to_numpy().astype("int64")).all()
