@@ -310,6 +310,22 @@ def _q_explode_tokens(sf_dir: str):
         col="text", keep=["doc_id"])
 
 
+def _q_intersect_except(sf_dir: str):
+    from chomper_ray.pipelines.relational import set_op
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    inter = set_op(orders, cust, columns=["key"], op="intersect",
+                   left_columns=["o_custkey"], right_columns=["c_custkey"]) \
+        .map_batches(lambda df: df.assign(op="intersect"),
+                     batch_format="pandas")
+    exc = set_op(cust, orders, columns=["key"], op="except",
+                 left_columns=["c_custkey"], right_columns=["o_custkey"]) \
+        .map_batches(lambda df: df.assign(op="except"),
+                     batch_format="pandas")
+    return inter.union(exc)
+
+
 def _q_decontaminate(sf_dir: str):
     # eval-set leakage guard: flag corpus docs sharing any token 3-gram
     # with the "benchmark" slice (every 199th doc — deterministic)
@@ -1063,6 +1079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_stats": _q_grouped_stats,
         "grouped_mode": _q_grouped_mode,
         "explode_tokens": _q_explode_tokens,
+        "intersect_except": _q_intersect_except,
         "stratified_sample": _q_stratified_sample,
         "approx_distinct": _q_approx_distinct,
         "q1_pricing_summary": _q_q1,
@@ -1207,6 +1224,15 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 2) AS sum_value, count(*) AS n_rows "
             "FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) g "
             "GROUP BY user_id, w_start_s"
+        ),
+        "intersect_except": (
+            "SELECT key, 'intersect' AS op FROM "
+            "(SELECT o_custkey AS key FROM orders INTERSECT "
+            "SELECT c_custkey FROM customer) "
+            "UNION ALL "
+            "SELECT key, 'except' AS op FROM "
+            "(SELECT c_custkey AS key FROM customer EXCEPT "
+            "SELECT o_custkey FROM orders)"
         ),
         "explode_tokens": (
             "SELECT doc_id, generate_subscripts(l, 1)::BIGINT AS pos, "

@@ -1311,3 +1311,47 @@ def explode_split(ds, col: str, sep: str = " ", keep: Sequence[str] = (),
     return ds.map_batches(lambda t: t.select(cols),
                           batch_format="pyarrow") \
         .map_batches(f, batch_format="pandas")
+
+
+def set_op(left, right, columns: Sequence[str], op: str = "intersect",
+           num_partitions: int = 32,
+           left_columns: Sequence[str] | None = None,
+           right_columns: Sequence[str] | None = None):
+    """SQL set operations with DISTINCT semantics: ``intersect`` (rows
+    in both inputs) or ``except`` (rows in left and not right). Both
+    sides are projected to ``columns`` (or per-side names mapped onto
+    them), tagged, and co-located by ONE row-hash shuffle; inside each
+    bucket a vectorized per-side drop_duplicates + indicator merge
+    decides membership for every row at once. Identical rows always
+    hash to the same bucket, so bucket-local set logic is globally
+    exact — the same partitioning argument ``distinct`` uses."""
+    if op not in ("intersect", "except"):
+        raise ValueError(f"unknown set op: {op}")
+    columns = list(columns)
+    lcols = list(left_columns) if left_columns else columns
+    rcols = list(right_columns) if right_columns else columns
+
+    def tagger(cols, side):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.select(cols).rename_columns(columns)
+            h = pd.util.hash_pandas_object(
+                t.to_pandas()[columns], index=False).to_numpy()
+            return t.append_column(
+                "_pb", pa.array((h % num_partitions).astype("int32"))) \
+                .append_column("_side",
+                               pa.array(np.full(len(t), side, "int8")))
+        return f
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == 0][columns].drop_duplicates()
+        r = g[g["_side"] == 1][columns].drop_duplicates()
+        m = l.merge(r, on=columns, how="left", indicator=True)
+        keep = m["_merge"] == ("both" if op == "intersect"
+                               else "left_only")
+        return m[keep][columns].reset_index(drop=True)
+
+    both = left.map_batches(tagger(lcols, 0), batch_format="pyarrow") \
+        .union(right.map_batches(tagger(rcols, 1), batch_format="pyarrow"))
+    return both.groupby("_pb") \
+        .map_groups(lambda g: bucket(g.drop(columns=["_pb"])),
+                    batch_format="pandas")

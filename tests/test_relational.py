@@ -594,3 +594,23 @@ def test_explode_split_with_ordinality():
     assert (got["token"].to_numpy() == exp["token"].to_numpy()).all()
     assert (got["pos"].to_numpy().astype("int64")
             == exp["pos"].to_numpy().astype("int64")).all()
+
+
+def test_set_op_intersect_except_multicolumn():
+    import duckdb
+
+    rng = np.random.default_rng(16)
+    L = pd.DataFrame({"a": rng.integers(0, 20, 800),
+                      "b": rng.choice(["x", "y", "z"], 800)})
+    R = pd.DataFrame({"a": rng.integers(10, 30, 600),
+                      "b": rng.choice(["x", "y", "w"], 600)})
+    for op, sql in (("intersect", "INTERSECT"), ("except", "EXCEPT")):
+        got = rel.set_op(mk_ds(L, 3), mk_ds(R, 2), columns=["a", "b"],
+                         op=op).to_pandas() \
+            .sort_values(["a", "b"]).reset_index(drop=True)
+        exp = duckdb.sql(
+            f"SELECT a, b FROM L {sql} SELECT a, b FROM R "
+            "ORDER BY a, b").df()
+        assert len(got) == len(exp), op
+        assert (got["a"].to_numpy() == exp["a"].to_numpy()).all(), op
+        assert (got["b"].to_numpy() == exp["b"].to_numpy()).all(), op
