@@ -1,8 +1,8 @@
 """End-to-end training-data curation over the `documents` table:
 
     read → normalize → quality-score → filter → exact dedup →
-    MinHash near-dup dedup → token stats → balanced per-language mix →
-    resumable partitioned shards
+    MinHash near-dup dedup → benchmark decontamination → token stats →
+    balanced per-language mix → resumable partitioned shards
 
 Run standalone (owns its Ray session):
 
@@ -32,8 +32,8 @@ def main():
     DataContext.get_current().enable_progress_bars = False
 
     from chomper_ray.pipelines.relational import stratified_sample
-    from chomper_ray.stages.dedup import (dedup_apply, exact_dedup,
-                                          minhash_lsh_dedup)
+    from chomper_ray.stages.dedup import (decontaminate, dedup_apply,
+                                          exact_dedup, minhash_lsh_dedup)
     from chomper_ray.stages.text import (QualityScorer, count_tokens,
                                          normalize_text)
     from chomper_ray.state.output import read_partitioned, write_partitioned
@@ -63,9 +63,22 @@ def main():
     n_near_dropped = clusters_ds.map_batches(
         lambda df: df[df["id"] != df["rep"]][["id"]]
         if len(df) else df, batch_format="pandas").count()
+    deduped = dedup_apply(uniq, clusters_ds, id_col="doc_id")
+
+    # 3b. eval-set decontamination: drop docs sharing any token n-gram
+    # with the held-out benchmark slice (broadcast hash set; corpus
+    # rows never shuffle)
+    # (normalized the same way as the corpus so n-grams align)
+    bench = docs.filter(lambda r: r["doc_id"] % 199 == 0) \
+        .map_batches(normalize_text, batch_format="pandas") \
+        .map_batches(lambda df: df[["doc_id", "text_norm"]]
+                     .rename(columns={"text_norm": "text"}),
+                     batch_format="pandas")
+    clean = decontaminate(deduped, bench, n=3, drop=True)
     # materialized: two consumers follow (count for the mix cap, sample)
-    final = dedup_apply(uniq, clusters_ds, id_col="doc_id") \
-        .map_batches(count_tokens, batch_format="pandas").materialize()
+    final = clean.map_batches(count_tokens,
+                              batch_format="pandas").materialize()
+    n_decontaminated = final.count()
 
     # 4. balanced training mix: deterministic fixed-n per language
     # (the stratified-sampling knob; pick n to the corpus — here the
@@ -81,6 +94,7 @@ def main():
         "input_docs": n0,
         "after_exact_dedup": n_exact,
         "near_dup_dropped": n_near_dropped,
+        "after_decontamination": n_decontaminated,
         "shard_partitions": stats["written"],
         "output_docs": back.count(),
         "out_dir": out_dir,
