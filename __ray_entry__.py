@@ -18,6 +18,7 @@ from collections.abc import Callable
 from typing import Any
 
 import numpy as np
+import pandas as pd
 import pyarrow.parquet as pq
 
 _STOPS_SQL = None  # lazy
@@ -324,6 +325,20 @@ def _q_intersect_except(sf_dir: str):
         .map_batches(lambda df: df.assign(op="except"),
                      batch_format="pandas")
     return inter.union(exc)
+
+
+def _q_merge_intervals(sf_dir: str):
+    # gaps-and-islands: coalesce each user's [ts, ts+10*value] windows
+    from chomper_ray.pipelines.relational import merge_intervals
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"]) \
+        .map_batches(lambda df: pd.DataFrame({
+            "user_id": df["user_id"],
+            "lo": df["ts"].astype("int64") // 1_000_000,
+            "hi": (df["ts"].astype("int64") // 1_000_000
+                   + (df["value"] * 10).astype("int64")),
+        }), batch_format="pandas")
+    return merge_intervals(ds, key="user_id")
 
 
 def _q_decontaminate(sf_dir: str):
@@ -1080,6 +1095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_mode": _q_grouped_mode,
         "explode_tokens": _q_explode_tokens,
         "intersect_except": _q_intersect_except,
+        "merge_intervals": _q_merge_intervals,
         "stratified_sample": _q_stratified_sample,
         "approx_distinct": _q_approx_distinct,
         "q1_pricing_summary": _q_q1,
@@ -1224,6 +1240,19 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 2) AS sum_value, count(*) AS n_rows "
             "FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) g "
             "GROUP BY user_id, w_start_s"
+        ),
+        "merge_intervals": (
+            "WITH t AS (SELECT user_id, epoch_us(ts)//1000000 AS lo, "
+            "epoch_us(ts)//1000000 + CAST(trunc(value*10) AS BIGINT) AS hi "
+            "FROM events), "
+            "i AS (SELECT *, CASE WHEN lo > max(hi) OVER ("
+            "PARTITION BY user_id ORDER BY lo, hi "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "THEN 1 ELSE 0 END AS ni FROM t), "
+            "s AS (SELECT *, sum(ni) OVER (PARTITION BY user_id "
+            "ORDER BY lo, hi ROWS UNBOUNDED PRECEDING) AS island FROM i) "
+            "SELECT user_id, min(lo) AS lo, max(hi) AS hi, "
+            "count(*) AS n_merged FROM s GROUP BY user_id, island"
         ),
         "intersect_except": (
             "SELECT key, 'intersect' AS op FROM "

@@ -1355,3 +1355,35 @@ def set_op(left, right, columns: Sequence[str], op: str = "intersect",
     return both.groupby("_pb") \
         .map_groups(lambda g: bucket(g.drop(columns=["_pb"])),
                     batch_format="pandas")
+
+
+def merge_intervals(ds, key: str, lo: str = "lo", hi: str = "hi",
+                    num_partitions: int = 32):
+    """Coalesce overlapping-or-touching ``[lo, hi]`` intervals per key
+    (SQL's gaps-and-islands): output one row per merged island with
+    ``lo`` = min start, ``hi`` = max end, ``n_merged`` = source count.
+    An interval starts a new island iff its start exceeds the running
+    max end of everything before it (ordered by ``lo, hi``).
+
+    Shape: one coarse key-hash shuffle co-locates each key's intervals;
+    inside a partition a single vectorized sort + per-key cummax/shift
+    island assignment handles every key at once — no per-key dispatch,
+    no cross-partition state (a key lives wholly in one partition)."""
+
+    def coalesce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, lo, hi], kind="stable") \
+            .reset_index(drop=True)
+        run_hi = g.groupby(key, sort=False)[hi].cummax().shift(1)
+        first = g[key] != g[key].shift(1)
+        new_island = (first | (g[lo] > run_hi)).cumsum()
+        out = g.groupby([key, new_island], sort=False).agg(
+            **{lo: (lo, "min"), hi: (hi, "max"),
+               "n_merged": (lo, "size")}).reset_index(level=0)
+        out["n_merged"] = out["n_merged"].astype("int64")
+        return out.reset_index(drop=True)
+
+    pruned = ds.map_batches(lambda t: t.select([key, lo, hi]),
+                            batch_format="pyarrow")
+    return _coarse_keyed(pruned, key, num_partitions) \
+        .map_groups(lambda g: coalesce(g.drop(columns=["_pb"])),
+                    batch_format="pandas")

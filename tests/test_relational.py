@@ -614,3 +614,30 @@ def test_set_op_intersect_except_multicolumn():
         assert len(got) == len(exp), op
         assert (got["a"].to_numpy() == exp["a"].to_numpy()).all(), op
         assert (got["b"].to_numpy() == exp["b"].to_numpy()).all(), op
+
+
+def test_merge_intervals_islands():
+    import duckdb
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 15, 1200),
+        "lo": rng.integers(0, 2000, 1200).astype(np.int64),
+    })
+    df["hi"] = df["lo"] + rng.integers(0, 80, 1200)
+    got = rel.merge_intervals(mk_ds(df, 4), key="k").to_pandas() \
+        .sort_values(["k", "lo"]).reset_index(drop=True)
+    exp = duckdb.sql(
+        "WITH i AS (SELECT *, CASE WHEN lo > max(hi) OVER ("
+        "PARTITION BY k ORDER BY lo, hi ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS ni FROM df), "
+        "s AS (SELECT *, sum(ni) OVER (PARTITION BY k ORDER BY lo, hi "
+        "ROWS UNBOUNDED PRECEDING) AS island FROM i) "
+        "SELECT k, min(lo) AS lo, max(hi) AS hi, count(*) AS n_merged "
+        "FROM s GROUP BY k, island ORDER BY k, lo").df()
+    pd.testing.assert_frame_equal(
+        got, exp.astype({"n_merged": "int64"}), check_dtype=False)
+    # merged islands never overlap and cover all sources
+    assert got["n_merged"].sum() == len(df)
+    nxt = got.groupby("k")["lo"].shift(-1)
+    assert ((nxt.isna()) | (nxt > got["hi"])).all()
