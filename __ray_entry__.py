@@ -327,6 +327,22 @@ def _q_intersect_except(sf_dir: str):
     return inter.union(exc)
 
 
+def _q_value_histogram(sf_dir: str):
+    from chomper_ray.pipelines.relational import column_histogram
+
+    return column_histogram(
+        _read(sf_dir, "events", columns=["value"]),
+        col="value", lo=0.0, hi=500.0, bins=20)
+
+
+def _q_grouped_quantiles(sf_dir: str):
+    from chomper_ray.pipelines.relational import grouped_quantiles
+
+    return grouped_quantiles(
+        _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"]),
+        key="l_returnflag", value="l_quantity", qs=(0.25, 0.5, 0.75))
+
+
 def _q_merge_intervals(sf_dir: str):
     # gaps-and-islands: coalesce each user's [ts, ts+10*value] windows
     from chomper_ray.pipelines.relational import merge_intervals
@@ -1096,6 +1112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explode_tokens": _q_explode_tokens,
         "intersect_except": _q_intersect_except,
         "merge_intervals": _q_merge_intervals,
+        "value_histogram": _q_value_histogram,
+        "grouped_quantiles": _q_grouped_quantiles,
         "stratified_sample": _q_stratified_sample,
         "approx_distinct": _q_approx_distinct,
         "q1_pricing_summary": _q_q1,
@@ -1240,6 +1258,18 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 2) AS sum_value, count(*) AS n_rows "
             "FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) g "
             "GROUP BY user_id, w_start_s"
+        ),
+        "value_histogram": (
+            "SELECT CAST(least(floor((value - 0.0) / 25.0), 19) AS BIGINT)"
+            " AS bin, count(*) AS n FROM events "
+            "WHERE value >= 0.0 AND value <= 500.0 GROUP BY 1"
+        ),
+        "grouped_quantiles": (
+            "SELECT l_returnflag, "
+            "quantile_disc(l_quantity, 0.25) AS p25, "
+            "quantile_disc(l_quantity, 0.50) AS p50, "
+            "quantile_disc(l_quantity, 0.75) AS p75 "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         "merge_intervals": (
             "WITH t AS (SELECT user_id, epoch_us(ts)//1000000 AS lo, "

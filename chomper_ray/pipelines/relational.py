@@ -1387,3 +1387,75 @@ def merge_intervals(ds, key: str, lo: str = "lo", hi: str = "hi",
     return _coarse_keyed(pruned, key, num_partitions) \
         .map_groups(lambda g: coalesce(g.drop(columns=["_pb"])),
                     batch_format="pandas")
+
+
+def column_histogram(ds, col: str, lo: float, hi: float, bins: int,
+                     num_partitions: int = 16):
+    """Fixed-bin histogram of a numeric column over ``[lo, hi]`` —
+    the data-profiling primitive. Values outside the range are dropped
+    (SQL ``BETWEEN`` parity); the top edge folds into the last bin.
+    Decomposable: each block bin-counts locally (one row per non-empty
+    bin per block rides the shuffle), the final pass sums. Bin
+    arithmetic is IEEE-double ``floor((x-lo)/width)`` — bit-identical
+    to the SQL oracle's."""
+    width = (float(hi) - float(lo)) / bins
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[col].to_numpy(dtype="float64")
+        x = x[(x >= lo) & (x <= hi)]
+        b = np.minimum(np.floor((x - lo) / width),
+                       bins - 1).astype(np.int64)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bin": ub, "n": cnt.astype("int64")})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("bin", sort=True)["n"].sum().reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = ds.map_batches(lambda t: t.select([col]),
+                              batch_format="pyarrow") \
+        .map_batches(partial, batch_format="pandas")
+    return _coarse_keyed(partials, "bin", num_partitions) \
+        .map_groups(lambda g: final(g.drop(columns=["_pb"])),
+                    batch_format="pandas")
+
+
+def grouped_quantiles(ds, key: str, value: str,
+                      qs: Sequence[float] = (0.25, 0.5, 0.75),
+                      num_partitions: int = 32):
+    """Several EXACT discrete quantiles per group in ONE pass — same
+    distinct-(key,value)-count combiner plan as ``grouped_quantile``,
+    amortized over every requested quantile (the shuffle and the sorted
+    cumulative pass are shared; each extra q is one extra vectorized
+    pick). Output columns named ``p<q*100>`` (``p25``, ``p50`` ...).
+
+    Rank convention is SQL ``percentile_disc``/``quantile_disc``:
+    the smallest value whose cumulative count reaches ``ceil(q*n)`` —
+    NOT numpy's ``floor((n-1)*q)`` (they agree only at q=0.5)."""
+    qs = list(qs)
+    names = [f"p{int(round(q * 100)):02d}" for q in qs]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby([key, value], sort=False, dropna=False) \
+            .size().rename("n").reset_index()
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby([key, value], sort=True)["n"].sum().reset_index()
+        totals = g.groupby(key, sort=False)["n"].transform("sum")
+        cum = g.groupby(key, sort=False)["n"].cumsum()
+        out = None
+        for q, name in zip(qs, names):
+            rank = np.maximum(np.ceil(totals * q), 1)
+            hit = (cum >= rank).to_numpy()
+            picked = g[hit].groupby(key, sort=True).first().reset_index()
+            col = pd.DataFrame({key: picked[key], name: picked[value]})
+            out = col if out is None else out.merge(col, on=key)
+        return out
+
+    pruned = ds.map_batches(lambda t: t.select([key, value]),
+                            batch_format="pyarrow")
+    partials = pruned.map_batches(partial, batch_format="pandas")
+    return _coarse_keyed(partials, key, num_partitions) \
+        .map_groups(lambda g: pick(g.drop(columns=["_pb"])),
+                    batch_format="pandas")

@@ -641,3 +641,41 @@ def test_merge_intervals_islands():
     assert got["n_merged"].sum() == len(df)
     nxt = got.groupby("k")["lo"].shift(-1)
     assert ((nxt.isna()) | (nxt > got["hi"])).all()
+
+
+def test_column_histogram_matches_duckdb():
+    import duckdb
+
+    rng = np.random.default_rng(18)
+    df = pd.DataFrame({"x": np.concatenate([
+        rng.normal(50, 30, 4000),
+        [0.0, 100.0, -5.0, 105.0],     # edges and out-of-range
+    ])})
+    got = rel.column_histogram(mk_ds(df, 4), col="x", lo=0.0, hi=100.0,
+                               bins=10).to_pandas() \
+        .sort_values("bin").reset_index(drop=True)
+    exp = duckdb.sql(
+        "SELECT CAST(least(floor((x - 0.0) / 10.0), 9) AS BIGINT) AS bin, "
+        "count(*) AS n FROM df WHERE x >= 0.0 AND x <= 100.0 "
+        "GROUP BY 1 ORDER BY 1").df()
+    pd.testing.assert_frame_equal(got, exp.astype({"n": "int64"}),
+                                  check_dtype=False)
+    assert got["n"].sum() == ((df["x"] >= 0) & (df["x"] <= 100)).sum()
+
+
+def test_grouped_quantiles_multi_q():
+    import duckdb
+
+    rng = np.random.default_rng(19)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 4000),
+        "v": rng.integers(0, 500, 4000).astype(np.int64),
+    })
+    got = rel.grouped_quantiles(mk_ds(df, 5), key="k", value="v",
+                                qs=(0.1, 0.5, 0.9)).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    exp = duckdb.sql(
+        "SELECT k, quantile_disc(v, 0.1) AS p10, "
+        "quantile_disc(v, 0.5) AS p50, quantile_disc(v, 0.9) AS p90 "
+        "FROM df GROUP BY k ORDER BY k").df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
