@@ -327,6 +327,23 @@ def _q_intersect_except(sf_dir: str):
     return inter.union(exc)
 
 
+def _q_group_topk(sf_dir: str):
+    from chomper_ray.pipelines.relational import group_topk
+
+    return group_topk(
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_orderpriority", "o_totalprice"]),
+        by="o_orderpriority", order="o_totalprice", k=3, tie="o_orderkey")
+
+
+def _q_chunk_windows(sf_dir: str):
+    from chomper_ray.stages.text import chunk_tokens
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(lambda df: chunk_tokens(df, size=8, stride=4),
+                     batch_format="pandas")
+
+
 def _q_value_histogram(sf_dir: str):
     from chomper_ray.pipelines.relational import column_histogram
 
@@ -1114,6 +1131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_intervals": _q_merge_intervals,
         "value_histogram": _q_value_histogram,
         "grouped_quantiles": _q_grouped_quantiles,
+        "group_topk": _q_group_topk,
+        "chunk_windows": _q_chunk_windows,
         "stratified_sample": _q_stratified_sample,
         "approx_distinct": _q_approx_distinct,
         "q1_pricing_summary": _q_q1,
@@ -1160,6 +1179,7 @@ def oracle_sql() -> dict[str, str]:
                                          sql_quality_exprs,
                                          sql_repetition_exprs,
                                          sql_url_exprs)
+    from chomper_ray.stages.text import sql_chunk_query as _sql_chunk_query
 
     q = sql_quality_exprs()
     _pii = sql_pii_exprs()
@@ -1259,6 +1279,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) g "
             "GROUP BY user_id, w_start_s"
         ),
+        "group_topk": (
+            "SELECT o_orderkey, o_orderpriority, o_totalprice, rank FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders) "
+            "WHERE rank <= 3"
+        ),
+        "chunk_windows": _sql_chunk_query(size=8, stride=4),
         "value_histogram": (
             "SELECT CAST(least(floor((value - 0.0) / 25.0), 19) AS BIGINT)"
             " AS bin, count(*) AS n FROM events "

@@ -1459,3 +1459,17 @@ def grouped_quantiles(ds, key: str, value: str,
     return _coarse_keyed(partials, key, num_partitions) \
         .map_groups(lambda g: pick(g.drop(columns=["_pb"])),
                     batch_format="pandas")
+
+
+def group_topk(ds, by: str, order: str, k: int, tie: str | None = None,
+               descending: bool = True, out: str = "rank",
+               num_partitions: int = 64):
+    """Top-k rows per key (SQL ``QUALIFY row_number() <= k``): rank via
+    ``group_rank`` (row_number + tie column for determinism) and filter
+    inside the same partition pass — the filter runs before anything
+    leaves the bucket, so downstream sees at most k rows per key."""
+    ranked = group_rank(ds, by=by, order=order, tie=tie,
+                        descending=descending, method="row_number",
+                        out=out, num_partitions=num_partitions)
+    return ranked.map_batches(lambda df: df[df[out] <= k],
+                              batch_format="pandas")

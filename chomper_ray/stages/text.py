@@ -482,3 +482,77 @@ def filter_domains(ds, blocked: set[str], col: str = "url",
         return batch[m if keep else ~m]
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+# --- context-window chunking -------------------------------------------------
+
+def chunk_tokens(batch: pd.DataFrame, col: str = "text",
+                 id_col: str = "doc_id", size: int = 128,
+                 stride: int = 64, out: str = "chunk") -> pd.DataFrame:
+    """Split each document into overlapping fixed-size token windows —
+    context-window chunking for LLM training/indexing. Chunk ``i``
+    covers tokens ``[i*stride, i*stride+size)`` (single-space split,
+    SQL ``string_split`` parity); the tail chunk may be shorter. Emits
+    one row per chunk: ``id_col, chunk_id, chunk, n_tokens``.
+
+    Pure per-block expansion (use inside ``map_batches``; no shuffle).
+    Token boundaries come from one vectorized polars explode + numpy
+    char-offset cumsum; chunk texts are ZERO-RECOMPUTE substring slices
+    of the original document (a Python slice per OUTPUT chunk — the
+    output itself is that size, so the loop is output-bound, never
+    tokens × chunks)."""
+    import polars as pl
+
+    texts = batch[col].fillna("").astype(str)
+    s = pl.Series("t", texts.tolist())
+    lens = s.str.split(" ").list.len().to_numpy().astype(np.int64)
+
+    # flat per-token char offsets: token j of doc starts at
+    # sum(len(tok_0..j-1)) + j (separators)
+    ex = pl.DataFrame({"w": s.str.split(" ")}).explode("w")
+    # len_chars, not len_bytes: the slices below index PYTHON strings,
+    # which count code points — byte offsets would mis-slice non-ASCII
+    tl = ex["w"].str.len_chars().to_numpy().astype(np.int64)
+    row_off = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=row_off[1:])
+    flat_cum = np.zeros(len(tl) + 1, dtype=np.int64)
+    np.cumsum(tl, out=flat_cum[1:])
+    doc_base = flat_cum[row_off[:-1]]          # flat char-sum at doc start
+    tok_pos = np.arange(len(tl), dtype=np.int64) \
+        - np.repeat(row_off[:-1], lens)        # token index within doc
+    tok_start = (flat_cum[:len(tl)]
+                 - np.repeat(doc_base, lens) + tok_pos)  # +j separators
+    tok_end = tok_start + tl
+
+    n_chunks = (np.maximum(lens, 1) - 1) // stride + 1
+    ridx = np.repeat(np.arange(len(lens), dtype=np.int64), n_chunks)
+    within = np.arange(int(n_chunks.sum()), dtype=np.int64) \
+        - np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+    st = within * stride
+    en = np.minimum(st + size, lens[ridx])
+    base = row_off[ridx]
+    a = tok_start[base + st]
+    b = tok_end[base + en - 1]
+    tx = texts.to_numpy()
+    chunks = [tx[r][ca:cb] for r, ca, cb in zip(ridx, a, b)]
+    return pd.DataFrame({
+        id_col: batch[id_col].to_numpy()[ridx],
+        "chunk_id": within,
+        out: chunks,
+        "n_tokens": (en - st).astype("int64"),
+    })
+
+
+def sql_chunk_query(size: int, stride: int, col: str = "text",
+                    id_col: str = "doc_id",
+                    table: str = "documents") -> str:
+    """DuckDB rendering of chunk_tokens over ``table``."""
+    return (
+        f"WITH t AS (SELECT {id_col}, string_split({col}, ' ') AS l "
+        f"FROM {table}), "
+        f"c AS (SELECT {id_col}, l, unnest(generate_series(1, "
+        f"greatest(len(l), 1), {stride})) AS s FROM t) "
+        f"SELECT {id_col}, CAST((s-1)/{stride} AS BIGINT) AS chunk_id, "
+        f"array_to_string(l[s:least(s+{size}-1, len(l))], ' ') AS chunk, "
+        f"least(s+{size}-1, len(l)) - s + 1 AS n_tokens FROM c"
+    )

@@ -690,3 +690,36 @@ class TestDecontaminate:
             "THEN 1 ELSE 0 END AS c FROM g, b ORDER BY doc_id").df()
         assert (got["contaminated"].to_numpy()
                 == exp["c"].to_numpy()).all()
+
+
+class TestChunkTokens:
+    def test_matches_sql_including_unicode(self):
+        import duckdb
+
+        from chomper_ray.stages.text import chunk_tokens, sql_chunk_query
+
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b c d e f g", "x", "",
+                     "héllo wörld ünï x y z"],   # non-ASCII offsets
+        })
+        got = chunk_tokens(df, size=3, stride=2) \
+            .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+        duckdb.register("ch_docs", df)
+        exp = duckdb.sql(sql_chunk_query(3, 2, table="ch_docs")).df() \
+            .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got, exp.astype({"chunk_id": "int64", "n_tokens": "int64"}),
+            check_dtype=False)
+
+    def test_window_geometry(self):
+        from chomper_ray.stages.text import chunk_tokens
+
+        df = pd.DataFrame({"doc_id": [7], "text": [" ".join(
+            str(i) for i in range(300))]})
+        got = chunk_tokens(df, size=128, stride=64)
+        # ceil(300/64) = 5 windows; all but the tail are full-size
+        assert len(got) == 5
+        assert got["n_tokens"].tolist() == [128, 128, 128, 108, 44]
+        toks = got["chunk"].iloc[2].split(" ")
+        assert toks[0] == "128" and len(toks) == 128
