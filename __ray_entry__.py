@@ -344,6 +344,17 @@ def _q_chunk_windows(sf_dir: str):
                      batch_format="pandas")
 
 
+def _q_profile_lineitem(sf_dir: str):
+    from chomper_ray.pipelines.relational import profile_columns
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    # ndigits=4: the avg comes from a sum whose block order differs
+    # from DuckDB's — at 6 digits the l_tax mean straddles a rounding
+    # boundary (observed .0399315|.0399325)
+    return profile_columns(_read(sf_dir, "lineitem", columns=cols), cols,
+                           ndigits=4)
+
+
 def _q_value_histogram(sf_dir: str):
     from chomper_ray.pipelines.relational import column_histogram
 
@@ -1133,6 +1144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": _q_grouped_quantiles,
         "group_topk": _q_group_topk,
         "chunk_windows": _q_chunk_windows,
+        "profile_lineitem": _q_profile_lineitem,
         "stratified_sample": _q_stratified_sample,
         "approx_distinct": _q_approx_distinct,
         "q1_pricing_summary": _q_q1,
@@ -1278,6 +1290,15 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 2) AS sum_value, count(*) AS n_rows "
             "FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) g "
             "GROUP BY user_id, w_start_s"
+        ),
+        "profile_lineitem": (
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS col, count({c}) AS n, "
+                f"count(*) - count({c}) AS n_null, "
+                f"round(min({c}), 4) AS min, round(max({c}), 4) AS max, "
+                f"round(sum({c}) / count({c}), 4) AS avg FROM lineitem"
+                for c in ("l_quantity", "l_extendedprice", "l_discount",
+                          "l_tax"))
         ),
         "group_topk": (
             "SELECT o_orderkey, o_orderpriority, o_totalprice, rank FROM ("

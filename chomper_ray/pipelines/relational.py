@@ -1473,3 +1473,41 @@ def group_topk(ds, by: str, order: str, k: int, tie: str | None = None,
                         out=out, num_partitions=num_partitions)
     return ranked.map_batches(lambda df: df[df[out] <= k],
                               batch_format="pandas")
+
+
+def profile_columns(ds, columns: Sequence[str], ndigits: int = 6):
+    """Numeric-column profiling in ONE streaming pass: per column
+    ``n`` (non-null count), ``n_null``, ``min``, ``max``, ``avg``.
+    Every block emits one row PER COLUMN (all columns profiled in the
+    same pass — the scan is shared); the reduce handles #columns ×
+    #blocks rows, bounded by construction. The classic first query
+    against an unknown 100 TB table: cost = one read, no shuffle of
+    data rows."""
+    columns = list(columns)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in columns:
+            x = df[c]
+            rows.append({"col": c, "n": int(x.notna().sum()),
+                         "n_null": int(x.isna().sum()),
+                         "mn": x.min(), "mx": x.max(),
+                         "sm": float(x.sum())})
+        return pd.DataFrame(rows)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("col", sort=True).agg(
+            n=("n", "sum"), n_null=("n_null", "sum"),
+            mn=("mn", "min"), mx=("mx", "max"),
+            sm=("sm", "sum")).reset_index()
+        out = g[["col", "n", "n_null"]].copy()
+        out["min"] = g["mn"].astype("float64").round(ndigits)
+        out["max"] = g["mx"].astype("float64").round(ndigits)
+        out["avg"] = (g["sm"] / g["n"]).round(ndigits)
+        return out
+
+    pruned = ds.map_batches(lambda t: t.select(columns),
+                            batch_format="pyarrow")
+    return pruned.map_batches(partial, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(final, batch_format="pandas")

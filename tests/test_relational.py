@@ -679,3 +679,26 @@ def test_grouped_quantiles_multi_q():
         "quantile_disc(v, 0.5) AS p50, quantile_disc(v, 0.9) AS p90 "
         "FROM df GROUP BY k ORDER BY k").df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_profile_columns_with_nulls():
+    import duckdb
+
+    rng = np.random.default_rng(20)
+    df = pd.DataFrame({
+        "a": rng.normal(10, 3, 2000).round(3),
+        "b": rng.integers(-50, 50, 2000).astype("float64"),
+    })
+    df.loc[rng.choice(2000, 150, replace=False), "a"] = np.nan
+    got = rel.profile_columns(mk_ds(df, 4), ["a", "b"], ndigits=4).to_pandas() \
+        .sort_values("col").reset_index(drop=True)
+    exp = duckdb.sql(
+        "SELECT 'a' AS col, count(a) AS n, count(*)-count(a) AS n_null,"
+        " round(min(a),4) AS min, round(max(a),4) AS max, "
+        "round(sum(a)/count(a),4) AS avg FROM df UNION ALL "
+        "SELECT 'b', count(b), count(*)-count(b), round(min(b),4), "
+        "round(max(b),4), round(sum(b)/count(b),4) FROM df "
+        "ORDER BY col").df()
+    pd.testing.assert_frame_equal(
+        got.astype({"n": "int64", "n_null": "int64"}),
+        exp.astype({"n": "int64", "n_null": "int64"}), check_dtype=False)
