@@ -344,6 +344,21 @@ def _q_chunk_windows(sf_dir: str):
                      batch_format="pandas")
 
 
+def _q_outer_join(sf_dir: str):
+    # full outer hash join: customers without orders AND orders whose
+    # key misses the build side both survive with null padding (int64
+    # preserved through the explicit out-schema)
+    from chomper_ray.pipelines.relational import hash_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderkey", "o_totalprice"]) \
+        .map_batches(lambda df: df.rename(columns={"o_custkey":
+                                                   "c_custkey"}),
+                     batch_format="pandas")
+    return hash_join(cust, orders, on="c_custkey", how="outer")
+
+
 def _q_profile_lineitem(sf_dir: str):
     from chomper_ray.pipelines.relational import profile_columns
 
@@ -1145,6 +1160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_topk": _q_group_topk,
         "chunk_windows": _q_chunk_windows,
         "profile_lineitem": _q_profile_lineitem,
+        "outer_join": _q_outer_join,
         "stratified_sample": _q_stratified_sample,
         "approx_distinct": _q_approx_distinct,
         "q1_pricing_summary": _q_q1,
@@ -1290,6 +1306,11 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 2) AS sum_value, count(*) AS n_rows "
             "FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) g "
             "GROUP BY user_id, w_start_s"
+        ),
+        "outer_join": (
+            "SELECT coalesce(c_custkey, o_custkey) AS c_custkey, c_name, "
+            "o_orderkey, o_totalprice FROM customer "
+            "FULL JOIN orders ON c_custkey = o_custkey"
         ),
         "profile_lineitem": (
             " UNION ALL ".join(

