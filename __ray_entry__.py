@@ -344,6 +344,16 @@ def _q_chunk_windows(sf_dir: str):
                      batch_format="pandas")
 
 
+def _q_pca_project(sf_dir: str):
+    # rows-only (eigendecomposition is not SQL-expressible); numpy
+    # parity is pinned by tests/test_training_ops.py::TestPCA
+    from chomper_ray.stages.similarity import pca_fit, pca_transform
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    mean, comps = pca_fit(ds, n_components=4)
+    return pca_transform(ds, mean, comps)
+
+
 def _q_outer_join(sf_dir: str):
     # full outer hash join: customers without orders AND orders whose
     # key misses the build side both survive with null padding (int64
@@ -1161,6 +1171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_windows": _q_chunk_windows,
         "profile_lineitem": _q_profile_lineitem,
         "outer_join": _q_outer_join,
+        "pca_project": _q_pca_project,
         "stratified_sample": _q_stratified_sample,
         "approx_distinct": _q_approx_distinct,
         "q1_pricing_summary": _q_q1,

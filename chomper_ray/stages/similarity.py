@@ -182,3 +182,73 @@ def ivf_topk(ds_assigned, centroids: np.ndarray, queries: np.ndarray,
         lambda df: df[df["ivf_cell"].isin(cells)], batch_format="pandas")
     return ann_topk(filtered, queries, k=k, vec_col=vec_col, id_col=id_col,
                     concurrency=concurrency)
+
+
+# --- distributed PCA ---------------------------------------------------------
+
+def pca_fit(ds, n_components: int, vec_col: str = "embedding",
+            dtype=np.float64):
+    """Fit PCA over an embedding column in ONE streaming pass: each
+    block emits its ``(n, Σx, ΣxxT)`` moment partial (a d-vector and a
+    d×d matrix — size depends on the DIMENSION, never on rows), a
+    distributed fold level collapses the per-block partials to ≤8 rows
+    (so the driver never holds #blocks × d² floats), then the driver
+    eigendecomposes the d×d covariance. Returns
+    ``(mean, components)`` with components rows = top eigenvectors.
+    Signs are fixed deterministically (largest-|coef| positive) so
+    refits and the numpy oracle agree bit-for-bit."""
+
+    def moments(batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(batch[vec_col].to_numpy()).astype(dtype)
+        return pd.DataFrame({
+            "n": [len(m)],
+            "sx": [m.sum(axis=0)],
+            "sxx": [(m.T @ m).ravel()],
+        })
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n": [int(batch["n"].sum())],
+            "sx": [np.sum(np.stack(batch["sx"].to_numpy()), axis=0)],
+            "sxx": [np.sum(np.stack(batch["sxx"].to_numpy()), axis=0)],
+        })
+
+    parts = ds.map_batches(moments, batch_format="pandas") \
+        .repartition(8).map_batches(fold, batch_format="pandas") \
+        .take_all()
+    n = sum(p["n"] for p in parts)
+    sx = np.sum([p["sx"] for p in parts], axis=0)
+    sxx = np.sum([p["sxx"] for p in parts], axis=0)
+    d = len(sx)
+    mean = sx / n
+    cov = sxx.reshape(d, d) / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)            # ascending eigenvalues
+    comps = v[:, ::-1][:, :n_components].T  # (k, d)
+    # deterministic sign: the largest-|coefficient| entry is positive
+    flip = comps[np.arange(len(comps)),
+                 np.abs(comps).argmax(axis=1)] < 0
+    comps[flip] *= -1
+    return mean, comps
+
+
+def pca_transform(ds, mean: np.ndarray, components: np.ndarray,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  ndigits: int = 6):
+    """Project the embedding column onto fitted components — the
+    ``(mean, components)`` pair is broadcast ONCE via ``ray.put`` and
+    one matmul runs per batch. Output: ``id_col, pc_0..pc_{k-1}``."""
+    import ray
+
+    ref = ray.put((np.asarray(mean), np.asarray(components)))
+    k = len(components)
+
+    def project(batch: pd.DataFrame, ref=ref) -> pd.DataFrame:
+        mu, comps = ray.get(ref)
+        m = np.stack(batch[vec_col].to_numpy()).astype(mu.dtype)
+        proj = (m - mu) @ comps.T
+        out = {id_col: batch[id_col].to_numpy()}
+        for i in range(k):
+            out[f"pc_{i}"] = np.round(proj[:, i], ndigits)
+        return pd.DataFrame(out)
+
+    return ds.map_batches(project, batch_format="pandas")

@@ -723,3 +723,36 @@ class TestChunkTokens:
         assert got["n_tokens"].tolist() == [128, 128, 128, 108, 44]
         toks = got["chunk"].iloc[2].split(" ")
         assert toks[0] == "128" and len(toks) == 128
+
+
+class TestPCA:
+    def test_matches_numpy_exactly(self, ray_session):
+        from chomper_ray.stages.similarity import pca_fit, pca_transform
+
+        rng = np.random.default_rng(22)
+        # anisotropic cloud so components are well-separated
+        base = rng.normal(0, 1, (600, 4))
+        scale = np.array([5.0, 2.0, 0.5, 0.1])
+        X = (base * scale) @ np.linalg.qr(rng.normal(0, 1, (4, 4)))[0]
+        df = pd.DataFrame({"vec_id": np.arange(600, dtype=np.int64),
+                           "embedding": list(X)})
+        ds = rd.from_pandas(df).repartition(5)
+
+        mean, comps = pca_fit(ds, n_components=2)
+        # numpy oracle with the same sign convention
+        mu = X.mean(axis=0)
+        cov = np.cov(X.T, bias=True)
+        w, v = np.linalg.eigh(cov)
+        exp = v[:, ::-1][:, :2].T.copy()
+        flip = exp[np.arange(2), np.abs(exp).argmax(axis=1)] < 0
+        exp[flip] *= -1
+        assert np.allclose(mean, mu, atol=1e-9)
+        assert np.allclose(comps, exp, atol=1e-8)
+
+        proj = pca_transform(ds, mean, comps).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        eproj = np.round((X - mu) @ exp.T, 6)
+        assert np.allclose(proj[["pc_0", "pc_1"]].to_numpy(), eproj,
+                           atol=1e-6)
+        # variance ordering: pc_0 carries the most
+        assert proj["pc_0"].var() > proj["pc_1"].var()
