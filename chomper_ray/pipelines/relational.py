@@ -107,6 +107,17 @@ def _tagger(schema, bucket_on, num_buckets, side, hot_keys=None):
 
     def f(t: _pa.Table) -> _pa.Table:
         t = conform(t, schema)
+        if not isinstance(bucket_on, str):
+            # composite key: bucket by the row-hash of the tuple
+            # (hot-key salting is single-column-only, enforced upstream)
+            h = pd.util.hash_pandas_object(
+                t.select(list(bucket_on)).to_pandas(),
+                index=False).to_numpy()
+            b = _mix_bucket(h, np.zeros(len(h), dtype=np.uint64),
+                            num_buckets)
+            t = t.append_column("_jb", _pa.array(b, type=_pa.int32()))
+            return t.append_column("_side",
+                                   _pa.array([side] * t.num_rows))
         if hot_keys and side == "r":
             # replicate hot right rows with explicit salts
             keys = t[bucket_on].to_pandas().to_numpy()
@@ -394,30 +405,37 @@ def detect_hot_keys(ds, on: str, frac_threshold: float = 0.05,
             for _, row in hot.iterrows()}
 
 
-def hash_join(left, right, on: str, num_buckets: int = 16,
+def hash_join(left, right, on: str | Sequence[str], num_buckets: int = 16,
               how: str = "inner", suffix: str = "_r",
               left_schema=None, right_schema=None, hot_keys=None):
-    """Large-large equi-join: co-hash-partition BOTH sides on the key,
-    then join matching buckets pairwise — the explicit partitioned hash
-    join (guide pattern; ``Dataset.join`` exists in this Ray version but
-    the explicit form keeps the partitioning assumption visible and lets
-    the same bucket column be reused by downstream stages).
+    """Large-large equi-join: co-hash-partition BOTH sides on the key
+    (a column name or a LIST of names — composite keys bucket by the
+    row-hash of the tuple), then join matching buckets pairwise — the
+    explicit partitioned hash join (guide pattern; ``Dataset.join``
+    exists in this Ray version but the explicit form keeps the
+    partitioning assumption visible and lets the same bucket column be
+    reused by downstream stages).
 
     Skew: pass ``hot_keys`` ({key_value: salt_factor}, e.g. from
     ``detect_hot_keys``) — a hot probe key is spread over salt_factor
     buckets and the build side's hot rows replicate once per salt, so no
     single reducer sees the raw hot-key volume. Only valid for
-    ``how='inner'``/'left' (replicas would duplicate right-outer rows).
+    ``how='inner'``/'left' (replicas would duplicate right-outer rows)
+    and a single-column key.
     """
     import pyarrow.compute as pc
 
+    multi = not isinstance(on, str)
+    on_cols = list(on) if multi else [on]
     if hot_keys and how not in ("inner", "left"):
         raise ValueError("hot_keys salting supports inner/left joins only")
+    if hot_keys and multi:
+        raise ValueError("hot_keys salting supports single-column keys")
     schema, lcols, rcols = _combined_schema(left, right,
                                             left_schema, right_schema)
     out_fields = [schema.field(c) for c in lcols]
     for c in rcols:
-        if c == on:
+        if c in on_cols:
             continue
         out_fields.append(pa.field(c if c not in lcols else f"{c}{suffix}",
                                    schema.field(c).type))
@@ -434,7 +452,7 @@ def hash_join(left, right, on: str, num_buckets: int = 16,
         lm = pc.equal(g["_side"], "l")
         lg = g.filter(lm).select(lcols).to_pandas()
         rg = g.filter(pc.invert(lm)).select(rcols).to_pandas()
-        out = lg.merge(rg, on=on, how=how, suffixes=("", suffix))
+        out = lg.merge(rg, on=on_cols, how=how, suffixes=("", suffix))
         return _to_schema(out, out_schema)
 
     return (l.union(r).groupby("_jb")

@@ -729,3 +729,28 @@ def test_hash_join_outer_modes_null_padding():
         # int columns survive null padding as Arrow int64, not float64
         assert str(got["rv"].dtype) in ("Int64", "int64", "object") \
             or got["rv"].dtype.kind in "if"
+
+
+def test_hash_join_composite_key():
+    import duckdb
+
+    rng = np.random.default_rng(23)
+    L = pd.DataFrame({
+        "k1": rng.integers(0, 10, 500).astype(np.int64),
+        "k2": rng.choice(["x", "y", "z"], 500),
+        "lv": np.arange(500, dtype=np.int64),
+    })
+    R = pd.DataFrame({
+        "k1": rng.integers(0, 12, 300).astype(np.int64),
+        "k2": rng.choice(["x", "y", "w"], 300),
+        "rv": np.arange(300, dtype=np.int64),
+    })
+    got = rel.hash_join(mk_ds(L, 3), mk_ds(R, 2), on=["k1", "k2"]) \
+        .to_pandas().sort_values(["k1", "k2", "lv", "rv"]) \
+        .reset_index(drop=True)
+    exp = duckdb.sql(
+        "SELECT L.k1, L.k2, lv, rv FROM L JOIN R USING (k1, k2) "
+        "ORDER BY k1, k2, lv, rv").df()
+    assert len(got) == len(exp)
+    for c in ("k1", "k2", "lv", "rv"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
