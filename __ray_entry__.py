@@ -344,6 +344,22 @@ def _q_chunk_windows(sf_dir: str):
                      batch_format="pandas")
 
 
+def _q_grouped_nunique(sf_dir: str):
+    from chomper_ray.pipelines.relational import grouped_nunique
+
+    return grouped_nunique(
+        _read(sf_dir, "events", columns=["event_type", "user_id"]),
+        key="event_type", value="user_id")
+
+
+def _q_cross_join(sf_dir: str):
+    from chomper_ray.pipelines.relational import cross_join
+
+    grid = pd.DataFrame({"bucket": pd.Series([0, 1, 2], dtype="int64")})
+    return cross_join(_read(sf_dir, "region", columns=["r_regionkey",
+                                                       "r_name"]), grid)
+
+
 def _q_pca_project(sf_dir: str):
     # rows-only (eigendecomposition is not SQL-expressible); numpy
     # parity is pinned by tests/test_training_ops.py::TestPCA
@@ -1172,6 +1188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_lineitem": _q_profile_lineitem,
         "outer_join": _q_outer_join,
         "pca_project": _q_pca_project,
+        "grouped_nunique": _q_grouped_nunique,
+        "cross_join": _q_cross_join,
         "stratified_sample": _q_stratified_sample,
         "approx_distinct": _q_approx_distinct,
         "q1_pricing_summary": _q_q1,
@@ -1317,6 +1335,14 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 2) AS sum_value, count(*) AS n_rows "
             "FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) g "
             "GROUP BY user_id, w_start_s"
+        ),
+        "grouped_nunique": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_distinct "
+            "FROM events GROUP BY event_type"
+        ),
+        "cross_join": (
+            "SELECT r_regionkey, r_name, bucket FROM region "
+            "CROSS JOIN (SELECT unnest(range(3)) AS bucket)"
         ),
         "outer_join": (
             "SELECT coalesce(c_custkey, o_custkey) AS c_custkey, c_name, "

@@ -1529,3 +1529,47 @@ def profile_columns(ds, columns: Sequence[str], ndigits: int = 6):
     return pruned.map_batches(partial, batch_format="pandas") \
         .repartition(1) \
         .map_batches(final, batch_format="pandas")
+
+
+def grouped_nunique(ds, key: str, value: str, out: str = "n_distinct",
+                    num_partitions: int = 32):
+    """Exact ``count(DISTINCT value)`` per key. Per-block distinct
+    (key, value) pairs ride the shuffle (the same volume bound as
+    ``grouped_quantile``: distinct pairs, never raw rows); inside each
+    coarse key partition one vectorized global-dedup + per-key count
+    finishes the job. For approximate at extreme pair cardinality, the
+    HLL sketch (``stages/sketches.py``) slots in the same plan."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[key, value]].drop_duplicates()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        out_df = d.groupby(key, sort=False)[value].size() \
+            .rename(out).reset_index()
+        out_df[out] = out_df[out].astype("int64")
+        return out_df
+
+    pruned = ds.map_batches(lambda t: t.select([key, value]),
+                            batch_format="pyarrow")
+    partials = pruned.map_batches(partial, batch_format="pandas")
+    return _coarse_keyed(partials, key, num_partitions) \
+        .map_groups(lambda g: final(g.drop(columns=["_pb"])),
+                    batch_format="pandas")
+
+
+def cross_join(ds, small: pd.DataFrame, suffix: str = "_r"):
+    """Cartesian product with a SMALL broadcast side (dimension grids,
+    parameter sweeps): the small frame ships once via ``ray.put``; each
+    batch expands by ``len(small)`` locally — no shuffle. Output size is
+    rows × len(small) by definition; bound the small side, not the
+    Dataset."""
+    import ray
+
+    ref = ray.put(small)
+
+    def f(batch: pd.DataFrame, ref=ref) -> pd.DataFrame:
+        s = ray.get(ref)
+        return batch.merge(s, how="cross", suffixes=("", suffix))
+
+    return ds.map_batches(f, batch_format="pandas")

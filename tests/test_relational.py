@@ -754,3 +754,30 @@ def test_hash_join_composite_key():
     assert len(got) == len(exp)
     for c in ("k1", "k2", "lv", "rv"):
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_grouped_nunique_exact():
+    import duckdb
+
+    rng = np.random.default_rng(24)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 4000),
+        "v": rng.integers(0, 200, 4000).astype(np.int64),
+    })
+    got = rel.grouped_nunique(mk_ds(df, 5), key="k", value="v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    exp = duckdb.sql("SELECT k, count(DISTINCT v) AS n_distinct FROM df "
+                     "GROUP BY k ORDER BY k").df()
+    pd.testing.assert_frame_equal(
+        got.astype({"n_distinct": "int64"}),
+        exp.astype({"n_distinct": "int64"}), check_dtype=False)
+
+
+def test_cross_join_broadcast():
+    df = pd.DataFrame({"id": [1, 2, 3]})
+    small = pd.DataFrame({"g": ["x", "y"]})
+    got = rel.cross_join(mk_ds(df, 2), small).to_pandas() \
+        .sort_values(["id", "g"]).reset_index(drop=True)
+    assert len(got) == 6
+    assert got["id"].tolist() == [1, 1, 2, 2, 3, 3]
+    assert got["g"].tolist() == ["x", "y"] * 3
