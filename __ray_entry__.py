@@ -344,6 +344,17 @@ def _q_chunk_windows(sf_dir: str):
                      batch_format="pandas")
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    # rows-only (iterative Lloyd is not SQL-expressible); blob-recovery
+    # and purity pinned by tests/test_training_ops.py::TestKMeans
+    from chomper_ray.stages.similarity import kmeans_assign, kmeans_fit
+
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding"]).materialize()
+    cent = kmeans_fit(ds, k=8, iters=5)
+    return kmeans_assign(ds, cent)
+
+
 def _q_grouped_nunique(sf_dir: str):
     from chomper_ray.pipelines.relational import grouped_nunique
 
@@ -1190,6 +1201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_project": _q_pca_project,
         "grouped_nunique": _q_grouped_nunique,
         "cross_join": _q_cross_join,
+        "kmeans_clusters": _q_kmeans_clusters,
         "stratified_sample": _q_stratified_sample,
         "approx_distinct": _q_approx_distinct,
         "q1_pricing_summary": _q_q1,

@@ -252,3 +252,83 @@ def pca_transform(ds, mean: np.ndarray, components: np.ndarray,
         return pd.DataFrame(out)
 
     return ds.map_batches(project, batch_format="pandas")
+
+
+# --- distributed k-means (full-data Lloyd) -----------------------------------
+
+def kmeans_fit(ds, k: int, iters: int = 10, vec_col: str = "embedding",
+               seed: int = 5, init_sample: int = 4096,
+               dtype=np.float64):
+    """Lloyd's k-means over the FULL dataset (not a sample): each
+    iteration is ONE streaming pass — every block assigns its vectors
+    to the nearest centroid (one matmul) and emits per-cluster
+    ``(count, Σx)`` partials; a distributed fold collapses them to ≤8
+    rows and the driver recomputes the k×d centroid matrix (tiny).
+    Empty clusters keep their previous centroid. Initialization is a
+    deterministic-seed choice from a bounded head sample. Pass a
+    MATERIALIZED ``ds`` — each iteration re-consumes it.
+
+    Where ``train_ivf_centroids`` trains on a driver sample (fine for
+    IVF routing), this is the exact estimator a 100 TB corpus needs:
+    per-pass driver traffic is 8 × k × d floats, independent of rows."""
+    import ray
+
+    head = ds.limit(init_sample).take_all()
+    x0 = np.stack([r[vec_col] for r in head]).astype(dtype)
+    rng = np.random.default_rng(seed)
+    cent = x0[rng.choice(len(x0), min(k, len(x0)), replace=False)].copy()
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("c", sort=False)
+        return pd.DataFrame({
+            "c": np.fromiter(g.groups, dtype=np.int64),
+            "n": g["n"].sum().to_numpy(),
+            "sx": [np.sum(np.stack(v["sx"].to_numpy()), axis=0)
+                   for _, v in g],
+        })
+
+    for _ in range(iters):
+        cref = ray.put(cent)
+
+        def partials(batch: pd.DataFrame, cref=cref) -> pd.DataFrame:
+            c = ray.get(cref)
+            m = np.stack(batch[vec_col].to_numpy()).astype(c.dtype)
+            # argmin ||x-c||^2 == argmax 2x·c - |c|^2
+            a = (2 * m @ c.T - (c * c).sum(axis=1)).argmax(axis=1)
+            out = []
+            for ci in np.unique(a):
+                mem = m[a == ci]
+                out.append({"c": int(ci), "n": len(mem),
+                            "sx": mem.sum(axis=0)})
+            return pd.DataFrame(out)
+
+        rows = ds.map_batches(partials, batch_format="pandas") \
+            .repartition(8).map_batches(fold, batch_format="pandas") \
+            .take_all()
+        agg: dict[int, tuple[int, np.ndarray]] = {}
+        for r in rows:
+            n0, s0 = agg.get(int(r["c"]), (0, 0.0))
+            agg[int(r["c"])] = (n0 + int(r["n"]), s0 + r["sx"])
+        new = cent.copy()
+        for ci, (n, s) in agg.items():
+            new[ci] = s / n
+        cent = new
+    return cent
+
+
+def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
+                  id_col: str = "vec_id", out: str = "cluster"):
+    """Nearest-centroid assignment (euclidean) — centroids broadcast
+    once, one matmul per batch."""
+    import ray
+
+    cref = ray.put(np.asarray(centroids))
+
+    def assign(batch: pd.DataFrame, cref=cref) -> pd.DataFrame:
+        c = ray.get(cref)
+        m = np.stack(batch[vec_col].to_numpy()).astype(c.dtype)
+        a = (2 * m @ c.T - (c * c).sum(axis=1)).argmax(axis=1)
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                             out: a.astype("int64")})
+
+    return ds.map_batches(assign, batch_format="pandas")

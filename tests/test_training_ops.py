@@ -756,3 +756,29 @@ class TestPCA:
                            atol=1e-6)
         # variance ordering: pc_0 carries the most
         assert proj["pc_0"].var() > proj["pc_1"].var()
+
+
+class TestKMeans:
+    def test_recovers_planted_blobs(self, ray_session):
+        from chomper_ray.stages.similarity import kmeans_assign, kmeans_fit
+
+        rng = np.random.default_rng(25)
+        centers = np.array([[10.0, 0, 0, 0], [0, 10.0, 0, 0],
+                            [0, 0, 10.0, 0]])
+        labels = rng.integers(0, 3, 900)
+        X = centers[labels] + rng.normal(0, 0.3, (900, 4))
+        df = pd.DataFrame({"vec_id": np.arange(900, dtype=np.int64),
+                           "embedding": list(X)})
+        ds = rd.from_pandas(df).repartition(6).materialize()
+
+        cent = kmeans_fit(ds, k=3, iters=8)
+        # each planted center recovered by SOME centroid within noise
+        d = np.linalg.norm(cent[:, None, :] - centers[None], axis=2)
+        match = d.min(axis=0)
+        assert (match < 0.15).all(), match
+
+        got = kmeans_assign(ds, cent).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        # perfect purity: every planted blob maps to one cluster id
+        purity = pd.crosstab(labels, got["cluster"]).max(axis=1).sum()
+        assert purity == 900
