@@ -1154,6 +1154,54 @@ def _q_change_listeners(sf_dir: str):
                            batch_format="pandas")
 
 
+def _q_window_dist(sf_dir: str):
+    from chomper_ray.pipelines.relational import window_dist
+
+    out = window_dist(
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_orderpriority", "o_totalprice"]),
+        by="o_orderpriority", order="o_totalprice", tie="o_orderkey",
+        n_tiles=4)
+    # ratios of exact ints; round both sides at 6 so the hash compare
+    # never rides a 1-ulp engine difference
+    return out.map_batches(
+        lambda df: df.assign(percent_rank=df["percent_rank"].round(6),
+                             cume_dist=df["cume_dist"].round(6)),
+        batch_format="pandas")
+
+
+def _q_arg_extremum(sf_dir: str):
+    from chomper_ray.pipelines.relational import arg_extremum
+
+    return arg_extremum(
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderpriority",
+                       "o_totalprice"]),
+        key="o_orderpriority", order="o_totalprice", tie="o_orderkey",
+        mode="max")
+
+
+def _q_percentile_cont(sf_dir: str):
+    from chomper_ray.pipelines.relational import grouped_percentile_cont
+
+    return grouped_percentile_cont(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_extendedprice"]),
+        key="l_returnflag", value="l_extendedprice",
+        qs=(0.25, 0.5, 0.75), ndigits=6)
+
+
+def _q_unpivot(sf_dir: str):
+    from chomper_ray.pipelines.relational import unpivot
+
+    return unpivot(
+        _read(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_linenumber", "l_quantity",
+                       "l_discount", "l_tax"]),
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_discount", "l_tax"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # reference-operator parity (SURVEY §2.2)
@@ -1195,6 +1243,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "grouped_quantiles": _q_grouped_quantiles,
         "group_topk": _q_group_topk,
+        "window_dist": _q_window_dist,
+        "arg_extremum": _q_arg_extremum,
+        "percentile_cont": _q_percentile_cont,
+        "unpivot_lineitem": _q_unpivot,
         "chunk_windows": _q_chunk_windows,
         "profile_lineitem": _q_profile_lineitem,
         "outer_join": _q_outer_join,
@@ -1375,6 +1427,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, row_number() OVER (PARTITION BY o_orderpriority "
             "ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders) "
             "WHERE rank <= 3"
+        ),
+        "window_dist": (
+            "SELECT o_orderkey, o_orderpriority, o_totalprice, "
+            "round(percent_rank() OVER w, 6) AS percent_rank, "
+            "round(cume_dist() OVER w, 6) AS cume_dist, "
+            "ntile(4) OVER (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice, o_orderkey) AS tile FROM orders "
+            "WINDOW w AS (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice)"
+        ),
+        "arg_extremum": (
+            "SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice "
+            "FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) "
+            "WHERE rn = 1"
+        ),
+        "percentile_cont": (
+            "SELECT l_returnflag, "
+            "round(quantile_cont(l_extendedprice, 0.25), 6) AS p25, "
+            "round(quantile_cont(l_extendedprice, 0.50), 6) AS p50, "
+            "round(quantile_cont(l_extendedprice, 0.75), 6) AS p75 "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "unpivot_lineitem": (
+            " UNION ALL ".join(
+                f"SELECT l_orderkey, l_linenumber, '{c}' AS name, "
+                f"CAST({c} AS DOUBLE) AS value FROM lineitem"
+                for c in ("l_quantity", "l_discount", "l_tax"))
         ),
         "chunk_windows": _sql_chunk_query(size=8, stride=4),
         "value_histogram": (

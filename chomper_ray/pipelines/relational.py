@@ -1573,3 +1573,143 @@ def cross_join(ds, small: pd.DataFrame, suffix: str = "_r"):
         return batch.merge(s, how="cross", suffixes=("", suffix))
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def window_dist(ds, by: str, order: str, tie: str | None = None,
+                n_tiles: int | None = None, num_partitions: int = 64):
+    """Window DISTRIBUTION functions — SQL ``percent_rank()``,
+    ``cume_dist()`` and optionally ``ntile(n)`` ``OVER (PARTITION BY by
+    ORDER BY order)``. Same shape as ``group_rank``: one coarse
+    key-hash shuffle, one vectorized sort + grouped-rank pass inside —
+    no per-key dispatch.
+
+    ``percent_rank`` = (rank-1)/(n-1) (0.0 for single-row groups) and
+    ``cume_dist`` = max_rank/n are rank-based, so they are
+    deterministic without a tie column; ``ntile`` is row_number-based
+    (first n%k buckets get the extra row), so pass ``tie`` when
+    ``n_tiles`` is set or the bucket of order-ties is nondeterministic
+    and won't hash-compare."""
+    sort_cols = [by, order] + ([tie] if tie else [])
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, kind="stable")
+        grp = g.groupby(by, sort=False)
+        n = grp[order].transform("size").to_numpy(dtype="float64")
+        rmin = grp[order].rank(method="min").to_numpy(dtype="float64")
+        rmax = grp[order].rank(method="max").to_numpy(dtype="float64")
+        g["percent_rank"] = np.where(n > 1, (rmin - 1) / (n - 1), 0.0)
+        g["cume_dist"] = rmax / n
+        if n_tiles is not None:
+            rn = grp.cumcount().to_numpy()  # 0-based row_number
+            k = int(n_tiles)
+            ni = n.astype("int64")
+            base, rem = ni // k, ni % k
+            big = rem * (base + 1)  # rows living in the ceil buckets
+            tile = np.where(
+                rn < big,
+                rn // np.maximum(base + 1, 1),
+                rem + (rn - big) // np.maximum(base, 1))
+            g["tile"] = (tile + 1).astype("int64")
+        return g.drop(columns=["_pb"])
+
+    return _coarse_keyed(ds, by, num_partitions) \
+        .map_groups(f, batch_format="pandas")
+
+
+def arg_extremum(ds, key: str, order: str, tie: str,
+                 mode: str = "max", num_partitions: int = 32):
+    """Per-key arg-extremum row — SQL ``max_by``/``min_by`` (a.k.a.
+    ``arg_max``), made DETERMINISTIC: the surviving row is the one
+    ranked first by ``ORDER BY order DESC|ASC, tie ASC``. Every column
+    of the row survives.
+
+    Decomposable: each block keeps one candidate row per key (sort +
+    head(1), vectorized), so the shuffle carries at most one row per
+    key per block — never the raw table; the final pass re-picks among
+    candidates with the identical ordering."""
+    if mode not in ("max", "min"):
+        raise ValueError(f"unknown mode {mode!r}")
+    cols = [key, order, tie]
+    asc = [True, mode == "min", True]
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(cols, ascending=asc, kind="stable")
+        return df.groupby(key, sort=False).head(1)
+
+    partials = ds.map_batches(pick, batch_format="pandas")
+    return _coarse_keyed(partials, key, num_partitions) \
+        .map_groups(lambda g: pick(g.drop(columns=["_pb"])),
+                    batch_format="pandas")
+
+
+def grouped_percentile_cont(ds, key: str, value: str,
+                            qs: Sequence[float] = (0.25, 0.5, 0.75),
+                            ndigits: int | None = 6,
+                            num_partitions: int = 32):
+    """INTERPOLATED (continuous) quantiles per group in one pass — SQL
+    ``percentile_cont(q) WITHIN GROUP (ORDER BY value)``. Same
+    distinct-(key,value)-count combiner plan as ``grouped_quantiles``
+    (the shuffle carries one row per distinct key×value per block);
+    inside, for each q the 0-based position h=(n-1)·q picks the
+    bracketing ranks floor(h)+1 / ceil(h)+1 via one shared sorted
+    cumulative pass, then lerps: lo + (h-floor(h))·(hi-lo) — the exact
+    expression DuckDB evaluates, so values hash-compare at ``ndigits``.
+    Output columns ``p<q*100>`` (``p25``, ``p50``...), float64."""
+    qs = list(qs)
+    names = [f"p{int(round(q * 100)):02d}" for q in qs]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby([key, value], sort=False, dropna=False) \
+            .size().rename("n").reset_index()
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby([key, value], sort=True)["n"].sum().reset_index()
+        totals = g.groupby(key, sort=False)["n"].transform("sum") \
+            .to_numpy(dtype="float64")
+        cum = g.groupby(key, sort=False)["n"].cumsum().to_numpy()
+        out = None
+        for q, name in zip(qs, names):
+            h = (totals - 1) * q
+            frames = []
+            for rank in (np.floor(h) + 1, np.ceil(h) + 1):
+                hit = cum >= rank
+                picked = g[hit].groupby(key, sort=True).first() \
+                    .reset_index()
+                frames.append(picked.set_index(key)[value]
+                              .astype("float64"))
+            lo, hi = frames
+            per_key = g.groupby(key, sort=True)["n"].sum()
+            nk = per_key.to_numpy(dtype="float64")
+            hk = (nk - 1) * q
+            frac = hk - np.floor(hk)
+            val = lo.to_numpy() + frac * (hi.to_numpy() - lo.to_numpy())
+            if ndigits is not None:
+                val = np.round(val, ndigits)
+            col = pd.DataFrame({key: per_key.index, name: val})
+            out = col if out is None else out.merge(col, on=key)
+        return out
+
+    pruned = ds.map_batches(lambda t: t.select([key, value]),
+                            batch_format="pyarrow")
+    partials = pruned.map_batches(partial, batch_format="pandas")
+    return _coarse_keyed(partials, key, num_partitions) \
+        .map_groups(lambda g: pick(g.drop(columns=["_pb"])),
+                    batch_format="pandas")
+
+
+def unpivot(ds, id_cols: Sequence[str], value_cols: Sequence[str],
+            var_name: str = "name", value_name: str = "value"):
+    """Wide→long reshape — SQL ``UNPIVOT`` (the inverse of
+    ``pivot_counts``). Pure per-block expansion (pandas ``melt``; each
+    input row becomes len(value_cols) rows), so it streams with zero
+    shuffle. Value columns are cast to float64 — SQL UNPIVOT likewise
+    requires a common value type."""
+    ids, vals = list(id_cols), list(value_cols)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[ids + vals].melt(id_vars=ids, value_vars=vals,
+                                var_name=var_name, value_name=value_name)
+        m[value_name] = m[value_name].astype("float64")
+        return m
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -781,3 +781,105 @@ def test_cross_join_broadcast():
     assert len(got) == 6
     assert got["id"].tolist() == [1, 1, 2, 2, 3, 3]
     assert got["g"].tolist() == ["x", "y"] * 3
+
+
+class TestWindowDist:
+    def _frame(self):
+        rng = np.random.default_rng(11)
+        return pd.DataFrame({
+            "k": rng.integers(0, 7, 400),
+            "v": rng.integers(0, 25, 400),        # heavy ties on purpose
+            "id": np.arange(400, dtype="int64"),
+        })
+
+    def test_matches_duckdb_window(self):
+        import duckdb
+
+        df = self._frame()
+        got = rel.window_dist(mk_ds(df), by="k", order="v", tie="id",
+                              n_tiles=3).to_pandas() \
+            .sort_values("id").reset_index(drop=True)
+        exp = duckdb.sql(
+            "SELECT k, v, id, percent_rank() OVER w AS percent_rank, "
+            "cume_dist() OVER w AS cume_dist, "
+            "ntile(3) OVER (PARTITION BY k ORDER BY v, id) AS tile "
+            "FROM df WINDOW w AS (PARTITION BY k ORDER BY v) "
+            "ORDER BY id").df()
+        for c in ("percent_rank", "cume_dist"):
+            np.testing.assert_allclose(got[c], exp[c], rtol=0, atol=1e-12)
+        assert (got["tile"].to_numpy() == exp["tile"].to_numpy()).all()
+
+    def test_single_row_group_percent_rank_zero(self):
+        df = pd.DataFrame({"k": [1], "v": [9], "id": [0]})
+        got = rel.window_dist(mk_ds(df, 1), by="k", order="v",
+                              tie="id").to_pandas()
+        assert got["percent_rank"].iloc[0] == 0.0
+        assert got["cume_dist"].iloc[0] == 1.0
+
+
+class TestArgExtremum:
+    def test_max_and_min_by(self):
+        rng = np.random.default_rng(12)
+        df = pd.DataFrame({
+            "k": rng.integers(0, 9, 500),
+            "score": rng.integers(0, 30, 500),   # ties across blocks
+            "id": rng.permutation(500).astype("int64"),
+            "payload": rng.random(500).round(4),
+        })
+        for mode in ("max", "min"):
+            got = rel.arg_extremum(mk_ds(df, 6), key="k", order="score",
+                                   tie="id", mode=mode).to_pandas() \
+                .sort_values("k").reset_index(drop=True)
+            exp = df.sort_values(["k", "score", "id"],
+                                 ascending=[True, mode == "min", True],
+                                 kind="stable") \
+                .groupby("k", sort=True).head(1) \
+                .sort_values("k").reset_index(drop=True)
+            pd.testing.assert_frame_equal(
+                got[["k", "score", "id", "payload"]],
+                exp[["k", "score", "id", "payload"]])
+
+
+class TestPercentileCont:
+    def test_matches_numpy_linear(self):
+        rng = np.random.default_rng(13)
+        df = pd.DataFrame({
+            "k": rng.integers(0, 5, 1000),
+            "v": rng.random(1000).round(3) * 100,
+        })
+        qs = (0.1, 0.5, 0.9)
+        got = rel.grouped_percentile_cont(
+            mk_ds(df, 5), key="k", value="v", qs=qs,
+            ndigits=None).to_pandas().sort_values("k") \
+            .reset_index(drop=True)
+        for q, name in zip(qs, ("p10", "p50", "p90")):
+            exp = df.groupby("k", sort=True)["v"] \
+                .apply(lambda s: np.percentile(s, q * 100)) \
+                .reset_index(drop=True)
+            np.testing.assert_allclose(got[name], exp, rtol=1e-12)
+
+    def test_two_values_interpolate(self):
+        df = pd.DataFrame({"k": ["a", "a"], "v": [10.0, 20.0]})
+        got = rel.grouped_percentile_cont(mk_ds(df, 1), key="k",
+                                          value="v", qs=(0.25,),
+                                          ndigits=None).to_pandas()
+        assert got["p25"].iloc[0] == 12.5
+
+
+class TestUnpivot:
+    def test_matches_melt(self):
+        rng = np.random.default_rng(14)
+        df = pd.DataFrame({
+            "id": np.arange(200, dtype="int64"),
+            "a": rng.random(200).round(4),
+            "b": rng.integers(0, 9, 200),
+            "c": rng.random(200).round(4),
+        })
+        got = rel.unpivot(mk_ds(df), id_cols=["id"],
+                          value_cols=["a", "b", "c"]).to_pandas() \
+            .sort_values(["id", "name"]).reset_index(drop=True)
+        exp = df.melt(id_vars=["id"], value_vars=["a", "b", "c"]) \
+            .rename(columns={"variable": "name"})
+        exp["value"] = exp["value"].astype("float64")
+        exp = exp.sort_values(["id", "name"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["id", "name", "value"]], exp)
