@@ -1202,6 +1202,44 @@ def _q_unpivot(sf_dir: str):
         value_cols=["l_quantity", "l_discount", "l_tax"])
 
 
+def _q_rolling_agg(sf_dir: str):
+    from chomper_ray.pipelines.relational import rolling_agg
+
+    return rolling_agg(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "value"]),
+        by="user_id", order="ts", value="value", window=4,
+        tie="event_id")
+
+
+def _q_cumulative_extrema(sf_dir: str):
+    from chomper_ray.pipelines.relational import cumulative_extrema
+
+    return cumulative_extrema(
+        _read(sf_dir, "events",
+              columns=["event_id", "user_id", "ts", "value"]),
+        by="user_id", order="ts", value="value", tie="event_id")
+
+
+def _q_first_last_value(sf_dir: str):
+    from chomper_ray.pipelines.relational import first_last_value
+
+    return first_last_value(
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_orderpriority", "o_totalprice"]),
+        by="o_orderpriority", order="o_totalprice", value="o_orderkey",
+        tie="o_orderkey")
+
+
+def _q_higher_moments(sf_dir: str):
+    from chomper_ray.pipelines.relational import grouped_higher_moments
+
+    return grouped_higher_moments(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_extendedprice"]),
+        key="l_returnflag", x="l_extendedprice", ndigits=6)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # reference-operator parity (SURVEY §2.2)
@@ -1244,6 +1282,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": _q_grouped_quantiles,
         "group_topk": _q_group_topk,
         "window_dist": _q_window_dist,
+        "rolling_agg": _q_rolling_agg,
+        "cumulative_extrema": _q_cumulative_extrema,
+        "first_last_value": _q_first_last_value,
+        "higher_moments": _q_higher_moments,
         "arg_extremum": _q_arg_extremum,
         "percentile_cont": _q_percentile_cont,
         "unpivot_lineitem": _q_unpivot,
@@ -1427,6 +1469,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, row_number() OVER (PARTITION BY o_orderpriority "
             "ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders) "
             "WHERE rank <= 3"
+        ),
+        "rolling_agg": (
+            "SELECT event_id, user_id, ts, value, "
+            "round(sum(value) OVER w, 6) AS roll_sum, "
+            "round(avg(value) OVER w, 6) AS roll_mean, "
+            "count(value) OVER w AS roll_n FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+        ),
+        "cumulative_extrema": (
+            "SELECT event_id, user_id, ts, value, "
+            "max(value) OVER w AS cum_max, min(value) OVER w AS cum_min "
+            "FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)"
+        ),
+        "first_last_value": (
+            "SELECT o_orderkey, o_orderpriority, o_totalprice, "
+            "first_value(o_orderkey) OVER w AS first_value, "
+            "last_value(o_orderkey) OVER w AS last_value FROM orders "
+            "WINDOW w AS (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice, o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        ),
+        "higher_moments": (
+            "SELECT l_returnflag, "
+            "round(skewness(l_extendedprice), 6) AS skewness, "
+            "round(kurtosis(l_extendedprice), 6) AS kurtosis "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         "window_dist": (
             "SELECT o_orderkey, o_orderpriority, o_totalprice, "

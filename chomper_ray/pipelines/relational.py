@@ -1713,3 +1713,132 @@ def unpivot(ds, id_cols: Sequence[str], value_cols: Sequence[str],
         return m
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def rolling_agg(ds, by: str, order: str, value: str, window: int,
+                tie: str | None = None, ndigits: int | None = 6,
+                num_partitions: int = 64):
+    """Moving-frame aggregates — SQL ``sum/avg/count(value) OVER
+    (PARTITION BY by ORDER BY order[, tie] ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW)``. Output columns ``roll_sum`` /
+    ``roll_mean`` / ``roll_n``. Same coarse key-hash shuffle as every
+    window op here; inside, one pandas grouped-rolling pass (min_periods
+    =1 — SQL frames shrink at partition start, they don't null out).
+    Pass ``tie`` to pin frame order under order-ties, or the frame
+    content itself is nondeterministic and won't hash-compare."""
+    sort_cols = [by, order] + ([tie] if tie else [])
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, kind="stable")
+        r = g.groupby(by, sort=False)[value] \
+            .rolling(window, min_periods=1)
+        s = r.sum().reset_index(drop=True)
+        n = r.count().reset_index(drop=True)
+        g = g.reset_index(drop=True)
+        g["roll_sum"] = s
+        g["roll_mean"] = s / n
+        g["roll_n"] = n.astype("int64")
+        if ndigits is not None:
+            g["roll_sum"] = g["roll_sum"].round(ndigits)
+            g["roll_mean"] = g["roll_mean"].round(ndigits)
+        return g.drop(columns=["_pb"])
+
+    return _coarse_keyed(ds, by, num_partitions) \
+        .map_groups(f, batch_format="pandas")
+
+
+def cumulative_extrema(ds, by: str, order: str, value: str,
+                       tie: str | None = None, num_partitions: int = 64):
+    """Running extremes — SQL ``max/min(value) OVER (PARTITION BY by
+    ORDER BY order[, tie] ROWS UNBOUNDED PRECEDING)``. Output columns
+    ``cum_max`` / ``cum_min``. Pure comparisons (no float arithmetic),
+    so values hash-compare exactly; ties in ``order`` change only WHICH
+    equal value is current — the running extreme is order-tie-proof."""
+    sort_cols = [by, order] + ([tie] if tie else [])
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, kind="stable")
+        grp = g.groupby(by, sort=False)[value]
+        g["cum_max"] = grp.cummax()
+        g["cum_min"] = grp.cummin()
+        return g.drop(columns=["_pb"])
+
+    return _coarse_keyed(ds, by, num_partitions) \
+        .map_groups(f, batch_format="pandas")
+
+
+def first_last_value(ds, by: str, order: str, value: str,
+                     tie: str | None = None, num_partitions: int = 64):
+    """Partition-edge values — SQL ``first_value/last_value(value) OVER
+    (PARTITION BY by ORDER BY order[, tie] ROWS BETWEEN UNBOUNDED
+    PRECEDING AND UNBOUNDED FOLLOWING)``. Pass ``tie`` for determinism
+    under order-ties (SQL's own first/last over a non-unique order is
+    nondeterministic). Exact value copies — hash-safe."""
+    sort_cols = [by, order] + ([tie] if tie else [])
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, kind="stable")
+        grp = g.groupby(by, sort=False)[value]
+        g["first_value"] = grp.transform("first")
+        g["last_value"] = grp.transform("last")
+        return g.drop(columns=["_pb"])
+
+    return _coarse_keyed(ds, by, num_partitions) \
+        .map_groups(f, batch_format="pandas")
+
+
+def grouped_higher_moments(ds, key: str, x: str, ndigits: int = 6,
+                           num_partitions: int = 32):
+    """Per-group sample skewness and excess kurtosis — SQL
+    ``skewness(x)`` / ``kurtosis(x)`` (DuckDB's bias-corrected forms:
+    adjusted Fisher-Pearson g1·sqrt(n(n-1))/(n-2) and
+    ((n+1)·g2+6)(n-1)/((n-2)(n-3)), pinned by tests).
+
+    Two streaming passes. Pass 1 folds one (n, Σx) partial per block
+    into a single GLOBAL shift c — raw Σx³/Σx⁴ partials around zero
+    cancel catastrophically (x⁴~1e8 terms summing to ~1e2 moments),
+    but around c≈mean the shifted sums are spread-scale and the
+    central-moment algebra is stable. Pass 2 is the usual combiner:
+    per-block per-key (n, Σd, Σd², Σd³, Σd⁴) with d=x-c, one small
+    grouped shuffle, driver never sees a row per group."""
+    pruned = ds.map_batches(lambda t: t.select([key, x]),
+                            batch_format="pyarrow")
+
+    def mean_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[x].dropna()
+        return pd.DataFrame({"n": [float(len(v))], "s": [float(v.sum())]})
+
+    tot = pruned.map_batches(mean_partial,
+                             batch_format="pandas").to_pandas()
+    c = float(tot["s"].sum() / max(tot["n"].sum(), 1.0))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[x].astype("float64") - c
+        tmp = pd.DataFrame({key: df[key], "n": (~d.isna()).astype("int64"),
+                            "s1": d, "s2": d ** 2, "s3": d ** 3,
+                            "s4": d ** 4})
+        return tmp.groupby(key, sort=False, dropna=False).sum() \
+            .reset_index()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(key, sort=False).sum().reset_index()
+        n = g["n"].astype("float64").to_numpy()
+        m = g["s1"].to_numpy() / n            # mean of d
+        # central moments from shifted raw moments
+        m2 = g["s2"].to_numpy() / n - m ** 2
+        m3 = g["s3"].to_numpy() / n - 3 * m * g["s2"].to_numpy() / n \
+            + 2 * m ** 3
+        m4 = g["s4"].to_numpy() / n - 4 * m * g["s3"].to_numpy() / n \
+            + 6 * m ** 2 * g["s2"].to_numpy() / n - 3 * m ** 4
+        g1 = m3 / m2 ** 1.5
+        g2 = m4 / m2 ** 2 - 3.0
+        skew = g1 * np.sqrt(n * (n - 1)) / (n - 2)
+        kurt = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+        return pd.DataFrame({key: g[key],
+                             "skewness": np.round(skew, ndigits),
+                             "kurtosis": np.round(kurt, ndigits)})
+
+    partials = pruned.map_batches(partial, batch_format="pandas")
+    return _coarse_keyed(partials, key, num_partitions) \
+        .map_groups(lambda g: final(g.drop(columns=["_pb"])),
+                    batch_format="pandas")

@@ -883,3 +883,91 @@ class TestUnpivot:
         exp["value"] = exp["value"].astype("float64")
         exp = exp.sort_values(["id", "name"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got[["id", "name", "value"]], exp)
+
+
+class TestRollingWindows:
+    def _frame(self, with_nulls=False):
+        rng = np.random.default_rng(21)
+        df = pd.DataFrame({
+            "k": rng.integers(0, 6, 300),
+            "t": rng.integers(0, 40, 300),       # order ties on purpose
+            "id": np.arange(300, dtype="int64"),
+            "v": (rng.random(300) * 100).round(3),
+        })
+        if with_nulls:
+            df.loc[df.index % 7 == 0, "v"] = np.nan
+        return df
+
+    def test_rolling_agg_matches_duckdb(self):
+        import duckdb
+
+        df = self._frame(with_nulls=True)
+        got = rel.rolling_agg(mk_ds(df), by="k", order="t", value="v",
+                              window=4, tie="id").to_pandas() \
+            .sort_values("id").reset_index(drop=True)
+        exp = duckdb.sql(
+            "SELECT id, round(sum(v) OVER w, 6) AS roll_sum, "
+            "round(avg(v) OVER w, 6) AS roll_mean, "
+            "count(v) OVER w AS roll_n FROM df "
+            "WINDOW w AS (PARTITION BY k ORDER BY t, id "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) ORDER BY id").df()
+        np.testing.assert_allclose(got["roll_sum"], exp["roll_sum"],
+                                   atol=1e-6, equal_nan=True)
+        np.testing.assert_allclose(got["roll_mean"], exp["roll_mean"],
+                                   atol=1e-6, equal_nan=True)
+        assert (got["roll_n"].to_numpy()
+                == exp["roll_n"].to_numpy()).all()
+
+    def test_cumulative_extrema_matches_duckdb(self):
+        import duckdb
+
+        df = self._frame()
+        got = rel.cumulative_extrema(mk_ds(df), by="k", order="t",
+                                     value="v", tie="id").to_pandas() \
+            .sort_values("id").reset_index(drop=True)
+        exp = duckdb.sql(
+            "SELECT id, max(v) OVER w AS cum_max, min(v) OVER w AS "
+            "cum_min FROM df WINDOW w AS (PARTITION BY k "
+            "ORDER BY t, id ROWS UNBOUNDED PRECEDING) ORDER BY id").df()
+        assert (got["cum_max"].to_numpy() == exp["cum_max"].to_numpy()).all()
+        assert (got["cum_min"].to_numpy() == exp["cum_min"].to_numpy()).all()
+
+    def test_first_last_value_matches_duckdb(self):
+        import duckdb
+
+        df = self._frame()
+        got = rel.first_last_value(mk_ds(df), by="k", order="t",
+                                   value="v", tie="id").to_pandas() \
+            .sort_values("id").reset_index(drop=True)
+        exp = duckdb.sql(
+            "SELECT id, first_value(v) OVER w AS fv, "
+            "last_value(v) OVER w AS lv FROM df "
+            "WINDOW w AS (PARTITION BY k ORDER BY t, id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+            "ORDER BY id").df()
+        assert (got["first_value"].to_numpy() == exp["fv"].to_numpy()).all()
+        assert (got["last_value"].to_numpy() == exp["lv"].to_numpy()).all()
+
+
+class TestHigherMoments:
+    def test_matches_duckdb(self):
+        import duckdb
+
+        rng = np.random.default_rng(22)
+        # lognormal: genuinely skewed, wide dynamic range (the
+        # cancellation regime the global-shift design is for)
+        df = pd.DataFrame({
+            "k": rng.integers(0, 4, 5000),
+            "x": np.exp(rng.normal(8, 1.2, 5000)).round(2),
+        })
+        got = rel.grouped_higher_moments(mk_ds(df, 6), key="k", x="x",
+                                         ndigits=6).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        exp = duckdb.sql(
+            "SELECT k, round(skewness(x), 6) AS skewness, "
+            "round(kurtosis(x), 6) AS kurtosis FROM df "
+            "GROUP BY k ORDER BY k").df()
+        np.testing.assert_allclose(got["skewness"], exp["skewness"],
+                                   atol=2e-6)
+        np.testing.assert_allclose(got["kurtosis"], exp["kurtosis"],
+                                   atol=2e-6)
