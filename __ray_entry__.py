@@ -1240,6 +1240,58 @@ def _q_higher_moments(sf_dir: str):
         key="l_returnflag", x="l_extendedprice", ndigits=6)
 
 
+def _q_interval_join(sf_dir: str):
+    from chomper_ray.pipelines.relational import interval_join
+
+    parts = _read(sf_dir, "part",
+                  columns=["p_partkey", "p_retailprice", "p_size"]) \
+        .map_batches(lambda df: pd.DataFrame({
+            "p_partkey": df["p_partkey"],
+            "p_lo": (df["p_retailprice"] * 100).round().astype("int64")
+            - df["p_size"] * 100,
+            "p_hi": (df["p_retailprice"] * 100).round().astype("int64")
+            + df["p_size"] * 100}), batch_format="pandas")
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_acctbal"]) \
+        .map_batches(lambda df: pd.DataFrame({
+            "s_suppkey": df["s_suppkey"],
+            "s_lo": (df["s_acctbal"] * 100).round().astype("int64"),
+            "s_hi": (df["s_acctbal"] * 100).round().astype("int64")
+            + 50000}), batch_format="pandas")
+    return interval_join(parts, supp, l_lo="p_lo", l_hi="p_hi",
+                         r_lo="s_lo", r_hi="s_hi")
+
+
+def _q_connected_components(sf_dir: str):
+    # real distributed union-find (bucketed local CC -> stitch ->
+    # boundary-root contraction) over per-customer order chains; the
+    # chain construction itself runs through lag_lead
+    from chomper_ray.pipelines.relational import grouped_agg, lag_lead
+    from chomper_ray.stages.dedup import components_ds
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    chained = lag_lead(orders, by="o_custkey", order="o_orderkey",
+                       value="o_orderkey")
+    edges = chained.map_batches(
+        lambda df: df.loc[df["lag_value"].notna(),
+                          ["lag_value", "o_orderkey"]]
+        .rename(columns={"lag_value": "a", "o_orderkey": "b"})
+        .astype({"a": "int64", "b": "int64"}),
+        batch_format="pandas")
+    assigned = components_ds(edges)
+    # isolated nodes (single-order customers) appear in no edge: union
+    # identity rows and take the min rep per node
+    identity = orders.map_batches(
+        lambda df: pd.DataFrame({"id": df["o_orderkey"],
+                                 "rep": df["o_orderkey"]}),
+        batch_format="pandas")
+    out = grouped_agg(assigned.union(identity), keys=["id"],
+                      counts=False, mins=["rep"])
+    return out.map_batches(
+        lambda df: df.rename(columns={"min_rep": "rep"}),
+        batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # reference-operator parity (SURVEY §2.2)
@@ -1283,6 +1335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_topk": _q_group_topk,
         "window_dist": _q_window_dist,
         "rolling_agg": _q_rolling_agg,
+        "interval_join": _q_interval_join,
+        "connected_components": _q_connected_components,
         "cumulative_extrema": _q_cumulative_extrema,
         "first_last_value": _q_first_last_value,
         "higher_moments": _q_higher_moments,
@@ -1469,6 +1523,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT *, row_number() OVER (PARTITION BY o_orderpriority "
             "ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders) "
             "WHERE rank <= 3"
+        ),
+        "interval_join": (
+            "WITH a AS (SELECT p_partkey, "
+            "CAST(round(p_retailprice * 100) AS BIGINT) - p_size * 100 "
+            "AS p_lo, CAST(round(p_retailprice * 100) AS BIGINT) + "
+            "p_size * 100 AS p_hi FROM part), "
+            "b AS (SELECT s_suppkey, "
+            "CAST(round(s_acctbal * 100) AS BIGINT) AS s_lo, "
+            "CAST(round(s_acctbal * 100) AS BIGINT) + 50000 AS s_hi "
+            "FROM supplier) "
+            "SELECT p_partkey, p_lo, p_hi, s_suppkey, s_lo, s_hi "
+            "FROM a JOIN b ON a.p_lo <= b.s_hi AND b.s_lo <= a.p_hi"
+        ),
+        "connected_components": (
+            # per-customer consecutive-order chains form exactly one
+            # component per customer, so the transitive closure has the
+            # closed form min(orderkey) over the customer (DuckDB 1.0
+            # lacks keyed recursion for a general min-label CTE)
+            "SELECT o_orderkey AS id, min(o_orderkey) OVER "
+            "(PARTITION BY o_custkey) AS rep FROM orders"
         ),
         "rolling_agg": (
             "SELECT event_id, user_id, ts, value, "

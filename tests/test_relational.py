@@ -971,3 +971,52 @@ class TestHigherMoments:
                                    atol=2e-6)
         np.testing.assert_allclose(got["kurtosis"], exp["kurtosis"],
                                    atol=2e-6)
+
+
+class TestIntervalJoin:
+    def _oracle(self, a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+        x = a.merge(b, how="cross")
+        x = x[(x["alo"] <= x["bhi"]) & (x["blo"] <= x["ahi"])]
+        return x.sort_values(["aid", "bid"]).reset_index(drop=True)
+
+    def _frames(self, seed, n_a=400, n_b=150, span=2000):
+        rng = np.random.default_rng(seed)
+        alo = rng.integers(-span, span, n_a)
+        blo = rng.integers(-span, span, n_b)
+        a = pd.DataFrame({"aid": np.arange(n_a, dtype="int64"),
+                          "alo": alo,
+                          "ahi": alo + rng.integers(0, 80, n_a)})
+        b = pd.DataFrame({"bid": np.arange(n_b, dtype="int64"),
+                          "blo": blo,
+                          "bhi": blo + rng.integers(0, 300, n_b)})
+        # zero-width + duplicate intervals on purpose
+        b.loc[:4, "bhi"] = b.loc[:4, "blo"]
+        b = pd.concat([b, b.iloc[:3]], ignore_index=True)
+        b["bid"] = np.arange(len(b), dtype="int64")
+        return a, b
+
+    def test_property_sweep(self):
+        for seed, chunk in [(31, None), (32, 7), (33, 100000), (34, 1)]:
+            a, b = self._frames(seed)
+            got = rel.interval_join(mk_ds(a, 5), mk_ds(b, 3),
+                                    l_lo="alo", l_hi="ahi",
+                                    r_lo="blo", r_hi="bhi",
+                                    chunk=chunk).to_pandas() \
+                .sort_values(["aid", "bid"]).reset_index(drop=True)
+            exp = self._oracle(a, b)
+            assert len(got) == len(exp), (seed, chunk, len(got), len(exp))
+            for c in ("aid", "bid", "alo", "bhi"):
+                assert (got[c].to_numpy() == exp[c].to_numpy()).all()
+
+    def test_empty_side(self):
+        a, b = self._frames(35)
+        empty = b.iloc[:0]
+        # empty datasets report schema() None — the explicit-schema
+        # path is the documented answer
+        got = rel.interval_join(
+            mk_ds(a, 2), mk_ds(empty, 1),
+            l_lo="alo", l_hi="ahi", r_lo="blo", r_hi="bhi", chunk=10,
+            right_schema=pa.Table.from_pandas(empty,
+                                              preserve_index=False).schema
+        ).to_pandas()
+        assert len(got) == 0
