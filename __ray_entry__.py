@@ -1292,6 +1292,34 @@ def _q_connected_components(sf_dir: str):
         batch_format="pandas")
 
 
+def _q_string_funcs(sf_dir: str):
+    from chomper_ray.stages.text import string_features
+
+    return _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "lang", "source"]) \
+        .map_batches(lambda df: string_features(
+            df, col="text", extra={"lang_upper": "lang",
+                                   "source_rev": "source"}),
+            batch_format="pandas")
+
+
+def _q_date_parts(sf_dir: str):
+    from chomper_ray.stages.transforms import date_features
+
+    return _read(sf_dir, "orders",
+                 columns=["o_orderkey", "o_orderdate"]) \
+        .map_batches(lambda df: date_features(df, col="o_orderdate")
+                     .drop(columns=["o_orderdate"]),
+                     batch_format="pandas")
+
+
+def _q_char_entropy(sf_dir: str):
+    from chomper_ray.stages.text import char_entropy
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(lambda df: char_entropy(df), batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # reference-operator parity (SURVEY §2.2)
@@ -1336,6 +1364,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_dist": _q_window_dist,
         "rolling_agg": _q_rolling_agg,
         "interval_join": _q_interval_join,
+        "string_funcs": _q_string_funcs,
+        "date_parts": _q_date_parts,
+        "char_entropy": _q_char_entropy,
         "connected_components": _q_connected_components,
         "cumulative_extrema": _q_cumulative_extrema,
         "first_last_value": _q_first_last_value,
@@ -1397,6 +1428,9 @@ def oracle_sql() -> dict[str, str]:
                                          sql_repetition_exprs,
                                          sql_url_exprs)
     from chomper_ray.stages.text import sql_chunk_query as _sql_chunk_query
+    from chomper_ray.stages.text import sql_entropy_query, sql_string_exprs
+
+    _sf = sql_string_exprs("text")
 
     q = sql_quality_exprs()
     _pii = sql_pii_exprs()
@@ -1524,6 +1558,26 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders) "
             "WHERE rank <= 3"
         ),
+        "string_funcs": (
+            "SELECT doc_id, text, lang, source, "
+            + ", ".join(f"{e} AS {n}" for n, e in _sf.items())
+            + ", upper(lang) AS lang_upper, reverse(source) AS "
+            "source_rev FROM documents"
+        ),
+        "date_parts": (
+            "SELECT o_orderkey, year(o_orderdate) AS year, "
+            "month(o_orderdate) AS month, day(o_orderdate) AS day, "
+            "dayofweek(o_orderdate) AS dow, "
+            "isodow(o_orderdate) AS isodow, "
+            "weekofyear(o_orderdate) AS week, "
+            "quarter(o_orderdate) AS quarter, "
+            "datediff('day', DATE '1970-01-01', "
+            "CAST(o_orderdate + INTERVAL 30 DAY AS DATE)) "
+            "AS shifted_epoch_day, "
+            "datediff('day', o_orderdate, DATE '1998-01-01') "
+            "AS days_to_ref FROM orders"
+        ),
+        "char_entropy": sql_entropy_query("documents"),
         "interval_join": (
             "WITH a AS (SELECT p_partkey, "
             "CAST(round(p_retailprice * 100) AS BIGINT) - p_size * 100 "

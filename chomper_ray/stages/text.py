@@ -556,3 +556,77 @@ def sql_chunk_query(size: int, stride: int, col: str = "text",
         f"array_to_string(l[s:least(s+{size}-1, len(l))], ' ') AS chunk, "
         f"least(s+{size}-1, len(l)) - s + 1 AS n_tokens FROM c"
     )
+
+
+def string_features(batch: pd.DataFrame, col: str = "text",
+                    extra: dict | None = None) -> pd.DataFrame:
+    """Scalar string-function pack over ``col`` — the engine-side
+    equivalents of SQL length/substr/upper/reverse/strpos, character-
+    (not byte-)based like SQL varchar semantics. Vectorized pandas str
+    kernels; parity exprs in ``sql_string_exprs``. ``extra`` maps
+    output-column → source-column for per-column upper/reverse."""
+    s = batch[col].fillna("")
+    batch["len_chars"] = s.str.len().astype("int64")
+    batch["prefix16"] = s.str.slice(0, 16)
+    # SQL strpos: 1-based, 0 when absent; str.find: 0-based, -1 absent
+    batch["first_space"] = (s.str.find(" ") + 1).astype("int64")
+    for out, src in (extra or {}).items():
+        if out.endswith("_upper"):
+            batch[out] = batch[src].fillna("").str.upper()
+        elif out.endswith("_rev"):
+            batch[out] = batch[src].fillna("").str.slice(step=-1)
+        else:
+            raise ValueError(f"unknown extra feature {out!r}")
+    return batch
+
+
+def sql_string_exprs(col: str = "text") -> dict[str, str]:
+    return {
+        "len_chars": f"length({col})",
+        "prefix16": f"substr({col}, 1, 16)",
+        "first_space": f"strpos({col}, ' ')",
+    }
+
+
+def char_entropy(batch: pd.DataFrame, col: str = "text",
+                 id_col: str = "doc_id", out: str = "entropy",
+                 ndigits: int = 6) -> pd.DataFrame:
+    """Per-document Shannon entropy (bits) over CHARACTERS — the
+    classic gibberish/low-diversity quality signal. Flattens the whole
+    batch to one codepoint array (utf-32 decode per doc is the only
+    per-row step, same shape as ``fingerprint_column``), then one
+    vectorized (doc, char) groupby — no per-document Python in the
+    counting or entropy math. Empty docs are DROPPED (the SQL unnest
+    oracle produces no rows for them). Oracle: ``sql_entropy_query``."""
+    texts = batch[col].fillna("").tolist()
+    lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+    keep = lens > 0
+    if not keep.all():
+        batch = batch.loc[keep].reset_index(drop=True)
+        texts = [t for t, k in zip(texts, keep) if k]
+        lens = lens[keep]
+    if not len(texts):
+        out_df = batch[[id_col]].copy()
+        out_df[out] = pd.Series(dtype="float64")
+        return out_df
+    codes = np.frombuffer("".join(texts).encode("utf-32-le"), np.uint32)
+    doc = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    cnt = pd.DataFrame({"d": doc, "c": codes}) \
+        .groupby(["d", "c"], sort=False).size()
+    p = cnt / np.repeat(lens, cnt.groupby(level="d", sort=False).size())
+    ent = (-(p * np.log2(p))).groupby(level="d", sort=False).sum()
+    out_df = batch[[id_col]].copy()
+    out_df[out] = np.round(ent.to_numpy(), ndigits)
+    return out_df
+
+
+def sql_entropy_query(table: str = "documents", col: str = "text",
+                      id_col: str = "doc_id", out: str = "entropy",
+                      ndigits: int = 6) -> str:
+    return (
+        f"SELECT {id_col}, round(-sum(p * log2(p)), {ndigits}) AS {out} "
+        f"FROM (SELECT {id_col}, count(*)::DOUBLE / "
+        f"sum(count(*)) OVER (PARTITION BY {id_col}) AS p "
+        f"FROM (SELECT {id_col}, unnest(string_split({col}, '')) AS c "
+        f"FROM {table} WHERE length({col}) > 0) GROUP BY {id_col}, c) "
+        f"GROUP BY {id_col}")

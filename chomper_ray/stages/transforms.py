@@ -316,3 +316,30 @@ class Chain(Transform):
         for t in self.transforms:
             table = t.apply(table)
         return table
+
+
+def date_features(batch, col: str, ref_date: str = "1998-01-01",
+                  shift_days: int = 30):
+    """Date-part extraction + date arithmetic over a date column — the
+    engine-side pack for SQL ``year/month/day/dayofweek/isodow/
+    weekofyear/quarter``, ``d + INTERVAL n DAY`` and ``datediff``.
+    Every output is int64 (epoch-day for the shifted date), so values
+    hash-compare with no timestamp-dtype ambiguity. Conventions pinned
+    by tests: DuckDB ``dayofweek`` is Sunday=0 (pandas is Monday=0 —
+    shifted here), ``weekofyear`` is the ISO week."""
+    import pandas as pd
+
+    d = pd.to_datetime(batch[col])
+    batch["year"] = d.dt.year.astype("int64")
+    batch["month"] = d.dt.month.astype("int64")
+    batch["day"] = d.dt.day.astype("int64")
+    batch["dow"] = ((d.dt.dayofweek + 1) % 7).astype("int64")
+    batch["isodow"] = (d.dt.dayofweek + 1).astype("int64")
+    batch["week"] = d.dt.isocalendar().week.astype("int64")
+    batch["quarter"] = d.dt.quarter.astype("int64")
+    epoch = pd.Timestamp("1970-01-01")
+    batch["shifted_epoch_day"] = \
+        ((d - epoch).dt.days + shift_days).astype("int64")
+    batch["days_to_ref"] = \
+        (pd.Timestamp(ref_date) - d).dt.days.astype("int64")
+    return batch

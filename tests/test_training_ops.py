@@ -782,3 +782,49 @@ class TestKMeans:
         # perfect purity: every planted blob maps to one cluster id
         purity = pd.crosstab(labels, got["cluster"]).max(axis=1).sum()
         assert purity == 900
+
+
+# ---------------------------------------------------- string/entropy pack
+
+class TestStringFeatures:
+    def test_unicode_char_semantics(self):
+        import duckdb
+
+        df = pd.DataFrame({
+            "doc_id": pd.Series([0, 1, 2, 3], dtype="int64"),
+            "text": ["héllo wörld", "abc", " x ", ""],
+            "lang": ["en", "de", None, "fr"],
+            "source": ["webß", "", "cc", "wiki"],
+        })
+        got = text.string_features(df.copy(), col="text",
+                                   extra={"lang_upper": "lang",
+                                          "source_rev": "source"})
+        exp = duckdb.sql(
+            "SELECT length(text) AS len_chars, substr(text,1,16) AS "
+            "prefix16, strpos(text,' ') AS first_space, "
+            "upper(coalesce(lang,'')) AS lang_upper, "
+            "reverse(source) AS source_rev FROM df").df()
+        assert got["len_chars"].tolist() == exp["len_chars"].tolist()
+        assert got["prefix16"].tolist() == exp["prefix16"].tolist()
+        assert got["first_space"].tolist() == exp["first_space"].tolist()
+        assert got["lang_upper"].tolist() == exp["lang_upper"].tolist()
+        assert got["source_rev"].tolist() == exp["source_rev"].tolist()
+
+
+class TestCharEntropy:
+    def test_matches_duckdb_unnest(self):
+        import duckdb
+
+        df = pd.DataFrame({
+            "doc_id": pd.Series([0, 1, 2, 3, 4], dtype="int64"),
+            "text": ["aaaa", "abab", "héé", "", "abcdefgh"],
+        })
+        got = text.char_entropy(df.copy())
+        exp = duckdb.sql(text.sql_entropy_query("df")).df() \
+            .sort_values("doc_id").reset_index(drop=True)
+        # empty doc dropped on both sides
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist() == [0, 1, 2, 4]
+        np.testing.assert_allclose(got["entropy"], exp["entropy"],
+                                   atol=1e-6)
+        assert got["entropy"].iloc[0] == 0.0           # single-symbol doc
+        assert got["entropy"].iloc[1] == 1.0           # two equiprobable

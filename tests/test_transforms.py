@@ -134,3 +134,31 @@ def test_value_mapper_can_map_to_null():
     t = pa.table({"s": ["drop", "keep", None, "x"]})
     out = ValueMapper("s", {"drop": None, "x": "y"}).apply(t)
     assert out["s"].to_pylist() == [None, "keep", None, "y"]
+
+
+def test_date_features_duckdb_conventions():
+    import duckdb
+    import pandas as pd
+
+    from chomper_ray.stages.transforms import date_features
+
+    # year boundaries, ISO-week edge cases, leap day, a Sunday
+    dates = ["1995-01-01", "1997-12-31", "1996-02-29", "1994-02-28",
+             "2000-01-03", "1993-06-15"]
+    df = pd.DataFrame({"d": pd.to_datetime(dates).date})
+    got = date_features(df.copy(), col="d")
+    exp = duckdb.sql(
+        "SELECT year(d) y, month(d) m, day(d) dd, dayofweek(d) dow, "
+        "isodow(d) iso, weekofyear(d) w, quarter(d) q, "
+        "datediff('day', DATE '1970-01-01', "
+        "CAST(d + INTERVAL 30 DAY AS DATE)) sed, "
+        "datediff('day', d, DATE '1998-01-01') dtr FROM df").df()
+    assert got["year"].tolist() == exp["y"].tolist()
+    assert got["month"].tolist() == exp["m"].tolist()
+    assert got["day"].tolist() == exp["dd"].tolist()
+    assert got["dow"].tolist() == exp["dow"].tolist()
+    assert got["isodow"].tolist() == exp["iso"].tolist()
+    assert got["week"].tolist() == exp["w"].tolist()
+    assert got["quarter"].tolist() == exp["q"].tolist()
+    assert got["shifted_epoch_day"].tolist() == exp["sed"].tolist()
+    assert got["days_to_ref"].tolist() == exp["dtr"].tolist()
