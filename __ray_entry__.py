@@ -891,6 +891,20 @@ def _q_df_prune_tokens(sf_dir: str):
         sep=" ", min_docs=400, out="text_clean")
 
 
+def _q_line_dedup(sf_dir: str):
+    from chomper_ray.stages.text import dedup_lines
+
+    # corpus-level keep-first exact segment dedup (CCNet "dedup lines
+    # across shards", exact form): every distinct segment survives once,
+    # at its first (doc_id, position) occurrence. The synthetic docs
+    # carry no newlines, so the query runs at token granularity (the
+    # operator is generic over `sep`); line-mode semantics are pinned by
+    # TestDedupLines on real multi-line docs.
+    return dedup_lines(_read(sf_dir, "documents",
+                             columns=["doc_id", "text"]),
+                       sep=" ", out="text_dedup")
+
+
 def _q_median_value_approx(sf_dir: str):
     # continuous-value quantile sketch (rows-only: approx by design; the
     # exact path is hash-verified as median_tokens)
@@ -1131,6 +1145,40 @@ def _q_cdc_upsert_pages(sf_dir: str):
     lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_oracle_")
     run_cdc(log, lake_root, num_partitions=8)
     return LakeTable(lake_root, num_partitions=8).read()
+
+
+def _q_cdc_domain_stats(sf_dir: str):
+    # CDC → provenance rollup, composed end to end from verified parts:
+    # binlog tail → LWW lake state → url_parts domain extraction →
+    # grouped_agg — the "what's live per domain" view a crawl-ops team
+    # reads off the ingested lake. Hash-verified against the LWW SQL
+    # oracle with the same RE2 domain expression.
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.pipelines.relational import grouped_agg
+    from chomper_ray.stages.text import url_parts
+    from chomper_ray.state.lake import LakeTable
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_dom_")
+    run_cdc(log, lake_root, num_partitions=8)
+    state = LakeTable(lake_root, num_partitions=8).read()
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        d = url_parts(df)
+        return pd.DataFrame({
+            "domain": d["domain"],
+            "n_chars": d["text"].fillna("").str.len().astype("int64"),
+            "warc_ts": d["warc_ts"],
+        })
+
+    out = grouped_agg(state.map_batches(feats, batch_format="pandas"),
+                      keys=["domain"], counts=True, sums=["n_chars"],
+                      maxs=["warc_ts"])
+    return out.map_batches(
+        lambda df: df.rename(columns={"n_rows": "n_pages",
+                                      "sum_n_chars": "total_chars",
+                                      "max_warc_ts": "latest_ts"}),
+        batch_format="pandas")
 
 
 def _q_change_listeners(sf_dir: str):
@@ -1396,6 +1444,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "df_prune_tokens": _q_df_prune_tokens,
+        "line_dedup": _q_line_dedup,
+        "cdc_domain_stats": _q_cdc_domain_stats,
         "top_bigrams": _q_top_bigrams,
         "top_revenue_orders": _q_top_revenue_orders,
         # sources
@@ -1451,6 +1501,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(w.fetch_status AS BIGINT) AS fetch_status, "
             "s.text AS text, w.extra_score "
             "FROM win w JOIN sidecar s USING (seq)"
+        ),
+        "cdc_domain_stats": (
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            f"sidecar AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/_oracle/*.parquet')), "
+            "st AS (SELECT w.url, w.warc_ts, s.text FROM win w "
+            "JOIN sidecar s USING (seq)) "
+            f"SELECT {sql_url_exprs('url')['domain']} AS domain, "
+            "count(*) AS n_pages, "
+            "CAST(sum(length(coalesce(text, ''))) AS BIGINT) "
+            "AS total_chars, "
+            "max(warc_ts) AS latest_ts FROM st GROUP BY 1"
         ),
         "dropper_filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_discount "
@@ -1867,6 +1933,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, string_agg(seg, ' ' ORDER BY i) "
             "FILTER (WHERE seg NOT IN (SELECT seg FROM freq)) AS text_clean "
             "FROM lx GROUP BY doc_id"
+        ),
+        "line_dedup": (
+            "WITH l AS (SELECT doc_id, string_split(coalesce(text, ''), "
+            "' ') AS ls FROM documents), "
+            "lx AS (SELECT doc_id, ls[i] AS line, i FROM ("
+            "SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i "
+            "FROM l)), "
+            "w AS (SELECT doc_id, i, line, row_number() OVER ("
+            "PARTITION BY line ORDER BY doc_id, i) AS rn FROM lx) "
+            "SELECT d.doc_id, a.text_dedup FROM documents d LEFT JOIN ("
+            "SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS text_dedup "
+            "FROM w WHERE rn = 1 GROUP BY doc_id) a USING (doc_id)"
         ),
         "top_bigrams": (
             "WITH w AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') "

@@ -108,6 +108,56 @@ def remove_frequent_segments(ds, col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(clean, batch_format="pandas")
 
 
+def dedup_lines(ds, col: str = "text", id_col: str = "doc_id",
+                sep: str = "\n", out: str = "text_dedup",
+                num_partitions: int = 32, id_type: pa.DataType | None = None):
+    """Corpus-level EXACT line deduplication with keep-first semantics —
+    the CCNet "deduplicate lines across shards" step in its exact form:
+    every distinct line value survives exactly once in the whole corpus,
+    at its first occurrence ordered by (``id_col``, line position); all
+    later occurrences are dropped. Contrast `remove_frequent_segments`
+    (C4 boilerplate), which removes a frequent line from EVERY document
+    including the first: corpus dedup wants content kept once.
+
+    Shape — a composition of audited primitives, nothing lands on the
+    driver: explode → ``arg_extremum`` keep-first combiner (the shuffle
+    carries ≤ one row per distinct line per block, never raw
+    occurrences) → the winner rows ARE the surviving occurrences, so
+    reassembly is ``grouped_collect`` over winners only (shuffle volume
+    = distinct lines, not the corpus) → left ``hash_join`` back onto
+    the doc-id spine. A document whose every line lost yields null
+    (SQL ``string_agg`` semantics under a left join).
+    """
+    from chomper_ray.pipelines.relational import (arg_extremum,
+                                                  grouped_collect,
+                                                  hash_join)
+
+    def explode_lines(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[col].fillna("").str.split(sep)
+        e = s.explode()
+        return pd.DataFrame({
+            "line": e.to_numpy(),
+            id_col: df[id_col].reindex(e.index).to_numpy(),
+            "_ln": (e.groupby(level=0).cumcount() + 1)
+            .to_numpy().astype("int64"),
+        })
+
+    occ = ds.map_batches(explode_lines, batch_format="pandas")
+    winners = arg_extremum(occ, key="line", order=id_col, tie="_ln",
+                           mode="min", num_partitions=num_partitions)
+    collected = grouped_collect(winners, key=id_col, value="line",
+                                order=["_ln"], sep=sep, out=out,
+                                num_partitions=num_partitions)
+    idt = id_type if id_type is not None else pa.int64()
+    spine = ds.map_batches(lambda t: t.select([id_col]),
+                           batch_format="pyarrow")
+    return hash_join(spine, collected, on=id_col, how="left",
+                     num_buckets=num_partitions,
+                     left_schema=pa.schema([(id_col, idt)]),
+                     right_schema=pa.schema([(id_col, idt),
+                                             (out, pa.string())]))
+
+
 # --- quality scoring --------------------------------------------------------
 
 class QualityScorer:

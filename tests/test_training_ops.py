@@ -828,3 +828,62 @@ class TestCharEntropy:
                                    atol=1e-6)
         assert got["entropy"].iloc[0] == 0.0           # single-symbol doc
         assert got["entropy"].iloc[1] == 1.0           # two equiprobable
+
+
+class TestDedupLines:
+    """Corpus-level keep-first line dedup (CCNet exact form)."""
+
+    def _run(self, texts, sep="\n"):
+        from chomper_ray.stages.text import dedup_lines
+
+        df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                           "text": texts})
+        ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)) \
+            .repartition(3)
+        out = dedup_lines(ds, sep=sep).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def test_keep_first_occurrence_only(self):
+        out = self._run([
+            "alpha\nbeta\ngamma",       # doc 0: all first -> unchanged
+            "beta\ndelta",              # doc 1: beta lost to doc 0
+            "gamma\nbeta\nepsilon",     # doc 2: keeps only epsilon
+        ])
+        assert list(out["text_dedup"]) == [
+            "alpha\nbeta\ngamma", "delta", "epsilon"]
+
+    def test_fully_deduplicated_doc_is_null(self):
+        out = self._run(["a\nb", "a\nb", "b\na"])
+        assert out.loc[0, "text_dedup"] == "a\nb"
+        assert out.loc[1, "text_dedup"] is None or pd.isna(
+            out.loc[1, "text_dedup"])
+        assert out.loc[2, "text_dedup"] is None or pd.isna(
+            out.loc[2, "text_dedup"])
+
+    def test_first_is_by_position_within_doc(self):
+        # the same line twice inside ONE doc: only its first position
+        # survives (keep-first is global over (doc_id, line_no))
+        out = self._run(["x\ny\nx", "y\nz"])
+        assert list(out["text_dedup"]) == ["x\ny", "z"]
+
+    def test_matches_pandas_oracle_random(self):
+        rng = np.random.default_rng(7)
+        vocab = [f"l{i}" for i in range(12)]
+        texts = ["\n".join(rng.choice(vocab,
+                                      size=rng.integers(1, 6)).tolist())
+                 for _ in range(40)]
+        out = self._run(texts)
+
+        ex = []
+        for d, t in enumerate(texts):
+            for i, line in enumerate(t.split("\n")):
+                ex.append((line, d, i))
+        seen, keep = set(), {d: [] for d in range(len(texts))}
+        for line, d, i in sorted(ex, key=lambda r: (r[0], r[1], r[2])):
+            if line not in seen:
+                seen.add(line)
+                keep[d].append((i, line))
+        expect = ["\n".join(l for _, l in sorted(v)) if v else None
+                  for d, v in sorted(keep.items())]
+        got = [None if pd.isna(x) else x for x in out["text_dedup"]]
+        assert got == expect
