@@ -616,6 +616,34 @@ def _q_asof_join(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def _q_asof_join_forward(sf_dir: str):
+    import pyarrow as pa
+
+    from chomper_ray.pipelines.relational import asof_join_partitioned
+    from chomper_ray.stages.transforms import Renamer
+
+    # forward as-of: for each order, the EARLIEST event of that customer
+    # at-or-after the order date (DuckDB ASOF JOIN with <=). Events all
+    # postdate the order dates, so this direction has real match power
+    # (the reverse pairing is empty by construction).
+    left = _read(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(Renamer({"o_custkey": "k", "o_orderdate": "t"}),
+                     batch_format="pyarrow")
+    right = _read(sf_dir, "events", columns=["user_id", "ts"]) \
+        .map_batches(lambda tb: tb.rename_columns(["k", "t"])
+                     .append_column("ev_ts", tb["ts"]),
+                     batch_format="pyarrow")
+    out = asof_join_partitioned(left, right, on="t", by="k",
+                                num_buckets=8, direction="forward")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return t.select(["o_orderkey", "k", "ev_ts"]) \
+            .rename_columns(["o_orderkey", "o_custkey", "ev_ts"])
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def _q_grouped_counts(sf_dir: str):
     import pandas as pd
 
@@ -903,6 +931,32 @@ def _q_line_dedup(sf_dir: str):
     return dedup_lines(_read(sf_dir, "documents",
                              columns=["doc_id", "text"]),
                        sep=" ", out="text_dedup")
+
+
+def _q_nfc_normalize(sf_dir: str):
+    from chomper_ray.stages.text import nfc_normalize_col
+
+    # the synthetic docs are ASCII (NFC identity), so both sides append
+    # the same decomposed combining sequence (e + U+0301) to make the
+    # normalization non-trivial for every row — the oracle composes it
+    # back to U+00E9 via DuckDB nfc_normalize
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"doc_id": df["doc_id"],
+                          "text": df["text"].fillna("") + "e\u0301"})
+        return nfc_normalize_col(d)[["doc_id", "text_nfc"]]
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(f, batch_format="pandas")
+
+
+def _q_regex_ops(sf_dir: str):
+    from chomper_ray.stages.text import regex_features
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(
+            lambda df: regex_features(df)[
+                ["doc_id", "rx_first", "rx_count", "rx_sub"]],
+            batch_format="pandas")
 
 
 def _q_median_value_approx(sf_dir: str):
@@ -1446,6 +1500,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "df_prune_tokens": _q_df_prune_tokens,
         "line_dedup": _q_line_dedup,
         "cdc_domain_stats": _q_cdc_domain_stats,
+        "nfc_normalize": _q_nfc_normalize,
+        "regex_ops": _q_regex_ops,
+        "asof_join_forward": _q_asof_join_forward,
         "top_bigrams": _q_top_bigrams,
         "top_revenue_orders": _q_top_revenue_orders,
         # sources
@@ -1478,7 +1535,8 @@ def oracle_sql() -> dict[str, str]:
                                          sql_repetition_exprs,
                                          sql_url_exprs)
     from chomper_ray.stages.text import sql_chunk_query as _sql_chunk_query
-    from chomper_ray.stages.text import sql_entropy_query, sql_string_exprs
+    from chomper_ray.stages.text import (sql_entropy_query, sql_regex_exprs,
+                                         sql_string_exprs)
 
     _sf = sql_string_exprs("text")
 
@@ -1569,6 +1627,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, e.user_id, o.o_orderdate FROM events e "
             "ASOF JOIN orders o ON e.user_id = o.o_custkey "
             "AND e.ts >= o.o_orderdate"
+        ),
+        "asof_join_forward": (
+            "SELECT o.o_orderkey, o.o_custkey, e.ts AS ev_ts "
+            "FROM orders o ASOF JOIN events e "
+            "ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts"
         ),
         "semi_join": (
             "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN "
@@ -1933,6 +1996,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, string_agg(seg, ' ' ORDER BY i) "
             "FILTER (WHERE seg NOT IN (SELECT seg FROM freq)) AS text_clean "
             "FROM lx GROUP BY doc_id"
+        ),
+        "nfc_normalize": (
+            "SELECT doc_id, nfc_normalize(coalesce(text, '') "
+            "|| chr(101) || chr(769)) AS text_nfc FROM documents"
+        ),
+        "regex_ops": (
+            "SELECT doc_id, "
+            + ", ".join(f"{v} AS {k}" for k, v in
+                        sql_regex_exprs("coalesce(text, '')").items())
+            + " FROM documents"
         ),
         "line_dedup": (
             "WITH l AS (SELECT doc_id, string_split(coalesce(text, ''), "

@@ -494,14 +494,19 @@ def native_join(left, right, on: str, right_on: str | None = None,
 
 def asof_join_partitioned(left, right, on: str, by: str,
                           num_buckets: int = 16, suffix: str = "_r",
-                          how: str = "inner"):
+                          how: str = "inner", direction: str = "backward"):
     """Large-large as-of join: co-hash-partition BOTH sides on the exact
     ``by`` key, then within each bucket sort by ``on`` and
-    ``pd.merge_asof`` (backward: nearest right row at-or-before the left
-    row's ``on``). The guide's bucketed as-of pattern — no broadcast, one
-    co-locating shuffle.
+    ``pd.merge_asof``. ``direction='backward'`` (default) picks the
+    nearest right row at-or-before the left row's ``on`` (DuckDB
+    ``ASOF JOIN ... >=``); ``'forward'`` at-or-after (DuckDB ``<=``,
+    hash-verified); ``'nearest'`` the smaller absolute gap (no SQL
+    equivalent — pinned by a numpy-oracle pytest; on exact-tie gaps it
+    inherits pandas' backward preference, so give payloads unique ``on``
+    when tie identity matters). The guide's bucketed as-of pattern — no
+    broadcast, one co-locating shuffle.
 
-    ``how='inner'`` (default) drops unmatched left rows — DuckDB
+    ``how='inner'`` (default) drops unmatched left rows — DuckDB's
     ``ASOF JOIN`` semantics; ``how='left'`` keeps them with null payload
     (``pd.merge_asof`` shape). Both sides must share the ``on``/``by``
     column names (rename first); right-side payload columns keep their
@@ -510,6 +515,8 @@ def asof_join_partitioned(left, right, on: str, by: str,
     """
     import pyarrow.compute as pc
 
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     schema, lcols, rcols = _combined_schema(left, right)
     extra = [c if c not in lcols else f"{c}{suffix}"
              for c in rcols if c not in (on, by)]
@@ -537,7 +544,7 @@ def asof_join_partitioned(left, right, on: str, by: str,
                 out[c] = None
             return _to_schema(out, out_schema)
         out = pd.merge_asof(lg, rg.assign(__m=1), on=on, by=by,
-                            direction="backward", suffixes=("", suffix))
+                            direction=direction, suffixes=("", suffix))
         if how == "inner":
             out = out[out["__m"].notna()]
         return _to_schema(out.drop(columns="__m"), out_schema)

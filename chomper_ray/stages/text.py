@@ -638,6 +638,55 @@ def sql_string_exprs(col: str = "text") -> dict[str, str]:
     }
 
 
+def nfc_normalize_col(batch: pd.DataFrame, col: str = "text",
+                      out: str = "text_nfc") -> pd.DataFrame:
+    """Unicode NFC normalization — the multilingual-webtext ingest step
+    that canonicalizes combining sequences / compatibility variants so
+    downstream dedup and token counting see one byte form per glyph.
+    ``unicodedata.normalize`` is one C call per string (the work is
+    inherently per-string; same dispatch shape as any pandas str
+    kernel). Codepoint-identical to DuckDB ``nfc_normalize`` — pinned
+    by pytest over combining marks / ligatures / width variants and by
+    the ``nfc_normalize`` driver oracle."""
+    import unicodedata
+
+    batch[out] = batch[col].fillna("").map(
+        lambda s: unicodedata.normalize("NFC", s))
+    return batch
+
+
+def regex_features(batch: pd.DataFrame, col: str = "text",
+                   pattern: str = r"b[a-z]+", repl: str = "<B>",
+                   prefix: str = "rx") -> pd.DataFrame:
+    """Regex transform pack: first match, non-overlapping match count,
+    and global replacement — vectorized pandas str kernels over an
+    RE2-SAFE pattern (no backreferences/lookaround) so the DuckDB
+    ``regexp_extract`` / ``regexp_extract_all`` / ``regexp_replace``
+    oracle (``sql_regex_exprs``) is byte-identical. The pattern is
+    wrapped in one group on BOTH sides, so patterns with their own
+    groups keep identical numbering; no-match extract yields ''
+    (DuckDB convention), not null."""
+    s = batch[col].fillna("")
+    batch[f"{prefix}_first"] = s.str.extract(
+        f"({pattern})", expand=False).fillna("")
+    batch[f"{prefix}_count"] = s.str.count(pattern).astype("int64")
+    batch[f"{prefix}_sub"] = s.str.replace(pattern, repl, regex=True)
+    return batch
+
+
+def sql_regex_exprs(col: str = "text", pattern: str = r"b[a-z]+",
+                    repl: str = "<B>", prefix: str = "rx") -> dict[str, str]:
+    """DuckDB renderings of ``regex_features`` (same RE2 pattern)."""
+    p = pattern.replace("'", "''")
+    r = repl.replace("'", "''")
+    return {
+        f"{prefix}_first": f"regexp_extract({col}, '({p})', 1)",
+        f"{prefix}_count": (f"CAST(len(regexp_extract_all({col}, '{p}')) "
+                            "AS BIGINT)"),
+        f"{prefix}_sub": f"regexp_replace({col}, '{p}', '{r}', 'g')",
+    }
+
+
 def char_entropy(batch: pd.DataFrame, col: str = "text",
                  id_col: str = "doc_id", out: str = "entropy",
                  ndigits: int = 6) -> pd.DataFrame:

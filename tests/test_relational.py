@@ -1020,3 +1020,65 @@ class TestIntervalJoin:
                                               preserve_index=False).schema
         ).to_pandas()
         assert len(got) == 0
+
+
+def test_asof_join_partitioned_direction_matrix():
+    # forward / nearest / backward vs a per-row numpy oracle; right `t`
+    # values unique per key so nearest ties cannot arise
+    rng = np.random.default_rng(11)
+    n_l, n_r, n_k = 400, 200, 7
+    left = pd.DataFrame({
+        "lid": np.arange(n_l, dtype="int64"),
+        "k": rng.integers(0, n_k, n_l).astype("int64"),
+        "t": rng.integers(0, 10_000, n_l).astype("int64"),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, n_k, n_r).astype("int64"),
+        "t": (np.arange(n_r, dtype="int64") * 37 + 5) % 9_973,
+        "v": np.arange(n_r, dtype="int64") * 10,
+    }).drop_duplicates(["k", "t"])
+
+    lds = rd.from_arrow(pa.Table.from_pandas(
+        left, preserve_index=False)).repartition(4)
+    rds = rd.from_arrow(pa.Table.from_pandas(
+        right, preserve_index=False)).repartition(3)
+
+    for direction in ("backward", "forward", "nearest"):
+        out = rel.asof_join_partitioned(
+            lds, rds, on="t", by="k", num_buckets=4, how="left",
+            direction=direction).to_pandas() \
+            .sort_values("lid").reset_index(drop=True)
+        expect = []
+        for _, row in left.iterrows():
+            cand = right[right["k"] == row["k"]]
+            if direction == "backward":
+                cand = cand[cand["t"] <= row["t"]]
+                pick = cand.sort_values("t").tail(1)
+            elif direction == "forward":
+                cand = cand[cand["t"] >= row["t"]]
+                pick = cand.sort_values("t").head(1)
+            else:
+                if len(cand):
+                    gap = (cand["t"] - row["t"]).abs()
+                    pick = cand.loc[[gap.idxmin()]] \
+                        if gap.min() == gap.min() else cand.iloc[0:0]
+                    # unique gaps guaranteed by distinct t per key except
+                    # exact equidistance; filter those out of the assert
+                    if (gap == gap.min()).sum() > 1:
+                        expect.append(None)
+                        continue
+                else:
+                    pick = cand
+            expect.append(int(pick["v"].iloc[0]) if len(pick) else None)
+        got = [None if pd.isna(x) else int(x) for x in out["v"]]
+        checked = [(g, e) for g, e in zip(got, expect) if e is not None]
+        assert all(g == e for g, e in checked), direction
+        assert len(checked) > 250
+
+
+def test_asof_join_partitioned_bad_direction():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rel.asof_join_partitioned(None, None, on="t", by="k",
+                                  direction="sideways")

@@ -887,3 +887,37 @@ class TestDedupLines:
                   for d, v in sorted(keep.items())]
         got = [None if pd.isna(x) else x for x in out["text_dedup"]]
         assert got == expect
+
+
+def test_nfc_normalize_duckdb_parity_non_ascii():
+    import duckdb
+
+    from chomper_ray.stages.text import nfc_normalize_col
+
+    texts = ["Café", "ﬁne ﬀ", "Ⅸ", "ｶﾞ",
+             "á̧b", "½", "plain ascii", "", "é" * 50]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    got = nfc_normalize_col(df.copy())["text_nfc"].tolist()
+    con = duckdb.connect()
+    want = [con.execute("SELECT nfc_normalize(?)", [t]).fetchone()[0]
+            for t in texts]
+    assert got == want
+
+
+def test_regex_features_matches_duckdb():
+    import duckdb
+
+    from chomper_ray.stages.text import regex_features, sql_regex_exprs
+
+    texts = ["batch big merge", "no match here!", "", "bbb b1 bz",
+             "edge bword\nb2 newline"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    got = regex_features(df.copy())
+    con = duckdb.connect()
+    con.register("t", df)
+    exprs = sql_regex_exprs("coalesce(text, '')")
+    want = con.execute(
+        "SELECT " + ", ".join(f"{v} AS {k}" for k, v in exprs.items())
+        + " FROM t ORDER BY doc_id").df()
+    for c in ("rx_first", "rx_count", "rx_sub"):
+        assert got[c].tolist() == want[c].tolist(), c
