@@ -644,6 +644,38 @@ def _q_asof_join_forward(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def _q_snapshot_diff(sf_dir: str):
+    from chomper_ray.pipelines.relational import table_diff
+
+    # CDC reconciliation: diff the customer snapshot against a
+    # deterministically-derived next version (deletes = custkey%13,
+    # balance bumps = %7, inserts = %11 shifted keys); classification
+    # (not float representation) is what hash-compares, so engine and
+    # SQL float math can't disagree on the output
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        base = df[df["c_custkey"] % 13 != 0].copy()
+        bump = base["c_custkey"] % 7 == 0
+        base.loc[bump, "c_acctbal"] = base.loc[bump, "c_acctbal"] + 10.0
+        add = df[df["c_custkey"] % 11 == 0].copy()
+        add["c_custkey"] = add["c_custkey"] + 1_000_000
+        return pd.concat([base, add], ignore_index=True)
+
+    nxt = cust.map_batches(derive, batch_format="pandas")
+    return table_diff(cust, nxt, key="c_custkey", compare=["c_acctbal"])
+
+
+def _q_funnel(sf_dir: str):
+    from chomper_ray.pipelines.relational import funnel
+
+    # ordered-step conversion: signup -> click -> purchase, each step
+    # strictly after the earliest qualifying time of the previous one
+    return funnel(_read(sf_dir, "events",
+                        columns=["user_id", "ts", "event_type"]),
+                  steps=["signup", "click", "purchase"])
+
+
 def _q_grouped_counts(sf_dir: str):
     import pandas as pd
 
@@ -1503,6 +1535,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nfc_normalize": _q_nfc_normalize,
         "regex_ops": _q_regex_ops,
         "asof_join_forward": _q_asof_join_forward,
+        "snapshot_diff": _q_snapshot_diff,
+        "funnel_steps": _q_funnel,
         "top_bigrams": _q_top_bigrams,
         "top_revenue_orders": _q_top_revenue_orders,
         # sources
@@ -1632,6 +1666,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o.o_orderkey, o.o_custkey, e.ts AS ev_ts "
             "FROM orders o ASOF JOIN events e "
             "ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts"
+        ),
+        "snapshot_diff": (
+            "WITH l AS (SELECT c_custkey, c_acctbal FROM customer), "
+            "r AS (SELECT c_custkey, CASE WHEN c_custkey % 7 = 0 "
+            "THEN c_acctbal + 10 ELSE c_acctbal END AS c_acctbal "
+            "FROM customer WHERE c_custkey % 13 <> 0 "
+            "UNION ALL SELECT c_custkey + 1000000, c_acctbal "
+            "FROM customer WHERE c_custkey % 11 = 0) "
+            "SELECT coalesce(l.c_custkey, r.c_custkey) AS c_custkey, "
+            "CASE WHEN l.c_custkey IS NULL THEN 'added' "
+            "WHEN r.c_custkey IS NULL THEN 'removed' "
+            "WHEN l.c_acctbal IS DISTINCT FROM r.c_acctbal THEN 'changed' "
+            "ELSE 'unchanged' END AS change "
+            "FROM l FULL JOIN r ON l.c_custkey = r.c_custkey"
+        ),
+        "funnel_steps": (
+            "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "
+            "WHERE event_type = 'signup' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN s1 USING (user_id) WHERE e.event_type = 'click' "
+            "AND e.ts > s1.t GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "JOIN s2 USING (user_id) WHERE e.event_type = 'purchase' "
+            "AND e.ts > s2.t GROUP BY e.user_id) "
+            "SELECT u.user_id, CASE "
+            "WHEN s3.user_id IS NOT NULL THEN 3 "
+            "WHEN s2.user_id IS NOT NULL THEN 2 "
+            "WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END "
+            "AS steps_completed "
+            "FROM (SELECT DISTINCT user_id FROM events) u "
+            "LEFT JOIN s1 ON u.user_id = s1.user_id "
+            "LEFT JOIN s2 ON u.user_id = s2.user_id "
+            "LEFT JOIN s3 ON u.user_id = s3.user_id"
         ),
         "semi_join": (
             "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN "

@@ -1382,6 +1382,94 @@ def set_op(left, right, columns: Sequence[str], op: str = "intersect",
                     batch_format="pandas")
 
 
+def table_diff(left, right, key: str | Sequence[str],
+               compare: Sequence[str], num_partitions: int = 32):
+    """Keyed snapshot diff — the CDC reconciliation staple: classify
+    every key across two snapshot versions as ``added`` (right only),
+    ``removed`` (left only), ``changed`` (in both, any ``compare``
+    column differs — null-safe, SQL ``IS DISTINCT FROM``), or
+    ``unchanged``. Inputs must be key-unique snapshots. ONE row-hash
+    shuffle on the key co-locates both versions (same partitioning
+    argument as ``set_op``); inside each bucket a vectorized outer
+    merge + column compare classifies every key at once. Output: key
+    column(s) + ``change``."""
+    keys = [key] if isinstance(key, str) else list(key)
+    compare = list(compare)
+    cols = keys + compare
+
+    def tagger(side):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.select(cols)
+            h = pd.util.hash_pandas_object(
+                t.to_pandas()[keys], index=False).to_numpy()
+            return t.append_column(
+                "_pb", pa.array((h % num_partitions).astype("int32"))) \
+                .append_column("_side",
+                               pa.array(np.full(len(t), side, "int8")))
+        return f
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["_side"] == 0, cols]
+        r = g.loc[g["_side"] == 1, cols]
+        m = l.merge(r, on=keys, how="outer", suffixes=("_l", "_r"),
+                    indicator=True)
+        diff = np.zeros(len(m), dtype=bool)
+        for c in compare:
+            a, b = m[f"{c}_l"], m[f"{c}_r"]
+            diff |= ((a != b) & ~(a.isna() & b.isna())).to_numpy()
+        change = np.where(
+            m["_merge"] == "left_only", "removed",
+            np.where(m["_merge"] == "right_only", "added",
+                     np.where(diff, "changed", "unchanged")))
+        out = m[keys].copy()
+        out["change"] = change
+        return out
+
+    both = left.map_batches(tagger(0), batch_format="pyarrow") \
+        .union(right.map_batches(tagger(1), batch_format="pyarrow"))
+    return both.groupby("_pb") \
+        .map_groups(lambda g: bucket(g.drop(columns=["_pb"])),
+                    batch_format="pandas")
+
+
+def funnel(ds, steps: Sequence[str], by: str = "user_id", ts: str = "ts",
+           event: str = "event_type", num_partitions: int = 32):
+    """Ordered-step funnel (web-analytics staple): per ``by`` key, count
+    how many of ``steps`` completed IN ORDER — step i+1 counts only
+    strictly after the earliest qualifying time of step i. Output one
+    row per key: ``(by, steps_completed)``.
+
+    Shape: one coarse key-hash shuffle (a user's events live in one
+    partition); inside, k vectorized passes (k = len(steps), tiny):
+    each pass filters that step's rows, maps the previous step's
+    earliest time onto them, and takes a grouped min of the qualifying
+    times — no per-user Python at any cardinality."""
+    steps = list(steps)
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        users = pd.Index(g[by].unique())
+        done = pd.Series(0, index=users, dtype="int64")
+        prev = None  # Series: user -> earliest completion time of step i
+        for i, step in enumerate(steps):
+            rows = g[g[event] == step]
+            if prev is not None:
+                bound = rows[by].map(prev)
+                rows = rows[bound.notna() & (rows[ts] > bound)]
+            cur = rows.groupby(by, sort=False)[ts].min()
+            done.loc[done.index.isin(cur.index)] = i + 1
+            prev = cur
+            if not len(cur):
+                break
+        return pd.DataFrame({by: users.to_numpy(),
+                             "steps_completed": done.to_numpy()})
+
+    pruned = ds.map_batches(lambda t: t.select([by, ts, event]),
+                            batch_format="pyarrow")
+    return _coarse_keyed(pruned, by, num_partitions) \
+        .map_groups(lambda g: walk(g.drop(columns=["_pb"])),
+                    batch_format="pandas")
+
+
 def merge_intervals(ds, key: str, lo: str = "lo", hi: str = "hi",
                     num_partitions: int = 32):
     """Coalesce overlapping-or-touching ``[lo, hi]`` intervals per key

@@ -1082,3 +1082,66 @@ def test_asof_join_partitioned_bad_direction():
     with _pytest.raises(ValueError):
         rel.asof_join_partitioned(None, None, on="t", by="k",
                                   direction="sideways")
+
+
+def test_table_diff_classes_and_null_safety():
+    left = pd.DataFrame({
+        "k": np.array([1, 2, 3, 4, 5], dtype="int64"),
+        "v": [10.0, 20.0, None, 40.0, None],
+    })
+    right = pd.DataFrame({
+        "k": np.array([1, 2, 4, 5, 6], dtype="int64"),   # 3 removed, 6 added
+        "v": [10.0, 25.0, 40.0, None, 60.0],             # 2 changed
+    })
+    lds = rd.from_arrow(pa.Table.from_pandas(
+        left, preserve_index=False)).repartition(2)
+    rds = rd.from_arrow(pa.Table.from_pandas(
+        right, preserve_index=False)).repartition(2)
+    out = rel.table_diff(lds, rds, key="k", compare=["v"]) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    got = dict(zip(out["k"], out["change"]))
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "unchanged", 5: "unchanged", 6: "added"}
+
+
+def test_table_diff_composite_key():
+    left = pd.DataFrame({"k1": [1, 1, 2], "k2": ["a", "b", "a"],
+                         "v": [1, 2, 3]}).astype({"k1": "int64",
+                                                  "v": "int64"})
+    right = pd.DataFrame({"k1": [1, 2, 2], "k2": ["a", "a", "b"],
+                          "v": [9, 3, 7]}).astype({"k1": "int64",
+                                                   "v": "int64"})
+    out = rel.table_diff(
+        rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)),
+        rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False)),
+        key=["k1", "k2"], compare=["v"]).to_pandas()
+    got = {(r.k1, r.k2): r.change for r in out.itertuples()}
+    assert got == {(1, "a"): "changed", (1, "b"): "removed",
+                   (2, "a"): "unchanged", (2, "b"): "added"}
+
+
+def test_funnel_strict_ordering():
+    ts = pd.to_datetime
+    df = pd.DataFrame([
+        # user 1: full funnel in order
+        (1, ts("2024-01-01"), "signup"),
+        (1, ts("2024-01-02"), "click"),
+        (1, ts("2024-01-03"), "purchase"),
+        # user 2: click BEFORE signup -> only step 1
+        (2, ts("2024-01-02"), "click"),
+        (2, ts("2024-01-03"), "signup"),
+        # user 3: click at the SAME instant as signup -> strict > fails
+        (3, ts("2024-01-01"), "signup"),
+        (3, ts("2024-01-01"), "click"),
+        # user 4: no signup at all -> 0
+        (4, ts("2024-01-01"), "purchase"),
+        # user 5: signup, purchase skips click -> 1
+        (5, ts("2024-01-01"), "signup"),
+        (5, ts("2024-01-05"), "purchase"),
+    ], columns=["user_id", "ts", "event_type"])
+    df["user_id"] = df["user_id"].astype("int64")
+    ds = rd.from_arrow(pa.Table.from_pandas(
+        df, preserve_index=False)).repartition(3)
+    out = rel.funnel(ds, steps=["signup", "click", "purchase"]) \
+        .to_pandas().set_index("user_id")["steps_completed"]
+    assert out.to_dict() == {1: 3, 2: 1, 3: 1, 4: 0, 5: 1}
