@@ -1267,6 +1267,40 @@ def _q_cdc_domain_stats(sf_dir: str):
         batch_format="pandas")
 
 
+def _q_cdc_matview_domains(sf_dir: str):
+    # incremental view maintenance: the per-domain rollup maintained
+    # COMMIT BY COMMIT from each commit's touched partitions (cost ∝
+    # write amplification, never table size), not recomputed from the
+    # full state — yet hash-verified against the same LWW SQL oracle as
+    # the full-scan cdc_domain_stats. Additive aggregates only (IVM
+    # self-maintainability; see state/matview.py).
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.stages.text import url_parts
+    from chomper_ray.state.lake import LakeTable
+    from chomper_ray.state.matview import MaterializedAgg
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_mv_")
+    # per-epoch commits (no drain): one manifest per binlog epoch, so
+    # the view demonstrably folds 4 incremental deltas
+    run_cdc(log, lake_root, num_partitions=8)
+    lake = LakeTable(lake_root, num_partitions=8)
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        d = url_parts(df)
+        return pd.DataFrame({
+            "domain": d["domain"],
+            "n_chars": d["text"].fillna("").str.len().astype("int64"),
+        })
+
+    view = MaterializedAgg(lake, tempfile.mkdtemp(prefix="chomper_mv_"),
+                           contrib, group_cols=["domain"],
+                           value_cols=["n_chars"],
+                           read_columns=["url", "text"]).refresh()
+    return view.rename(columns={"n_live": "n_pages",
+                                "sum_n_chars": "total_chars"})
+
+
 def _q_change_listeners(sf_dir: str):
     from chomper_ray.pipelines.cdc import run_cdc
     from chomper_ray.sources.events import generate_change_stream
@@ -1537,6 +1571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_forward": _q_asof_join_forward,
         "snapshot_diff": _q_snapshot_diff,
         "funnel_steps": _q_funnel,
+        "cdc_matview_domains": _q_cdc_matview_domains,
         "top_bigrams": _q_top_bigrams,
         "top_revenue_orders": _q_top_revenue_orders,
         # sources
@@ -1609,6 +1644,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(length(coalesce(text, ''))) AS BIGINT) "
             "AS total_chars, "
             "max(warc_ts) AS latest_ts FROM st GROUP BY 1"
+        ),
+        "cdc_matview_domains": (
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            f"sidecar AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/_oracle/*.parquet')), "
+            "st AS (SELECT w.url, s.text FROM win w "
+            "JOIN sidecar s USING (seq)) "
+            f"SELECT {sql_url_exprs('url')['domain']} AS domain, "
+            "count(*) AS n_pages, "
+            "CAST(sum(length(coalesce(text, ''))) AS BIGINT) "
+            "AS total_chars FROM st GROUP BY 1"
         ),
         "dropper_filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_discount "

@@ -1,0 +1,124 @@
+"""Incremental materialized-view maintenance (state/matview.py): the
+view must equal a full recompute after EVERY commit — across inserts,
+updates, deletes, purge/truncate maintenance, and refresh resume."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from chomper_ray.state.lake import LakeTable
+from chomper_ray.state.matview import MaterializedAgg
+
+
+def mk(op, seq, url, ts, grp, val):
+    return {"op": op, "seq": seq, "url": url,
+            "warc_ts": pd.Timestamp(ts, unit="s"),
+            "grp": grp, "val": val}
+
+
+def _contrib_impl(df: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame({"grp": df["grp"],
+                         "val": df["val"].fillna(0).astype("int64")})
+
+
+def make_view(lake, root):
+    # nested def: pickled by VALUE into Ray workers (a module-level
+    # function in a test file would pickle by reference and fail import)
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"grp": df["grp"],
+                             "val": df["val"].fillna(0).astype("int64")})
+
+    return MaterializedAgg(lake, root, contrib, group_cols=["grp"],
+                           value_cols=["val"],
+                           read_columns=["grp", "val"])
+
+
+def recompute(lake) -> pd.DataFrame:
+    live = lake.read_pandas()
+    if not len(live):
+        return pd.DataFrame(columns=["grp", "n_live", "sum_val"])
+    out = _contrib_impl(live)
+    g = out.groupby("grp", sort=True)
+    return pd.DataFrame({"grp": g.size().index,
+                         "n_live": g.size().to_numpy().astype("int64"),
+                         "sum_val": g["val"].sum().to_numpy()
+                         .astype("int64")})
+
+
+def assert_view_equals_recompute(view_df, lake):
+    want = recompute(lake)
+    got = view_df.sort_values("grp").reset_index(drop=True)[
+        ["grp", "n_live", "sum_val"]]
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_matview_tracks_every_commit(tmp_path):
+    lake = LakeTable(tmp_path / "lake", key="url", num_partitions=4)
+    view = make_view(lake, tmp_path / "mv")
+
+    e0 = [mk("insert", 0, "u1", 10, "a", 5),
+          mk("insert", 1, "u2", 10, "a", 7),
+          mk("insert", 2, "u3", 10, "b", 1)]
+    # e1: update moves u2 to group b and changes val; delete u3
+    e1 = [mk("update", 3, "u2", 20, "b", 9),
+          mk("delete", 4, "u3", 20, None, None)]
+    # e2: reinsert u3 in c, touch u1 with same values (no-op update)
+    e2 = [mk("insert", 5, "u3", 30, "c", 4),
+          mk("update", 6, "u1", 30, "a", 5)]
+    for i, ev in enumerate([e0, e1, e2]):
+        lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(ev)), i)
+        assert_view_equals_recompute(view.refresh(), lake)
+
+    # purge maintenance: live rows unchanged -> delta must be zero
+    lake.purge_tombstones(watermark_ts_us=10**18)
+    assert_view_equals_recompute(view.refresh(), lake)
+
+    # refresh is idempotent (pure read when nothing new)
+    before = view.applied_commits()
+    assert_view_equals_recompute(view.refresh(), lake)
+    assert view.applied_commits() == before
+
+
+def test_matview_truncate_empties_view(tmp_path):
+    lake = LakeTable(tmp_path / "lake", key="url", num_partitions=2)
+    lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(
+        [mk("insert", 0, "u1", 10, "a", 5)])), 0)
+    view = make_view(lake, tmp_path / "mv")
+    assert len(view.refresh()) == 1
+    lake.truncate()
+    assert len(view.refresh()) == 0
+
+
+def test_matview_resume_from_partial(tmp_path):
+    # maintain through commit 0, then commits 1-2 land while the view
+    # is offline; refresh folds only the missing deltas
+    lake = LakeTable(tmp_path / "lake", key="url", num_partitions=2)
+    view = make_view(lake, tmp_path / "mv")
+    lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(
+        [mk("insert", 0, "u1", 10, "a", 5)])), 0)
+    view.refresh()
+    assert len(view.applied_commits()) == 1
+    lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(
+        [mk("insert", 1, "u2", 20, "b", 3)])), 1)
+    lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(
+        [mk("update", 2, "u2", 30, "b", 8)])), 2)
+    out = view.refresh()
+    assert len(view.applied_commits()) == 3
+    assert_view_equals_recompute(out, lake)
+
+
+def test_matview_full_recompute_after_compaction(tmp_path):
+    # compact removes the historical files a later delta would need as
+    # its "old" side -> refresh must fall back to a full recompute
+    lake = LakeTable(tmp_path / "lake", key="url", num_partitions=2)
+    for i, ev in enumerate([
+        [mk("insert", 0, "u1", 10, "a", 5),
+         mk("insert", 1, "u2", 10, "b", 2)],
+        [mk("update", 2, "u1", 20, "a", 6)],
+        [mk("update", 3, "u2", 30, "b", 4)],
+    ]):
+        lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(ev)), i)
+    lake.compact(keep_epochs=1)
+    view = make_view(lake, tmp_path / "mv")
+    assert_view_equals_recompute(view.refresh(), lake)
