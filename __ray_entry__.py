@@ -965,6 +965,27 @@ def _q_line_dedup(sf_dir: str):
                        sep=" ", out="text_dedup")
 
 
+def _q_fuzzy_pairs(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from chomper_ray.stages.fuzzy import fuzzy_self_join
+
+    # edit-distance self-join over customer names ("Customer#000000042"):
+    # ≤1-deletion-neighborhood candidates (recall exactly 1.0 by the
+    # alignment-pigeonhole argument, stages/fuzzy.py) verified by the
+    # batch-vectorized banded-DP Levenshtein kernel. Keys bounded to
+    # 2000 so the SQL oracle's quadratic levenshtein stays cheap at
+    # every sf; the engine path never forms that cross product.
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]) \
+        .map_batches(
+            lambda t: t.filter(pc.less_equal(t["c_custkey"], 2000)),
+            batch_format="pyarrow").repartition(8)
+    pairs = fuzzy_self_join(ds, col="c_name", id_col="c_custkey", k=1,
+                            num_partitions=16)
+    return pairs.map_batches(lambda df: df[["a", "b", "dist"]],
+                             batch_format="pandas")
+
+
 def _q_nfc_normalize(sf_dir: str):
     from chomper_ray.stages.text import nfc_normalize_col
 
@@ -1584,6 +1605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality_score,
         "ann_topk": _q_ann_topk,
         "minhash_dedup": _q_minhash_dedup,
+        "fuzzy_pairs": _q_fuzzy_pairs,
         "ngram_dedup": _q_ngram_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "embedding_dedup": _q_embedding_dedup,
@@ -2135,6 +2157,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, a.text_dedup FROM documents d LEFT JOIN ("
             "SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS text_dedup "
             "FROM w WHERE rn = 1 GROUP BY doc_id) a USING (doc_id)"
+        ),
+        "fuzzy_pairs": (
+            "SELECT c1.c_custkey AS a, c2.c_custkey AS b, "
+            "levenshtein(c1.c_name, c2.c_name) AS dist "
+            "FROM customer c1 JOIN customer c2 "
+            "ON c1.c_custkey < c2.c_custkey "
+            "WHERE c1.c_custkey <= 2000 AND c2.c_custkey <= 2000 "
+            "AND levenshtein(c1.c_name, c2.c_name) <= 1"
         ),
         "top_bigrams": (
             "WITH w AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') "
