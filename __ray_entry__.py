@@ -965,6 +965,26 @@ def _q_line_dedup(sf_dir: str):
                        sep=" ", out="text_dedup")
 
 
+def _q_dup_span_removal(sf_dir: str):
+    from chomper_ray.stages.dedup import remove_duplicate_spans
+
+    # ExactSubstr-style duplicate-span removal (Lee et al. 2021): every
+    # 12-token window occurring >= 2 times corpus-wide is cut from all
+    # but its first (doc_id, pos) occurrence. The planted near-dups in
+    # the synthetic corpus share long spans, so this is non-trivial at
+    # every sf. Engine groups by 64-bit window hash; the oracle compares
+    # true window strings (collision odds ~ occurrences^2 / 2^65).
+    # fully-covered docs are null (string_agg semantics, pinned by
+    # pytest); the driver compare coalesces to '' on BOTH sides so the
+    # hash can't hinge on None-vs-NaN null spelling
+    return remove_duplicate_spans(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .repartition(8), window=12, num_partitions=16) \
+        .map_batches(lambda df: df.assign(
+            text_dedup=df["text_dedup"].fillna("")),
+            batch_format="pandas")
+
+
 def _q_fuzzy_pairs(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -1586,6 +1606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "df_prune_tokens": _q_df_prune_tokens,
         "line_dedup": _q_line_dedup,
+        "dup_span_removal": _q_dup_span_removal,
         "cdc_domain_stats": _q_cdc_domain_stats,
         "nfc_normalize": _q_nfc_normalize,
         "regex_ops": _q_regex_ops,
@@ -2157,6 +2178,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, a.text_dedup FROM documents d LEFT JOIN ("
             "SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS text_dedup "
             "FROM w WHERE rn = 1 GROUP BY doc_id) a USING (doc_id)"
+        ),
+        "dup_span_removal": (
+            "WITH l AS (SELECT doc_id, string_split(coalesce(text, ''), "
+            "' ') AS ls FROM documents), "
+            "lx AS (SELECT doc_id, ls[i] AS tok, i FROM ("
+            "SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i "
+            "FROM l)), "
+            "w AS (SELECT doc_id, i, array_to_string(ls[i:i+11], ' ') "
+            "AS win FROM (SELECT doc_id, ls, "
+            "unnest(generate_series(1, len(ls) - 11)) AS i FROM l)), "
+            "d AS (SELECT doc_id, i FROM (SELECT doc_id, i, "
+            "count(*) OVER (PARTITION BY win) AS c, "
+            "row_number() OVER (PARTITION BY win ORDER BY doc_id, i) "
+            "AS rn FROM w) WHERE c >= 2 AND rn > 1), "
+            "cov AS (SELECT DISTINCT doc_id, "
+            "unnest(generate_series(i, i + 11)) AS i FROM d), "
+            "kept AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) "
+            "AS text_dedup FROM lx ANTI JOIN cov USING (doc_id, i) "
+            "GROUP BY doc_id) "
+            "SELECT dd.doc_id, coalesce(kept.text_dedup, '') "
+            "AS text_dedup FROM documents dd LEFT JOIN kept USING (doc_id)"
         ),
         "fuzzy_pairs": (
             "SELECT c1.c_custkey AS a, c2.c_custkey AS b, "

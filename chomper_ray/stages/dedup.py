@@ -928,11 +928,13 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
 
 # --- benchmark decontamination ----------------------------------------------
 
-def _token_ngram_hashes(texts, n: int):
-    """All positional token n-gram hashes for a batch of documents.
-    Returns ``(row_idx, hashes)`` — one entry per n-gram POSITION (not
-    distinct n-grams). Tokenization is the literal single-space split
-    the rest of the text family uses (SQL ``string_split`` parity).
+def _token_window_rows(texts, n: int, sep: str = " "):
+    """All positional token n-gram windows for a batch of documents.
+    Returns ``(row_idx, pos, hashes)`` — one entry per window POSITION
+    (not distinct windows); ``pos`` is the 0-based token index of the
+    window start within its document. Tokenization is the literal
+    single-separator split the rest of the text family uses (SQL
+    ``string_split`` parity).
 
     Vectorized end-to-end: polars split+explode (Rust), one
     ``hash_pandas_object`` over every token (SipHash, fixed key —
@@ -941,12 +943,14 @@ def _token_ngram_hashes(texts, n: int):
     import pandas as pd
     import polars as pl
 
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+             np.empty(0, dtype=np.uint64))
     s = pl.Series("t", pd.Series(texts).fillna("").astype(str).tolist())
     ex = pl.DataFrame({"i": pl.int_range(len(s), eager=True),
-                       "w": s.str.split(" ")}).explode("w")
+                       "w": s.str.split(sep)}).explode("w")
     rows = ex["i"].to_numpy()
     if len(rows) < n:
-        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+        return empty
     th = pd.util.hash_pandas_object(
         ex["w"].to_pandas(), index=False).to_numpy().astype(np.uint64)
     m = len(th) - n + 1
@@ -956,7 +960,154 @@ def _token_ngram_hashes(texts, n: int):
             h = h * _SHINGLE_BASE + th[j:m + j]  # a per-ngram loop
         h = (h ^ (h >> np.uint64(33))) * _MIX
     valid = rows[:m] == rows[n - 1:]            # n-gram stays in one doc
-    return rows[:m][valid], h[valid]
+    # window start's 0-based token index within its own document
+    doc_off = np.concatenate(
+        [[0], np.cumsum(np.bincount(rows, minlength=len(s)))[:-1]])
+    starts = np.arange(m, dtype=np.int64)
+    pos = starts - doc_off[rows[:m]]
+    return rows[:m][valid], pos[valid], h[valid]
+
+
+def _token_ngram_hashes(texts, n: int):
+    """(row_idx, hashes) per positional token n-gram — see
+    ``_token_window_rows`` (position-free view, kept for
+    ``decontaminate``)."""
+    rows, _, h = _token_window_rows(texts, n)
+    return rows, h
+
+
+def remove_duplicate_spans(ds, col: str = "text", id_col: str = "doc_id",
+                           window: int = 20, sep: str = " ",
+                           out: str = "text_dedup",
+                           num_partitions: int = 32):
+    """ExactSubstr-style duplicate-span removal — the Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499) dedup step, in its hashed-seed distributed form:
+    every positional ``window``-token sequence that occurs ≥2 times in
+    the WHOLE corpus is removed from every occurrence except the first
+    (ordered by ``(doc, pos)``); a document's kept tokens are re-joined
+    with ``sep``. Documents shorter than ``window`` tokens are never
+    modified; a document whose every token is covered yields null (SQL
+    ``string_agg``-under-left-join semantics, same as ``dedup_lines``).
+
+    Unlike the paper's suffix array this seeds on FIXED-width windows,
+    so a duplicated run of length ``window + j`` removes the whole run
+    (all j+1 windows inside it are duplicated, and coverage is their
+    union) — removal granularity is the window, not the byte.
+
+    Shape (two shuffles, both O(corpus tokens) — a combiner cannot
+    help here because duplication is a cross-block property):
+
+    1. ``map_batches`` → (window_hash, doc, pos) rows, vectorized by
+       ``_token_window_rows``.
+    2. hash-bucket by window_hash: all occurrences of one window
+       co-locate; per bucket a vectorized sort + keep-first marks every
+       non-first occurrence as a removal (doc, pos).
+    3. removals + documents co-shuffle on a doc bucket; per bucket one
+       polars explode + composite ``searchsorted`` coverage test (all
+       removal intervals share width ``window``, so "latest start ≤
+       token index" decides coverage without interval merging) and an
+       ordered group-join rebuild.
+
+    Window equality is 64-bit-hash equality (collision odds ~
+    occurrences²/2⁶⁵ — the same documented bound as ``decontaminate``);
+    the SQL oracle compares true window strings.
+    """
+    L = int(window)
+
+    def win_rows(df: pd.DataFrame) -> pd.DataFrame:
+        rows, pos, h = _token_window_rows(df[col], L, sep=sep)
+        return pd.DataFrame({
+            "h": h,
+            "doc": df[id_col].to_numpy()[rows].astype("int64"),
+            "pos": pos,
+            "_hb": (h % np.uint64(num_partitions)).astype(np.int32),
+        })
+
+    def removals(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc", "pos"], kind="stable")
+        sizes = g.groupby("h")["h"].transform("size").to_numpy()
+        dup = g[sizes >= 2]
+        rem = dup[dup.duplicated(subset=["h"], keep="first")]
+        return rem[["doc", "pos"]].reset_index(drop=True)
+
+    rem_ds = (ds.map_batches(win_rows, batch_format="pandas")
+              .groupby("_hb").map_groups(removals, batch_format="pandas"))
+
+    side_schema = pa.schema([("doc", pa.int64()), ("pos", pa.int64()),
+                             ("txt", pa.string()), ("side", pa.int8()),
+                             ("_db", pa.int32())])
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        doc = t[id_col].cast(pa.int64())
+        cols = {"doc": doc, "pos": pa.nulls(t.num_rows, pa.int64()),
+                "txt": t[col].cast(pa.string()),
+                "side": pa.array([0] * t.num_rows, pa.int8())}
+        bk = stable_bucket(doc, num_partitions)
+        return pa.table({**cols, "_db": pa.array(bk, type=pa.int32())},
+                        schema=side_schema)
+
+    def tag_rem(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc" not in t.column_names:
+            return side_schema.empty_table()
+        doc = t["doc"].cast(pa.int64())
+        cols = {"doc": doc, "pos": t["pos"].cast(pa.int64()),
+                "txt": pa.nulls(t.num_rows, pa.string()),
+                "side": pa.array([1] * t.num_rows, pa.int8())}
+        bk = stable_bucket(doc, num_partitions)
+        return pa.table({**cols, "_db": pa.array(bk, type=pa.int32())},
+                        schema=side_schema)
+
+    dkey = np.dtype([("d", "<i8"), ("p", "<i8")])
+
+    def apply_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        docs = g[g["side"] == 0]
+        if not len(docs):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 out: pd.Series(dtype="object")})
+        rem = g[g["side"] == 1]
+        ex = pl.DataFrame({
+            "doc": pl.Series(docs["doc"].to_numpy()),
+            "w": pl.Series(docs["txt"].fillna("").astype(str).tolist())
+            .str.split(sep),
+        }).explode("w")
+        tok_doc = ex["doc"].to_numpy()
+        # per-doc 0-based token index: explode preserves row order, so
+        # a grouped cumulative count gives the position directly
+        tok_pos = (pl.DataFrame({"doc": ex["doc"]})
+                   .with_columns(pl.col("doc").cum_count().over("doc")
+                                 .alias("c"))["c"].to_numpy()
+                   .astype(np.int64) - 1)
+        covered = np.zeros(len(ex), dtype=bool)
+        if len(rem):
+            rr = rem.sort_values(["doc", "pos"])
+            kr = np.empty(len(rr), dtype=dkey)
+            kr["d"] = rr["doc"].to_numpy()
+            kr["p"] = rr["pos"].to_numpy()
+            kt = np.empty(len(ex), dtype=dkey)
+            kt["d"] = tok_doc
+            kt["p"] = tok_pos
+            idx = np.searchsorted(kr, kt, side="right") - 1
+            ok = idx >= 0
+            covered[ok] = (kr["d"][idx[ok]] == tok_doc[ok]) & \
+                (tok_pos[ok] - kr["p"][idx[ok]] < L)
+        kept = pl.DataFrame({"doc": ex["doc"], "w": ex["w"],
+                             "cov": pl.Series(covered)}) \
+            .filter(~pl.col("cov")) \
+            .group_by("doc", maintain_order=True) \
+            .agg(pl.col("w").str.join(sep).alias(out)) \
+            .to_pandas()
+        spine = pd.DataFrame({"doc": docs["doc"].to_numpy()})
+        res = spine.merge(kept, on="doc", how="left")
+        res = res.rename(columns={"doc": id_col})
+        return res[[id_col, out]]
+
+    tagged = (ds.map_batches(tag_docs, batch_format="pyarrow")
+              .union(rem_ds.map_batches(tag_rem, batch_format="pyarrow")))
+    return tagged.groupby("_db").map_groups(apply_bucket,
+                                            batch_format="pandas")
 
 
 def decontaminate(ds, bench, col: str = "text", id_col: str = "doc_id",
