@@ -965,6 +965,20 @@ def _q_line_dedup(sf_dir: str):
                        sep=" ", out="text_dedup")
 
 
+def _q_nb_classify(sf_dir: str):
+    from chomper_ray.stages.text import nb_fit, nb_score
+
+    # multinomial Naive Bayes, fit distributed on (lang, token) count
+    # combiners and scored through one ray.put broadcast — the linear
+    # text-classifier stage (fasttext-filter analog). Self-train/score
+    # on the corpus so the SQL oracle can rebuild the identical model;
+    # scores round at 6 digits (numpy vs DuckDB ln parity).
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]) \
+        .repartition(8)
+    model = nb_fit(ds, col="text", label_col="lang")
+    return nb_score(ds, model)
+
+
 def _q_dup_span_removal(sf_dir: str):
     from chomper_ray.stages.dedup import remove_duplicate_spans
 
@@ -1607,6 +1621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "df_prune_tokens": _q_df_prune_tokens,
         "line_dedup": _q_line_dedup,
         "dup_span_removal": _q_dup_span_removal,
+        "nb_classify": _q_nb_classify,
         "cdc_domain_stats": _q_cdc_domain_stats,
         "nfc_normalize": _q_nfc_normalize,
         "regex_ops": _q_regex_ops,
@@ -2178,6 +2193,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, a.text_dedup FROM documents d LEFT JOIN ("
             "SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS text_dedup "
             "FROM w WHERE rn = 1 GROUP BY doc_id) a USING (doc_id)"
+        ),
+        "nb_classify": (
+            "WITH l AS (SELECT doc_id, lang, string_split(coalesce(text, "
+            "''), ' ') AS ls FROM documents), "
+            "tokd AS (SELECT doc_id, unnest(ls) AS tok FROM l), "
+            "tokl AS (SELECT lang, unnest(ls) AS tok FROM l), "
+            "cnt AS (SELECT lang, tok, count(*)::DOUBLE AS c FROM tokl "
+            "GROUP BY 1, 2), "
+            "tot AS (SELECT lang, count(*)::DOUBLE AS t FROM tokl "
+            "GROUP BY 1), "
+            "voc AS (SELECT count(DISTINCT tok)::DOUBLE AS v FROM tokl), "
+            "pri AS (SELECT lang, ln(count(*)::DOUBLE / "
+            "(SELECT count(*) FROM documents)) AS lp FROM documents "
+            "GROUP BY 1), "
+            "sc AS (SELECT d.doc_id, pri.lang, pri.lp + "
+            "sum(ln((coalesce(cnt.c, 0) + 1.0) / (tot.t + voc.v))) AS s "
+            "FROM tokd d CROSS JOIN pri "
+            "JOIN tot ON tot.lang = pri.lang CROSS JOIN voc "
+            "LEFT JOIN cnt ON cnt.lang = pri.lang AND cnt.tok = d.tok "
+            "GROUP BY d.doc_id, pri.lang, pri.lp) "
+            "SELECT doc_id, lang AS nb_pred, round(s, 6) AS nb_score "
+            "FROM (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY s DESC, lang) AS rn FROM sc) WHERE rn = 1"
         ),
         "dup_span_removal": (
             "WITH l AS (SELECT doc_id, string_split(coalesce(text, ''), "

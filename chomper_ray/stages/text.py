@@ -729,3 +729,110 @@ def sql_entropy_query(table: str = "documents", col: str = "text",
         f"FROM (SELECT {id_col}, unnest(string_split({col}, '')) AS c "
         f"FROM {table} WHERE length({col}) > 0) GROUP BY {id_col}, c) "
         f"GROUP BY {id_col}")
+
+
+# --- multinomial Naive Bayes (the fasttext-classifier analog) ----------------
+
+def nb_fit(ds, col: str = "text", label_col: str = "lang",
+           alpha: float = 1.0, num_partitions: int = 16) -> dict:
+    """Fit a multinomial Naive Bayes text classifier distributed — the
+    linear-classifier stage a training-data pipeline uses for language /
+    quality / domain routing (the fasttext-filter analog, e.g. CCNet's
+    LM filter), with closed-form training instead of SGD so the fit is
+    ONE pass of decomposable count aggregates:
+
+    - (label, token) occurrence counts via the ``grouped_agg`` combiner
+      (shuffle carries one row per distinct pair per block);
+    - per-label doc counts for the priors, same combiner.
+
+    The returned model is O(vocab × classes) — the documented driver
+    bound (a 10^7-token vocab × 10 classes is ~800 MB of float64; hash
+    the vocab or prune rare tokens before that point). Tokenization is
+    the literal single-space split (SQL ``string_split`` parity);
+    Laplace smoothing ``alpha``; natural-log probabilities.
+
+    Model dict: ``classes`` (sorted), ``priors`` (K,), ``vocab``
+    (sorted token array), ``logp`` (V, K), ``unk`` (K,) — the unseen-
+    token log-likelihood ln(alpha / (total_k + alpha·V)).
+    """
+    from chomper_ray.pipelines.relational import grouped_agg
+
+    def tok_counts(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        ex = pl.DataFrame({
+            "lab": pd.Series(df[label_col]).fillna("").astype(str).tolist(),
+            "w": pd.Series(df[col]).fillna("").astype(str).tolist(),
+        }).with_columns(pl.col("w").str.split(" ")).explode("w")
+        g = ex.group_by(["lab", "w"]).len().to_pandas()
+        return pd.DataFrame({"lab": g["lab"], "tok": g["w"],
+                             "n": g["len"].astype("int64")})
+
+    def doc_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(df[label_col].fillna("").astype(str)).size()
+        return pd.DataFrame({"lab": g.index.to_numpy(),
+                             "nd": g.to_numpy().astype("int64")})
+
+    cnt = grouped_agg(ds.map_batches(tok_counts, batch_format="pandas"),
+                      keys=["lab", "tok"], sums=["n"],
+                      counts=False).to_pandas()
+    pri = grouped_agg(ds.map_batches(doc_counts, batch_format="pandas"),
+                      keys=["lab"], sums=["nd"], counts=False).to_pandas()
+
+    classes = np.sort(pri["lab"].to_numpy())
+    k = len(classes)
+    vocab = np.sort(cnt["tok"].unique())
+    v = len(vocab)
+    tot_docs = float(pri["sum_nd"].sum())
+    priors = np.log(pri.set_index("lab").loc[classes, "sum_nd"]
+                    .to_numpy().astype(np.float64) / tot_docs)
+    tok_idx = pd.Index(vocab).get_indexer(cnt["tok"])
+    lab_idx = pd.Index(classes).get_indexer(cnt["lab"])
+    counts = np.zeros((v, k), dtype=np.float64)
+    counts[tok_idx, lab_idx] = cnt["sum_n"].to_numpy().astype(np.float64)
+    totals = counts.sum(axis=0)
+    logp = np.log((counts + alpha) / (totals + alpha * v)[None, :])
+    unk = np.log(alpha / (totals + alpha * v))
+    return {"classes": classes, "priors": priors, "vocab": vocab,
+            "logp": logp, "unk": unk}
+
+
+def nb_score(ds, model: dict, col: str = "text", id_col: str = "doc_id",
+             pred_col: str = "nb_pred", score_col: str = "nb_score",
+             ndigits: int = 6):
+    """Score every document against a fitted ``nb_fit`` model: argmax
+    class plus its rounded log-posterior. The model is broadcast ONCE
+    via ``ray.put`` and read per task — never re-shipped per batch.
+    Ties (practically impossible with real likelihoods) break to the
+    lexicographically smallest class, matching SQL
+    ``row_number() OVER (ORDER BY score DESC, class)``."""
+    import ray
+
+    ref = ray.put(model)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        m = ray.get(ref)
+        classes, vocab = m["classes"], m["vocab"]
+        k = len(classes)
+        ex = pl.DataFrame({
+            "w": pd.Series(df[col]).fillna("").astype(str).tolist(),
+        }).with_row_index("r").with_columns(
+            pl.col("w").str.split(" ")).explode("w")
+        rows = ex["r"].to_numpy().astype(np.int64)
+        idx = pd.Index(vocab).get_indexer(ex["w"].to_pandas())
+        known = idx >= 0
+        scores = np.tile(m["priors"], (len(df), 1))
+        for j in range(k):
+            lp = np.where(known, m["logp"][idx.clip(0), j], m["unk"][j])
+            scores[:, j] += np.bincount(rows, weights=lp,
+                                        minlength=len(df))
+        best = np.argmax(scores, axis=1)
+        out = df[[id_col]].copy()
+        out[pred_col] = classes[best]
+        out[score_col] = np.round(scores[np.arange(len(df)), best],
+                                  ndigits)
+        return out
+
+    return ds.map_batches(score, batch_format="pandas")

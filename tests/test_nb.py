@@ -1,0 +1,84 @@
+"""Multinomial Naive Bayes: distributed fit vs numpy oracle, scoring."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from chomper_ray.stages.text import nb_fit, nb_score
+
+
+def _corpus():
+    rows = [
+        ("the cat sat on the mat", "en"),
+        ("the dog ate the cat food", "en"),
+        ("cat and dog and mat", "en"),
+        ("le chat est sur le tapis", "fr"),
+        ("le chien mange le chat", "fr"),
+        ("chat et chien et tapis", "fr"),
+    ]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "text": pa.array([r[0] for r in rows]),
+        "lang": pa.array([r[1] for r in rows]),
+    })).repartition(3), rows
+
+
+def ref_model(rows, alpha=1.0):
+    classes = sorted({r[1] for r in rows})
+    toks = {c: [] for c in classes}
+    for t, c in rows:
+        toks[c].extend(t.split(" "))
+    vocab = sorted({w for ws in toks.values() for w in ws})
+    logp = {}
+    unk = {}
+    for c in classes:
+        tot = len(toks[c])
+        unk[c] = np.log(alpha / (tot + alpha * len(vocab)))
+        for wtok in vocab:
+            logp[(c, wtok)] = np.log(
+                (toks[c].count(wtok) + alpha) / (tot + alpha * len(vocab)))
+    priors = {c: np.log(sum(1 for r in rows if r[1] == c) / len(rows))
+              for c in classes}
+    return classes, vocab, priors, logp, unk
+
+
+def test_fit_matches_closed_form():
+    ds, rows = _corpus()
+    m = nb_fit(ds, label_col="lang")
+    classes, vocab, priors, logp, unk = ref_model(rows)
+    assert list(m["classes"]) == classes
+    assert list(m["vocab"]) == vocab
+    for ci, c in enumerate(classes):
+        assert np.isclose(m["priors"][ci], priors[c])
+        assert np.isclose(m["unk"][ci], unk[c])
+        for vi, wtok in enumerate(vocab):
+            assert np.isclose(m["logp"][vi, ci], logp[(c, wtok)])
+
+
+def test_score_recovers_separable_labels_and_handles_unseen():
+    ds, rows = _corpus()
+    m = nb_fit(ds, label_col="lang")
+    scored = nb_score(ds, m).to_pandas().sort_values("doc_id")
+    assert scored["nb_pred"].tolist() == [r[1] for r in rows]
+    # unseen tokens route through the unk likelihood, no crash
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([99], pa.int64()),
+        "text": pa.array(["zebra quark the cat"]),
+    }))
+    out = nb_score(new, m).to_pandas()
+    assert out["nb_pred"].tolist() == ["en"]
+
+
+def test_score_matches_manual_sum():
+    ds, rows = _corpus()
+    m = nb_fit(ds, label_col="lang")
+    scored = nb_score(ds, m).to_pandas().sort_values("doc_id")
+    classes, vocab, priors, logp, unk = ref_model(rows)
+    for i, (t, _) in enumerate(rows):
+        want = max(
+            (round(priors[c] + sum(logp.get((c, w), unk[c])
+                                   for w in t.split(" ")), 6), c)
+            for c in classes)
+        assert scored["nb_score"].iloc[i] == want[0]
