@@ -965,6 +965,26 @@ def _q_line_dedup(sf_dir: str):
                        sep=" ", out="text_dedup")
 
 
+def _q_pagerank(sf_dir: str):
+    from chomper_ray.stages.graph import pagerank
+
+    # distributed power-iteration PageRank over the order↔supplier
+    # bipartite graph (suppliers offset by 1e9 into a shared id space);
+    # the oracle UNROLLS the same 4 iterations as plain SQL CTEs —
+    # rank values hash-compare at 12 digits
+    def mk_edges(df: pd.DataFrame) -> pd.DataFrame:
+        o = df["l_orderkey"].astype("int64")
+        s = df["l_suppkey"].astype("int64") + 1_000_000_000
+        return pd.DataFrame({
+            "src": pd.concat([o, s], ignore_index=True),
+            "dst": pd.concat([s, o], ignore_index=True)})
+
+    edges = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_suppkey"]) \
+        .repartition(8).map_batches(mk_edges, batch_format="pandas")
+    return pagerank(edges, iters=4, num_partitions=16, ndigits=12)
+
+
 def _q_nb_classify(sf_dir: str):
     from chomper_ray.stages.text import nb_fit, nb_score
 
@@ -1622,6 +1642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "dup_span_removal": _q_dup_span_removal,
         "nb_classify": _q_nb_classify,
+        "pagerank_bipartite": _q_pagerank,
         "cdc_domain_stats": _q_cdc_domain_stats,
         "nfc_normalize": _q_nfc_normalize,
         "regex_ops": _q_regex_ops,
@@ -2194,6 +2215,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS text_dedup "
             "FROM w WHERE rn = 1 GROUP BY doc_id) a USING (doc_id)"
         ),
+        "pagerank_bipartite": __import__(
+            "chomper_ray.stages.graph", fromlist=["sql_pagerank_query"]
+        ).sql_pagerank_query(
+            "SELECT l_orderkey AS src, l_suppkey + 1000000000 AS dst "
+            "FROM lineitem UNION ALL SELECT l_suppkey + 1000000000 "
+            "AS src, l_orderkey AS dst FROM lineitem", iters=4),
         "nb_classify": (
             "WITH l AS (SELECT doc_id, lang, string_split(coalesce(text, "
             "''), ' ') AS ls FROM documents), "
