@@ -965,6 +965,20 @@ def _q_line_dedup(sf_dir: str):
                        sep=" ", out="text_dedup")
 
 
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def _q_mixture_sample(sf_dir: str):
+    from chomper_ray.pipelines.relational import mixture_sample
+
+    # Dolma-style per-source mixing: deterministic hash-rate sampling,
+    # map-only, consistent under rate re-tuning; thresholds shared with
+    # the SQL WHERE via sql_mixture_sample_where
+    return mixture_sample(
+        _read(sf_dir, "documents", columns=["doc_id", "source"]),
+        group="source", key="doc_id", rates=_MIX_RATES, default=0.05)
+
+
 def _q_pagerank(sf_dir: str):
     from chomper_ray.stages.graph import pagerank
 
@@ -1643,6 +1657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_removal": _q_dup_span_removal,
         "nb_classify": _q_nb_classify,
         "pagerank_bipartite": _q_pagerank,
+        "mixture_sample": _q_mixture_sample,
         "cdc_domain_stats": _q_cdc_domain_stats,
         "nfc_normalize": _q_nfc_normalize,
         "regex_ops": _q_regex_ops,
@@ -2214,6 +2229,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, a.text_dedup FROM documents d LEFT JOIN ("
             "SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS text_dedup "
             "FROM w WHERE rn = 1 GROUP BY doc_id) a USING (doc_id)"
+        ),
+        "mixture_sample": (
+            "SELECT doc_id, source FROM documents WHERE "
+            + __import__(
+                "chomper_ray.pipelines.relational",
+                fromlist=["sql_mixture_sample_where"]
+            ).sql_mixture_sample_where("source", "doc_id", _MIX_RATES,
+                                       default=0.05)
         ),
         "pagerank_bipartite": __import__(
             "chomper_ray.stages.graph", fromlist=["sql_pagerank_query"]

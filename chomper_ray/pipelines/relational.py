@@ -851,6 +851,45 @@ def stratified_sample(ds, group: str, key: str, n: int,
                     batch_format="pandas")
 
 
+def mixture_sample(ds, group: str, key: str, rates: dict,
+                   default: float = 0.0):
+    """Deterministic source-MIXTURE sampling — the Dolma/Pile "mix
+    sources at different rates" knob: a row from source g survives iff
+    its Knuth multiplicative key hash falls below ``rates[g]`` (a
+    fraction in [0, 1]; unlisted sources get ``default``). Map-only —
+    no shuffle, layout- and cluster-size-independent — and per-source
+    CONSISTENT: raising one source's rate only ADDS rows of that source
+    (same bottom-of-hash-range property as ``sample_n_by_hash``), so
+    mix re-tuning never churns the rest of the corpus.
+
+    SQL parity (same convention as ``stratified_sample``): keep iff
+    ``(key * 2654435761) % 4294967296 < floor(rate * 4294967296)`` —
+    exact while key < 2^32 (the int64 product never wraps).
+    """
+    m = np.uint64(4294967296)
+    thr = {g: int(float(r) * 4294967296) for g, r in rates.items()}
+    thr_default = int(float(default) * 4294967296)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df[key].to_numpy(np.uint64) * np.uint64(2654435761)) % m
+        t = df[group].map(thr).fillna(thr_default).to_numpy(np.uint64)
+        return df[h < t]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def sql_mixture_sample_where(group: str, key: str, rates: dict,
+                             default: float = 0.0) -> str:
+    """The WHERE clause replicating ``mixture_sample`` in SQL, built
+    from the SAME threshold arithmetic so constants cannot drift."""
+    cases = " ".join(
+        f"WHEN '{g}' THEN {int(float(r) * 4294967296)}"
+        for g, r in sorted(rates.items()))
+    return (f"({key} * 2654435761) % 4294967296 < "
+            f"CASE {group} {cases} "
+            f"ELSE {int(float(default) * 4294967296)} END")
+
+
 def range_join(left, right, point: str, lo: str = "lo", hi: str = "hi",
                chunk: int | None = None, num_buckets: int = 32,
                left_schema=None, right_schema=None):

@@ -1145,3 +1145,29 @@ def test_funnel_strict_ordering():
     out = rel.funnel(ds, steps=["signup", "click", "purchase"]) \
         .to_pandas().set_index("user_id")["steps_completed"]
     assert out.to_dict() == {1: 3, 2: 1, 3: 1, 4: 0, 5: 1}
+
+
+def test_mixture_sample_rates_and_consistency():
+    df = pd.DataFrame({
+        "doc_id": np.arange(10000, dtype="int64"),
+        "source": np.tile(["a", "b", "c", "d"], 2500),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(
+        df, preserve_index=False)).repartition(4)
+    rates = {"a": 1.0, "b": 0.5, "c": 0.0}
+    out = rel.mixture_sample(ds, "source", "doc_id", rates,
+                             default=0.2).to_pandas()
+    frac = out.groupby("source").size() / 2500
+    assert frac.get("a", 0) == 1.0            # rate 1.0 keeps everything
+    assert "c" not in frac.index              # rate 0.0 keeps nothing
+    assert abs(frac["b"] - 0.5) < 0.05        # ~hash-uniform
+    assert abs(frac["d"] - 0.2) < 0.05        # default rate applies
+    # consistency: raising b's rate only ADDS b-rows; a/d survivors fixed
+    out2 = rel.mixture_sample(ds, "source", "doc_id",
+                              {**rates, "b": 0.8}, default=0.2).to_pandas()
+    s1 = set(out.loc[out["source"] == "b", "doc_id"])
+    s2 = set(out2.loc[out2["source"] == "b", "doc_id"])
+    assert s1 <= s2 and len(s2) > len(s1)
+    for g in ("a", "d"):
+        assert set(out.loc[out["source"] == g, "doc_id"]) == \
+            set(out2.loc[out2["source"] == g, "doc_id"])
