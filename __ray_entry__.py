@@ -1250,6 +1250,23 @@ def _q_ivf_ann(sf_dir: str):
     return ivf_search(root, queries, k=10, nprobe=3)
 
 
+def _q_pq_ann(sf_dir: str):
+    from chomper_ray.stages.similarity import pq_encode, pq_fit, pq_topk
+
+    # product-quantization ANN (Jégou et al. 2011): 64-dim float32 →
+    # 8 uint8 codes (32× compression); asymmetric-distance top-k scans
+    # codes only — the shape a 100 TB embedding corpus persists.
+    # Rows-only (quantized scores have no SQL analog); recall pinned by
+    # test_pq_adc_recall_vs_brute_force.
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    sample = np.stack(emb["embedding"].head(300).to_numpy())
+    model = pq_fit(sample, m_subs=8, k_codes=32)
+    queries = np.stack(
+        emb.sort_values("vec_id")["embedding"].head(3).to_numpy())
+    enc = pq_encode(_read(sf_dir, "embeddings").repartition(8), model)
+    return pq_topk(enc, model, queries, k=10)
+
+
 def _q_multimodal_decode(sf_dir: str):
     import ray.data as rd
 
@@ -1684,6 +1701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "ivf_ann": _q_ivf_ann,
+        "pq_ann": _q_pq_ann,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio_frames": _q_multimodal_audio_frames,
         # CDC flagship

@@ -332,3 +332,142 @@ def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
                              out: a.astype("int64")})
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Product Quantization (compressed-vector scale path)
+# --------------------------------------------------------------------------
+
+def pq_fit(sample: np.ndarray, m_subs: int = 8, k_codes: int = 32,
+           iters: int = 12, seed: int = 11) -> dict:
+    """Train PQ codebooks (Jégou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search") on a driver-side sample — same convention
+    as ``train_ivf_centroids``: training data is a bounded sample, the
+    ENCODE and SEARCH passes run distributed.
+
+    Vectors are L2-normalized first (so inner product == cosine), then
+    split into ``m_subs`` contiguous subspaces; each gets a ``k_codes``-
+    centroid kmeans codebook. Memory per encoded vector: ``m_subs``
+    uint8 codes instead of ``d`` float32 — a 64-dim float32 embedding
+    compresses 32× at m_subs=8."""
+    x = _normalize(np.asarray(sample, dtype=np.float32))
+    n, d = x.shape
+    if d % m_subs:
+        raise ValueError(f"dim {d} not divisible by m_subs {m_subs}")
+    sub = d // m_subs
+    rng = np.random.default_rng(seed)
+    books = np.empty((m_subs, k_codes, sub), dtype=np.float32)
+    for mi in range(m_subs):
+        xs = x[:, mi * sub:(mi + 1) * sub]
+        cent = xs[rng.choice(n, min(k_codes, n), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cent)):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[mi, :len(cent)] = cent
+        if len(cent) < k_codes:  # degenerate tiny sample: repeat last
+            books[mi, len(cent):] = cent[-1]
+    return {"books": books, "m_subs": m_subs, "k_codes": k_codes,
+            "sub": sub, "dim": d}
+
+
+def pq_encode(ds, model: dict, vec_col: str = "embedding",
+              out: str = "pq_code"):
+    """Encode every vector to its ``m_subs`` uint8 nearest-centroid
+    codes — one broadcast of the codebooks, vectorized argmin per
+    subspace per batch. The encoded Dataset is what a 100 TB corpus
+    would persist (32× smaller than raw float32)."""
+    import ray
+
+    ref = ray.put(model)
+
+    def enc(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        x = _normalize(np.stack(batch[vec_col].to_numpy())
+                       .astype(np.float32))
+        books, sub = m["books"], m["sub"]
+        codes = np.empty((len(x), m["m_subs"]), dtype=np.uint8)
+        for mi in range(m["m_subs"]):
+            xs = x[:, mi * sub:(mi + 1) * sub]
+            # ||x-c||² = ||x||² - 2x·c + ||c||²: argmin via one matmul
+            d2 = (-2.0 * (xs @ books[mi].T)
+                  + (books[mi] ** 2).sum(axis=1)[None, :])
+            codes[:, mi] = d2.argmin(axis=1).astype(np.uint8)
+        out_df = batch.drop(columns=[vec_col])
+        out_df[out] = list(codes)
+        return out_df
+
+    return ds.map_batches(enc, batch_format="pandas")
+
+
+class _PQScorer:
+    """Task/actor stage: asymmetric-distance (ADC) top-k per batch.
+    Per query, ONE (m_subs × k_codes) lookup table of query-subvector ·
+    centroid inner products; scoring a vector is m_subs table gathers +
+    a sum — no float decode of the corpus ever happens."""
+
+    def __init__(self, model_ref, queries_ref, k: int, code_col: str,
+                 id_col: str):
+        import ray
+
+        m = ray.get(model_ref)
+        q = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float32))
+        self.k = k
+        self.code_col = code_col
+        self.id_col = id_col
+        sub = m["sub"]
+        # luts: (nq, m_subs, k_codes) inner products
+        self.luts = np.stack([
+            q[:, mi * sub:(mi + 1) * sub] @ m["books"][mi].T
+            for mi in range(m["m_subs"])], axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        codes = np.stack(batch[self.code_col].to_numpy())  # (n, m_subs)
+        n, ms = codes.shape
+        nq = self.luts.shape[0]
+        # gather per subspace, sum: (nq, n)
+        sims = np.zeros((nq, n), dtype=np.float32)
+        for mi in range(ms):
+            sims += self.luts[:, mi, codes[:, mi]]
+        k = min(self.k, n)
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]  # (nq, k)
+        ids = batch[self.id_col].to_numpy()
+        qi = np.repeat(np.arange(nq, dtype=np.int64), k)
+        return pd.DataFrame({
+            "query_id": qi,
+            self.id_col: ids[idx.ravel()],
+            "score": np.round(sims[np.repeat(np.arange(nq), k),
+                                   idx.ravel()], 6),
+        })
+
+
+def pq_topk(ds_encoded, model: dict, queries: np.ndarray, k: int = 10,
+            code_col: str = "pq_code", id_col: str = "vec_id",
+            concurrency=None):
+    """ADC top-k over a PQ-encoded Dataset: local per-block top-k →
+    one small shuffle of ≤ blocks×k candidate rows per query — the
+    same bounded-reduce shape as ``ann_topk``, at 1/32 the scan bytes."""
+    import ray
+
+    mref = ray.put(model)
+    qref = ray.put(np.asarray(queries, dtype=np.float32))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True],
+                          kind="stable")
+        return g.head(k)
+
+    ctor = dict(model_ref=mref, queries_ref=qref, k=k,
+                code_col=code_col, id_col=id_col)
+    if concurrency:
+        scored = ds_encoded.map_batches(_PQScorer, batch_format="pandas",
+                                        concurrency=concurrency,
+                                        fn_constructor_kwargs=ctor)
+    else:
+        scored = ds_encoded.map_batches(_PQScorer(**ctor),
+                                        batch_format="pandas")
+    return (scored.groupby("query_id")
+            .map_groups(final_topk, batch_format="pandas"))

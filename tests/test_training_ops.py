@@ -921,3 +921,44 @@ def test_regex_features_matches_duckdb():
         + " FROM t ORDER BY doc_id").df()
     for c in ("rx_first", "rx_count", "rx_sub"):
         assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_pq_adc_recall_vs_brute_force():
+    # the PQ paper's R@10 metric: the TRUE nearest neighbor must appear
+    # in the ADC top-10 for every query (planted twins make the true
+    # top-1 unambiguous); plus a coarser overlap bar on the full top-10
+    # (PQ is a candidate generator — exact re-rank of the shortlist is
+    # the standard follow-up, composable from bloom_semi_join+ann_topk)
+    rng = np.random.default_rng(13)
+    n, d, nq = 1500, 32, 8
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    m[750:750 + nq] = m[:nq] \
+        + rng.standard_normal((nq, d)).astype(np.float32) * 0.05
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m],
+                              type=pa.list_(pa.float32())),
+    })).repartition(4)
+    queries = m[:nq]
+    k = 10
+
+    model = similarity.pq_fit(m[rng.choice(n, 600, replace=False)],
+                              m_subs=8, k_codes=32)
+    enc = similarity.pq_encode(ds, model).materialize()
+    # codes are uint8 and 8 per vector: the 16x compression is real
+    got = similarity.pq_topk(enc, model, queries, k=k).to_pandas()
+    brute = similarity.ann_topk(ds, queries, k=k).to_pandas()
+    r10 = overlap = 0
+    for qi in range(nq):
+        g = set(got.loc[got["query_id"] == qi, "vec_id"])
+        assert len(g) == k
+        r10 += (750 + qi) in g          # planted twin = true top-1
+        overlap += len(set(brute.loc[brute["query_id"] == qi,
+                                     "vec_id"]) & g)
+    assert r10 == nq, f"R@10 {r10}/{nq}"
+    assert overlap / (nq * k) >= 0.4
+
+
+def test_pq_fit_rejects_indivisible_dim():
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.pq_fit(np.ones((10, 30), dtype=np.float32), m_subs=8)
