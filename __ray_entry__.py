@@ -968,6 +968,19 @@ def _q_line_dedup(sf_dir: str):
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 
 
+def _q_grouped_regression(sf_dir: str):
+    from chomper_ray.pipelines.relational import grouped_regression
+
+    # per-flag price~quantity fit through the decomposable moment
+    # combiner; 4-digit round (slopes ~1e3, block-order float drift
+    # needs more margin than the 6-digit default)
+    return grouped_regression(
+        _read(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_quantity", "l_extendedprice"]),
+        keys=["l_returnflag"], x="l_quantity", y="l_extendedprice",
+        ndigits=4)
+
+
 def _q_mixture_sample(sf_dir: str):
     from chomper_ray.pipelines.relational import mixture_sample
 
@@ -1675,6 +1688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_classify": _q_nb_classify,
         "pagerank_bipartite": _q_pagerank,
         "mixture_sample": _q_mixture_sample,
+        "grouped_regression": _q_grouped_regression,
         "cdc_domain_stats": _q_cdc_domain_stats,
         "nfc_normalize": _q_nfc_normalize,
         "regex_ops": _q_regex_ops,
@@ -2247,6 +2261,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, a.text_dedup FROM documents d LEFT JOIN ("
             "SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS text_dedup "
             "FROM w WHERE rn = 1 GROUP BY doc_id) a USING (doc_id)"
+        ),
+        "grouped_regression": (
+            "SELECT l_returnflag, count(*) AS n, "
+            "round(regr_slope(l_extendedprice, l_quantity), 4) AS slope, "
+            "round(regr_intercept(l_extendedprice, l_quantity), 4) "
+            "AS intercept, "
+            "round(regr_r2(l_extendedprice, l_quantity), 4) AS r2 "
+            "FROM lineitem GROUP BY 1"
         ),
         "mixture_sample": (
             "SELECT doc_id, source FROM documents WHERE "

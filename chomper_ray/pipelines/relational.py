@@ -1319,6 +1319,55 @@ def grouped_stats(ds, keys: Sequence[str], x: str, y: str | None = None,
                     batch_format="pandas")
 
 
+def grouped_regression(ds, keys: Sequence[str], x: str, y: str,
+                       ndigits: int = 6, num_partitions: int = 32):
+    """Per-group simple linear regression — closed form from the SAME
+    decomposable (n, Σx, Σx², Σy, Σy², Σxy) combiner as
+    ``grouped_stats``: slope = covar_pop/var_pop, intercept =
+    ȳ − slope·x̄, r² = corr² — exactly SQL's ``regr_slope`` /
+    ``regr_intercept`` / ``regr_r2``. One row of moments per key per
+    block rides the shuffle; groups with zero x-variance yield null
+    slope (SQL convention)."""
+    keys = list(keys)
+    cols = keys + [x, y]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({k: df[k] for k in keys})
+        d["sx"] = df[x]
+        d["sxx"] = df[x] * df[x]
+        d["sy"] = df[y]
+        d["syy"] = df[y] * df[y]
+        d["sxy"] = df[x] * df[y]
+        g = d.groupby(keys, sort=False, dropna=False)
+        out = g.sum()
+        out["n"] = g.size()
+        return out.reset_index()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, dropna=False).sum().reset_index()
+        n = g["n"]
+        mx, my = g["sx"] / n, g["sy"] / n
+        vx = g["sxx"] / n - mx * mx
+        vy = g["syy"] / n - my * my
+        cov = g["sxy"] / n - mx * my
+        slope = cov / vx.where(vx > 0)
+        out = g[keys].copy()
+        out["n"] = n.astype("int64")
+        out["slope"] = slope.round(ndigits)
+        out["intercept"] = (my - slope * mx).round(ndigits)
+        denom = (vx * vy).clip(lower=0)
+        r2 = (cov * cov / pd.Series(np.where(denom > 0, denom, np.nan)))
+        out["r2"] = r2.round(ndigits)
+        return out
+
+    pruned = ds.map_batches(lambda t: t.select(cols),
+                            batch_format="pyarrow")
+    partials = pruned.map_batches(partial, batch_format="pandas")
+    return _coarse_keyed(partials, keys[0], num_partitions) \
+        .map_groups(lambda g: final(g.drop(columns=["_pb"])),
+                    batch_format="pandas")
+
+
 def grouped_mode(ds, key: str, value: str, num_partitions: int = 32):
     """Most frequent ``value`` per ``key`` (SQL's deterministic mode:
     highest count, ties broken by smallest value). Decomposable: each

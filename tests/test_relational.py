@@ -1171,3 +1171,28 @@ def test_mixture_sample_rates_and_consistency():
     for g in ("a", "d"):
         assert set(out.loc[out["source"] == g, "doc_id"]) == \
             set(out2.loc[out2["source"] == g, "doc_id"])
+
+
+def test_grouped_regression_matches_numpy_and_degenerate_x():
+    rng = np.random.default_rng(8)
+    n = 600
+    g = np.repeat(["a", "b", "c"], n // 3)
+    x = rng.normal(10, 3, n)
+    y = 2.5 * x + rng.normal(0, 1, n) + np.where(g == "b", 7, 0)
+    x[g == "c"] = 4.0  # zero x-variance group: slope/r2 null
+    df = pd.DataFrame({"g": g, "x": x, "y": y})
+    ds = rd.from_arrow(pa.Table.from_pandas(
+        df, preserve_index=False)).repartition(5)
+    out = rel.grouped_regression(ds, keys=["g"], x="x", y="y",
+                                 num_partitions=4) \
+        .to_pandas().set_index("g").sort_index()
+    for grp in ("a", "b"):
+        sub = df[df["g"] == grp]
+        cov = np.cov(sub["x"], sub["y"], bias=True)
+        slope = cov[0, 1] / cov[0, 0]
+        inter = sub["y"].mean() - slope * sub["x"].mean()
+        r2 = np.corrcoef(sub["x"], sub["y"])[0, 1] ** 2
+        assert abs(out.loc[grp, "slope"] - slope) < 1e-5
+        assert abs(out.loc[grp, "intercept"] - inter) < 1e-5
+        assert abs(out.loc[grp, "r2"] - r2) < 1e-5
+    assert pd.isna(out.loc["c", "slope"]) and pd.isna(out.loc["c", "r2"])
