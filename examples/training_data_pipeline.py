@@ -1,8 +1,10 @@
 """End-to-end training-data curation over the `documents` table:
 
     read → normalize → quality-score → filter → exact dedup →
-    MinHash near-dup dedup → benchmark decontamination → token stats →
-    balanced per-language mix → resumable partitioned shards
+    MinHash near-dup dedup → benchmark decontamination →
+    duplicate-span removal (ExactSubstr) → token stats →
+    source-mixture rates → balanced per-language mix →
+    resumable partitioned shards
 
 Run standalone (owns its Ray session):
 
@@ -31,9 +33,12 @@ def main():
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
-    from chomper_ray.pipelines.relational import stratified_sample
+    from chomper_ray.pipelines.relational import (hash_join,
+                                                  mixture_sample,
+                                                  stratified_sample)
     from chomper_ray.stages.dedup import (decontaminate, dedup_apply,
-                                          exact_dedup, minhash_lsh_dedup)
+                                          exact_dedup, minhash_lsh_dedup,
+                                          remove_duplicate_spans)
     from chomper_ray.stages.text import (QualityScorer, count_tokens,
                                          normalize_text)
     from chomper_ray.state.output import read_partitioned, write_partitioned
@@ -74,16 +79,38 @@ def main():
         .map_batches(lambda df: df[["doc_id", "text_norm"]]
                      .rename(columns={"text_norm": "text"}),
                      batch_format="pandas")
-    clean = decontaminate(deduped, bench, n=3, drop=True)
+    clean = decontaminate(deduped, bench, n=3, drop=True).materialize()
+
+    # 3c. ExactSubstr duplicate-span removal: any 12-token window still
+    # duplicated across the survivors is cut from all but its first
+    # occurrence; docs emptied by the cut drop. lang rejoins on the
+    # bucketed doc spine (the span stage's output is (doc_id, text)).
+    import pyarrow as pa
+
+    spans = remove_duplicate_spans(clean, window=12) \
+        .map_batches(lambda df: df[df["text_dedup"].notna()
+                                   & (df["text_dedup"] != "")]
+                     .rename(columns={"text_dedup": "text"}),
+                     batch_format="pandas")
+    spine = clean.map_batches(lambda df: df[["doc_id", "lang"]],
+                              batch_format="pandas")
+    rejoined = hash_join(
+        spans, spine, on="doc_id",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("text", pa.string())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("lang", pa.string())]))
     # materialized: two consumers follow (count for the mix cap, sample)
-    final = clean.map_batches(count_tokens,
-                              batch_format="pandas").materialize()
+    final = rejoined.map_batches(count_tokens,
+                                 batch_format="pandas").materialize()
     n_decontaminated = final.count()
 
-    # 4. balanced training mix: deterministic fixed-n per language
-    # (the stratified-sampling knob; pick n to the corpus — here the
-    # per-language cap at this scale factor)
-    mixed = stratified_sample(final, group="lang", key="doc_id",
+    # 4. source-mixture rates (the Dolma-style knob: deterministic,
+    # re-tune consistent), then a hard per-language cap
+    rated = mixture_sample(final, group="lang", key="doc_id",
+                           rates={"en": 1.0, "fr": 0.9, "de": 0.9},
+                           default=0.7)
+    mixed = stratified_sample(rated, group="lang", key="doc_id",
                               n=max(50, final.count() // 8))
 
     # 5. resumable partitioned shards (rerun skips finished partitions)
