@@ -36,6 +36,10 @@ _QUERY_NAMES = [
     "minhash_dedup", "token_count", "quality_score", "ann_topk",
     "dropper_filter", "lookup_join", "running_sum", "scalar_math",
     "sessionize", "top_bigrams", "median_tokens",
+    # round-3 additions (keep at the end: earlier keys stay comparable
+    # round-over-round)
+    "fuzzy_pairs", "dup_span_removal", "nb_classify", "pagerank_bipartite",
+    "mixture_sample", "pq_ann",
 ]
 
 

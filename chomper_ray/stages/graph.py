@@ -128,34 +128,49 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
             on="src", num_buckets=num_partitions,
             left_schema=ew_schema,
             right_schema=pa.schema([("src", pa.int64()),
-                                    ("r", pa.float64())])) \
-            .map_batches(
-                lambda df: pd.DataFrame({
-                    "dst": df["dst"].astype("int64"),
-                    "w": df["r"].to_numpy() * df["inv_deg"].to_numpy()}),
-                batch_format="pandas")
-        sums = grouped_agg(contrib, keys=["dst"], sums=["w"],
-                           counts=False)
-        joined = hash_join(
-            spine, sums.map_batches(
-                lambda df: df.rename(columns={"dst": "n"}),
-                batch_format="pandas"),
-            on="n", how="left", num_buckets=num_partitions,
-            left_schema=pa.schema([("n", pa.int64()),
-                                   ("dang", pa.bool_())]),
-            right_schema=pa.schema([("n", pa.int64()),
-                                    ("sum_w", pa.float64())]))
+                                    ("r", pa.float64())]))
+        # per-block combiner: one (dst, partial w) row per dst per block
+        contrib = contrib.map_batches(
+            lambda df: pd.DataFrame({
+                "n": df["dst"].astype("int64"),
+                "w": df["r"].to_numpy() * df["inv_deg"].to_numpy(),
+                "dang": False, "side": np.int8(1)})
+            .groupby(["n", "dang", "side"], as_index=False)["w"].sum(),
+            batch_format="pandas")
+        # ONE shuffle finishes the iteration: contrib partials and the
+        # node spine co-bucket on n; per bucket a vectorized sum + merge
+        # emits the new rank rows (fused grouped_agg + left join)
+        tagged_spine = spine.map_batches(
+            lambda df: df.assign(w=0.0, side=np.int8(0))[
+                ["n", "w", "dang", "side"]],
+            batch_format="pandas")
         add = damping * dang_mass / n_nodes
 
-        def finish(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                "n": df["n"].astype("int64"),
-                "dang": df["dang"].astype(bool),
-                "r": base + add
-                + damping * df["sum_w"].fillna(0.0).to_numpy()})
+        def bucket(t: pa.Table) -> pa.Table:
+            from chomper_ray.stages.merge import stable_bucket
 
-        ranks = joined.map_batches(finish,
-                                   batch_format="pandas").materialize()
+            bk = stable_bucket(t["n"], num_partitions)
+            return t.append_column("_nb", pa.array(bk, type=pa.int32()))
+
+        def finish(g: pd.DataFrame) -> pd.DataFrame:
+            sp = g[g["side"] == 0]
+            sums = g[g["side"] == 1].groupby("n")["w"].sum()
+            w = sp["n"].map(sums).fillna(0.0).to_numpy()
+            return pd.DataFrame({
+                "n": sp["n"].astype("int64"),
+                "dang": sp["dang"].astype(bool),
+                "r": base + add + damping * w})
+
+        # repartition bounds the block count: the groupby's output block
+        # count grows with its INPUT's, so without this each iteration's
+        # ranks carries ~2× more blocks and per-block fixed costs
+        # compound quadratically across iterations
+        ranks = (tagged_spine.union(contrib)
+                 .map_batches(bucket, batch_format="pyarrow")
+                 .groupby("_nb")
+                 .map_groups(finish, batch_format="pandas")
+                 .repartition(min(num_partitions, 16))
+                 .materialize())
 
     def out(df: pd.DataFrame) -> pd.DataFrame:
         r = df["r"].to_numpy()
