@@ -71,6 +71,14 @@ def main(argv=None):
     c.add_argument("--keep-epochs", type=int, default=1,
                    help="time-travel window: how many manifests stay readable")
 
+    mv = sub.add_parser(
+        "matview-refresh",
+        help="fold unapplied lake commits into the per-domain "
+             "materialized rollup (incremental view maintenance)")
+    mv.add_argument("--lake-root", required=True)
+    mv.add_argument("--view-root", required=True,
+                    help="view storage; one parquet per applied manifest")
+
     pg = sub.add_parser("purge", help="drop tombstones older than a watermark")
     pg.add_argument("--lake-root", required=True)
     pg.add_argument("--epoch", type=int, default=None,
@@ -143,6 +151,39 @@ def main(argv=None):
 
         out = LakeTable(args.lake_root).compact(keep_epochs=args.keep_epochs)
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "matview-refresh":
+        _ray_init()
+        import pandas as pd
+
+        from chomper_ray.stages.text import url_parts
+        from chomper_ray.state.lake import LakeTable
+        from chomper_ray.state.matview import MaterializedAgg
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            d = url_parts(df)
+            return pd.DataFrame({
+                "domain": d["domain"],
+                "n_chars": d["text"].fillna("").str.len().astype("int64"),
+            })
+
+        view = MaterializedAgg(
+            LakeTable(args.lake_root), args.view_root, contrib,
+            group_cols=["domain"], value_cols=["n_chars"],
+            read_columns=["url", "text"])
+        before = view.applied_commits()
+        out = view.refresh()
+        after = view.applied_commits()
+        print(json.dumps({
+            "commits_applied": sorted(set(after) - set(before)),
+            "view_commits": len(after),
+            "n_domains": int(len(out)),
+            "n_pages": int(out["n_live"].sum()) if len(out) else 0,
+        }))
+        import ray
+
+        ray.shutdown()
         return 0
 
     if args.cmd == "purge":

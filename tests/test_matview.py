@@ -122,3 +122,29 @@ def test_matview_full_recompute_after_compaction(tmp_path):
     lake.compact(keep_epochs=1)
     view = make_view(lake, tmp_path / "mv")
     assert_view_equals_recompute(view.refresh(), lake)
+
+
+def test_cli_matview_refresh_idempotent(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    log, lake, mv = (str(tmp_path / d) for d in ("log", "lake", "mv"))
+
+    def cli(*args, timeout=300):
+        out = subprocess.run(
+            [sys.executable, "-m", "chomper_ray.cli", *args],
+            capture_output=True, text=True, timeout=timeout)
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    cli("generate", "--out-dir", log, "--n-events", "400",
+        "--n-urls", "80", "--n-epochs", "2")
+    cli("run-cdc", "--log-dir", log, "--lake-root", lake,
+        "--num-partitions", "2", "--drain")
+    first = cli("matview-refresh", "--lake-root", lake, "--view-root", mv)
+    assert first["commits_applied"] == [0, 1]
+    assert first["n_pages"] > 0
+    again = cli("matview-refresh", "--lake-root", lake, "--view-root", mv)
+    assert again["commits_applied"] == []
+    assert again["n_pages"] == first["n_pages"]
