@@ -1263,6 +1263,20 @@ def _q_ivf_ann(sf_dir: str):
     return ivf_search(root, queries, k=10, nprobe=3)
 
 
+def _vec_query() -> list:
+    # deterministic sf-independent query vector shared by the engine
+    # query and the SQL literal (repr round-trips to the same double)
+    return [round(0.1 * (i % 7) - 0.2, 6) for i in range(64)]
+
+
+def _q_vector_features(sf_dir: str):
+    from chomper_ray.stages.similarity import vector_features
+
+    return vector_features(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        np.array(_vec_query()))
+
+
 def _q_pq_ann(sf_dir: str):
     from chomper_ray.stages.similarity import pq_encode, pq_fit, pq_topk
 
@@ -1716,6 +1730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "ivf_ann": _q_ivf_ann,
         "pq_ann": _q_pq_ann,
+        "vector_features": _q_vector_features,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio_frames": _q_multimodal_audio_frames,
         # CDC flagship
@@ -2262,6 +2277,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS text_dedup "
             "FROM w WHERE rn = 1 GROUP BY doc_id) a USING (doc_id)"
         ),
+        "vector_features": (
+            # embedding is FLOAT[]: cast to DOUBLE[] or DuckDB's list
+            # kernels accumulate in float32 and drift ~1e-6 off the
+            # engine's float64 math
+            lambda q: (
+                "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+                "FROM embeddings) SELECT vec_id, "
+                "round(sqrt(list_dot_product(v, v)), 6) AS norm, "
+                f"round(list_dot_product(v, {q}), 6) AS dot, "
+                f"round(list_cosine_similarity(v, {q}), 6) AS cos "
+                "FROM e"
+            )
+        )("[" + ", ".join(repr(v) for v in _vec_query()) + "]"),
         "grouped_regression": (
             "SELECT l_returnflag, count(*) AS n, "
             "round(regr_slope(l_extendedprice, l_quantity), 4) AS slope, "

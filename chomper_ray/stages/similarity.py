@@ -471,3 +471,33 @@ def pq_topk(ds_encoded, model: dict, queries: np.ndarray, k: int = 10,
                                         batch_format="pandas")
     return (scored.groupby("query_id")
             .map_groups(final_topk, batch_format="pandas"))
+
+
+def vector_features(ds, query: "np.ndarray", vec_col: str = "embedding",
+                    id_col: str = "vec_id", ndigits: int = 6):
+    """Per-row vector features against ONE broadcast query vector: L2
+    norm, dot product, cosine — the map-only embedding-column kernel
+    (similarity filtering, norm sanity checks) with exact SQL parity
+    via DuckDB ``list_dot_product`` / ``list_cosine_similarity``.
+    Math in float64 on both sides; rounded at ``ndigits``."""
+    import ray
+
+    qref = ray.put(np.asarray(query, dtype=np.float64))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(qref)
+        m = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        dot = m @ q
+        nrm = np.sqrt((m * m).sum(axis=1))
+        qn = float(np.sqrt((q * q).sum()))
+        denom = nrm * qn
+        cos = np.divide(dot, denom, out=np.zeros_like(dot),
+                        where=denom > 0)
+        return pd.DataFrame({
+            id_col: batch[id_col].astype("int64"),
+            "norm": np.round(nrm, ndigits),
+            "dot": np.round(dot, ndigits),
+            "cos": np.round(cos, ndigits),
+        })
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -962,3 +962,18 @@ def test_pq_adc_recall_vs_brute_force():
 def test_pq_fit_rejects_indivisible_dim():
     with pytest.raises(ValueError, match="divisible"):
         similarity.pq_fit(np.ones((10, 30), dtype=np.float32), m_subs=8)
+
+
+def test_vector_features_zero_vector_and_numpy_parity():
+    m = np.array([[3.0, 4.0], [0.0, 0.0], [1.0, 0.0]], dtype=np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(3), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m],
+                              type=pa.list_(pa.float32())),
+    }))
+    q = np.array([1.0, 0.0])
+    out = similarity.vector_features(ds, q).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert out["norm"].tolist() == [5.0, 0.0, 1.0]
+    assert out["dot"].tolist() == [3.0, 0.0, 1.0]
+    assert out["cos"].tolist() == [0.6, 0.0, 1.0]  # zero vector → cos 0
