@@ -1269,6 +1269,28 @@ def _vec_query() -> list:
     return [round(0.1 * (i % 7) - 0.2, 6) for i in range(64)]
 
 
+def _q_bucket_join(sf_dir: str):
+    from chomper_ray.state.output import bucket_join, write_partitioned
+
+    # storage-level join elision: both tables pay the partitioning
+    # shuffle ONCE at write time (co-bucketed by the join key), then the
+    # join itself is one map task per bucket pair — no all-to-all.
+    lroot = tempfile.mkdtemp(prefix="chomper_bj_l_")
+    rroot = tempfile.mkdtemp(prefix="chomper_bj_r_")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]) \
+        .repartition(8).map_batches(
+            lambda df: df.rename(columns={"o_orderkey": "okey"}),
+            batch_format="pandas")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity"]) \
+        .repartition(8).map_batches(
+            lambda df: df.rename(columns={"l_orderkey": "okey"}),
+            batch_format="pandas")
+    write_partitioned(orders, lroot, key="okey", num_partitions=16)
+    write_partitioned(li, rroot, key="okey", num_partitions=16)
+    return bucket_join(lroot, rroot, how="inner")
+
+
 def _q_ivfpq_ann(sf_dir: str):
     from chomper_ray.stages.similarity import (ivfpq_build_index,
                                                ivfpq_fit, ivfpq_search)
@@ -1751,6 +1773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_ann": _q_pq_ann,
         "vector_features": _q_vector_features,
         "ivfpq_ann": _q_ivfpq_ann,
+        "bucket_join_elision": _q_bucket_join,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio_frames": _q_multimodal_audio_frames,
         # CDC flagship
@@ -2296,6 +2319,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, a.text_dedup FROM documents d LEFT JOIN ("
             "SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS text_dedup "
             "FROM w WHERE rn = 1 GROUP BY doc_id) a USING (doc_id)"
+        ),
+        "bucket_join_elision": (
+            "SELECT o_orderkey AS okey, o_totalprice, l_linenumber, "
+            "l_quantity FROM orders JOIN lineitem "
+            "ON o_orderkey = l_orderkey"
         ),
         "vector_features": (
             # embedding is FLOAT[]: cast to DOUBLE[] or DuckDB's list

@@ -67,6 +67,7 @@ def write_partitioned(ds, root: str | Path, key: str,
     stats = (bucketed.groupby(BUCKET_COL)
              .map_groups(write_part, batch_format="pyarrow")
              .to_pandas())  # one row per partition — metadata only
+    _write_layout(root, key, num_partitions)
     return {
         "written": int((~stats["skipped"]).sum()),
         "skipped": int(stats["skipped"].sum()),
@@ -85,3 +86,95 @@ def read_partitioned(root: str | Path):
     if not files:
         raise FileNotFoundError(f"no completed partitions under {root}")
     return rd.read_parquet(files, partitioning=None)
+
+
+def _write_layout(root: Path, key: str, num_partitions: int) -> None:
+    import json
+
+    tmp = root / f"._LAYOUT.{uuid.uuid4().hex[:8]}.tmp"
+    tmp.write_text(json.dumps({"key": key,
+                               "num_partitions": num_partitions}))
+    os.replace(tmp, root / "_LAYOUT.json")
+
+
+def read_layout(root: str | Path) -> dict:
+    import json
+
+    p = Path(root) / "_LAYOUT.json"
+    if not p.exists():
+        raise FileNotFoundError(
+            f"{root} has no _LAYOUT.json — not a write_partitioned "
+            "output (or written by an older version; pass key/"
+            "num_partitions explicitly)")
+    return json.loads(p.read_text())
+
+
+def bucket_join(left_root: str | Path, right_root: str | Path,
+                how: str = "inner", suffix: str = "_r"):
+    """SHUFFLE-FREE join of two co-bucketed ``write_partitioned``
+    layouts: both sides were hash-bucketed by the same key function, so
+    bucket i of one side can only match bucket i of the other — the
+    join is one map task per bucket pair (read two files, one pandas
+    merge), no all-to-all exchange at any point.
+
+    This is the storage-level join-elision a 100 TB pipeline leans on:
+    pay the partitioning shuffle ONCE at write time, then every
+    subsequent join against any co-bucketed table is embarrassingly
+    parallel. Layouts must agree on ``num_partitions`` and key NAME
+    (join column = the layout key; validated from ``_LAYOUT.json``).
+
+    ``how``: inner / left / outer (pandas merge semantics per bucket —
+    correct globally because co-bucketing makes buckets independent).
+    """
+    import ray.data as rd
+
+    ll, rl = read_layout(left_root), read_layout(right_root)
+    if ll["num_partitions"] != rl["num_partitions"]:
+        raise ValueError(
+            f"bucket_join needs equal num_partitions: "
+            f"{ll['num_partitions']} != {rl['num_partitions']}")
+    if ll["key"] != rl["key"]:
+        raise ValueError(
+            f"bucket_join joins ON the layout key; keys differ: "
+            f"{ll['key']!r} != {rl['key']!r}")
+    key, n = ll["key"], int(ll["num_partitions"])
+    lroot, rroot = str(left_root), str(right_root)
+
+    def _first_schema(root):
+        for m in sorted(Path(root).glob("p=*/_SUCCESS")):
+            return pq.read_schema(m.parent / "part.parquet")
+        raise FileNotFoundError(f"no completed partitions under {root}")
+
+    # typed empties keep every bucket's output schema identical, even
+    # when one side's bucket file is absent
+    l_empty = _first_schema(lroot).empty_table().to_pandas()
+    r_empty = _first_schema(rroot).empty_table().to_pandas()
+    empty_out = l_empty.merge(r_empty, on=key, how=how,
+                              suffixes=("", suffix))
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        pid = int(df["pid"].iloc[0])
+        lp = Path(lroot) / f"p={pid:05d}"
+        rp = Path(rroot) / f"p={pid:05d}"
+        lt = pq.read_table(lp / "part.parquet").to_pandas() \
+            if (lp / "_SUCCESS").exists() else None
+        rt = pq.read_table(rp / "part.parquet").to_pandas() \
+            if (rp / "_SUCCESS").exists() else None
+        if lt is None and rt is None:
+            return empty_out
+        if lt is None:
+            if how in ("inner", "left"):
+                return empty_out
+            lt = l_empty
+        if rt is None:
+            if how == "inner":
+                return empty_out
+            rt = r_empty
+        out = lt.merge(rt, on=key, how=how, suffixes=("", suffix))
+        return out[list(empty_out.columns)]
+
+    return (rd.range(n)
+            .map_batches(lambda df: df.rename(columns={"id": "pid"}),
+                         batch_format="pandas")
+            .repartition(n)
+            .map_batches(join_bucket, batch_format="pandas"))

@@ -51,3 +51,43 @@ def test_partial_dirs_invisible_to_reader(tmp_path):
     back = read_partitioned(root).to_pandas()
     assert back["k"].nunique() < 500
     assert n_parts == len(list(root.glob("p=*"))) - 1
+
+
+def test_bucket_join_matches_pandas_all_modes(tmp_path):
+    import numpy as np
+
+    from chomper_ray.state.output import bucket_join, write_partitioned
+
+    rng = np.random.default_rng(4)
+    l = pd.DataFrame({"k": rng.integers(0, 300, 1000),
+                      "lv": rng.integers(0, 100, 1000)})
+    r = pd.DataFrame({"k": rng.integers(100, 400, 800),
+                      "rv": rng.integers(0, 100, 800)})
+    ld, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    write_partitioned(rd.from_arrow(pa.Table.from_pandas(
+        l, preserve_index=False)).repartition(4), ld,
+        key="k", num_partitions=16)
+    write_partitioned(rd.from_arrow(pa.Table.from_pandas(
+        r, preserve_index=False)).repartition(4), rdir,
+        key="k", num_partitions=16)
+    for how in ("inner", "left", "outer"):
+        got = bucket_join(ld, rdir, how=how).to_pandas() \
+            .sort_values(["k", "lv", "rv"], na_position="last") \
+            .reset_index(drop=True)
+        exp = l.merge(r, on="k", how=how) \
+            .sort_values(["k", "lv", "rv"], na_position="last") \
+            .reset_index(drop=True)
+        assert len(got) == len(exp)
+        assert (got.fillna(-1).values == exp.fillna(-1).values).all()
+
+
+def test_bucket_join_rejects_mismatched_layouts(tmp_path):
+    import pytest as _pytest
+
+    from chomper_ray.state.output import bucket_join, write_partitioned
+
+    a = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64())}))
+    write_partitioned(a, str(tmp_path / "x"), key="k", num_partitions=4)
+    write_partitioned(a, str(tmp_path / "y"), key="k", num_partitions=8)
+    with _pytest.raises(ValueError, match="num_partitions"):
+        bucket_join(str(tmp_path / "x"), str(tmp_path / "y"))
