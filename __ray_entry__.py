@@ -1291,6 +1291,24 @@ def _q_bucket_join(sf_dir: str):
     return bucket_join(lroot, rroot, how="inner")
 
 
+def _q_bucket_agg(sf_dir: str):
+    from chomper_ray.state.output import bucket_agg, write_partitioned
+
+    # shuffle-free grouped aggregation over the same co-bucketed
+    # layout idea: the groupby shuffle was paid once at write time
+    root = tempfile.mkdtemp(prefix="chomper_ba_")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_quantity"]).repartition(8)
+    write_partitioned(li, root, key="l_orderkey", num_partitions=16)
+    out = bucket_agg(root, sums=["l_quantity"])
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].astype("int64"),
+            "sum_qty": df["sum_l_quantity"].astype("int64"),
+            "n_rows": df["n_rows"].astype("int64")}),
+        batch_format="pandas")
+
+
 def _q_ivfpq_ann(sf_dir: str):
     from chomper_ray.stages.similarity import (ivfpq_build_index,
                                                ivfpq_fit, ivfpq_search)
@@ -1774,6 +1792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_features": _q_vector_features,
         "ivfpq_ann": _q_ivfpq_ann,
         "bucket_join_elision": _q_bucket_join,
+        "bucket_agg_elision": _q_bucket_agg,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio_frames": _q_multimodal_audio_frames,
         # CDC flagship
@@ -2319,6 +2338,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, a.text_dedup FROM documents d LEFT JOIN ("
             "SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS text_dedup "
             "FROM w WHERE rn = 1 GROUP BY doc_id) a USING (doc_id)"
+        ),
+        "bucket_agg_elision": (
+            "SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) "
+            "AS sum_qty, count(*) AS n_rows FROM lineitem GROUP BY 1"
         ),
         "bucket_join_elision": (
             "SELECT o_orderkey AS okey, o_totalprice, l_linenumber, "

@@ -178,3 +178,45 @@ def bucket_join(left_root: str | Path, right_root: str | Path,
                          batch_format="pandas")
             .repartition(n)
             .map_batches(join_bucket, batch_format="pandas"))
+
+
+def bucket_agg(root: str | Path, sums=(), counts: bool = True):
+    """SHUFFLE-FREE grouped aggregation over a ``write_partitioned``
+    layout: the layout key is the grouping key, and co-bucketing means
+    every row of a key lives in exactly one bucket file — so the global
+    groupby is one map task per bucket (read, one vectorized pandas
+    groupby, emit finals). The aggregation shuffle was paid once, at
+    write time, and is amortized over every subsequent group-by/join
+    against the layout."""
+    import ray.data as rd
+
+    lay = read_layout(root)
+    key, n = lay["key"], int(lay["num_partitions"])
+    roots = str(root)
+    sums = list(sums)
+
+    def agg_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        pid = int(df["pid"].iloc[0])
+        p = Path(roots) / f"p={pid:05d}"
+        if not (p / "_SUCCESS").exists():
+            cols = {key: pd.Series(dtype="object")}
+            cols.update({f"sum_{c}": pd.Series(dtype="float64")
+                         for c in sums})
+            if counts:
+                cols["n_rows"] = pd.Series(dtype="int64")
+            return pd.DataFrame(cols)
+        t = pq.read_table(p / "part.parquet",
+                          columns=[key] + sums).to_pandas()
+        g = t.groupby(key, sort=False, dropna=False)
+        out = g[sums].sum() if sums else g.size().to_frame("__drop")
+        out = out.rename(columns={c: f"sum_{c}" for c in sums})
+        if counts:
+            out["n_rows"] = g.size()
+        return out.reset_index().drop(columns=["__drop"],
+                                      errors="ignore")
+
+    return (rd.range(n)
+            .map_batches(lambda df: df.rename(columns={"id": "pid"}),
+                         batch_format="pandas")
+            .repartition(n)
+            .map_batches(agg_bucket, batch_format="pandas"))

@@ -91,3 +91,24 @@ def test_bucket_join_rejects_mismatched_layouts(tmp_path):
     write_partitioned(a, str(tmp_path / "y"), key="k", num_partitions=8)
     with _pytest.raises(ValueError, match="num_partitions"):
         bucket_join(str(tmp_path / "x"), str(tmp_path / "y"))
+
+
+def test_bucket_agg_matches_pandas(tmp_path):
+    import numpy as np
+
+    from chomper_ray.state.output import bucket_agg, write_partitioned
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"k": rng.integers(0, 50, 2000),
+                       "v": rng.integers(0, 10, 2000)})
+    root = str(tmp_path / "t")
+    write_partitioned(rd.from_arrow(pa.Table.from_pandas(
+        df, preserve_index=False)).repartition(4), root,
+        key="k", num_partitions=8)
+    got = bucket_agg(root, sums=["v"]).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    exp = df.groupby("k").agg(sum_v=("v", "sum"), n_rows=("v", "size")) \
+        .reset_index().sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["sum_v"].tolist() == exp["sum_v"].tolist()
+    assert got["n_rows"].tolist() == exp["n_rows"].tolist()
