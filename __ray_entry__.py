@@ -1291,6 +1291,23 @@ def _q_bucket_join(sf_dir: str):
     return bucket_join(lroot, rroot, how="inner")
 
 
+def _q_range_pruned_scan(sf_dir: str):
+    from chomper_ray.state.output import read_range, write_sorted
+
+    # statistics-based data skipping: a range-partitioned sorted layout
+    # with per-file min/max stats; the scan opens only files overlapping
+    # the predicate (pruning factor pytest-pinned), residual filter
+    # vectorized
+    root = tempfile.mkdtemp(prefix="chomper_rps_")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_shipdate"]) \
+        .repartition(8)
+    write_sorted(li, root, "l_shipdate", num_partitions=16)
+    ds, _, _ = read_range(root, lo=pd.Timestamp("1996-03-01"),
+                          hi=pd.Timestamp("1996-09-01"))
+    return ds
+
+
 def _q_bucket_agg(sf_dir: str):
     from chomper_ray.state.output import bucket_agg, write_partitioned
 
@@ -1793,6 +1810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivfpq_ann": _q_ivfpq_ann,
         "bucket_join_elision": _q_bucket_join,
         "bucket_agg_elision": _q_bucket_agg,
+        "range_pruned_scan": _q_range_pruned_scan,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio_frames": _q_multimodal_audio_frames,
         # CDC flagship
@@ -2338,6 +2356,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, a.text_dedup FROM documents d LEFT JOIN ("
             "SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS text_dedup "
             "FROM w WHERE rn = 1 GROUP BY doc_id) a USING (doc_id)"
+        ),
+        "range_pruned_scan": (
+            "SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-03-01' "
+            "AND l_shipdate < TIMESTAMP '1996-09-01'"
         ),
         "bucket_agg_elision": (
             "SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) "

@@ -220,3 +220,144 @@ def bucket_agg(root: str | Path, sums=(), counts: bool = True):
                          batch_format="pandas")
             .repartition(n)
             .map_batches(agg_bucket, batch_format="pandas"))
+
+
+def write_sorted(ds, root: str | Path, order_col: str,
+                 num_partitions: int = 64,
+                 sample_per_block: int = 200) -> dict:
+    """Range-partitioned SORTED layout with per-file min/max statistics
+    — the data-skipping half of "prune at the read": later range scans
+    open only the files whose [min, max] overlaps the predicate.
+
+    Boundaries come from per-block samples (bounded: blocks ×
+    ``sample_per_block`` values on the driver — a sketch, not the
+    column); rows route to their range by one vectorized searchsorted;
+    each range writes one sorted file plus its true min/max into
+    ``_STATS.json``. Same atomic tmp-rename + ``_SUCCESS`` contract as
+    ``write_partitioned``.
+    """
+    import json
+
+    import numpy as np
+    import ray.data as rd  # noqa: F401  (ds is already a Dataset)
+
+    root = Path(root)
+    root.mkdir(parents=True, exist_ok=True)
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[order_col].dropna()
+        if len(v) > sample_per_block:
+            # deterministic systematic sample, no RNG
+            idx = np.linspace(0, len(v) - 1, sample_per_block).astype(int)
+            v = v.iloc[idx]
+        return pd.DataFrame({order_col: v})
+
+    samp = ds.map_batches(sample, batch_format="pandas").to_pandas()
+    vals = np.sort(samp[order_col].to_numpy())
+    qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
+    bounds = np.unique(vals[(qs * (len(vals) - 1)).astype(int)]) \
+        if len(vals) else np.array([])
+    n_ranges = len(bounds) + 1
+    roots = str(root)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_rb"] = np.searchsorted(
+            bounds, df[order_col].to_numpy(), side="right") \
+            .astype(np.int32) if len(bounds) else np.int32(0)
+        return df
+
+    def write_part(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["_rb"].iloc[0])
+        g = g.drop(columns=["_rb"]).sort_values(order_col, kind="stable")
+        d = Path(roots) / f"r={pid:05d}"
+        d.mkdir(parents=True, exist_ok=True)
+        tmp = d / f".part.{uuid.uuid4().hex[:8]}.parquet.tmp"
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+        os.replace(tmp, d / "part.parquet")
+        (d / "_SUCCESS").touch()
+        return pd.DataFrame({"pid": [pid], "rows": [len(g)],
+                             "vmin": [g[order_col].iloc[0]],
+                             "vmax": [g[order_col].iloc[-1]]})
+
+    stats = (ds.map_batches(tag, batch_format="pandas")
+             .groupby("_rb").map_groups(write_part, batch_format="pandas")
+             .to_pandas())  # one row per range — metadata only
+    def _jsonable(v):
+        # numerics stay numeric (string compare breaks them: "9" > "10");
+        # everything else (timestamps, strings) stores its str() form —
+        # ISO timestamp strings compare correctly lexicographically
+        import numpy as _np
+
+        if isinstance(v, (int, float, _np.integer, _np.floating)):
+            return float(v)
+        return str(v)
+
+    meta = {"order_col": order_col, "n_ranges": n_ranges,
+            "files": [{"pid": int(r.pid), "rows": int(r.rows),
+                       "min": _jsonable(r.vmin), "max": _jsonable(r.vmax)}
+                      for r in stats.itertuples()]}
+    tmp = root / f"._STATS.{uuid.uuid4().hex[:8]}.tmp"
+    tmp.write_text(json.dumps(meta))
+    os.replace(tmp, root / "_STATS.json")
+    return {"files": len(stats), "rows": int(stats["rows"].sum())}
+
+
+def read_range(root: str | Path, lo=None, hi=None,
+               columns=None) -> tuple:
+    """Scan a ``write_sorted`` layout with file-level pruning: returns
+    ``(Dataset, n_files_read, n_files_total)`` — only files whose
+    [min, max] overlaps [lo, hi] are opened; the residual row filter
+    (files straddling the bounds) is applied vectorized. ``lo``/``hi``
+    are inclusive/exclusive respectively (SQL ``lo <= x < hi``)."""
+    import json
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    root = Path(root)
+    meta = json.loads((root / "_STATS.json").read_text())
+    col = meta["order_col"]
+    def _cmp_key(stored, bound):
+        if isinstance(stored, (int, float)):
+            return stored, float(bound)
+        return str(stored), str(bound)
+
+    keep = []
+    for f in meta["files"]:
+        if lo is not None:
+            a, b = _cmp_key(f["max"], lo)
+            if a < b:
+                continue
+        if hi is not None:
+            a, b = _cmp_key(f["min"], hi)
+            if a >= b:
+                continue
+        keep.append(f["pid"])
+    files = [str(root / f"r={pid:05d}" / "part.parquet") for pid in keep]
+    n_total = len(meta["files"])
+    if not files:
+        schema = pq.read_schema(
+            root / f"r={meta['files'][0]['pid']:05d}" / "part.parquet")
+        empty = rd.from_arrow(schema.empty_table())
+        return empty, 0, n_total
+    # columns= + partitioning=None together hit a Ray bug (same note as
+    # LakeTable.read); an explicit column list prunes the hive r= column
+    # anyway, and without one partitioning must be disabled or the
+    # directory name leaks in as a column
+    if columns is not None:
+        ds = rd.read_parquet(files, columns=columns)
+    else:
+        ds = rd.read_parquet(files, partitioning=None)
+
+    def residual(t: pa.Table) -> pa.Table:
+        m = None
+        if lo is not None:
+            m = pc.greater_equal(t[col], lo)
+        if hi is not None:
+            m2 = pc.less(t[col], hi)
+            m = m2 if m is None else pc.and_(m, m2)
+        return t.filter(m) if m is not None else t
+
+    return ds.map_batches(residual, batch_format="pyarrow"), \
+        len(files), n_total

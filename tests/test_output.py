@@ -112,3 +112,29 @@ def test_bucket_agg_matches_pandas(tmp_path):
     assert got["k"].tolist() == exp["k"].tolist()
     assert got["sum_v"].tolist() == exp["sum_v"].tolist()
     assert got["n_rows"].tolist() == exp["n_rows"].tolist()
+
+
+def test_write_sorted_read_range_prunes_files(tmp_path):
+    import numpy as np
+
+    from chomper_ray.state.output import read_range, write_sorted
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({"x": rng.integers(0, 10000, 20000).astype("int64"),
+                       "v": rng.integers(0, 100, 20000)})
+    root = str(tmp_path / "srt")
+    st = write_sorted(rd.from_arrow(pa.Table.from_pandas(
+        df, preserve_index=False)).repartition(4), root, "x",
+        num_partitions=16)
+    assert st["rows"] == 20000
+    ds, nread, ntotal = read_range(root, lo=2500, hi=3500)
+    got = ds.to_pandas().sort_values(["x", "v"]).reset_index(drop=True)
+    exp = df[(df.x >= 2500) & (df.x < 3500)] \
+        .sort_values(["x", "v"]).reset_index(drop=True)
+    assert got.equals(exp)
+    assert nread < ntotal  # pruning is real, not a full scan
+    # open-ended and no-match ranges
+    ds2, nr2, _ = read_range(root, lo=9990)
+    assert ds2.count() == int((df.x >= 9990).sum()) and nr2 == 1
+    ds3, nr3, _ = read_range(root, lo=50000)
+    assert ds3.count() == 0 and nr3 == 0
