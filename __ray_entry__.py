@@ -1308,6 +1308,23 @@ def _q_range_pruned_scan(sf_dir: str):
     return ds
 
 
+def _q_zorder_box_scan(sf_dir: str):
+    from chomper_ray.state.output import read_box, write_zorder
+
+    # Z-order clustering: a 2-D box predicate prunes files on BOTH
+    # columns (a single-column sort only skips on its own); residual
+    # filter vectorized — hash-verified against the SQL box
+    root = tempfile.mkdtemp(prefix="chomper_zb_")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice"]).repartition(8)
+    write_zorder(li, root, ["l_quantity", "l_extendedprice"],
+                 num_partitions=16)
+    ds, _, _ = read_box(root, {"l_quantity": (10.0, 20.0),
+                               "l_extendedprice": (20000.0, 40000.0)})
+    return ds
+
+
 def _q_bucket_agg(sf_dir: str):
     from chomper_ray.state.output import bucket_agg, write_partitioned
 
@@ -1811,6 +1828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_join_elision": _q_bucket_join,
         "bucket_agg_elision": _q_bucket_agg,
         "range_pruned_scan": _q_range_pruned_scan,
+        "zorder_box_scan": _q_zorder_box_scan,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio_frames": _q_multimodal_audio_frames,
         # CDC flagship
@@ -2356,6 +2374,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, a.text_dedup FROM documents d LEFT JOIN ("
             "SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS text_dedup "
             "FROM w WHERE rn = 1 GROUP BY doc_id) a USING (doc_id)"
+        ),
+        "zorder_box_scan": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, "
+            "l_extendedprice FROM lineitem "
+            "WHERE l_quantity >= 10.0 AND l_quantity < 20.0 "
+            "AND l_extendedprice >= 20000.0 AND l_extendedprice < 40000.0"
         ),
         "range_pruned_scan": (
             "SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem "

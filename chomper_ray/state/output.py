@@ -361,3 +361,170 @@ def read_range(root: str | Path, lo=None, hi=None,
 
     return ds.map_batches(residual, batch_format="pyarrow"), \
         len(files), n_total
+
+
+def _col_buckets(vals, bounds):
+    import numpy as np
+
+    return np.searchsorted(bounds, vals, side="right").astype(np.uint64)
+
+
+def write_zorder(ds, root: str | Path, cols, num_partitions: int = 64,
+                 bits: int = 10, sample_per_block: int = 200) -> dict:
+    """Z-ORDER clustered layout: rows sort by the bit-interleaved
+    quantile-rank of ``cols`` (the Databricks `ZORDER BY` idea), files
+    carry per-column min/max stats — so a box predicate on ANY subset
+    of the columns prunes files (multi-dimensional data skipping, where
+    a single-column sort only helps its own column).
+
+    Rank buckets come from per-block value samples (driver holds blocks
+    × sample_per_block values per column); the z-value is interleaved
+    ``bits`` per column; files are equal-count ranges of z.
+    """
+    import json
+
+    import numpy as np
+
+    cols = list(cols)
+    root = Path(root)
+    root.mkdir(parents=True, exist_ok=True)
+    n_buckets = (1 << bits) - 1
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        out = {}
+        for c in cols:
+            v = df[c].dropna()
+            if len(v) > sample_per_block:
+                idx = np.linspace(0, len(v) - 1,
+                                  sample_per_block).astype(int)
+                v = v.iloc[idx]
+            out[c] = v.reset_index(drop=True)
+        return pd.DataFrame(out).dropna()
+
+    samp = ds.map_batches(sample, batch_format="pandas").to_pandas()
+    qs = np.linspace(0, 1, n_buckets + 1)[1:-1]
+    bounds = {}
+    for c in cols:
+        v = np.sort(samp[c].to_numpy())
+        bounds[c] = np.unique(v[(qs * (len(v) - 1)).astype(int)]) \
+            if len(v) else np.array([])
+
+    def zvalue(df: pd.DataFrame) -> "np.ndarray":
+        z = np.zeros(len(df), dtype=np.uint64)
+        for ci, c in enumerate(cols):
+            idx = _col_buckets(df[c].to_numpy(), bounds[c])
+            for k in range(bits):
+                z |= ((idx >> np.uint64(k)) & np.uint64(1)) \
+                    << np.uint64(k * len(cols) + ci)
+        return z
+
+    # z-range boundaries from the sample itself (equal-count files)
+    zs = np.sort(zvalue(samp)) if len(samp) else np.array([], np.uint64)
+    fq = np.linspace(0, 1, num_partitions + 1)[1:-1]
+    zbounds = np.unique(zs[(fq * (len(zs) - 1)).astype(int)]) \
+        if len(zs) else np.array([], np.uint64)
+    roots = str(root)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_zb"] = np.searchsorted(zbounds, zvalue(df),
+                                    side="right").astype(np.int32)
+        return df
+
+    def write_part(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["_zb"].iloc[0])
+        g = g.drop(columns=["_zb"])
+        d = Path(roots) / f"z={pid:05d}"
+        d.mkdir(parents=True, exist_ok=True)
+        tmp = d / f".part.{uuid.uuid4().hex[:8]}.parquet.tmp"
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+        os.replace(tmp, d / "part.parquet")
+        (d / "_SUCCESS").touch()
+        row = {"pid": pid, "rows": len(g)}
+        for c in cols:
+            row[f"min_{c}"] = g[c].min()
+            row[f"max_{c}"] = g[c].max()
+        return pd.DataFrame([row])
+
+    stats = (ds.map_batches(tag, batch_format="pandas")
+             .groupby("_zb").map_groups(write_part, batch_format="pandas")
+             .to_pandas())
+
+    def _jsonable(v):
+        import numpy as _np
+
+        if isinstance(v, (int, float, _np.integer, _np.floating)):
+            return float(v)
+        return str(v)
+
+    meta = {"cols": cols,
+            "files": [dict(pid=int(r["pid"]), rows=int(r["rows"]),
+                           **{f"min_{c}": _jsonable(r[f"min_{c}"])
+                              for c in cols},
+                           **{f"max_{c}": _jsonable(r[f"max_{c}"])
+                              for c in cols})
+                      for _, r in stats.iterrows()]}
+    tmp = root / f"._STATS.{uuid.uuid4().hex[:8]}.tmp"
+    tmp.write_text(json.dumps(meta))
+    os.replace(tmp, root / "_STATS.json")
+    return {"files": len(stats), "rows": int(stats["rows"].sum())}
+
+
+def read_box(root: str | Path, preds: dict, columns=None) -> tuple:
+    """Scan a ``write_zorder`` layout with a box predicate
+    ``{col: (lo, hi)}`` (lo inclusive, hi exclusive; either side may be
+    None): only files whose per-column [min, max] intersects EVERY
+    bound are opened. Returns ``(Dataset, files_read, files_total)``."""
+    import json
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    root = Path(root)
+    meta = json.loads((root / "_STATS.json").read_text())
+
+    def _cmp_key(stored, bound):
+        if isinstance(stored, (int, float)):
+            return stored, float(bound)
+        return str(stored), str(bound)
+
+    keep = []
+    for f in meta["files"]:
+        ok = True
+        for c, (lo, hi) in preds.items():
+            if lo is not None:
+                a, b = _cmp_key(f[f"max_{c}"], lo)
+                if a < b:
+                    ok = False
+                    break
+            if hi is not None:
+                a, b = _cmp_key(f[f"min_{c}"], hi)
+                if a >= b:
+                    ok = False
+                    break
+        if ok:
+            keep.append(f["pid"])
+    n_total = len(meta["files"])
+    files = [str(root / f"z={pid:05d}" / "part.parquet") for pid in keep]
+    if not files:
+        schema = pq.read_schema(
+            root / f"z={meta['files'][0]['pid']:05d}" / "part.parquet")
+        return rd.from_arrow(schema.empty_table()), 0, n_total
+    if columns is not None:
+        ds = rd.read_parquet(files, columns=columns)
+    else:
+        ds = rd.read_parquet(files, partitioning=None)
+
+    def residual(t: pa.Table) -> pa.Table:
+        m = None
+        for c, (lo, hi) in preds.items():
+            if lo is not None:
+                mm = pc.greater_equal(t[c], lo)
+                m = mm if m is None else pc.and_(m, mm)
+            if hi is not None:
+                mm = pc.less(t[c], hi)
+                m = mm if m is None else pc.and_(m, mm)
+        return t.filter(m) if m is not None else t
+
+    return ds.map_batches(residual, batch_format="pyarrow"), \
+        len(files), n_total

@@ -138,3 +138,29 @@ def test_write_sorted_read_range_prunes_files(tmp_path):
     assert ds2.count() == int((df.x >= 9990).sum()) and nr2 == 1
     ds3, nr3, _ = read_range(root, lo=50000)
     assert ds3.count() == 0 and nr3 == 0
+
+
+def test_write_zorder_read_box_prunes_both_dims(tmp_path):
+    import numpy as np
+
+    from chomper_ray.state.output import read_box, write_zorder
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame({"x": rng.uniform(0, 100, 40000),
+                       "y": rng.uniform(0, 100, 40000),
+                       "v": rng.integers(0, 10, 40000)})
+    root = str(tmp_path / "z")
+    write_zorder(rd.from_arrow(pa.Table.from_pandas(
+        df, preserve_index=False)).repartition(4), root, ["x", "y"],
+        num_partitions=32)
+    ds, nr, nt = read_box(root, {"x": (20.0, 30.0), "y": (50.0, 60.0)})
+    got = ds.to_pandas()
+    exp = df[(df.x >= 20) & (df.x < 30) & (df.y >= 50) & (df.y < 60)]
+    assert len(got) == len(exp)
+    assert got["v"].sum() == exp["v"].sum()
+    # z-clustering makes a 2-D box prune MORE than one dimension alone
+    _, nr_x, _ = read_box(root, {"x": (20.0, 30.0)})
+    assert nr < nr_x < nt
+    # empty box
+    ds2, nr2, _ = read_box(root, {"x": (200.0, 300.0)})
+    assert ds2.count() == 0 and nr2 == 0
