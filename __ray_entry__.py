@@ -1308,6 +1308,20 @@ def _q_range_pruned_scan(sf_dir: str):
     return ds
 
 
+def _q_bucket_point_lookup(sf_dir: str):
+    from chomper_ray.state.output import bucket_lookup, write_partitioned
+
+    # O(1)-file point lookup: each key hashes to exactly one bucket
+    # file — k keys open ≤ k files, no scan, no Ray job on the read
+    root = tempfile.mkdtemp(prefix="chomper_pl_")
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_acctbal"]) \
+        .repartition(8)
+    write_partitioned(cust, root, key="c_custkey", num_partitions=32)
+    out = bucket_lookup(root, [10, 77, 142])
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
 def _q_zorder_box_scan(sf_dir: str):
     from chomper_ray.state.output import read_box, write_zorder
 
@@ -1829,6 +1843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_agg_elision": _q_bucket_agg,
         "range_pruned_scan": _q_range_pruned_scan,
         "zorder_box_scan": _q_zorder_box_scan,
+        "bucket_point_lookup": _q_bucket_point_lookup,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio_frames": _q_multimodal_audio_frames,
         # CDC flagship
@@ -2374,6 +2389,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, a.text_dedup FROM documents d LEFT JOIN ("
             "SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS text_dedup "
             "FROM w WHERE rn = 1 GROUP BY doc_id) a USING (doc_id)"
+        ),
+        "bucket_point_lookup": (
+            "SELECT c_custkey, c_name, c_acctbal FROM customer "
+            "WHERE c_custkey IN (10, 77, 142) ORDER BY c_custkey"
         ),
         "zorder_box_scan": (
             "SELECT l_orderkey, l_linenumber, l_quantity, "

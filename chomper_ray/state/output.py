@@ -528,3 +528,30 @@ def read_box(root: str | Path, preds: dict, columns=None) -> tuple:
 
     return ds.map_batches(residual, batch_format="pyarrow"), \
         len(files), n_total
+
+
+def bucket_lookup(root: str | Path, values) -> pd.DataFrame:
+    """Point lookup on a ``write_partitioned`` layout: each key hashes
+    to exactly one bucket, so looking up k keys opens at most k files
+    (usually far fewer) — no scan, no Ray job, pure driver-side reads.
+    Returns the matching rows as a DataFrame (order: input values)."""
+    from chomper_ray.stages.merge import stable_bucket
+
+    lay = read_layout(root)
+    key, n = lay["key"], int(lay["num_partitions"])
+    vals = pd.Series(list(values))
+    buckets = stable_bucket(vals.to_numpy(), n)
+    out = []
+    for pid in sorted(set(int(b) for b in buckets)):
+        p = Path(root) / f"p={pid:05d}"
+        if not (p / "_SUCCESS").exists():
+            continue
+        want = vals[buckets == pid]
+        t = pq.read_table(p / "part.parquet").to_pandas()
+        out.append(t[t[key].isin(set(want))])
+    if not out:
+        return pd.DataFrame()
+    res = pd.concat(out, ignore_index=True)
+    order = {v: i for i, v in enumerate(vals)}
+    return res.sort_values(key, key=lambda s: s.map(order),
+                           kind="stable").reset_index(drop=True)

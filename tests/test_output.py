@@ -164,3 +164,20 @@ def test_write_zorder_read_box_prunes_both_dims(tmp_path):
     # empty box
     ds2, nr2, _ = read_box(root, {"x": (200.0, 300.0)})
     assert ds2.count() == 0 and nr2 == 0
+
+
+def test_bucket_lookup_reads_single_buckets(tmp_path):
+    import numpy as np
+
+    from chomper_ray.state.output import bucket_lookup, write_partitioned
+
+    df = pd.DataFrame({"k": np.arange(1000, dtype="int64"),
+                       "v": np.arange(1000, dtype="int64") * 7})
+    root = str(tmp_path / "pl")
+    write_partitioned(rd.from_arrow(pa.Table.from_pandas(
+        df, preserve_index=False)).repartition(4), root,
+        key="k", num_partitions=32)
+    got = bucket_lookup(root, [42, 999, 7])
+    assert got["k"].tolist() == [42, 999, 7]
+    assert got["v"].tolist() == [294, 6993, 49]
+    assert bucket_lookup(root, [123456]).empty
