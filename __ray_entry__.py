@@ -1308,6 +1308,20 @@ def _q_range_pruned_scan(sf_dir: str):
     return ds
 
 
+def _q_inverted_index(sf_dir: str):
+    from chomper_ray.state.index import build_inverted_index, search_index
+
+    # inverted-index retrieval: the postings exchange is paid once at
+    # build; the 2-token AND query then reads ≤ 2 bucket files and
+    # never touches document text
+    root = tempfile.mkdtemp(prefix="chomper_idx_")
+    build_inverted_index(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .repartition(8), root, num_partitions=32)
+    ids = search_index(root, ["spark", "merge"], mode="all")
+    return pd.DataFrame({"doc_id": ids.astype("int64")})
+
+
 def _q_bucket_point_lookup(sf_dir: str):
     from chomper_ray.state.output import bucket_lookup, write_partitioned
 
@@ -1844,6 +1858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_pruned_scan": _q_range_pruned_scan,
         "zorder_box_scan": _q_zorder_box_scan,
         "bucket_point_lookup": _q_bucket_point_lookup,
+        "inverted_index_search": _q_inverted_index,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio_frames": _q_multimodal_audio_frames,
         # CDC flagship
@@ -2389,6 +2404,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, a.text_dedup FROM documents d LEFT JOIN ("
             "SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS text_dedup "
             "FROM w WHERE rn = 1 GROUP BY doc_id) a USING (doc_id)"
+        ),
+        "inverted_index_search": (
+            "SELECT doc_id FROM documents "
+            "WHERE list_contains(string_split(coalesce(text, ''), ' '), "
+            "'spark') AND list_contains(string_split(coalesce(text, ''), "
+            "' '), 'merge')"
         ),
         "bucket_point_lookup": (
             "SELECT c_custkey, c_name, c_acctbal FROM customer "

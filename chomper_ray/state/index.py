@@ -1,0 +1,109 @@
+"""Inverted text index over a document Dataset — the search-side
+primitive a 100 TB corpus needs for targeted retrieval (keyword
+filtering, quality-slice pulls, eval-leak forensics) without a scan.
+
+Layout: distinct (token, doc_id) postings, hash-partitioned by token
+into ``root/t=NNNNN/part.parquet`` files sorted by (token, doc_id),
+plus a ``_LAYOUT.json``. Build is one explode → per-block distinct →
+one co-locating shuffle (the postings exchange is paid ONCE); a query
+for k tokens then reads AT MOST k bucket files (usually fewer — tokens
+sharing a bucket share the read) and never touches document text.
+
+Postings are per-token sorted runs, so per-bucket filtering is a
+vectorized ``searchsorted`` slice, and multi-token AND/OR combine on
+doc_id arrays driver-side — bounded by the matched postings, not the
+corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from chomper_ray.stages.merge import stable_bucket
+
+
+def build_inverted_index(ds, root: str | Path, col: str = "text",
+                         id_col: str = "doc_id", sep: str = " ",
+                         num_partitions: int = 64) -> dict:
+    """Build the index: returns ``{"files": n, "postings": n}``."""
+    import polars as pl
+
+    root = Path(root)
+    root.mkdir(parents=True, exist_ok=True)
+    roots = str(root)
+
+    def postings(df: pd.DataFrame) -> pd.DataFrame:
+        ex = pl.DataFrame({
+            "d": pl.Series(df[id_col].to_numpy()),
+            "w": pl.Series(pd.Series(df[col]).fillna("")
+                           .astype(str).tolist()).str.split(sep),
+        }).explode("w").unique().to_pandas()
+        out = pd.DataFrame({"token": ex["w"],
+                            "doc_id": ex["d"].astype("int64")})
+        out["_tb"] = stable_bucket(out["token"].to_numpy(),
+                                   num_partitions).astype("int32")
+        return out
+
+    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["_tb"].iloc[0])
+        g = g.drop(columns=["_tb"]) \
+            .drop_duplicates(subset=["token", "doc_id"]) \
+            .sort_values(["token", "doc_id"], kind="stable")
+        d = Path(roots) / f"t={pid:05d}"
+        d.mkdir(parents=True, exist_ok=True)
+        tmp = d / f".part.{uuid.uuid4().hex[:8]}.parquet.tmp"
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+        os.replace(tmp, d / "part.parquet")
+        (d / "_SUCCESS").touch()
+        return pd.DataFrame({"pid": [pid], "postings": [len(g)]})
+
+    stats = (ds.map_batches(postings, batch_format="pandas")
+             .groupby("_tb").map_groups(write_bucket,
+                                        batch_format="pandas")
+             .to_pandas())
+    tmp = root / f"._LAYOUT.{uuid.uuid4().hex[:8]}.tmp"
+    tmp.write_text(json.dumps({"num_partitions": num_partitions,
+                               "sep": sep}))
+    os.replace(tmp, root / "_LAYOUT.json")
+    return {"files": len(stats), "postings": int(stats["postings"].sum())}
+
+
+def _token_postings(root: Path, n: int, token: str) -> np.ndarray:
+    pid = int(stable_bucket(np.array([token], dtype=object), n)[0])
+    p = root / f"t={pid:05d}"
+    if not (p / "_SUCCESS").exists():
+        return np.empty(0, dtype=np.int64)
+    t = pq.read_table(p / "part.parquet").to_pandas()
+    toks = t["token"].to_numpy()
+    lo = np.searchsorted(toks, token, side="left")
+    hi = np.searchsorted(toks, token, side="right")
+    return t["doc_id"].to_numpy()[lo:hi].astype(np.int64)
+
+
+def search_index(root: str | Path, tokens, mode: str = "all") -> np.ndarray:
+    """Doc ids whose text contains ``all`` (AND) or ``any`` (OR) of the
+    query tokens. Reads at most one bucket file per distinct token
+    (pure driver-side reads, no Ray job); the in-file posting slice is
+    one ``searchsorted`` pair per token. Returns sorted int64 ids."""
+    root = Path(root)
+    lay = json.loads((root / "_LAYOUT.json").read_text())
+    n = int(lay["num_partitions"])
+    sets = [_token_postings(root, n, t) for t in tokens]
+    if not sets:
+        return np.empty(0, dtype=np.int64)
+    if mode == "all":
+        out = sets[0]
+        for s in sets[1:]:
+            out = np.intersect1d(out, s, assume_unique=True)
+        return out
+    if mode == "any":
+        return np.unique(np.concatenate(sets))
+    raise ValueError(f"mode must be 'all' or 'any', got {mode!r}")
