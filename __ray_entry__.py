@@ -1322,6 +1322,20 @@ def _q_inverted_index(sf_dir: str):
     return pd.DataFrame({"doc_id": ids.astype("int64")})
 
 
+def _q_bm25(sf_dir: str):
+    from chomper_ray.state.index import bm25_search, build_inverted_index
+
+    # BM25 ranked retrieval over the inverted index: postings carry
+    # (tf, dl), the layout carries (N, avgdl), so a 2-token query is
+    # 2 bucket-file reads + vectorized arithmetic over matched
+    # postings. The oracle replays the full BM25 formula in SQL.
+    root = tempfile.mkdtemp(prefix="chomper_bm25_")
+    build_inverted_index(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .repartition(8), root, num_partitions=32)
+    return bm25_search(root, ["spark", "merge"], k=10)
+
+
 def _q_bucket_point_lookup(sf_dir: str):
     from chomper_ray.state.output import bucket_lookup, write_partitioned
 
@@ -1859,6 +1873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_box_scan": _q_zorder_box_scan,
         "bucket_point_lookup": _q_bucket_point_lookup,
         "inverted_index_search": _q_inverted_index,
+        "bm25_topk": _q_bm25,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio_frames": _q_multimodal_audio_frames,
         # CDC flagship
@@ -2404,6 +2419,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, a.text_dedup FROM documents d LEFT JOIN ("
             "SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS text_dedup "
             "FROM w WHERE rn = 1 GROUP BY doc_id) a USING (doc_id)"
+        ),
+        "bm25_topk": (
+            "WITH l AS (SELECT doc_id, string_split(coalesce(text, ''), "
+            "' ') AS ls FROM documents), "
+            "d AS (SELECT doc_id, len(ls)::DOUBLE AS dl FROM l), "
+            "st AS (SELECT count(*)::DOUBLE AS nn, avg(dl) AS avgdl "
+            "FROM d), "
+            "tok AS (SELECT doc_id, unnest(ls) AS w FROM l), "
+            "tf AS (SELECT doc_id, w, count(*)::DOUBLE AS tf FROM tok "
+            "WHERE w IN ('spark', 'merge') GROUP BY 1, 2), "
+            "df AS (SELECT w, count(*)::DOUBLE AS df FROM tf GROUP BY 1), "
+            "sc AS (SELECT tf.doc_id, "
+            "sum(ln((st.nn - df.df + 0.5)/(df.df + 0.5) + 1.0) "
+            "* tf.tf * (1.2 + 1.0) "
+            "/ (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / st.avgdl))) "
+            "AS s FROM tf JOIN df USING (w) JOIN d USING (doc_id) "
+            "CROSS JOIN st GROUP BY 1) "
+            "SELECT doc_id, round(s, 6) AS score FROM sc "
+            "ORDER BY s DESC, doc_id LIMIT 10"
         ),
         "inverted_index_search": (
             "SELECT doc_id FROM documents "

@@ -41,16 +41,32 @@ def build_inverted_index(ds, root: str | Path, col: str = "text",
     roots = str(root)
 
     def postings(df: pd.DataFrame) -> pd.DataFrame:
-        ex = pl.DataFrame({
+        base = pl.DataFrame({
             "d": pl.Series(df[id_col].to_numpy()),
             "w": pl.Series(pd.Series(df[col]).fillna("")
                            .astype(str).tolist()).str.split(sep),
-        }).explode("w").unique().to_pandas()
+        }).with_columns(pl.col("w").list.len().alias("dl"))
+        ex = base.explode("w") \
+            .group_by(["d", "w", "dl"]).len().to_pandas()
         out = pd.DataFrame({"token": ex["w"],
-                            "doc_id": ex["d"].astype("int64")})
+                            "doc_id": ex["d"].astype("int64"),
+                            "tf": ex["len"].astype("int64"),
+                            "dl": ex["dl"].astype("int64")})
         out["_tb"] = stable_bucket(out["token"].to_numpy(),
                                    num_partitions).astype("int32")
         return out
+
+    def doc_stats(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as _pl
+
+        dl = _pl.Series(pd.Series(df[col]).fillna("").astype(str)
+                        .tolist()).str.split(sep).list.len()
+        return pd.DataFrame({"n": [len(df)], "sum_dl": [int(dl.sum())]})
+
+    stats_df = ds.map_batches(doc_stats, batch_format="pandas") \
+        .to_pandas()  # one row per block — metadata only
+    n_docs = int(stats_df["n"].sum())
+    sum_dl = int(stats_df["sum_dl"].sum())
 
     def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
         pid = int(g["_tb"].iloc[0])
@@ -71,21 +87,30 @@ def build_inverted_index(ds, root: str | Path, col: str = "text",
              .to_pandas())
     tmp = root / f"._LAYOUT.{uuid.uuid4().hex[:8]}.tmp"
     tmp.write_text(json.dumps({"num_partitions": num_partitions,
-                               "sep": sep}))
+                               "sep": sep, "n_docs": n_docs,
+                               "avgdl": sum_dl / max(n_docs, 1)}))
     os.replace(tmp, root / "_LAYOUT.json")
     return {"files": len(stats), "postings": int(stats["postings"].sum())}
 
 
-def _token_postings(root: Path, n: int, token: str) -> np.ndarray:
+def _token_postings(root: Path, n: int, token: str,
+                    full: bool = False):
     pid = int(stable_bucket(np.array([token], dtype=object), n)[0])
     p = root / f"t={pid:05d}"
     if not (p / "_SUCCESS").exists():
+        if full:
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0, np.int64))
         return np.empty(0, dtype=np.int64)
     t = pq.read_table(p / "part.parquet").to_pandas()
     toks = t["token"].to_numpy()
     lo = np.searchsorted(toks, token, side="left")
     hi = np.searchsorted(toks, token, side="right")
-    return t["doc_id"].to_numpy()[lo:hi].astype(np.int64)
+    ids = t["doc_id"].to_numpy()[lo:hi].astype(np.int64)
+    if not full:
+        return ids
+    return (ids, t["tf"].to_numpy()[lo:hi].astype(np.int64),
+            t["dl"].to_numpy()[lo:hi].astype(np.int64))
 
 
 def search_index(root: str | Path, tokens, mode: str = "all") -> np.ndarray:
@@ -107,3 +132,39 @@ def search_index(root: str | Path, tokens, mode: str = "all") -> np.ndarray:
     if mode == "any":
         return np.unique(np.concatenate(sets))
     raise ValueError(f"mode must be 'all' or 'any', got {mode!r}")
+
+
+def bm25_search(root: str | Path, tokens, k: int = 10,
+                k1: float = 1.2, b: float = 0.75,
+                ndigits: int = 6) -> pd.DataFrame:
+    """BM25-ranked retrieval over the index (Robertson/Sparck Jones
+    idf, the standard `+1` smoothing): postings already carry ``tf``
+    and ``dl``, so scoring k query tokens is ≤ k bucket-file reads and
+    pure vectorized arithmetic over the MATCHED postings — never the
+    corpus. Ties break by ascending doc_id (SQL ORDER BY parity)."""
+    root = Path(root)
+    lay = json.loads((root / "_LAYOUT.json").read_text())
+    n_part = int(lay["num_partitions"])
+    n_docs, avgdl = float(lay["n_docs"]), float(lay["avgdl"])
+    ids_all, score_all = [], []
+    for t in dict.fromkeys(tokens):
+        ids, tf, dl = _token_postings(root, n_part, t, full=True)
+        if not len(ids):
+            continue
+        df_ = float(len(ids))
+        idf = np.log((n_docs - df_ + 0.5) / (df_ + 0.5) + 1.0)
+        tf = tf.astype(np.float64)
+        denom = tf + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl)
+        ids_all.append(ids)
+        score_all.append(idf * tf * (k1 + 1.0) / denom)
+    if not ids_all:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+    ids = np.concatenate(ids_all)
+    sc = np.concatenate(score_all)
+    uniq, inv = np.unique(ids, return_inverse=True)
+    tot = np.zeros(len(uniq))
+    np.add.at(tot, inv, sc)
+    order = np.lexsort((uniq, -tot))[:k]
+    return pd.DataFrame({"doc_id": uniq[order].astype("int64"),
+                         "score": np.round(tot[order], ndigits)})

@@ -39,3 +39,41 @@ def test_index_search_matches_brute_force(tmp_path):
                          [["nosuchtoken"], "any"]):
         got = search_index(root, tokens, mode=mode).tolist()
         assert got == brute(tokens, mode), (tokens, mode)
+
+
+def test_bm25_matches_reference_formula(tmp_path):
+    import math
+
+    from chomper_ray.state.index import bm25_search
+
+    texts = ["spark merge fast", "spark spark spark slow",
+             "merge only here", "nothing relevant",
+             "spark merge spark merge spark merge"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)})).repartition(2)
+    root = str(tmp_path / "bm")
+    build_inverted_index(ds, root, num_partitions=8)
+    got = bm25_search(root, ["spark", "merge"], k=5)
+
+    docs = [t.split(" ") for t in texts]
+    n, avgdl = len(docs), sum(len(d) for d in docs) / len(docs)
+
+    def score(di):
+        s = 0.0
+        for q in ("spark", "merge"):
+            tf = docs[di].count(q)
+            if not tf:
+                continue
+            df = sum(1 for d in docs if q in d)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75
+                                               * len(docs[di]) / avgdl))
+        return round(s, 6)
+
+    exp = sorted(((score(i), i) for i in range(len(texts))
+                  if score(i) > 0), key=lambda t: (-t[0], t[1]))
+    assert got["doc_id"].tolist() == [i for _, i in exp]
+    assert got["score"].tolist() == [s for s, _ in exp]
+    # the doc stuffed with both terms ranks first
+    assert got["doc_id"].iloc[0] == 4
