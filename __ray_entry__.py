@@ -1322,6 +1322,20 @@ def _q_inverted_index(sf_dir: str):
     return pd.DataFrame({"doc_id": ids.astype("int64")})
 
 
+def _q_phrase_search(sf_dir: str):
+    from chomper_ray.state.index import build_inverted_index, phrase_search
+
+    # positional phrase query: token adjacency checked with one
+    # structured (doc, pos) intersect per adjacent pair over matched
+    # postings only — equals substring search on space-joined text
+    root = tempfile.mkdtemp(prefix="chomper_ph_")
+    build_inverted_index(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .repartition(8), root, num_partitions=32, positions=True)
+    ids = phrase_search(root, "spark merge")
+    return pd.DataFrame({"doc_id": ids.astype("int64")})
+
+
 def _q_bm25(sf_dir: str):
     from chomper_ray.state.index import bm25_search, build_inverted_index
 
@@ -1874,6 +1888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_point_lookup": _q_bucket_point_lookup,
         "inverted_index_search": _q_inverted_index,
         "bm25_topk": _q_bm25,
+        "phrase_search": _q_phrase_search,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio_frames": _q_multimodal_audio_frames,
         # CDC flagship
@@ -2419,6 +2434,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, a.text_dedup FROM documents d LEFT JOIN ("
             "SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS text_dedup "
             "FROM w WHERE rn = 1 GROUP BY doc_id) a USING (doc_id)"
+        ),
+        "phrase_search": (
+            "SELECT doc_id FROM documents WHERE contains("
+            "' ' || coalesce(text, '') || ' ', ' spark merge ')"
         ),
         "bm25_topk": (
             "WITH l AS (SELECT doc_id, string_split(coalesce(text, ''), "

@@ -32,8 +32,12 @@ from chomper_ray.stages.merge import stable_bucket
 
 def build_inverted_index(ds, root: str | Path, col: str = "text",
                          id_col: str = "doc_id", sep: str = " ",
-                         num_partitions: int = 64) -> dict:
-    """Build the index: returns ``{"files": n, "postings": n}``."""
+                         num_partitions: int = 64,
+                         positions: bool = False) -> dict:
+    """Build the index: returns ``{"files": n, "postings": n}``.
+    ``positions=True`` additionally stores each posting's 0-based token
+    positions (list<int64>) — required by ``phrase_search``, ~2× the
+    posting payload otherwise unused."""
     import polars as pl
 
     root = Path(root)
@@ -46,12 +50,21 @@ def build_inverted_index(ds, root: str | Path, col: str = "text",
             "w": pl.Series(pd.Series(df[col]).fillna("")
                            .astype(str).tolist()).str.split(sep),
         }).with_columns(pl.col("w").list.len().alias("dl"))
-        ex = base.explode("w") \
-            .group_by(["d", "w", "dl"]).len().to_pandas()
-        out = pd.DataFrame({"token": ex["w"],
-                            "doc_id": ex["d"].astype("int64"),
-                            "tf": ex["len"].astype("int64"),
-                            "dl": ex["dl"].astype("int64")})
+        ex = base.with_columns(
+            pl.int_ranges(0, pl.col("w").list.len()).alias("p")) \
+            .explode(["w", "p"])
+        if positions:
+            g = ex.group_by(["d", "w", "dl"]).agg(
+                pl.len().alias("len"),
+                pl.col("p").sort().alias("pos")).to_pandas()
+        else:
+            g = ex.group_by(["d", "w", "dl"]).len().to_pandas()
+        out = pd.DataFrame({"token": g["w"],
+                            "doc_id": g["d"].astype("int64"),
+                            "tf": g["len"].astype("int64"),
+                            "dl": g["dl"].astype("int64")})
+        if positions:
+            out["pos"] = g["pos"]
         out["_tb"] = stable_bucket(out["token"].to_numpy(),
                                    num_partitions).astype("int32")
         return out
@@ -88,7 +101,8 @@ def build_inverted_index(ds, root: str | Path, col: str = "text",
     tmp = root / f"._LAYOUT.{uuid.uuid4().hex[:8]}.tmp"
     tmp.write_text(json.dumps({"num_partitions": num_partitions,
                                "sep": sep, "n_docs": n_docs,
-                               "avgdl": sum_dl / max(n_docs, 1)}))
+                               "avgdl": sum_dl / max(n_docs, 1),
+                               "positions": bool(positions)}))
     os.replace(tmp, root / "_LAYOUT.json")
     return {"files": len(stats), "postings": int(stats["postings"].sum())}
 
@@ -168,3 +182,50 @@ def bm25_search(root: str | Path, tokens, k: int = 10,
     order = np.lexsort((uniq, -tot))[:k]
     return pd.DataFrame({"doc_id": uniq[order].astype("int64"),
                          "score": np.round(tot[order], ndigits)})
+
+
+def phrase_search(root: str | Path, phrase: str,
+                  sep: str = " ") -> np.ndarray:
+    """Exact phrase query over a ``positions=True`` index: doc ids
+    whose token stream contains the phrase's tokens CONSECUTIVELY.
+    Reads ≤ one bucket file per distinct phrase token; adjacency is
+    checked with one structured-dtype ``np.intersect1d`` per adjacent
+    token pair over (doc, position) keys — no text is ever read."""
+    root = Path(root)
+    lay = json.loads((root / "_LAYOUT.json").read_text())
+    if not lay.get("positions"):
+        raise ValueError(
+            "phrase_search needs an index built with positions=True")
+    n = int(lay["num_partitions"])
+    toks = [t for t in phrase.split(sep) if t != ""] or [""]
+    dt = np.dtype([("d", "<i8"), ("p", "<i8")])
+
+    def occ(token: str) -> np.ndarray:
+        pid = int(stable_bucket(np.array([token], dtype=object), n)[0])
+        f = root / f"t={pid:05d}" / "part.parquet"
+        if not (root / f"t={pid:05d}" / "_SUCCESS").exists():
+            return np.empty(0, dt)
+        t = pq.read_table(f, columns=["token", "doc_id", "pos"]) \
+            .to_pandas()
+        t = t[t["token"] == token]
+        if not len(t):
+            return np.empty(0, dt)
+        lens = t["pos"].map(len).to_numpy()
+        out = np.empty(int(lens.sum()), dt)
+        out["d"] = np.repeat(t["doc_id"].to_numpy(np.int64), lens)
+        out["p"] = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in t["pos"]])
+        return np.sort(out)
+
+    cur = occ(toks[0])  # (doc, start position) candidates
+    for i, t in enumerate(toks[1:], start=1):
+        if not len(cur):
+            break
+        nxt = occ(t)
+        shifted = cur.copy()
+        shifted["p"] = shifted["p"] + i  # where token i must sit
+        hit = np.intersect1d(shifted, nxt, assume_unique=True)
+        hit = np.sort(hit)
+        hit["p"] = hit["p"] - i  # back to phrase-start positions
+        cur = hit
+    return np.unique(cur["d"]) if len(cur) else np.empty(0, np.int64)

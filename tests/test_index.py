@@ -77,3 +77,41 @@ def test_bm25_matches_reference_formula(tmp_path):
     assert got["score"].tolist() == [s for s, _ in exp]
     # the doc stuffed with both terms ranks first
     assert got["doc_id"].iloc[0] == 4
+
+
+def test_phrase_search_matches_substring_semantics(tmp_path):
+    from chomper_ray.state.index import phrase_search
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25)))
+             for _ in range(300)]
+    texts += ["w1 w2 w3", "w3 w2 w1", "w1 w2", "w2 w3 w1 w2 w3", ""]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)})).repartition(5)
+    root = str(tmp_path / "pidx")
+    build_inverted_index(ds, root, num_partitions=16, positions=True)
+
+    def brute(phrase):
+        return [i for i, t in enumerate(texts)
+                if f" {phrase} " in f" {t} "]
+
+    for phrase in ("w1 w2", "w1 w2 w3", "w2 w3", "w5",
+                   "w1 w1", "w9 nosuch"):
+        got = phrase_search(root, phrase).tolist()
+        assert got == brute(phrase), phrase
+
+
+def test_phrase_search_requires_positions(tmp_path):
+    import pytest as _pytest
+
+    from chomper_ray.state.index import phrase_search
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["a b"])}))
+    root = str(tmp_path / "np")
+    build_inverted_index(ds, root, num_partitions=4)
+    with _pytest.raises(ValueError, match="positions=True"):
+        phrase_search(root, "a b")
