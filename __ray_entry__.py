@@ -1322,6 +1322,17 @@ def _q_inverted_index(sf_dir: str):
     return pd.DataFrame({"doc_id": ids.astype("int64")})
 
 
+def _q_lm_score(sf_dir: str):
+    from chomper_ray.stages.text import lm_fit, lm_score
+
+    # CCNet-style LM quality signal: closed-form add-alpha bigram model
+    # fit in one combiner pass, scored through one broadcast; the
+    # oracle replays the whole fit+score in SQL (0.0 measured drift)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .repartition(8)
+    return lm_score(ds, lm_fit(ds))
+
+
 def _q_phrase_search(sf_dir: str):
     from chomper_ray.state.index import build_inverted_index, phrase_search
 
@@ -1889,6 +1900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_search": _q_inverted_index,
         "bm25_topk": _q_bm25,
         "phrase_search": _q_phrase_search,
+        "lm_bigram_score": _q_lm_score,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio_frames": _q_multimodal_audio_frames,
         # CDC flagship
@@ -2434,6 +2446,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, a.text_dedup FROM documents d LEFT JOIN ("
             "SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS text_dedup "
             "FROM w WHERE rn = 1 GROUP BY doc_id) a USING (doc_id)"
+        ),
+        "lm_bigram_score": (
+            "WITH l AS (SELECT doc_id, string_split(coalesce(text, ''), "
+            "' ') AS ls FROM documents), "
+            "big AS (SELECT doc_id, ls[i] AS a, ls[i+1] AS b FROM ("
+            "SELECT doc_id, ls, unnest(generate_series(1, len(ls) - 1)) "
+            "AS i FROM l)), "
+            "cnt AS (SELECT a, b, count(*)::DOUBLE AS c FROM big "
+            "GROUP BY 1, 2), "
+            "tot AS (SELECT a, sum(c) AS t FROM cnt GROUP BY 1), "
+            "voc AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM ("
+            "SELECT unnest(ls) AS w FROM l)), "
+            "sc AS (SELECT big.doc_id, "
+            "sum(ln((cnt.c + 0.5) / (tot.t + 0.5 * voc.v))) AS lp, "
+            "count(*) AS nb FROM big JOIN cnt USING (a, b) "
+            "JOIN tot ON tot.a = big.a CROSS JOIN voc GROUP BY 1) "
+            "SELECT d.doc_id, coalesce(round(sc.lp, 6), 0) AS lm_logprob, "
+            "coalesce(sc.nb, 0) AS n_bigrams "
+            "FROM documents d LEFT JOIN sc USING (doc_id)"
         ),
         "phrase_search": (
             "SELECT doc_id FROM documents WHERE contains("

@@ -836,3 +836,97 @@ def nb_score(ds, model: dict, col: str = "text", id_col: str = "doc_id",
         return out
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+# --- bigram language-model scoring (the CCNet perplexity-filter analog) ------
+
+def lm_fit(ds, col: str = "text", alpha: float = 0.5) -> dict:
+    """Fit an add-alpha bigram language model distributed — the
+    perplexity-filter stage (CCNet trains KenLM on a clean corpus and
+    filters web text by LM score; this is the closed-form n-gram
+    equivalent, trainable in ONE pass of `grouped_agg` count combiners).
+
+    P(w | prev) = (c(prev, w) + alpha) / (c(prev) + alpha·V), with V =
+    distinct tokens in the corpus. The model is O(distinct bigrams) on
+    the driver — the same documented bound as ``nb_fit``'s vocab
+    (hash or prune before a 10^9-bigram corpus).
+    """
+    from chomper_ray.pipelines.relational import grouped_agg
+
+    def bigram_counts(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        ex = pl.DataFrame({
+            "w": pd.Series(df[col]).fillna("").astype(str).tolist(),
+        }).with_row_index("r").with_columns(
+            pl.col("w").str.split(" ")).explode("w")
+        g = ex.with_columns(
+            pl.col("w").shift(-1).over("r").alias("nxt")) \
+            .drop_nulls("nxt") \
+            .group_by(["w", "nxt"]).len().to_pandas()
+        return pd.DataFrame({"a": g["w"], "b": g["nxt"],
+                             "n": g["len"].astype("int64")})
+
+    def token_rows(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        ex = pl.DataFrame({
+            "w": pd.Series(df[col]).fillna("").astype(str).tolist(),
+        }).with_columns(pl.col("w").str.split(" ")).explode("w")
+        g = ex.group_by("w").len().to_pandas()
+        return pd.DataFrame({"tok": g["w"]})
+
+    from chomper_ray.pipelines.relational import distinct
+
+    cnt = grouped_agg(ds.map_batches(bigram_counts, batch_format="pandas"),
+                      keys=["a", "b"], sums=["n"], counts=False).to_pandas()
+    vocab_n = distinct(
+        ds.map_batches(token_rows, batch_format="pandas"),
+        ["tok"], num_partitions=8).count()
+    tot = cnt.groupby("a", sort=False)["sum_n"].sum()
+    m = cnt.merge(tot.rename("t"), left_on="a", right_index=True)
+    logp = np.log((m["sum_n"].to_numpy(np.float64) + alpha)
+                  / (m["t"].to_numpy(np.float64) + alpha * vocab_n))
+    return {"pairs": pd.DataFrame({"a": m["a"], "b": m["b"],
+                                   "logp": logp}),
+            "alpha": alpha, "vocab_n": int(vocab_n)}
+
+
+def lm_score(ds, model: dict, col: str = "text", id_col: str = "doc_id",
+             ndigits: int = 6):
+    """Per-document bigram log-likelihood under a fitted ``lm_fit``
+    model: ``lm_logprob`` (sum of transition log-probs, 0 for docs
+    with < 2 tokens) and ``n_bigrams``. One ``ray.put`` broadcast;
+    per batch one polars bigram explode + one two-column merge.
+    Self-scored corpora never miss the model (train == score), so
+    unseen-bigram handling stays out of the SQL-parity surface."""
+    import ray
+
+    ref = ray.put(model["pairs"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        import polars as pl
+
+        pairs = ray.get(ref)
+        ex = pl.DataFrame({
+            "w": pd.Series(df[col]).fillna("").astype(str).tolist(),
+        }).with_row_index("r").with_columns(
+            pl.col("w").str.split(" ")).explode("w")
+        big = ex.with_columns(
+            pl.col("w").shift(-1).over("r").alias("nxt")) \
+            .drop_nulls("nxt").to_pandas()
+        big = big.merge(pairs, left_on=["w", "nxt"],
+                        right_on=["a", "b"], how="left")
+        agg = big.groupby("r")["logp"].agg(["sum", "count"])
+        rows = np.zeros(len(df))
+        cnts = np.zeros(len(df), dtype=np.int64)
+        idx = agg.index.to_numpy().astype(int)
+        rows[idx] = agg["sum"].to_numpy()
+        cnts[idx] = agg["count"].to_numpy()
+        return pd.DataFrame({
+            id_col: df[id_col].astype("int64"),
+            "lm_logprob": np.round(rows, ndigits),
+            "n_bigrams": cnts,
+        })
+
+    return ds.map_batches(score, batch_format="pandas")

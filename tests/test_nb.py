@@ -82,3 +82,30 @@ def test_score_matches_manual_sum():
                                    for w in t.split(" ")), 6), c)
             for c in classes)
         assert scored["nb_score"].iloc[i] == want[0]
+
+
+def test_lm_bigram_fit_and_score_closed_form():
+    import math
+
+    from chomper_ray.stages.text import lm_fit, lm_score
+
+    texts = ["a b a b", "a b c", "c", ""]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)})).repartition(2)
+    model = lm_fit(ds, alpha=0.5)
+    # corpus bigrams: (a,b)x3, (b,a)x1, (b,c)x1; vocab {a,b,c,""}=4
+    v = model["vocab_n"]
+    assert v == 4
+
+    def p(a, b, c_ab, c_a):
+        return math.log((c_ab + 0.5) / (c_a + 0.5 * v))
+
+    got = lm_score(ds, model).to_pandas().sort_values("doc_id")
+    exp0 = round(p("a", "b", 3, 3) + p("b", "a", 1, 2)
+                 + p("a", "b", 3, 3), 6)
+    exp1 = round(p("a", "b", 3, 3) + p("b", "c", 1, 2), 6)
+    assert got["lm_logprob"].tolist() == [exp0, exp1, 0.0, 0.0]
+    assert got["n_bigrams"].tolist() == [3, 2, 0, 0]
+    # the repetitive high-probability doc outscores per bigram
+    assert exp0 / 3 > exp1 / 2
