@@ -1322,6 +1322,20 @@ def _q_inverted_index(sf_dir: str):
     return pd.DataFrame({"doc_id": ids.astype("int64")})
 
 
+def _q_jsonl_roundtrip(sf_dir: str):
+    from chomper_ray.state.output import (read_jsonl_partitioned,
+                                          write_jsonl_partitioned)
+
+    # the training-stack hand-off sink: resumable gzip JSONL shards;
+    # the query proves a byte-faithful roundtrip (incl. unicode) by
+    # hash-matching the re-read shards against the source table
+    root = tempfile.mkdtemp(prefix="chomper_jl_")
+    write_jsonl_partitioned(
+        _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+        .repartition(8), root, key="doc_id", num_partitions=16)
+    return read_jsonl_partitioned(root)
+
+
 def _q_lm_score(sf_dir: str):
     from chomper_ray.stages.text import lm_fit, lm_score
 
@@ -1901,6 +1915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25,
         "phrase_search": _q_phrase_search,
         "lm_bigram_score": _q_lm_score,
+        "jsonl_sink_roundtrip": _q_jsonl_roundtrip,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio_frames": _q_multimodal_audio_frames,
         # CDC flagship
@@ -2446,6 +2461,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, a.text_dedup FROM documents d LEFT JOIN ("
             "SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS text_dedup "
             "FROM w WHERE rn = 1 GROUP BY doc_id) a USING (doc_id)"
+        ),
+        "jsonl_sink_roundtrip": (
+            "SELECT doc_id, text, lang FROM documents"
         ),
         "lm_bigram_score": (
             "WITH l AS (SELECT doc_id, string_split(coalesce(text, ''), "

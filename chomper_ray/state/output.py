@@ -555,3 +555,72 @@ def bucket_lookup(root: str | Path, values) -> pd.DataFrame:
     order = {v: i for i, v in enumerate(vals)}
     return res.sort_values(key, key=lambda s: s.map(order),
                            kind="stable").reset_index(drop=True)
+
+
+def write_jsonl_partitioned(ds, root: str | Path, key: str,
+                            num_partitions: int = 64,
+                            compress: bool = True,
+                            skip_completed: bool = True) -> dict:
+    """Resumable hash-partitioned JSONL shards — the hand-off format
+    LLM training stacks consume. Same contract as ``write_partitioned``
+    (atomic tmp-rename per shard + ``_SUCCESS`` + ``_LAYOUT.json``;
+    rerun skips finished shards), one ``part.jsonl[.gz]`` per bucket,
+    rows sorted by ``key`` so retries are byte-identical."""
+    import gzip
+    import io
+
+    root = Path(root)
+    root.mkdir(parents=True, exist_ok=True)
+    done = {int(p.parent.name.split("=")[1])
+            for p in root.glob("p=*/_SUCCESS")} if skip_completed else set()
+    ext = "jsonl.gz" if compress else "jsonl"
+
+    bucketed = ds.map_batches(
+        lambda t: add_bucket(t, key, num_partitions),
+        batch_format="pyarrow")
+    roots = str(root)
+
+    def write_shard(g: pa.Table) -> pd.DataFrame:
+        pid = int(g[BUCKET_COL][0].as_py())
+        if pid in done:
+            return pd.DataFrame({"pid": [pid], "rows": [0],
+                                 "skipped": [True]})
+        df = g.drop_columns([BUCKET_COL]).sort_by(key).to_pandas()
+        payload = df.to_json(orient="records", lines=True,
+                             force_ascii=False).encode("utf-8")
+        if compress:
+            buf = io.BytesIO()
+            # fixed mtime: retries produce byte-identical shards
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as z:
+                z.write(payload)
+            payload = buf.getvalue()
+        d = Path(roots) / f"p={pid:05d}"
+        d.mkdir(parents=True, exist_ok=True)
+        tmp = d / f".part.{uuid.uuid4().hex[:8]}.tmp"
+        tmp.write_bytes(payload)
+        os.replace(tmp, d / f"part.{ext}")
+        (d / "_SUCCESS").touch()
+        return pd.DataFrame({"pid": [pid], "rows": [len(df)],
+                             "skipped": [False]})
+
+    stats = (bucketed.groupby(BUCKET_COL)
+             .map_groups(write_shard, batch_format="pyarrow")
+             .to_pandas())
+    _write_layout(root, key, num_partitions)
+    return {"written": int((~stats["skipped"]).sum()),
+            "skipped": int(stats["skipped"].sum()),
+            "rows": int(stats["rows"].sum())}
+
+
+def read_jsonl_partitioned(root: str | Path):
+    """Stream back a ``write_jsonl_partitioned`` output (completed
+    shards only)."""
+    import ray.data as rd
+
+    files = sorted(str(f) for m in Path(root).glob("p=*/_SUCCESS")
+                   for f in m.parent.glob("part.jsonl*"))
+    if not files:
+        raise FileNotFoundError(f"no completed shards under {root}")
+    # partitioning=None: without it the p=NNNNN shard directory is
+    # inferred as a hive column and leaks into the schema
+    return rd.read_json(files, partitioning=None)

@@ -181,3 +181,25 @@ def test_bucket_lookup_reads_single_buckets(tmp_path):
     assert got["k"].tolist() == [42, 999, 7]
     assert got["v"].tolist() == [294, 6993, 49]
     assert bucket_lookup(root, [123456]).empty
+
+
+def test_write_jsonl_partitioned_roundtrip_and_resume(tmp_path):
+    from chomper_ray.state.output import (read_jsonl_partitioned,
+                                          write_jsonl_partitioned)
+
+    df = pd.DataFrame({"k": np.arange(500, dtype="int64"),
+                       "txt": [f"line {i} ünïcode" for i in range(500)]})
+    root = str(tmp_path / "jl")
+    st = write_jsonl_partitioned(rd.from_arrow(pa.Table.from_pandas(
+        df, preserve_index=False)).repartition(4), root,
+        key="k", num_partitions=8)
+    assert st["written"] == 8 and st["rows"] == 500
+    back = read_jsonl_partitioned(root).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert back["k"].tolist() == df["k"].tolist()
+    assert back["txt"].tolist() == df["txt"].tolist()
+    # resume: a second run skips every finished shard
+    st2 = write_jsonl_partitioned(rd.from_arrow(pa.Table.from_pandas(
+        df, preserve_index=False)).repartition(4), root,
+        key="k", num_partitions=8)
+    assert st2["written"] == 0 and st2["skipped"] == 8
