@@ -1796,8 +1796,82 @@ def _q_char_entropy(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Order matters: the driver's oracle gate hash-checks only the FIRST
+    # 50 entries, so queries that have never had a driver hash-check lead
+    # (round-3 verdict item 1); previously driver-verified entries follow.
     return {
-        # reference-operator parity (SURVEY §2.2)
+        # never driver-hash-checked, oracle-backed (window [0:50])
+        "chunk_windows": _q_chunk_windows,
+        "profile_lineitem": _q_profile_lineitem,
+        "outer_join": _q_outer_join,
+        "grouped_nunique": _q_grouped_nunique,
+        "cross_join": _q_cross_join,
+        "stratified_sample": _q_stratified_sample,
+        "q1_pricing_summary": _q_q1,
+        "topk_orders": _q_topk_orders,
+        "systematic_sample": _q_systematic_sample,
+        "distinct_priorities": _q_distinct_priorities,
+        "sessionize": _q_sessionize,
+        "median_tokens": _q_median_tokens,
+        "normalize_text": _q_normalize_text,
+        "pii_scrub": _q_pii_scrub,
+        "repetition_stats": _q_repetition_stats,
+        "df_prune_tokens": _q_df_prune_tokens,
+        "line_dedup": _q_line_dedup,
+        "dup_span_removal": _q_dup_span_removal,
+        "nb_classify": _q_nb_classify,
+        "pagerank_bipartite": _q_pagerank,
+        "mixture_sample": _q_mixture_sample,
+        "grouped_regression": _q_grouped_regression,
+        "cdc_domain_stats": _q_cdc_domain_stats,
+        "nfc_normalize": _q_nfc_normalize,
+        "regex_ops": _q_regex_ops,
+        "asof_join_forward": _q_asof_join_forward,
+        "snapshot_diff": _q_snapshot_diff,
+        "funnel_steps": _q_funnel,
+        "cdc_matview_domains": _q_cdc_matview_domains,
+        "top_bigrams": _q_top_bigrams,
+        "top_revenue_orders": _q_top_revenue_orders,
+        "sql_table_source": _q_sql_table_source,
+        "http_source": _q_http_source,
+        "exact_dedup": _q_exact_dedup,
+        "quality_score": _q_quality_score,
+        "ann_topk": _q_ann_topk,
+        "fuzzy_pairs": _q_fuzzy_pairs,
+        "vector_features": _q_vector_features,
+        "bucket_join_elision": _q_bucket_join,
+        "bucket_agg_elision": _q_bucket_agg,
+        "range_pruned_scan": _q_range_pruned_scan,
+        "zorder_box_scan": _q_zorder_box_scan,
+        "bucket_point_lookup": _q_bucket_point_lookup,
+        "inverted_index_search": _q_inverted_index,
+        "bm25_topk": _q_bm25,
+        "phrase_search": _q_phrase_search,
+        "lm_bigram_score": _q_lm_score,
+        "jsonl_sink_roundtrip": _q_jsonl_roundtrip,
+        "cdc_upsert_pages": _q_cdc_upsert_pages,
+        # rows-only by design (no SQL oracle)
+        "pca_project": _q_pca_project,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "approx_distinct": _q_approx_distinct,
+        "median_value_approx": _q_median_value_approx,
+        "minhash_dedup": _q_minhash_dedup,
+        "ngram_dedup": _q_ngram_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        "embedding_dedup": _q_embedding_dedup,
+        "langid": _q_langid,
+        "fingerprint": _q_fingerprint,
+        "ivf_ann": _q_ivf_ann,
+        "pq_ann": _q_pq_ann,
+        "ivfpq_ann": _q_ivfpq_ann,
+        "multimodal_decode": _q_multimodal_decode,
+        "multimodal_audio_frames": _q_multimodal_audio_frames,
+        "change_listeners": _q_change_listeners,
+        # oracle-backed, mimic-verified (deferred past the window for round-4 slots)
+        "word_count": _q_word_count,
+        "token_count": _q_token_count,
+        "union_keys": _q_union_keys,
+        # driver-hash-verified in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json)
         "dropper_filter": _q_dropper_filter,
         "picker_project": _q_picker_project,
         "mapper_value_replace": _q_mapper_value_replace,
@@ -1807,7 +1881,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expr_in_filter": _q_expr_in_filter,
         "scalar_math": _q_scalar_math,
         "json_field": _q_json_field,
-        # upsert core + relational
         "running_sum": _q_running_sum,
         "lww_upsert": _q_lww_upsert,
         "lookup_join": _q_lookup_join,
@@ -1849,80 +1922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "arg_extremum": _q_arg_extremum,
         "percentile_cont": _q_percentile_cont,
         "unpivot_lineitem": _q_unpivot,
-        "chunk_windows": _q_chunk_windows,
-        "profile_lineitem": _q_profile_lineitem,
-        "outer_join": _q_outer_join,
-        "pca_project": _q_pca_project,
-        "grouped_nunique": _q_grouped_nunique,
-        "cross_join": _q_cross_join,
-        "kmeans_clusters": _q_kmeans_clusters,
-        "stratified_sample": _q_stratified_sample,
-        "approx_distinct": _q_approx_distinct,
-        "q1_pricing_summary": _q_q1,
-        "topk_orders": _q_topk_orders,
-        "systematic_sample": _q_systematic_sample,
-        "distinct_priorities": _q_distinct_priorities,
-        "union_keys": _q_union_keys,
-        # round-2 wide/composite operators
-        "sessionize": _q_sessionize,
-        "median_tokens": _q_median_tokens,
-        "median_value_approx": _q_median_value_approx,
-        "normalize_text": _q_normalize_text,
-        "pii_scrub": _q_pii_scrub,
-        "repetition_stats": _q_repetition_stats,
-        "df_prune_tokens": _q_df_prune_tokens,
-        "line_dedup": _q_line_dedup,
-        "dup_span_removal": _q_dup_span_removal,
-        "nb_classify": _q_nb_classify,
-        "pagerank_bipartite": _q_pagerank,
-        "mixture_sample": _q_mixture_sample,
-        "grouped_regression": _q_grouped_regression,
-        "cdc_domain_stats": _q_cdc_domain_stats,
-        "nfc_normalize": _q_nfc_normalize,
-        "regex_ops": _q_regex_ops,
-        "asof_join_forward": _q_asof_join_forward,
-        "snapshot_diff": _q_snapshot_diff,
-        "funnel_steps": _q_funnel,
-        "cdc_matview_domains": _q_cdc_matview_domains,
-        "top_bigrams": _q_top_bigrams,
-        "top_revenue_orders": _q_top_revenue_orders,
-        # sources
-        "sql_table_source": _q_sql_table_source,
-        "http_source": _q_http_source,
-        # training-data operators
-        "exact_dedup": _q_exact_dedup,
-        "token_count": _q_token_count,
-        "word_count": _q_word_count,
-        "quality_score": _q_quality_score,
-        "ann_topk": _q_ann_topk,
-        "minhash_dedup": _q_minhash_dedup,
-        "fuzzy_pairs": _q_fuzzy_pairs,
-        "ngram_dedup": _q_ngram_dedup,
-        "simhash_dedup": _q_simhash_dedup,
-        "embedding_dedup": _q_embedding_dedup,
-        "langid": _q_langid,
-        "fingerprint": _q_fingerprint,
-        "ivf_ann": _q_ivf_ann,
-        "pq_ann": _q_pq_ann,
-        "vector_features": _q_vector_features,
-        "ivfpq_ann": _q_ivfpq_ann,
-        "bucket_join_elision": _q_bucket_join,
-        "bucket_agg_elision": _q_bucket_agg,
-        "range_pruned_scan": _q_range_pruned_scan,
-        "zorder_box_scan": _q_zorder_box_scan,
-        "bucket_point_lookup": _q_bucket_point_lookup,
-        "inverted_index_search": _q_inverted_index,
-        "bm25_topk": _q_bm25,
-        "phrase_search": _q_phrase_search,
-        "lm_bigram_score": _q_lm_score,
-        "jsonl_sink_roundtrip": _q_jsonl_roundtrip,
-        "multimodal_decode": _q_multimodal_decode,
-        "multimodal_audio_frames": _q_multimodal_audio_frames,
-        # CDC flagship
-        "cdc_upsert_pages": _q_cdc_upsert_pages,
-        "change_listeners": _q_change_listeners,
     }
-
 
 def oracle_sql() -> dict[str, str]:
     from chomper_ray.stages.text import (sql_normalize_expr, sql_pii_exprs,

@@ -871,7 +871,16 @@ def mixture_sample(ds, group: str, key: str, rates: dict,
     thr_default = int(float(default) * 4294967296)
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        h = (df[key].to_numpy(np.uint64) * np.uint64(2654435761)) % m
+        kv = df[key].to_numpy()
+        # the SQL-parity contract only holds for 0 <= key < 2^32; a
+        # negative or wider key would silently wrap in the uint64 cast
+        # and diverge from sql_mixture_sample_where — fail loudly
+        if len(kv) and (kv.min() < 0 or kv.max() >= 4294967296):
+            raise ValueError(
+                f"mixture_sample: key {key!r} outside [0, 2^32) "
+                f"(min={kv.min()}, max={kv.max()}) — hash would wrap "
+                "and break SQL parity; remap or widen the hash first")
+        h = (kv.astype(np.uint64) * np.uint64(2654435761)) % m
         t = df[group].map(thr).fillna(thr_default).to_numpy(np.uint64)
         return df[h < t]
 

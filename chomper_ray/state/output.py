@@ -152,8 +152,7 @@ def bucket_join(left_root: str | Path, right_root: str | Path,
     empty_out = l_empty.merge(r_empty, on=key, how=how,
                               suffixes=("", suffix))
 
-    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        pid = int(df["pid"].iloc[0])
+    def _join_one(pid: int) -> pd.DataFrame:
         lp = Path(lroot) / f"p={pid:05d}"
         rp = Path(rroot) / f"p={pid:05d}"
         lt = pq.read_table(lp / "part.parquet").to_pandas() \
@@ -172,6 +171,14 @@ def bucket_join(left_root: str | Path, right_root: str | Path,
             rt = r_empty
         out = lt.merge(rt, on=key, how=how, suffixes=("", suffix))
         return out[list(empty_out.columns)]
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # a batch normally carries one pid (one block per id after the
+        # repartition), but never ASSUME Ray won't bundle blocks into a
+        # multi-row batch — process every pid the batch carries
+        parts = [_join_one(int(pid)) for pid in df["pid"].unique()]
+        return parts[0] if len(parts) == 1 \
+            else pd.concat(parts, ignore_index=True)
 
     return (rd.range(n)
             .map_batches(lambda df: df.rename(columns={"id": "pid"}),
@@ -195,18 +202,12 @@ def bucket_agg(root: str | Path, sums=(), counts: bool = True):
     roots = str(root)
     sums = list(sums)
 
-    def agg_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        pid = int(df["pid"].iloc[0])
-        p = Path(roots) / f"p={pid:05d}"
-        if not (p / "_SUCCESS").exists():
-            cols = {key: pd.Series(dtype="object")}
-            cols.update({f"sum_{c}": pd.Series(dtype="float64")
-                         for c in sums})
-            if counts:
-                cols["n_rows"] = pd.Series(dtype="int64")
-            return pd.DataFrame(cols)
-        t = pq.read_table(p / "part.parquet",
-                          columns=[key] + sums).to_pandas()
+    def _first_schema():
+        for m in sorted(Path(roots).glob("p=*/_SUCCESS")):
+            return pq.read_schema(m.parent / "part.parquet")
+        raise FileNotFoundError(f"no completed partitions under {roots}")
+
+    def _agg_frame(t: pd.DataFrame) -> pd.DataFrame:
         g = t.groupby(key, sort=False, dropna=False)
         out = g[sums].sum() if sums else g.size().to_frame("__drop")
         out = out.rename(columns={c: f"sum_{c}" for c in sums})
@@ -214,6 +215,30 @@ def bucket_agg(root: str | Path, sums=(), counts: bool = True):
             out["n_rows"] = g.size()
         return out.reset_index().drop(columns=["__drop"],
                                       errors="ignore")
+
+    # placeholder for missing buckets derived from the layout's REAL
+    # schema (replaying the agg on a typed empty frame), so the key /
+    # sum dtypes match non-empty buckets and Arrow block unification
+    # never upcasts or fails when a bucket lacks a _SUCCESS file
+    empty_out = _agg_frame(
+        _first_schema().empty_table().to_pandas()[[key] + sums])
+    if counts:
+        empty_out["n_rows"] = empty_out["n_rows"].astype("int64")
+
+    def agg_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        # process every pid the batch carries — do not assume Ray
+        # never bundles two one-row blocks into one batch
+        for pid in (int(v) for v in df["pid"].unique()):
+            p = Path(roots) / f"p={pid:05d}"
+            if not (p / "_SUCCESS").exists():
+                parts.append(empty_out)
+                continue
+            t = pq.read_table(p / "part.parquet",
+                              columns=[key] + sums).to_pandas()
+            parts.append(_agg_frame(t))
+        return parts[0] if len(parts) == 1 \
+            else pd.concat(parts, ignore_index=True)
 
     return (rd.range(n)
             .map_batches(lambda df: df.rename(columns={"id": "pid"}),
@@ -235,6 +260,11 @@ def write_sorted(ds, root: str | Path, order_col: str,
     each range writes one sorted file plus its true min/max into
     ``_STATS.json``. Same atomic tmp-rename + ``_SUCCESS`` contract as
     ``write_partitioned``.
+
+    ``order_col`` must be null-free: a NaN/NaT order value has no range
+    (it would poison the top file's max stat and then be silently
+    dropped by every ``read_range`` residual filter), so the write
+    raises ``ValueError`` instead of producing a lossy layout.
     """
     import json
 
@@ -261,6 +291,13 @@ def write_sorted(ds, root: str | Path, order_col: str,
     roots = str(root)
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
+        n_null = int(df[order_col].isna().sum())
+        if n_null:
+            raise ValueError(
+                f"write_sorted: order_col {order_col!r} has {n_null} "
+                "null value(s) in a block — a null has no sort range "
+                "and would corrupt the file's min/max stats; drop or "
+                "fill nulls before writing a sorted layout")
         df = df.copy()
         df["_rb"] = np.searchsorted(
             bounds, df[order_col].to_numpy(), side="right") \
@@ -345,8 +382,15 @@ def read_range(root: str | Path, lo=None, hi=None,
     # LakeTable.read); an explicit column list prunes the hive r= column
     # anyway, and without one partitioning must be disabled or the
     # directory name leaks in as a column
+    drop_col = False
     if columns is not None:
-        ds = rd.read_parquet(files, columns=columns)
+        read_cols = list(columns)
+        # the residual filter needs the order column even if the caller
+        # projected it out — read it, filter, then drop it again
+        if (lo is not None or hi is not None) and col not in read_cols:
+            read_cols.append(col)
+            drop_col = True
+        ds = rd.read_parquet(files, columns=read_cols)
     else:
         ds = rd.read_parquet(files, partitioning=None)
 
@@ -357,7 +401,9 @@ def read_range(root: str | Path, lo=None, hi=None,
         if hi is not None:
             m2 = pc.less(t[col], hi)
             m = m2 if m is None else pc.and_(m, m2)
-        return t.filter(m) if m is not None else t
+        if m is not None:
+            t = t.filter(m)
+        return t.drop_columns([col]) if drop_col else t
 
     return ds.map_batches(residual, batch_format="pyarrow"), \
         len(files), n_total
@@ -510,8 +556,16 @@ def read_box(root: str | Path, preds: dict, columns=None) -> tuple:
         schema = pq.read_schema(
             root / f"z={meta['files'][0]['pid']:05d}" / "part.parquet")
         return rd.from_arrow(schema.empty_table()), 0, n_total
+    extra_cols: list = []
     if columns is not None:
-        ds = rd.read_parquet(files, columns=columns)
+        read_cols = list(columns)
+        # residual filtering needs every predicate column — read the
+        # missing ones, filter, then project back to the caller's list
+        for c in preds:
+            if c not in read_cols:
+                read_cols.append(c)
+                extra_cols.append(c)
+        ds = rd.read_parquet(files, columns=read_cols)
     else:
         ds = rd.read_parquet(files, partitioning=None)
 
@@ -524,7 +578,9 @@ def read_box(root: str | Path, preds: dict, columns=None) -> tuple:
             if hi is not None:
                 mm = pc.less(t[c], hi)
                 m = mm if m is None else pc.and_(m, mm)
-        return t.filter(m) if m is not None else t
+        if m is not None:
+            t = t.filter(m)
+        return t.drop_columns(extra_cols) if extra_cols else t
 
     return ds.map_batches(residual, batch_format="pyarrow"), \
         len(files), n_total

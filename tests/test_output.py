@@ -203,3 +203,77 @@ def test_write_jsonl_partitioned_roundtrip_and_resume(tmp_path):
         df, preserve_index=False)).repartition(4), root,
         key="k", num_partitions=8)
     assert st2["written"] == 0 and st2["skipped"] == 8
+
+
+def test_write_sorted_rejects_null_order_col(tmp_path):
+    import pytest
+
+    from chomper_ray.state.output import write_sorted
+
+    df = pd.DataFrame({"x": [1.0, 2.0, float("nan"), 4.0],
+                       "v": [1, 2, 3, 4]})
+    with pytest.raises(Exception) as ei:
+        write_sorted(rd.from_arrow(pa.Table.from_pandas(
+            df, preserve_index=False)), str(tmp_path / "srt"), "x",
+            num_partitions=4)
+    assert "null" in str(ei.value)
+
+
+def test_read_range_column_projection_excluding_order_col(tmp_path):
+    from chomper_ray.state.output import read_range, write_sorted
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"x": rng.integers(0, 1000, 5000).astype("int64"),
+                       "v": rng.integers(0, 100, 5000)})
+    root = str(tmp_path / "srt")
+    write_sorted(rd.from_arrow(pa.Table.from_pandas(
+        df, preserve_index=False)).repartition(4), root, "x",
+        num_partitions=8)
+    # caller projects out the order column: residual filter still runs,
+    # output carries only the requested columns
+    ds, _, _ = read_range(root, lo=200, hi=400, columns=["v"])
+    got = ds.to_pandas()
+    assert list(got.columns) == ["v"]
+    exp = df[(df.x >= 200) & (df.x < 400)]
+    assert len(got) == len(exp) and got["v"].sum() == exp["v"].sum()
+
+
+def test_read_box_column_projection_excluding_pred_cols(tmp_path):
+    from chomper_ray.state.output import read_box, write_zorder
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"x": rng.uniform(0, 100, 8000),
+                       "y": rng.uniform(0, 100, 8000),
+                       "v": rng.integers(0, 10, 8000)})
+    root = str(tmp_path / "z")
+    write_zorder(rd.from_arrow(pa.Table.from_pandas(
+        df, preserve_index=False)).repartition(4), root, ["x", "y"],
+        num_partitions=16)
+    ds, _, _ = read_box(root, {"x": (20.0, 30.0), "y": (50.0, 60.0)},
+                        columns=["v"])
+    got = ds.to_pandas()
+    assert list(got.columns) == ["v"]
+    exp = df[(df.x >= 20) & (df.x < 30) & (df.y >= 50) & (df.y < 60)]
+    assert len(got) == len(exp) and got["v"].sum() == exp["v"].sum()
+
+
+def test_bucket_agg_missing_bucket_keeps_key_dtype(tmp_path):
+    import shutil
+
+    from chomper_ray.state.output import bucket_agg, write_partitioned
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"k": rng.integers(0, 50, 2000),
+                       "v": rng.integers(0, 10, 2000)})
+    root = tmp_path / "t"
+    write_partitioned(rd.from_arrow(pa.Table.from_pandas(
+        df, preserve_index=False)).repartition(4), str(root),
+        key="k", num_partitions=8)
+    # simulate a torn write: one bucket lacks its _SUCCESS file
+    victim = sorted(root.glob("p=*"))[0]
+    shutil.rmtree(victim)
+    out = bucket_agg(str(root), sums=["v"]).to_pandas()
+    # key dtype must match the layout's real schema, not degrade to
+    # object, even though one bucket contributed a typed-empty frame
+    assert out["k"].dtype.kind == "i"
+    assert out["n_rows"].dtype.kind == "i"

@@ -1196,3 +1196,24 @@ def test_grouped_regression_matches_numpy_and_degenerate_x():
         assert abs(out.loc[grp, "intercept"] - inter) < 1e-5
         assert abs(out.loc[grp, "r2"] - r2) < 1e-5
     assert pd.isna(out.loc["c", "slope"]) and pd.isna(out.loc["c", "r2"])
+
+
+def test_mixture_sample_rejects_out_of_range_keys():
+    import pytest
+
+    df = pd.DataFrame({
+        "doc_id": np.array([-5, 10, 20], dtype="int64"),
+        "source": ["a", "a", "a"],
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    with pytest.raises(Exception) as ei:
+        rel.mixture_sample(ds, "source", "doc_id", {"a": 0.5}).to_pandas()
+    assert "2^32" in str(ei.value) or "wrap" in str(ei.value)
+
+    df2 = pd.DataFrame({
+        "doc_id": np.array([1, 2 ** 33], dtype="int64"),
+        "source": ["a", "a"],
+    })
+    ds2 = rd.from_arrow(pa.Table.from_pandas(df2, preserve_index=False))
+    with pytest.raises(Exception):
+        rel.mixture_sample(ds2, "source", "doc_id", {"a": 0.5}).to_pandas()
