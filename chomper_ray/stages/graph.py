@@ -4,181 +4,216 @@ Connected components live in ``stages/dedup.py`` (``components_ds``,
 built for the dedup families and oracle-verified through the
 order-chain query); this module adds the rank-propagation family.
 
-PageRank shape per iteration (Pregel semantics, Ray-Data-expressed):
-ranks ride a bucketed ``hash_join`` onto the (degree-annotated) edge
-Dataset by source, contributions pre-sum inside ``grouped_agg``'s
-per-block combiner, and the new rank vector is one left join back onto
-the node spine — ranks stay a Dataset of O(nodes) end to end; the
-driver only ever sees scalar aggregates (the dangling-mass sum).
+PageRank shape (Pregel semantics on the engine's co-bucketed storage
+layout): the edge table is hash-partitioned by ``src`` ONCE and never
+moves again. Bucketing by src makes every setup step bucket-local —
+multi-edge dedup ((src,dst) dups share a bucket), out-degree, and the
+node→has-out-edge partials — so setup is exactly TWO exchanges (edges
+by src, node partials by node) instead of a chain of distinct/join/
+anti-join shuffles. Each iteration is then
 
-Scale note: each iteration re-shuffles the edge Dataset through the
-join (Ray Data has no persistent partitioning to pin edges once, the
-way a Pregel engine would); with E edges and T iterations the bill is
-T × O(E) exchange. Dangling-node mass is handled exactly: nodes with no
-out-edges are flagged ONCE at init (anti join), and their rank total —
-a map-side filtered sum, no shuffle — redistributes uniformly each
-iteration, so ranks always sum to 1.
+    per bucket i: read edges[i] + ranks[i] (co-located files, no
+    exchange) → vectorized contribution partials pre-summed per dst
+    → ONE shuffle of the partials (volume ≤ distinct dst per bucket,
+    not O(E)) → per destination bucket j: merge partials onto the
+    node spine file spine[j], write ranks'[j]
+
+so the all-to-all bill is T × O(contribution partials), not T × O(E):
+the storage-level join elision (``bucket_join``'s contract) applied to
+an iterative algorithm. Dangling-node mass is handled exactly: nodes
+with no out-edges are flagged ONCE in the spine files and each
+bucket's finish task returns its dangling-rank partial as metadata, so
+the next iteration's uniform redistribution term costs the driver a
+sum over ``num_partitions`` floats — no extra pass over the ranks.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+import uuid
+from pathlib import Path
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _atomic_write(dirpath: Path, table: pa.Table) -> None:
+    dirpath.mkdir(parents=True, exist_ok=True)
+    tmp = dirpath / f".part.{uuid.uuid4().hex[:8]}.parquet.tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, dirpath / "part.parquet")
+    (dirpath / "_SUCCESS").touch()
 
 
 def pagerank(edges, src: str = "src", dst: str = "dst",
              damping: float = 0.85, iters: int = 10,
-             num_partitions: int = 32, ndigits: int | None = None):
+             num_partitions: int = 32, ndigits: int | None = None,
+             scratch_root: str | None = None):
     """Power-iteration PageRank over a directed edge Dataset.
 
     Multi-edges collapse to simple edges (DISTINCT, matching the SQL
     formulation); every node appearing on either side is ranked.
     Returns a Dataset ``(node:int64, rank:float64)`` summing to 1.
+
+    ``scratch_root``: directory for the transient edge/spine/rank
+    layouts (default: a fresh tempdir, removed before returning).
     """
-    from chomper_ray.pipelines.relational import (distinct, grouped_agg,
-                                                  hash_join)
+    import ray.data as rd
 
-    def pick(a, b):
-        def f(t: pa.Table) -> pa.Table:
-            return pa.table({a: t[b].cast(pa.int64())})
-        return f
+    from chomper_ray.stages.merge import stable_bucket
 
-    e = distinct(
-        edges.map_batches(
-            lambda t: pa.table({"src": t[src].cast(pa.int64()),
-                                "dst": t[dst].cast(pa.int64())}),
-            batch_format="pyarrow"),
-        ["src", "dst"], num_partitions=num_partitions).materialize()
-    nodes = distinct(
-        e.map_batches(pick("n", "src"), batch_format="pyarrow")
-        .union(e.map_batches(pick("n", "dst"), batch_format="pyarrow")),
-        ["n"], num_partitions=num_partitions).materialize()
-    n_nodes = nodes.count()
+    scratch = Path(scratch_root) if scratch_root else \
+        Path(tempfile.mkdtemp(prefix="chomper_pagerank_"))
+    scratch.mkdir(parents=True, exist_ok=True)
+    ew_root = str(scratch / "edges")
+    sp_root = str(scratch / "spine")
+    nb = int(num_partitions)
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = t[src].cast(pa.int64())
+        return pa.table({
+            "src": s, "dst": t[dst].cast(pa.int64()),
+            "_b": pa.array(stable_bucket(s, nb), pa.int32())})
+
+    def prep_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """One src bucket: dedup multi-edges, compute out-degree, write
+        the co-bucketed edge file, emit (node, has_out) partials."""
+        pid = int(g["_b"].iloc[0])
+        ed = g[["src", "dst"]].drop_duplicates().sort_values(["src", "dst"])
+        s = ed["src"].to_numpy()
+        deg = ed.groupby("src")["dst"].size()
+        _atomic_write(Path(ew_root) / f"p={pid:05d}", pa.table({
+            "src": pa.array(s, pa.int64()),
+            "dst": pa.array(ed["dst"].to_numpy(), pa.int64()),
+            "inv_deg": pa.array(1.0 / ed["src"].map(deg).to_numpy(),
+                                pa.float64())}))
+        srcs = deg.index.to_numpy()
+        dsts = ed["dst"].unique()
+        n = np.concatenate([srcs, dsts])
+        ho = np.concatenate([np.ones(len(srcs), np.int8),
+                             np.zeros(len(dsts), np.int8)])
+        return pd.DataFrame({"n": n.astype(np.int64), "ho": ho,
+                             "_nb": stable_bucket(n, nb)})
+
+    def spine_write(g: pd.DataFrame) -> pd.DataFrame:
+        """One node bucket: resolve distinct nodes + dangling flags,
+        write the spine file, return counts only."""
+        pid = int(g["_nb"].iloc[0])
+        agg = g.groupby("n")["ho"].max()  # sorted by node id
+        dang = agg.to_numpy() == 0
+        _atomic_write(Path(sp_root) / f"p={pid:05d}", pa.table({
+            "n": pa.array(agg.index.to_numpy(), pa.int64()),
+            "dang": pa.array(dang, pa.bool_())}))
+        return pd.DataFrame({"pid": np.array([pid], np.int32),
+                             "rows": [len(agg)],
+                             "dangs": [int(dang.sum())]})
+
+    meta = (edges.map_batches(norm, batch_format="pyarrow")
+            .groupby("_b").map_groups(prep_bucket, batch_format="pandas")
+            .groupby("_nb").map_groups(spine_write, batch_format="pandas")
+            .to_pandas())
+    n_nodes = int(meta["rows"].sum()) if len(meta) else 0
     if n_nodes == 0:
-        import ray.data as rd
-
+        shutil.rmtree(scratch, ignore_errors=True)
         return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
                                        "rank": pa.array([], pa.float64())}))
-
-    deg = grouped_agg(e, keys=["src"], counts=True)  # (src, n_rows)
-    ew = hash_join(
-        e, deg, on="src", num_buckets=num_partitions,
-        left_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
-        right_schema=pa.schema([("src", pa.int64()),
-                                ("n_rows", pa.int64())])) \
-        .map_batches(
-            lambda df: pd.DataFrame({
-                "src": df["src"].astype("int64"),
-                "dst": df["dst"].astype("int64"),
-                "inv_deg": 1.0 / df["n_rows"].astype("float64")}),
-            batch_format="pandas").materialize()
-
-    # dangling flag computed once: node has no out-edge
-    deg_nodes = deg.map_batches(pick("n", "src"), batch_format="pyarrow")
-    node_schema = pa.schema([("n", pa.int64())])
-    from chomper_ray.pipelines.relational import _hash_semi_anti
-
-    dangling = _hash_semi_anti(nodes, deg_nodes, on="n", right_on="n",
-                               anti=True, num_buckets=num_partitions,
-                               left_schema=node_schema)
-    flagged = nodes.map_batches(
-        lambda df: df.assign(dang=False), batch_format="pandas").union(
-        dangling.map_batches(
-            lambda df: df.assign(dang=True), batch_format="pandas"))
-    # (n, dang): one row per node — dangling rows override via max()
-    spine = grouped_agg(flagged.map_batches(
-        lambda df: df.assign(dang=df["dang"].astype("int64")),
-        batch_format="pandas"), keys=["n"], maxs=["dang"],
-        counts=False).map_batches(
-            lambda df: pd.DataFrame({
-                "n": df["n"].astype("int64"),
-                "dang": df["max_dang"].astype(bool)}),
-            batch_format="pandas").materialize()
-
-    # one cheap scan of the materialized spine: a graph with no dangling
-    # nodes (e.g. any symmetric/bipartite-both-ways graph) skips the
-    # per-iteration mass aggregate entirely
-    n_dangling = int(spine.map_batches(
-        lambda df: pd.DataFrame({"c": [int(df["dang"].sum())]}),
-        batch_format="pandas").sum("c") or 0)
+    n_dangling = int(meta["dangs"].sum())
 
     r0 = 1.0 / n_nodes
-    ranks = spine.map_batches(lambda df: df.assign(r=r0),
-                              batch_format="pandas").materialize()
     base = (1.0 - damping) / n_nodes
-    rank_schema = pa.schema([("n", pa.int64()), ("dang", pa.bool_()),
-                             ("r", pa.float64())])
-    ew_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
-                           ("inv_deg", pa.float64())])
+    dang_mass = n_dangling * r0
+    meta_schema = pa.schema([("pid", pa.int32()), ("dm", pa.float64())])
 
-    for _ in range(iters):
-        if n_dangling:
-            dang_mass = float(ranks.map_batches(
-                lambda df: pd.DataFrame(
-                    {"m": [float(df.loc[df["dang"], "r"].sum())]}),
-                batch_format="pandas").sum("m") or 0.0)
-        else:
-            dang_mass = 0.0
-        contrib = hash_join(
-            ew,
-            ranks.map_batches(
-                lambda df: df.rename(columns={"n": "src"})[["src", "r"]],
-                batch_format="pandas"),
-            on="src", num_buckets=num_partitions,
-            left_schema=ew_schema,
-            right_schema=pa.schema([("src", pa.int64()),
-                                    ("r", pa.float64())]))
-        # per-block combiner: one (dst, partial w) row per dst per block
-        contrib = contrib.map_batches(
-            lambda df: pd.DataFrame({
-                "n": df["dst"].astype("int64"),
-                "w": df["r"].to_numpy() * df["inv_deg"].to_numpy(),
-                "dang": False, "side": np.int8(1)})
-            .groupby(["n", "dang", "side"], as_index=False)["w"].sum(),
-            batch_format="pandas")
-        # ONE shuffle finishes the iteration: contrib partials and the
-        # node spine co-bucket on n; per bucket a vectorized sum + merge
-        # emits the new rank rows (fused grouped_agg + left join)
-        tagged_spine = spine.map_batches(
-            lambda df: df.assign(w=0.0, side=np.int8(0))[
-                ["n", "w", "dang", "side"]],
-            batch_format="pandas")
+    for it in range(iters):
+        # iteration 0 reads ranks from nowhere: every node holds r0
+        rcur = None if it == 0 else str(scratch / f"r{it}")
+        rnext = str(scratch / f"r{it + 1}")
         add = damping * dang_mass / n_nodes
 
-        def bucket(t: pa.Table) -> pa.Table:
-            from chomper_ray.stages.merge import stable_bucket
+        def contrib(df: pd.DataFrame, rcur=rcur) -> pd.DataFrame:
+            outs = []
+            for pid in df["pid"].unique():
+                pid = int(pid)
+                # seed row: every bucket reaches the finish stage even
+                # with zero incoming contributions (w=0.0 is additive
+                # identity, so a REAL node id here would be unaffected)
+                outs.append(pd.DataFrame(
+                    {"_nb": np.array([pid], np.int32),
+                     "n": np.array([-1], np.int64), "w": [0.0]}))
+                ep = Path(ew_root) / f"p={pid:05d}"
+                if not (ep / "_SUCCESS").exists():
+                    continue
+                ed = pq.read_table(ep / "part.parquet").to_pandas()
+                if rcur is None:
+                    rv = ed["inv_deg"].to_numpy() * r0
+                else:
+                    rp = Path(rcur) / f"p={pid:05d}"
+                    if not (rp / "_SUCCESS").exists():
+                        continue
+                    r = pq.read_table(rp / "part.parquet").to_pandas()
+                    m = ed.merge(r.rename(columns={"n": "src"}),
+                                 on="src", how="inner")
+                    if not len(m):
+                        continue
+                    ed, rv = m, m["r"].to_numpy() * m["inv_deg"].to_numpy()
+                p = pd.DataFrame({"n": ed["dst"].to_numpy(), "w": rv}) \
+                    .groupby("n", as_index=False)["w"].sum()
+                p["_nb"] = stable_bucket(p["n"].to_numpy(), nb)
+                outs.append(p[["_nb", "n", "w"]])
+            return pd.concat(outs, ignore_index=True)
 
-            bk = stable_bucket(t["n"], num_partitions)
-            return t.append_column("_nb", pa.array(bk, type=pa.int32()))
-
-        def finish(g: pd.DataFrame) -> pd.DataFrame:
-            sp = g[g["side"] == 0]
-            sums = g[g["side"] == 1].groupby("n")["w"].sum()
+        def finish(g: pd.DataFrame, rnext=rnext, add=add) -> pd.DataFrame:
+            pid = int(g["_nb"].iloc[0])
+            sp_f = Path(sp_root) / f"p={pid:05d}"
+            if not (sp_f / "_SUCCESS").exists():
+                # no node hashes to this bucket (seed-only group)
+                return meta_schema.empty_table().to_pandas()
+            sp = pq.read_table(sp_f / "part.parquet").to_pandas()
+            sums = g.groupby("n")["w"].sum()
             w = sp["n"].map(sums).fillna(0.0).to_numpy()
-            return pd.DataFrame({
-                "n": sp["n"].astype("int64"),
-                "dang": sp["dang"].astype(bool),
-                "r": base + add + damping * w})
+            r_new = base + add + damping * w
+            _atomic_write(Path(rnext) / f"p={pid:05d}", pa.table({
+                "n": pa.array(sp["n"].to_numpy(), pa.int64()),
+                "r": pa.array(r_new, pa.float64())}))
+            dm = float(r_new[sp["dang"].to_numpy()].sum())
+            return pd.DataFrame({"pid": np.array([pid], np.int32),
+                                 "dm": [dm]})
 
-        # repartition bounds the block count: the groupby's output block
-        # count grows with its INPUT's, so without this each iteration's
-        # ranks carries ~2× more blocks and per-block fixed costs
-        # compound quadratically across iterations
-        ranks = (tagged_spine.union(contrib)
-                 .map_batches(bucket, batch_format="pyarrow")
-                 .groupby("_nb")
-                 .map_groups(finish, batch_format="pandas")
-                 .repartition(min(num_partitions, 16))
-                 .materialize())
+        # one Ray job per iteration: a map task per edge/rank bucket
+        # pair, one partials exchange, a finish task per node bucket;
+        # output is num_partitions metadata rows — the driver never
+        # touches rank rows
+        it_meta = (rd.range(nb)
+                   .map_batches(lambda df: df.rename(columns={"id": "pid"}),
+                                batch_format="pandas")
+                   .repartition(nb)
+                   .map_batches(contrib, batch_format="pandas")
+                   .groupby("_nb")
+                   .map_groups(finish, batch_format="pandas")
+                   .to_pandas())
+        dang_mass = float(it_meta["dm"].sum()) if len(it_meta) else 0.0
+        if it > 0:
+            shutil.rmtree(scratch / f"r{it}", ignore_errors=True)
+
+    from chomper_ray.state.output import read_partitioned
 
     def out(df: pd.DataFrame) -> pd.DataFrame:
-        r = df["r"].to_numpy()
+        r = df["r"].to_numpy() if iters else np.full(len(df), r0)
         if ndigits is not None:
             r = np.round(r, ndigits)
         return pd.DataFrame({"node": df["n"].astype("int64"), "rank": r})
 
-    return ranks.map_batches(out, batch_format="pandas")
+    final_root = scratch / (f"r{iters}" if iters else "spine")
+    files = sorted(str(p.parent / "part.parquet")
+                   for p in Path(final_root).glob("p=*/_SUCCESS"))
+    result = rd.read_parquet(files, partitioning=None).map_batches(
+        out, batch_format="pandas").materialize()
+    shutil.rmtree(scratch, ignore_errors=True)
+    return result
 
 
 def sql_pagerank_query(edges_sql: str, damping: float = 0.85,
