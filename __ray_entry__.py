@@ -1608,6 +1608,33 @@ def _q_cdc_matview_domains(sf_dir: str):
                                 "sum_n_chars": "total_chars"})
 
 
+_IDX_TOKENS = ("lorem", "magna", "tempor", "dolor", "zzz-absent")
+
+
+def _q_cdc_index_tokens(sf_dir: str):
+    # incremental index maintenance: the inverted text index maintained
+    # COMMIT BY COMMIT from each lake commit's touched partitions as
+    # LSM-style delta segments (cost ∝ write amplification, never the
+    # corpus; state/index.py LakeTextIndex) — yet the resolved postings
+    # hash-verify against a from-scratch SQL tokenization of the same
+    # LWW state. The 4 per-epoch commits exercise insert/update/delete
+    # deltas, including full token-set rewrites of updated urls.
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.state.index import LakeTextIndex
+    from chomper_ray.state.lake import LakeTable
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_idx_")
+    run_cdc(log, lake_root, num_partitions=8)
+    lake = LakeTable(lake_root, num_partitions=8)
+    idx = LakeTextIndex(lake, tempfile.mkdtemp(prefix="chomper_inc_idx_"),
+                        num_partitions=16)
+    idx.refresh()
+    parts = [idx.postings(t) for t in _IDX_TOKENS]
+    out = pd.concat(parts, ignore_index=True)
+    return out.rename(columns={"doc": "url"})[["token", "url", "tf", "dl"]]
+
+
 def _q_change_listeners(sf_dir: str):
     from chomper_ray.pipelines.cdc import run_cdc
     from chomper_ray.sources.events import generate_change_stream
@@ -1850,6 +1877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_bigram_score": _q_lm_score,
         "jsonl_sink_roundtrip": _q_jsonl_roundtrip,
         "cdc_upsert_pages": _q_cdc_upsert_pages,
+        "cdc_index_tokens": _q_cdc_index_tokens,
         # rows-only by design (no SQL oracle)
         "pca_project": _q_pca_project,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -1985,6 +2013,24 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_pages, "
             "CAST(sum(length(coalesce(text, ''))) AS BIGINT) "
             "AS total_chars FROM st GROUP BY 1"
+        ),
+        "cdc_index_tokens": (
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            f"sidecar AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/_oracle/*.parquet')), "
+            "st AS (SELECT w.url, s.text FROM win w "
+            "JOIN sidecar s USING (seq)), "
+            "tok AS (SELECT url, "
+            "len(string_split(coalesce(text, ''), ' ')) AS dl, "
+            "unnest(string_split(coalesce(text, ''), ' ')) AS token "
+            "FROM st) "
+            "SELECT token, url, count(*) AS tf, dl FROM tok "
+            f"WHERE token IN {tuple(_IDX_TOKENS)!r} "
+            "GROUP BY token, url, dl"
         ),
         "dropper_filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_discount "

@@ -229,3 +229,389 @@ def phrase_search(root: str | Path, phrase: str,
         hit["p"] = hit["p"] - i  # back to phrase-start positions
         cur = hit
     return np.unique(cur["d"]) if len(cur) else np.empty(0, np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance under CDC (LSM-style delta segments)
+# ---------------------------------------------------------------------------
+
+class LakeTextIndex:
+    """Inverted text index over a ``LakeTable``, maintained COMMIT BY
+    COMMIT from each commit's touched partitions — the
+    ``MaterializedAgg`` per-commit delta discipline (state/matview.py)
+    applied to a non-additive structure via LSM-style segments.
+
+    Postings are not self-maintainable in place: a doc update changes
+    its whole token set, and folding that into token-bucketed base
+    files would re-read/rewrite every touched token bucket — corpus-
+    sized work for a one-partition commit. Instead each lake commit
+    appends a DELTA SEGMENT: signed postings (op=+1 for the touched
+    partitions' new version, op=-1 for their previous version), token-
+    bucketed and sorted exactly like the base. Maintenance cost is
+    therefore ∝ the commit's own write amplification (tokenize old+new
+    versions of the touched partitions, one shuffle of THEIR postings),
+    never the corpus; a query reads ≤ one bucket file per segment per
+    token and resolves doc-level last-op-wins across segments (within a
+    segment, an updated doc's -1 sorts before its +1). ``compact()``
+    folds all segments into a fresh full segment to re-bound read
+    amplification — the classic LSM trade, chosen deliberately for the
+    100-TB CDC regime where commits are small and queries read O(k)
+    files either way.
+
+    Storage: ``root/seg-<cid:06d>[-full]/t=NNNNN/part.parquet`` (+
+    ``_SUCCESS`` per bucket, written tmp→rename), with a
+    ``_SEGMENT.json`` marker written LAST as the segment's commit
+    point; ``refresh()`` resumes from the newest marker and re-running
+    is a no-op (same exactly-once contract as the lake). Doc-length
+    stats for BM25 (n_docs, Σdl) ride each segment's marker as deltas.
+    ``positions`` is intentionally unsupported here (phrase search
+    wants a full rebuild); use ``build_inverted_index`` for that.
+    """
+
+    def __init__(self, lake, root, col: str = "text",
+                 key_col: str | None = None, sep: str = " ",
+                 num_partitions: int = 64):
+        from chomper_ray.stages.merge import DEFAULT_KEY
+
+        self.lake = lake
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        self.col = col
+        self.key_col = key_col or DEFAULT_KEY
+        self.sep = sep
+        self.num_partitions = int(num_partitions)
+
+    # -- segment bookkeeping ------------------------------------------------
+    def _segments(self) -> list[dict]:
+        """Applied segments in chain order; a ``-full`` variant of a cid
+        supersedes (and hides) its delta twin."""
+        segs = {}
+        for m in self.root.glob("seg-*/_SEGMENT.json"):
+            s = json.loads(m.read_text())
+            s["dir"] = str(m.parent)
+            cur = segs.get(s["cid"])
+            if cur is None or (s.get("full") and not cur.get("full")):
+                segs[s["cid"]] = s
+        return [segs[c] for c in sorted(segs)]
+
+    def applied_commits(self) -> list[int]:
+        return [s["cid"] for s in self._segments()]
+
+    def _live_segments(self) -> list[dict]:
+        segs = self._segments()
+        for i in range(len(segs) - 1, -1, -1):
+            if segs[i].get("full"):
+                return segs[i:]
+        return segs
+
+    def stats(self) -> dict:
+        live = self._live_segments()
+        n_docs = sum(s["n_docs_delta"] for s in live)
+        sum_dl = sum(s["sum_dl_delta"] for s in live)
+        return {"n_docs": n_docs, "sum_dl": sum_dl,
+                "avgdl": sum_dl / max(n_docs, 1),
+                "segments": len(live)}
+
+    # -- segment construction -------------------------------------------------
+    def _postings_ds(self, files: list[str], op: int):
+        """Signed (token, doc, tf, dl, op) postings over LIVE rows of
+        the given lake partition files."""
+        import polars as pl
+        import ray.data as rd
+
+        from chomper_ray.stages.merge import INTERNAL_DELETED
+
+        col, key, sep, nb = self.col, self.key_col, self.sep, \
+            self.num_partitions
+
+        def postings(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[~df[INTERNAL_DELETED].astype(bool)]
+            if not len(df):
+                return pd.DataFrame({
+                    "token": pd.Series(dtype="object"),
+                    "doc": pd.Series(dtype="object"),
+                    "tf": pd.Series(dtype="int64"),
+                    "dl": pd.Series(dtype="int64"),
+                    "op": pd.Series(dtype="int8"),
+                    "_tb": pd.Series(dtype="int32")})
+            base = pl.DataFrame({
+                "d": pl.Series(df[key].to_numpy().astype(object),
+                               dtype=pl.Utf8)
+                if df[key].dtype == object else
+                pl.Series(df[key].to_numpy()),
+                "w": pl.Series(pd.Series(df[col]).fillna("")
+                               .astype(str).tolist()).str.split(sep),
+            }).with_columns(pl.col("w").list.len().alias("dl"))
+            g = base.explode("w").group_by(["d", "w", "dl"]).len() \
+                .to_pandas()
+            out = pd.DataFrame({"token": g["w"],
+                                "doc": g["d"],
+                                "tf": g["len"].astype("int64"),
+                                "dl": g["dl"].astype("int64")})
+            out["op"] = np.int8(op)
+            out["_tb"] = stable_bucket(out["token"].to_numpy(),
+                                       nb).astype("int32")
+            return out
+
+        ds = rd.read_parquet(files,
+                             columns=[key, col, INTERNAL_DELETED])
+        return ds.map_batches(postings, batch_format="pandas")
+
+    def _doc_stats(self, files: list[str]) -> tuple[int, int, int]:
+        """(n_live_docs, sum_dl, rows_scanned) for the given files."""
+        import polars as pl
+        import ray.data as rd
+
+        from chomper_ray.stages.merge import INTERNAL_DELETED
+
+        if not files:
+            return 0, 0, 0
+        col = self.col
+        sep = self.sep
+
+        def st(df: pd.DataFrame) -> pd.DataFrame:
+            rows = len(df)
+            df = df[~df[INTERNAL_DELETED].astype(bool)]
+            if not len(df):
+                return pd.DataFrame({"n": [0], "sum_dl": [0],
+                                     "rows": [rows]})
+            dl = pl.Series(pd.Series(df[col]).fillna("").astype(str)
+                           .tolist()).str.split(sep).list.len()
+            return pd.DataFrame({"n": [len(df)], "sum_dl": [int(dl.sum())],
+                                 "rows": [rows]})
+
+        s = rd.read_parquet(files, columns=[col, INTERNAL_DELETED]) \
+            .map_batches(st, batch_format="pandas").to_pandas()
+        return int(s["n"].sum()), int(s["sum_dl"].sum()), \
+            int(s["rows"].sum())
+
+    def _write_segment(self, cid: int, new_files: list[str],
+                       old_files: list[str], full: bool) -> dict:
+        import ray.data as rd
+
+        seg_dir = self.root / (f"seg-{cid:06d}-full" if full
+                               else f"seg-{cid:06d}")
+        seg_dir.mkdir(parents=True, exist_ok=True)
+        segs = str(seg_dir)
+
+        def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            pid = int(g["_tb"].iloc[0])
+            g = g.drop(columns=["_tb"]) \
+                .drop_duplicates(subset=["token", "doc", "op"]) \
+                .sort_values(["token", "doc", "op"], kind="stable")
+            d = Path(segs) / f"t={pid:05d}"
+            d.mkdir(parents=True, exist_ok=True)
+            tmp = d / f".part.{uuid.uuid4().hex[:8]}.parquet.tmp"
+            pq.write_table(pa.Table.from_pandas(g, preserve_index=False),
+                           tmp)
+            os.replace(tmp, d / "part.parquet")
+            (d / "_SUCCESS").touch()
+            return pd.DataFrame({"pid": [pid], "postings": [len(g)]})
+
+        parts = []
+        if new_files:
+            parts.append(self._postings_ds(new_files, +1))
+        if old_files:
+            parts.append(self._postings_ds(old_files, -1))
+        n_postings = 0
+        if parts:
+            ds = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+            meta = ds.groupby("_tb").map_groups(
+                write_bucket, batch_format="pandas").to_pandas()
+            n_postings = int(meta["postings"].sum()) if len(meta) else 0
+        n_new, dl_new, rows_new = self._doc_stats(new_files)
+        n_old, dl_old, rows_old = self._doc_stats(old_files)
+        marker = {"cid": int(cid), "full": bool(full),
+                  "n_docs_delta": n_new - n_old,
+                  "sum_dl_delta": dl_new - dl_old,
+                  "postings": n_postings,
+                  "rows_scanned": rows_new + rows_old}
+        tmp = seg_dir / f"._SEGMENT.{uuid.uuid4().hex[:8]}.tmp"
+        tmp.write_text(json.dumps(marker))
+        os.replace(tmp, seg_dir / "_SEGMENT.json")
+        return marker
+
+    # -- maintenance ----------------------------------------------------------
+    def refresh(self) -> dict:
+        """Apply every unapplied lake commit in chain order. Returns
+        ``{"applied": [markers...], "skipped": [cids...]}``; idempotent."""
+        from chomper_ray.state.lake import committed_epochs, load_manifest
+
+        root = self.lake.root
+        cids = committed_epochs(root)
+        done = set(self.applied_commits())
+        applied, skipped = [], []
+        prev_cid = None
+        for cid in cids:
+            if cid in done:
+                prev_cid = cid
+                skipped.append(cid)
+                continue
+            man = load_manifest(root, cid)
+            if man.get("truncated") or not man["partitions"]:
+                applied.append(self._write_segment(cid, [], [], full=True))
+                prev_cid = cid
+                continue
+            all_files = [str(root / v["file"])
+                         for _, v in sorted(man["partitions"].items())]
+            if prev_cid is None or prev_cid not in done and not applied \
+                    and not self._segments():
+                # first segment ever: full build from this manifest
+                applied.append(self._write_segment(cid, all_files, [],
+                                                   full=True))
+                prev_cid = cid
+                continue
+            touched = sorted({int(ln["partition_id"])
+                              for ln in man.get("lineage", [])})
+            prev_man = load_manifest(root, prev_cid)
+            new_files = [str(root / man["partitions"][str(p)]["file"])
+                         for p in touched if str(p) in man["partitions"]]
+            old_files, missing_old = [], False
+            for p in touched:
+                part = prev_man["partitions"].get(str(p)) \
+                    if prev_man else None
+                if part is None:
+                    continue
+                f = root / part["file"]
+                if not f.exists():  # compacted away
+                    missing_old = True
+                    break
+                old_files.append(str(f))
+            if missing_old or prev_man is None:
+                applied.append(self._write_segment(cid, all_files, [],
+                                                   full=True))
+            else:
+                applied.append(self._write_segment(cid, new_files,
+                                                   old_files, full=False))
+            prev_cid = cid
+        return {"applied": applied, "skipped": skipped}
+
+    def compact(self) -> dict:
+        """Fold all live segments into one full segment at the newest
+        applied cid, then drop superseded segment dirs. Bounded by the
+        index size (it rewrites every bucket once) — run it on the
+        compaction cadence, not per commit."""
+        import shutil
+
+        segs = self._segments()
+        if not segs:
+            return {"compacted": False}
+        cid = segs[-1]["cid"]
+        live = self._live_segments()
+        if len(live) == 1 and live[0].get("full"):
+            return {"compacted": False}
+        st = self.stats()
+        seg_dir = self.root / f"seg-{cid:06d}-full"
+        seg_dir.mkdir(parents=True, exist_ok=True)
+        n_postings = 0
+        for pid in range(self.num_partitions):
+            res = self._resolved_bucket(pid)
+            if res is None or not len(res):
+                continue
+            res = res.sort_values(["token", "doc"], kind="stable")
+            res["op"] = np.int8(1)
+            d = seg_dir / f"t={pid:05d}"
+            d.mkdir(parents=True, exist_ok=True)
+            tmp = d / f".part.{uuid.uuid4().hex[:8]}.parquet.tmp"
+            pq.write_table(pa.Table.from_pandas(
+                res[["token", "doc", "tf", "dl", "op"]],
+                preserve_index=False), tmp)
+            os.replace(tmp, d / "part.parquet")
+            (d / "_SUCCESS").touch()
+            n_postings += len(res)
+        marker = {"cid": int(cid), "full": True,
+                  "n_docs_delta": st["n_docs"],
+                  "sum_dl_delta": st["sum_dl"],
+                  "postings": n_postings, "rows_scanned": 0}
+        tmp = seg_dir / f"._SEGMENT.{uuid.uuid4().hex[:8]}.tmp"
+        tmp.write_text(json.dumps(marker))
+        os.replace(tmp, seg_dir / "_SEGMENT.json")
+        for s in segs:
+            if s["dir"] != str(seg_dir):
+                shutil.rmtree(s["dir"], ignore_errors=True)
+        return {"compacted": True, "postings": n_postings}
+
+    # -- reads ----------------------------------------------------------------
+    def _resolved_bucket(self, pid: int, token: str | None = None):
+        """Live postings of one token bucket: per-(token, doc) last op
+        wins across segments in chain order; -1 sorts before +1 inside
+        a segment so an in-place doc update resolves to its new row."""
+        parts = []
+        for rank, seg in enumerate(self._live_segments()):
+            d = Path(seg["dir"]) / f"t={pid:05d}"
+            if not (d / "_SUCCESS").exists():
+                continue
+            t = pq.read_table(d / "part.parquet").to_pandas()
+            if token is not None:
+                toks = t["token"].to_numpy()
+                lo = np.searchsorted(toks, token, side="left")
+                hi = np.searchsorted(toks, token, side="right")
+                t = t.iloc[lo:hi]
+            if len(t):
+                parts.append(t.assign(_r=rank))
+        if not parts:
+            return None
+        cat = pd.concat(parts, ignore_index=True)
+        cat = cat.sort_values(["token", "doc", "_r", "op"], kind="stable")
+        cat = cat.drop_duplicates(subset=["token", "doc"], keep="last")
+        return cat[cat["op"] == 1][["token", "doc", "tf", "dl"]]
+
+    def _token_pid(self, token: str) -> int:
+        return int(stable_bucket(np.array([token], dtype=object),
+                                 self.num_partitions)[0])
+
+    def postings(self, token: str) -> pd.DataFrame:
+        """Live (token, doc, tf, dl) rows for one token — reads one
+        bucket file per live segment, no Ray job."""
+        res = self._resolved_bucket(self._token_pid(token), token)
+        if res is None:
+            return pd.DataFrame({
+                "token": pd.Series(dtype="object"),
+                "doc": pd.Series(dtype="object"),
+                "tf": pd.Series(dtype="int64"),
+                "dl": pd.Series(dtype="int64")})
+        return res.reset_index(drop=True)
+
+    def search(self, tokens, mode: str = "all") -> np.ndarray:
+        """Doc keys containing ``all``/``any`` of the tokens (sorted)."""
+        sets = [self.postings(t)["doc"].to_numpy() for t in tokens]
+        if not sets:
+            return np.empty(0, dtype=object)
+        if mode == "all":
+            out = sets[0]
+            for s in sets[1:]:
+                out = np.intersect1d(out, s, assume_unique=True)
+            return out
+        if mode == "any":
+            return np.unique(np.concatenate(sets))
+        raise ValueError(f"mode must be 'all' or 'any', got {mode!r}")
+
+    def bm25(self, tokens, k: int = 10, k1: float = 1.2, b: float = 0.75,
+             ndigits: int = 6) -> pd.DataFrame:
+        """BM25 top-k over the maintained index (same formula as
+        ``bm25_search``); ties break by ascending doc key."""
+        st = self.stats()
+        n_docs, avgdl = float(st["n_docs"]), float(st["avgdl"])
+        ids_all, score_all = [], []
+        for t in dict.fromkeys(tokens):
+            p = self.postings(t)
+            if not len(p):
+                continue
+            df_ = float(len(p))
+            idf = np.log((n_docs - df_ + 0.5) / (df_ + 0.5) + 1.0)
+            tf = p["tf"].to_numpy().astype(np.float64)
+            dl = p["dl"].to_numpy().astype(np.float64)
+            denom = tf + k1 * (1.0 - b + b * dl / avgdl)
+            ids_all.append(p["doc"].to_numpy())
+            score_all.append(idf * tf * (k1 + 1.0) / denom)
+        if not ids_all:
+            return pd.DataFrame({"doc": pd.Series(dtype="object"),
+                                 "score": pd.Series(dtype="float64")})
+        ids = np.concatenate(ids_all)
+        sc = np.concatenate(score_all)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        tot = np.zeros(len(uniq))
+        np.add.at(tot, inv, sc)
+        order = np.lexsort((uniq, -tot))[:k]
+        return pd.DataFrame({"doc": uniq[order],
+                             "score": np.round(tot[order], ndigits)})
