@@ -1472,14 +1472,19 @@ def _q_multimodal_decode(sf_dir: str):
     import ray.data as rd
 
     from chomper_ray.stages.multimodal import (
-        DEFAULT_MEDIA_BATCH_SIZE, DecodeImage, make_fake_media_table)
+        DEFAULT_MEDIA_BATCH_SIZE, DecodeImage, make_real_media_table)
 
-    ds = rd.from_arrow(make_fake_media_table(128))
-    # autoscaling actor pool: decode state loads once per actor, pool
-    # grows to the stage's demand instead of a fixed 2-actor cap
-    out = ds.map_batches(DecodeImage, batch_format="pandas",
-                         batch_size=DEFAULT_MEDIA_BATCH_SIZE,
-                         concurrency=(2, 8))
+    # REAL decode: the payloads are actual PNG files and strict mode
+    # decodes them with the pure-stdlib codec (functions/codecs.py) —
+    # pixel stats come from real pixels, not a fake. Autoscaling actor
+    # pool: decode state loads once per actor.
+    ds = rd.from_arrow(make_real_media_table(129))
+    out = ds.map_batches(lambda df: df[df["media_type"] == "image"],
+                         batch_format="pandas") \
+        .map_batches(DecodeImage, fn_constructor_args=("strict",),
+                     batch_format="pandas",
+                     batch_size=DEFAULT_MEDIA_BATCH_SIZE,
+                     concurrency=(2, 8))
     return out.map_batches(lambda df: df[["media_id", "media_type", "pixel_mean"]],
                            batch_format="pandas")
 
@@ -1489,24 +1494,37 @@ def _q_multimodal_audio_frames(sf_dir: str):
 
     from chomper_ray.stages.multimodal import (
         DEFAULT_MEDIA_BATCH_SIZE, AudioFeatures, SampleFrames,
-        make_fake_media_table)
+        make_real_media_table)
 
-    # audio feature extraction + video frame sampling through the same
-    # actor-pool plumbing as image decode (stub codecs, real Ray side)
-    ds = rd.from_arrow(make_fake_media_table(128))
-    out = ds.map_batches(AudioFeatures, batch_format="pandas",
-                         batch_size=DEFAULT_MEDIA_BATCH_SIZE,
-                         concurrency=(2, 8)) \
+    # audio path decodes REAL WAV payloads (stdlib `wave` codec) in
+    # strict mode; frame sampling stays fake — video has no stdlib
+    # codec, so the strict contract there is fail-fast, exercised in
+    # pytest — through the same actor-pool plumbing
+    ds = rd.from_arrow(make_real_media_table(129))
+    aud = ds.map_batches(lambda df: df[df["media_type"] == "audio"],
+                         batch_format="pandas") \
+        .map_batches(AudioFeatures, fn_constructor_args=("strict",),
+                     batch_format="pandas",
+                     batch_size=DEFAULT_MEDIA_BATCH_SIZE,
+                     concurrency=(2, 8))
+    vid = ds.map_batches(lambda df: df[df["media_type"] == "video"],
+                         batch_format="pandas") \
         .map_batches(SampleFrames, batch_format="pandas",
                      batch_size=DEFAULT_MEDIA_BATCH_SIZE,
                      concurrency=(2, 8))
 
-    def fin(df):
+    def fin_aud(df):
+        df["n_frames"] = 0
+        return df[["media_id", "media_type", "rms", "n_frames"]]
+
+    def fin_vid(df):
+        df["rms"] = np.nan
         df["n_frames"] = df["frame_ts_ms"].map(
             lambda v: 0 if v is None else len(v))
         return df[["media_id", "media_type", "rms", "n_frames"]]
 
-    return out.map_batches(fin, batch_format="pandas")
+    return aud.map_batches(fin_aud, batch_format="pandas").union(
+        vid.map_batches(fin_vid, batch_format="pandas"))
 
 
 _CDC_ORACLE_LOG = "/tmp/chomper_ray_log_oracle"

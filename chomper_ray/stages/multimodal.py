@@ -1,12 +1,14 @@
 """Multimodal column plumbing: images/audio/video as opaque ``binary``
 columns with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The image/audio codec libraries are NOT in this container, so the decode
-kernels are STUBS — ``decode='strict'`` raises ``NotImplementedError``;
+``decode='strict'`` is REAL for PNG images and WAV audio via the
+pure-stdlib codecs in ``functions/codecs.py`` (zlib/struct PNG, ``wave``
+WAV — no third-party library needed); JPEG and video formats keep the
+fail-fast contract (``NotImplementedError`` naming the missing codec)
+because their libraries (PIL/soundfile/av) are not in this container.
 ``decode='fake'`` produces a deterministic fake decode derived from the
 payload bytes so the Ray-side plumbing (schema, batch sizing, actor
-signature, output layout) is real and testable end-to-end. Swapping in
-PIL/ffmpeg later only replaces ``_decode_*_impl``.
+signature, output layout) stays testable against any payload.
 
 Batch-size guidance baked into the stage defaults: binary payloads are
 wide — ``batch_size`` stays small (256) so batch × concurrency fits the
@@ -18,6 +20,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from chomper_ray.functions.codecs import (decode_png, decode_wav,
+                                          encode_png, encode_wav,
+                                          sniff_media_format)
 
 MEDIA_SCHEMA = pa.schema([
     pa.field("media_id", pa.int64()),
@@ -67,14 +73,20 @@ class DecodeImage:
     def __init__(self, mode: str = "fake", resize: tuple[int, int] = (32, 32)):
         if mode not in ("fake", "strict"):
             raise ValueError("mode must be 'fake' or 'strict'")
-        if mode == "strict":
-            _require_codec(("PIL",), "image")  # fail at build, not mid-run
+        # strict PNG decode is pure stdlib (functions/codecs.py) — no
+        # build-time codec requirement; JPEG payloads fail fast at
+        # decode naming the missing library (PIL)
         self.mode = mode
         self.resize = resize
 
     def _decode_image_impl(self, payload: bytes, w, h) -> np.ndarray:
-        if self.mode == "strict":  # codec verified importable in __init__
-            raise NotImplementedError("real PIL decode not yet wired")
+        if self.mode == "strict":
+            fmt = sniff_media_format(payload)
+            if fmt == "png":
+                return decode_png(payload)  # REAL stdlib decode
+            raise NotImplementedError(
+                f"strict image decode: {fmt} needs PIL (not in this "
+                "container); PNG decodes natively")
         rh = int(h) if pd.notna(h) else 16
         rw = int(w) if pd.notna(w) else 16
         return _fake_pixels(payload, min(rh, 64), min(rw, 64))
@@ -123,14 +135,21 @@ class AudioFeatures:
     """
 
     def __init__(self, mode: str = "fake", n_features: int = 16):
-        if mode == "strict":
-            _require_codec(("soundfile",), "audio")
+        if mode not in ("fake", "strict"):
+            raise ValueError("mode must be 'fake' or 'strict'")
+        # strict WAV decode is pure stdlib (functions/codecs.py); other
+        # audio formats fail fast at decode naming the missing library
         self.mode = mode
         self.n_features = n_features
 
     def _decode_audio_impl(self, payload: bytes, duration_ms) -> np.ndarray:
-        if self.mode == "strict":  # codec verified importable in __init__
-            raise NotImplementedError("real soundfile decode not yet wired")
+        if self.mode == "strict":
+            fmt = sniff_media_format(payload)
+            if fmt == "wav":
+                return decode_wav(payload)[0]  # REAL stdlib decode
+            raise NotImplementedError(
+                f"strict audio decode: {fmt} needs soundfile (not in "
+                "this container); WAV decodes natively")
         seed = int(pd.util.hash_array(np.array([payload], dtype=object))[0]) & 0x7FFFFFFF
         n = max(64, int(duration_ms) if pd.notna(duration_ms) else 1000)
         return np.random.default_rng(seed).standard_normal(min(n, 4096))
@@ -175,6 +194,58 @@ class SampleFrames:
             for p, d in zip(batch["payload"], batch.get("duration_ms"))
         ]
         return batch
+
+
+def make_real_media_table(n: int = 48, seed: int = 9) -> pa.Table:
+    """Synthetic media table with REAL payloads: PNG images (gradient +
+    noise, alternating scanline filters), 16-bit PCM WAV sine bursts,
+    and 'video' rows that keep an opaque payload (no stdlib video codec
+    exists — those rows exercise the fail-fast contract)."""
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("media_id", "url", "media_type", "payload",
+                            "width", "height", "duration_ms")}
+    for i in range(n):
+        t = ("image", "audio", "video")[i % 3]
+        rows["media_id"].append(i)
+        rows["url"].append(f"https://media.example.com/{i}")
+        rows["media_type"].append(t)
+        if t == "image":
+            h = int(rng.integers(8, 40))
+            w = int(rng.integers(8, 40))
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = np.stack([(xx * 3 + i) % 256, (yy * 5 + 2 * i) % 256,
+                           (xx + yy + 7 * i) % 256], axis=2)
+            px = ((px + rng.integers(0, 32, px.shape)) % 256) \
+                .astype(np.uint8)
+            rows["payload"].append(encode_png(px,
+                                              filter_type=2 if i % 2 else 0))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["duration_ms"].append(None)
+        elif t == "audio":
+            sr = 8000
+            dur = float(rng.uniform(0.05, 0.2))
+            tt = np.arange(int(sr * dur)) / sr
+            x = 0.5 * np.sin(2 * np.pi * (100.0 * (1 + i % 8)) * tt)
+            rows["payload"].append(encode_wav(x, sr))
+            rows["width"].append(None)
+            rows["height"].append(None)
+            rows["duration_ms"].append(int(dur * 1000))
+        else:
+            rows["payload"].append(
+                rng.integers(0, 256, 96).astype(np.uint8).tobytes())
+            rows["width"].append(None)
+            rows["height"].append(None)
+            rows["duration_ms"].append(int(rng.integers(500, 5000)))
+    return pa.table({
+        "media_id": pa.array(rows["media_id"], type=pa.int64()),
+        "url": pa.array(rows["url"]),
+        "media_type": pa.array(rows["media_type"]),
+        "payload": pa.array(rows["payload"], type=pa.binary()),
+        "width": pa.array(rows["width"], type=pa.int32()),
+        "height": pa.array(rows["height"], type=pa.int32()),
+        "duration_ms": pa.array(rows["duration_ms"], type=pa.int32()),
+    })
 
 
 def make_fake_media_table(n: int = 64, seed: int = 9) -> pa.Table:
