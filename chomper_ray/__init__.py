@@ -71,3 +71,45 @@ def _pin_fsspec_http_stub():
 
 
 _pin_fsspec_http_stub()
+
+
+def _filter_benign_empty_schema_warnings():
+    """Drop ONLY the known-benign Ray Data schema-divergence warning.
+
+    Ray's streaming executor warns whenever an operator's output bundle
+    schema differs from the previous bundle's. Its check is asymmetric
+    (``streaming_executor_state.dedupe_schemas_with_validation``): an
+    EMPTY *old* schema is skipped via ``_is_empty_schema``, but an empty
+    *new* one — the schema-less zero-row bundle Ray itself builds for an
+    empty post-shuffle partition, since UDFs are never invoked on empty
+    blocks (``grouped_data._apply_udf_to_groups`` yields nothing, and
+    ``map_batches`` skips empty blocks too) — still fires the warning.
+    A zero-column bundle cannot flip any dtype, so these are pure noise;
+    every sort/groupby over a bucket column whose distinct values don't
+    densely cover the sampled range boundaries emits them.
+
+    This filter removes exactly that case: "new schema" is empty (arrow
+    prints as nothing, pandas as ``names=[], types=[]``). REAL
+    divergence — non-empty vs non-empty, the dtype-flip hazard — still
+    warns. Verified against Ray 2.49.2 message format.
+    """
+    import logging
+    import re
+
+    benign = re.compile(
+        r"new schema: (PandasBlockSchema\(names=\[\], types=\[\]\))?\."
+        r" This may lead")
+
+    class _BenignEmptySchema(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return not (
+                "Operator produced a RefBundle with a different schema"
+                in msg and benign.search(msg))
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_BenignEmptySchema())
+
+
+_filter_benign_empty_schema_warnings()

@@ -22,6 +22,30 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _final_topk_ds(scored, k: int, id_col: str, score_col: str):
+    """Final top-k reduce over per-block candidates.
+
+    Each block already emitted ≤ k rows per query, so the candidate set
+    is bounded by blocks × k × nq — and nq is bounded by the caller's
+    in-memory query matrix by construction. That makes this the
+    sanctioned bounded driver-collect shape (same as relational.topk):
+    one ``to_pandas`` of the candidates, one vectorized sort, instead
+    of a ``groupby(query_id)`` shuffle — which, with a handful of
+    query ids spread over many post-shuffle partitions, made Ray's
+    map_groups emit schema-less empty blocks (the `names=[]` bench
+    warnings). Ties break by ascending id. Returns a single typed
+    block."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    cand = scored.to_pandas()
+    cand = cand.sort_values(["query_id", score_col, id_col],
+                            ascending=[True, False, True], kind="stable")
+    out = cand.groupby("query_id", sort=False).head(k) \
+        .reset_index(drop=True)
+    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
 class _TopKScorer:
     """Actor-pool stage: per-batch brute-force scores → local top-k rows.
 
@@ -74,10 +98,6 @@ def ann_topk(ds, queries: np.ndarray, k: int = 10,
 
     qref = ray.put(np.asarray(queries, dtype=dtype))
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos", id_col], ascending=[False, True], kind="stable")
-        return g.head(k)
-
     ctor = dict(queries_ref=qref, k=k, vec_col=vec_col, id_col=id_col,
                 dtype=dtype)
     if concurrency:
@@ -86,8 +106,7 @@ def ann_topk(ds, queries: np.ndarray, k: int = 10,
                                 fn_constructor_kwargs=ctor)
     else:
         scored = ds.map_batches(_TopKScorer(**ctor), batch_format="pandas")
-    return (scored.groupby("query_id")
-            .map_groups(final_topk, batch_format="pandas"))
+    return _final_topk_ds(scored, k, id_col, "cos")
 
 
 # --------------------------------------------------------------------------
@@ -460,11 +479,6 @@ def pq_topk(ds_encoded, model: dict, queries: np.ndarray, k: int = 10,
     mref = ray.put(model)
     qref = ray.put(np.asarray(queries, dtype=np.float32))
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", id_col], ascending=[False, True],
-                          kind="stable")
-        return g.head(k)
-
     ctor = dict(model_ref=mref, queries_ref=qref, k=k,
                 code_col=code_col, id_col=id_col)
     if concurrency:
@@ -474,8 +488,7 @@ def pq_topk(ds_encoded, model: dict, queries: np.ndarray, k: int = 10,
     else:
         scored = ds_encoded.map_batches(_PQScorer(**ctor),
                                         batch_format="pandas")
-    return (scored.groupby("query_id")
-            .map_groups(final_topk, batch_format="pandas"))
+    return _final_topk_ds(scored, k, id_col, "score")
 
 
 def vector_features(ds, query: "np.ndarray", vec_col: str = "embedding",
@@ -613,11 +626,5 @@ def ivfpq_search(root: str, queries: np.ndarray, k: int = 10,
                                    idx.ravel()], 6),
         })
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", id_col], ascending=[False, True],
-                          kind="stable")
-        return g.head(k)
-
-    return (ds.map_batches(score, batch_format="pandas")
-            .groupby("query_id").map_groups(final_topk,
-                                            batch_format="pandas"))
+    return _final_topk_ds(ds.map_batches(score, batch_format="pandas"),
+                          k, id_col, "score")
