@@ -1,0 +1,165 @@
+"""Endurance CDC drain (round-3 VERDICT #8): the 100× rehearsal.
+
+Runs the flagship binlog-tail → LWW-upsert drain at ~10× the 4.8 M-event
+scaling workload — default 48 M events over 16 epochs / ~960 segment
+files — to prove the manifest/staging path at file and epoch counts the
+bench runs never reach, with spill + driver-RSS telemetry recorded.
+
+The change log is generated IN PARALLEL by Ray tasks (one task per
+segment file, deterministic per-file RNG), because a driver-side Python
+loop at 48 M pages would take longer than the run it feeds. Log layout,
+schema and url/version semantics match sources/events.py.
+
+Usage: python scripts/stress_endurance_cdc.py [n_events] [num_cpus]
+Writes one JSON line. Needs ~35 GB under $TMPDIR for the log + lake.
+"""
+
+import json
+import resource
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+N_EPOCHS = 16
+ROWS_PER_FILE = 50_000
+HTML_SCALE = 2
+NUM_PARTITIONS = 64
+BASE_TS_US = 1_600_000_000_000_000
+
+
+def gen_log(out_dir: Path, n_events: int) -> Path:
+    """Parallel deterministic change log: one Ray task per segment file."""
+    import ray.data as rd
+
+    if (out_dir / "_COMPLETE").exists():
+        return out_dir
+    n_urls = max(1, n_events // 10)
+    n_files = (n_events + ROWS_PER_FILE - 1) // ROWS_PER_FILE
+    n_epochs = min(N_EPOCHS, n_files)
+    files_per_epoch = (n_files + n_epochs - 1) // n_epochs
+    out = str(out_dir)
+    for e in range(n_epochs):
+        (out_dir / f"epoch={e:06d}").mkdir(parents=True, exist_ok=True)
+
+    def gen_file(batch: pd.DataFrame) -> pd.DataFrame:
+        from chomper_ray.sources.events import _make_html
+
+        done = []
+        for fi in batch["id"].astype(int):
+            fi = int(fi)
+            e = fi // files_per_epoch
+            lo = fi * ROWS_PER_FILE
+            n = min(ROWS_PER_FILE, n_events - lo)
+            if n <= 0:
+                continue
+            rng = np.random.default_rng(1_000_003 * fi + 7)
+            seq = np.arange(lo, lo + n, dtype=np.int64)
+            url_idx = rng.integers(0, n_urls, n)
+            urls = [f"https://s{i % 499}.example.com/page/{i}"
+                    for i in url_idx]
+            ts = BASE_TS_US + seq * 1_000 + rng.integers(0, 500, n)
+            is_del = rng.random(n) < 0.03
+            ops = np.where(is_del, "delete", "upsert")
+            html = [None if ops[j] == "delete"
+                    else _make_html(urls[j], int(seq[j]), 12345, HTML_SCALE)
+                    for j in range(n)]
+            edir = Path(out) / f"epoch={e:06d}"
+            tmp = edir / f".part-{fi:05d}.tmp.parquet"
+            pq.write_table(pa.table({
+                "op": pa.array(ops.tolist(), pa.string()),
+                "epoch": pa.array(np.full(n, e), pa.int64()),
+                "seq": pa.array(seq, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(ts, pa.timestamp("us")),
+                "html": pa.array(html, pa.binary()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "fetch_status": pa.array(np.full(n, 200, np.int32)),
+            }), tmp)
+            tmp.replace(edir / f"part-{fi:05d}.parquet")
+            done.append(fi)
+        return pd.DataFrame({"fi": pd.Series(done, dtype="int64")})
+
+    (rd.range(n_files).repartition(min(n_files, 512))
+     .map_batches(gen_file, batch_format="pandas").count())
+    (out_dir / "_COMPLETE").touch()
+    return out_dir
+
+
+def spill_stats() -> str:
+    try:
+        from ray._private.internal_api import memory_summary
+
+        s = memory_summary(stats_only=True)
+        return "; ".join(ln.strip() for ln in s.splitlines()
+                         if "Spill" in ln or "Restor" in ln) or "no spill"
+    except Exception as e:  # telemetry only — never fail the run
+        return f"unavailable ({e})"
+
+
+def main():
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 48_000_000
+    num_cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from chomper_ray.pipelines.cdc import run_cdc
+
+    base = Path(tempfile.gettempdir())
+    t0 = time.perf_counter()
+    log = gen_log(base / f"chomper_endurance_log_{n_events}", n_events)
+    gen_s = time.perf_counter() - t0
+    log_files = len(list(Path(log).glob("epoch=*/part-*.parquet")))
+    log_bytes = sum(p.stat().st_size
+                    for p in Path(log).glob("epoch=*/part-*.parquet"))
+
+    lake = tempfile.mkdtemp(prefix="chomper_endurance_lake_")
+    staging = tempfile.mkdtemp(prefix="chomper_endurance_stg_",
+                               dir="/dev/shm")
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+    t0 = time.perf_counter()
+    res = run_cdc(log, lake, num_partitions=NUM_PARTITIONS,
+                  lake_kwargs={"staging_root": staging}, drain=True)
+    wall = time.perf_counter() - t0
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+
+    lake_files = len(list(Path(lake).rglob("*.parquet")))
+    spill = spill_stats()
+    live = res.commits[-1].total_rows if res.commits else 0
+    shutil.rmtree(lake, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    ray.shutdown()
+
+    print(json.dumps({
+        "metric": "endurance_cdc_drain",
+        "n_events": n_events, "num_cpus": num_cpus,
+        "num_partitions": NUM_PARTITIONS, "n_epochs": N_EPOCHS,
+        "gen_s": round(gen_s, 1), "log_files": log_files,
+        "log_gb": round(log_bytes / 2**30, 2),
+        "wall_s": round(wall, 1),
+        "events_per_sec": round(n_events / wall, 1),
+        "stage_s": round(sum(c.stage_s for c in res.commits), 1),
+        "merge_s": round(sum(c.merge_s for c in res.commits), 1),
+        "epochs_run": len(res.epochs_run),
+        "live_rows": int(live),
+        "lake_files": lake_files,
+        "driver_rss_mb": {"before": rss0, "after": rss1},
+        "spill": spill,
+    }))
+
+
+if __name__ == "__main__":
+    main()
