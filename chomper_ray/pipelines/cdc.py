@@ -184,12 +184,21 @@ def _run_cdc_drain(log_dir, lake, pending, extract, batch_size, res, t0):
     # ONE merge pass across all pending epochs (each partition task
     # threads its snapshot through the epoch chain), manifests sequential
     touched = {}
+    hot_by_epoch = {}
     if "pid" in staged.columns:
+        from chomper_ray.state.lake import detect_hot_partitions
+
         for e in pending:
-            touched[e] = sorted(
-                staged.loc[staged["epoch"] == e, "pid"].unique().tolist())
+            se = staged.loc[staged["epoch"] == e]
+            touched[e] = sorted(se["pid"].unique().tolist())
+            hot_by_epoch[e] = detect_hot_partitions(
+                se.groupby("pid")["n"].sum().to_dict(),
+                factor=lake.hot_factor, min_rows=lake.hot_min_rows,
+                warn_context=f"drain epoch {e}")
     commits = lake.commit_staged_multi([(e, targets[e]) for e in pending],
                                        touched, stage_s=stage_s)
+    for c in commits:
+        c.hot_partitions = dict(hot_by_epoch.get(c.epoch, {}))
     by_epoch = {c.epoch: c for c in commits}
     for e in pending:
         commit = by_epoch.get(e, CommitResult(epoch=e, skipped=True))

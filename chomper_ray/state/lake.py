@@ -107,6 +107,59 @@ class CommitResult:
     stage_s: float = 0.0
     merge_s: float = 0.0
     lineage: list[dict] = field(default_factory=list)
+    # staged-volume skew flagged at stage time: {pid: staged_rows} for
+    # partitions exceeding the hot threshold (see detect_hot_partitions)
+    hot_partitions: dict = field(default_factory=dict)
+
+
+def detect_hot_partitions(volumes: dict[int, int], *, factor: float = 4.0,
+                          min_rows: int = 100_000,
+                          warn_context: str | None = None) -> dict[int, int]:
+    """Flag partitions whose STAGED row volume marks a merge straggler.
+
+    The per-block LWW combiner already collapses hot KEYS (one popular
+    url leaves each block ≤ once), so staged volume only concentrates
+    when many DISTINCT keys share a bucket — hash imbalance or an
+    adversarial key set. Such a bucket serializes its copy-on-write
+    merge: measured at 4.8 M events / 50 % of rows + distinct keys in
+    one of 32 buckets, the merge wall runs ~2.5-4× the uniform case
+    (scripts/stress_hotkey_cdc.py, `hot_wide` leg).
+
+    A partition is hot when its staged rows exceed
+    ``max(factor × median(nonzero volumes), min_rows)``. The engineered
+    lever is the partition count: re-keying ``stable_bucket`` with k×
+    more buckets splits any set that concentrated under the old modulus
+    (the same 50 %-skew stress at 128 instead of 32 partitions spreads
+    the hot set 4 ways and halves the merge wall) — so the guidance on
+    a persistent flag is to raise ``num_partitions``, not to salt: the
+    merge must co-locate a key's rows with its snapshot partition, so
+    salt-and-re-merge would just move the funnel one stage later.
+
+    Detection is metadata-only: the stage writer already returns one
+    (pid, rows) row per touched bucket per block.
+    """
+    import logging
+
+    if not volumes:
+        return {}
+    vals = np.array([v for v in volumes.values() if v > 0])
+    if not len(vals):
+        return {}
+    threshold = max(factor * float(np.median(vals)), float(min_rows))
+    hot = {int(p): int(v) for p, v in sorted(volumes.items())
+           if v > threshold}
+    if hot and warn_context:
+        total = int(vals.sum())
+        top_pid = max(hot, key=hot.get)
+        logging.getLogger(__name__).warning(
+            "hot partition(s) at stage time (%s): %s — bucket %d holds "
+            "%.0f%% of staged rows (threshold %d). If this persists, "
+            "raise num_partitions (k× more buckets splits a set that "
+            "concentrated under the old modulus; measured 32→128 halves "
+            "the merge wall at 50%% skew) or revisit the partition key.",
+            warn_context, hot, top_pid, 100.0 * hot[top_pid] / total,
+            int(threshold))
+    return hot
 
 
 def _manifest_path(root: Path, epoch: int) -> Path:
@@ -408,6 +461,11 @@ class LakeTable:
     output unless ``collect_changes=False``).
     """
 
+    # staged-volume skew thresholds (detect_hot_partitions); class
+    # attributes so a deployment (or test) can tune per instance
+    hot_factor: float = 4.0
+    hot_min_rows: int = 100_000
+
     def __init__(self, root: str | Path, key: str = "url",
                  version: tuple[str, str] = ("warc_ts", "seq"),
                  num_partitions: int | None = None, overwrite: bool = True,
@@ -625,6 +683,11 @@ class LakeTable:
         # an all-empty dataset loses column names through to_pandas
         pids = sorted(staged["pid"].unique().tolist()) \
             if "pid" in staged.columns else []
+        volumes = staged.groupby("pid")["n"].sum().to_dict() \
+            if "pid" in staged.columns else {}
+        self._last_hot_partitions = detect_hot_partitions(
+            volumes, factor=self.hot_factor, min_rows=self.hot_min_rows,
+            warn_context=f"epoch {epoch}")
         return pids, time.perf_counter() - t0
 
     def _count_new_keys(self, epoch: int, touched_pids: list[int],
@@ -924,8 +987,12 @@ class LakeTable:
             schema_hint = changes_ds.schema()  # may execute one block
         target = self.resolve_target_schema(schema_hint)
         pids, stage_s = self.stage_epoch(changes_ds, epoch, target)
-        return self.commit_staged(epoch, target, pids,
-                                  commit_ts_us=commit_ts_us, stage_s=stage_s)
+        commit = self.commit_staged(epoch, target, pids,
+                                    commit_ts_us=commit_ts_us,
+                                    stage_s=stage_s)
+        commit.hot_partitions = dict(
+            getattr(self, "_last_hot_partitions", {}) or {})
+        return commit
 
     # -- read -------------------------------------------------------------
     def files(self, as_of_epoch: int | None = None) -> list[str]:

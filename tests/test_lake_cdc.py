@@ -490,3 +490,50 @@ def test_concurrent_runners_converge(change_log, tmp_path):
     assert LakeTable(lake).last_committed_epoch() == 3
     assert LakeTable(lake).snapshot_hash() == \
         LakeTable(full, num_partitions=4).snapshot_hash()
+
+
+class TestHotPartitionDetection:
+    def test_detect_unit(self):
+        from chomper_ray.state.lake import detect_hot_partitions
+
+        assert detect_hot_partitions({}) == {}
+        # uniform volumes: nothing hot
+        assert detect_hot_partitions({i: 1000 for i in range(8)},
+                                     min_rows=10) == {}
+        # one bucket way above 4x median AND the floor
+        vols = {i: 100 for i in range(31)}
+        vols[7] = 5000
+        assert detect_hot_partitions(vols, min_rows=400) == {7: 5000}
+        # below the absolute floor: skew alone doesn't flag tiny tables
+        assert detect_hot_partitions(vols, min_rows=100_000) == {}
+
+    def test_commit_flags_skewed_epoch(self, tmp_path, ray_session):
+        import ray.data as rd
+
+        from chomper_ray.state.lake import LakeTable, stable_bucket
+
+        lake = LakeTable(tmp_path / "lake", key="url", num_partitions=4)
+        lake.hot_min_rows = 50  # test-scale threshold
+
+        # 400 distinct urls all hashing to one bucket + a sprinkle
+        # elsewhere: the distinct-key skew the combiner can't collapse
+        import numpy as np
+        import pyarrow as pa
+
+        pool = [f"https://h.example.com/{i}" for i in range(4000)]
+        b = stable_bucket(np.array(pool, dtype=object), 4)
+        hot_urls = [u for u, bb in zip(pool, b) if bb == 0][:400]
+        cool_urls = [u for u, bb in zip(pool, b) if bb != 0][:40]
+        rows = [{"op": "insert", "seq": i, "url": u,
+                 "warc_ts": pd.Timestamp(10, unit="s"), "v": 1}
+                for i, u in enumerate(hot_urls + cool_urls)]
+        c = lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(rows)), 0)
+        assert list(c.hot_partitions) == [0]
+        assert c.hot_partitions[0] == 400
+
+        # uniform epoch: flag clears
+        rows2 = [{"op": "update", "seq": 10_000 + i, "url": u,
+                  "warc_ts": pd.Timestamp(20, unit="s"), "v": 2}
+                 for i, u in enumerate(pool[:400])]
+        c2 = lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(rows2)), 1)
+        assert c2.hot_partitions == {}
