@@ -95,12 +95,16 @@ def gen_log(out_dir: Path, n_events: int) -> Path:
 
 
 def spill_stats() -> str:
+    """Object-store spill telemetry from the live session's raylet log
+    (the grpc-backed memory_summary API needs grpcio, absent here)."""
     try:
-        from ray._private.internal_api import memory_summary
+        import ray
 
-        s = memory_summary(stats_only=True)
-        return "; ".join(ln.strip() for ln in s.splitlines()
-                         if "Spill" in ln or "Restor" in ln) or "no spill"
+        session = Path(
+            ray._private.worker._global_node.get_session_dir_path())
+        lines = [ln for ln in (session / "logs" / "raylet.out")
+                 .read_text().splitlines() if "Spilled" in ln]
+        return lines[-1].split("] ")[-1].strip() if lines else "no spill"
     except Exception as e:  # telemetry only — never fail the run
         return f"unavailable ({e})"
 
