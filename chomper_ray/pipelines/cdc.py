@@ -48,8 +48,12 @@ class ExtractText:
         self.drop_html = drop_html
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from chomper_ray.functions.extract import binary_views
+
+        # zero-copy views into the Arrow buffer instead of a to_pylist
+        # copy of the whole html column (the kernel accepts bytes-like)
         texts = pa.array(
-            extract_text_column(batch[self.html_col].to_pylist()),
+            extract_text_column(binary_views(batch[self.html_col])),
             type=pa.string(),
         )
         if self.text_col in batch.column_names:

@@ -117,3 +117,36 @@ class TestSchemaEvolution:
         s = pa.schema([("u", pa.string()), ("t", pa.timestamp("us")),
                        ("h", pa.binary()), ("n", pa.int64()), ("f", pa.float64())])
         assert sm.schema_from_json(sm.schema_to_json(s)) == s
+
+
+class TestBinaryViews:
+    def test_views_match_to_pylist_incl_nulls_empty_and_slices(self):
+        from chomper_ray.functions.extract import binary_views
+
+        vals = [b"<p>a</p>", None, b"", b"\xff\xfe raw", b"x" * 5000]
+        arr = pa.array(vals, type=pa.binary())
+        got = binary_views(arr)
+        assert [None if v is None else bytes(v) for v in got] == vals
+
+        # chunked + a sliced chunk (slice falls back to to_pylist)
+        ch = pa.chunked_array([arr, arr.slice(1, 3)])
+        got = binary_views(ch)
+        assert ([None if v is None else bytes(v) for v in got]
+                == vals + vals[1:4])
+
+        # large_binary falls back
+        big = pa.array(vals, type=pa.large_binary())
+        got = binary_views(big)
+        assert [None if v is None else bytes(v) for v in got] == vals
+
+    def test_extract_stage_output_unchanged(self):
+        from chomper_ray.pipelines.cdc import ExtractText
+        from chomper_ray.sources.events import _make_html
+
+        htmls = [_make_html(f"https://x.com/{i}", i, 7, 2)
+                 for i in range(40)] + [None]
+        batch = pa.table({"html": pa.array(htmls, type=pa.binary()),
+                          "url": pa.array([str(i) for i in range(41)])})
+        out = ExtractText()(batch)
+        assert out["text"].to_pylist() == [
+            extract_text(h) for h in htmls]
