@@ -537,3 +537,28 @@ class TestHotPartitionDetection:
                  for i, u in enumerate(pool[:400])]
         c2 = lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(rows2)), 1)
         assert c2.hot_partitions == {}
+
+
+def test_lineage_invariants(tmp_path, ray_session):
+    """Queryable lineage (north-star: offsets/row-counts/commit-epochs
+    as metadata): per-row and cross-epoch invariants hold."""
+    from chomper_ray.sources.events import generate_change_stream
+
+    log = generate_change_stream(tmp_path / "log", n_events=3000,
+                                 n_urls=400, n_epochs=3, seed=3)
+    lake_root = tmp_path / "lake"
+    run_cdc(log, lake_root, num_partitions=4)
+    lake = LakeTable(lake_root, num_partitions=4)
+    lin = lake.lineage()
+    assert set(lin["epoch"]) == {0, 1, 2}
+    assert lin["partition_id"].between(0, 3).all()
+    # live rows never exceed total rows; deleted = rows - live per row
+    assert (lin["live_rows"] + lin["deleted_rows"] == lin["rows"]).all()
+    # snapshot totals per epoch are monotone in versions-applied terms:
+    # the FINAL epoch's per-partition live totals match the table state
+    last = lin[lin["epoch"] == 2].set_index("partition_id")["live_rows"]
+    state = lake.read_pandas()
+    assert int(last.sum()) == len(state)
+    # events_in per epoch is bounded by the raw event count and > 0
+    per_epoch = lin.groupby("epoch")["events_in"].sum()
+    assert (per_epoch > 0).all() and (per_epoch <= 3000).all()
