@@ -143,3 +143,39 @@ def test_incindex_truncate_and_resume(tmp_path, ray_session):
     idx.refresh()
     assert idx.stats()["n_docs"] == 0
     assert len(idx.search(["hello"])) == 0
+
+
+from hypothesis import given, settings, strategies as st
+
+_VOCAB = ["lorem", "ipsum", "dolor", "sit", "amet", "web", "page"]
+_op = st.tuples(
+    st.sampled_from(["insert", "update", "delete"]),
+    st.integers(0, 5),                       # url index
+    st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=6),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(epochs=st.lists(st.lists(_op, min_size=1, max_size=5),
+                       min_size=1, max_size=3))
+def test_incindex_random_op_sequences_match_rebuild(epochs, tmp_path_factory,
+                                                    ray_session):
+    """Property: for ANY commit sequence of inserts / full token-set
+    updates / deletes, the incrementally maintained index equals the
+    plain-Python tokenization of the final LWW state."""
+    tmp_path = tmp_path_factory.mktemp("incprop")
+    lake = LakeTable(tmp_path / "lake", key="url", num_partitions=2)
+    idx = LakeTextIndex(lake, tmp_path / "idx", num_partitions=4)
+    seq = 0
+    for ei, ops in enumerate(epochs):
+        rows = []
+        for op, ui, toks in ops:
+            rows.append(mk(op, seq, f"u{ui}", 10 + seq,
+                           None if op == "delete" else " ".join(toks)))
+            seq += 1
+        lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(rows)), ei)
+        idx.refresh()
+    got = resolved_all(idx)
+    want = reference_postings(lake)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert idx.stats()["n_docs"] == len(lake.read_pandas())
