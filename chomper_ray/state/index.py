@@ -357,19 +357,24 @@ class LakeTextIndex:
                              columns=[key, col, INTERNAL_DELETED])
         return ds.map_batches(postings, batch_format="pandas")
 
-    def _doc_stats(self, files: list[str]) -> tuple[int, int, int]:
-        """(n_live_docs, sum_dl, rows_scanned) for the given files."""
+    def _doc_stats(self, new_files: list[str], old_files: list[str]) \
+            -> tuple[int, int, int]:
+        """(n_docs_delta, sum_dl_delta, rows_scanned): ONE Ray job over
+        both file sets, signed by side (new +1 / old −1)."""
         import polars as pl
         import ray.data as rd
 
         from chomper_ray.stages.merge import INTERNAL_DELETED
 
-        if not files:
+        if not new_files and not old_files:
             return 0, 0, 0
         col = self.col
         sep = self.sep
+        signs = {f: +1 for f in new_files}
+        signs.update({f: -1 for f in old_files})
 
         def st(df: pd.DataFrame) -> pd.DataFrame:
+            sign = int(signs[df["_file"].iloc[0]])
             rows = len(df)
             df = df[~df[INTERNAL_DELETED].astype(bool)]
             if not len(df):
@@ -377,11 +382,18 @@ class LakeTextIndex:
                                      "rows": [rows]})
             dl = pl.Series(pd.Series(df[col]).fillna("").astype(str)
                            .tolist()).str.split(sep).list.len()
-            return pd.DataFrame({"n": [len(df)], "sum_dl": [int(dl.sum())],
+            return pd.DataFrame({"n": [sign * len(df)],
+                                 "sum_dl": [sign * int(dl.sum())],
                                  "rows": [rows]})
 
-        s = rd.read_parquet(files, columns=[col, INTERNAL_DELETED]) \
-            .map_batches(st, batch_format="pandas").to_pandas()
+        # a file may appear on BOTH sides (self-referential delta is
+        # impossible in the lake's COW scheme, but guard anyway)
+        assert not (set(new_files) & set(old_files))
+        ds = rd.read_parquet(list(signs), columns=[col, INTERNAL_DELETED],
+                             include_paths=True)
+        s = ds.map_batches(
+            lambda df: st(df.rename(columns={"path": "_file"})),
+            batch_format="pandas").to_pandas()
         return int(s["n"].sum()), int(s["sum_dl"].sum()), \
             int(s["rows"].sum())
 
@@ -419,13 +431,13 @@ class LakeTextIndex:
             meta = ds.groupby("_tb").map_groups(
                 write_bucket, batch_format="pandas").to_pandas()
             n_postings = int(meta["postings"].sum()) if len(meta) else 0
-        n_new, dl_new, rows_new = self._doc_stats(new_files)
-        n_old, dl_old, rows_old = self._doc_stats(old_files)
+        n_delta, dl_delta, rows_scanned = self._doc_stats(new_files,
+                                                          old_files)
         marker = {"cid": int(cid), "full": bool(full),
-                  "n_docs_delta": n_new - n_old,
-                  "sum_dl_delta": dl_new - dl_old,
+                  "n_docs_delta": n_delta,
+                  "sum_dl_delta": dl_delta,
                   "postings": n_postings,
-                  "rows_scanned": rows_new + rows_old}
+                  "rows_scanned": rows_scanned}
         tmp = seg_dir / f"._SEGMENT.{uuid.uuid4().hex[:8]}.tmp"
         tmp.write_text(json.dumps(marker))
         os.replace(tmp, seg_dir / "_SEGMENT.json")
