@@ -1653,6 +1653,36 @@ def _q_cdc_index_tokens(sf_dir: str):
     return out.rename(columns={"doc": "url"})[["token", "url", "tf", "dl"]]
 
 
+def _q_cdc_layout_tokens(sf_dir: str):
+    # incremental DERIVED-LAYOUT maintenance: a write_partitioned-style
+    # bucketed layout of (url, n_tokens) kept in sync with the lake per
+    # commit by diffing manifest partition→file maps and rewriting ONLY
+    # changed partitions (state/derived.py LakeBucketLayout) — the
+    # storage-level join-elision family no longer stales under CDC. The
+    # layout contents hash-verify against a from-scratch SQL projection
+    # of the LWW state.
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.state.derived import LakeBucketLayout
+    from chomper_ray.state.lake import LakeTable
+    from chomper_ray.state.output import read_partitioned
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_lay_")
+    run_cdc(log, lake_root, num_partitions=8)
+    lake = LakeTable(lake_root, num_partitions=8)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "url": df["url"],
+            "n_tokens": df["text"].fillna("").str.split(" ").str.len()
+            .astype("int64")})
+
+    lay = LakeBucketLayout(lake, tempfile.mkdtemp(prefix="chomper_lay_"),
+                           transform=proj, columns=["text"])
+    lay.refresh()
+    return read_partitioned(lay.root)
+
+
 def _q_cdc_lineage(sf_dir: str):
     # per-partition lineage as QUERYABLE METADATA (the north-star's
     # "offsets, row counts, commit epochs logged as queryable
@@ -1917,6 +1947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_sink_roundtrip": _q_jsonl_roundtrip,
         "cdc_upsert_pages": _q_cdc_upsert_pages,
         "cdc_index_tokens": _q_cdc_index_tokens,
+        "cdc_layout_tokens": _q_cdc_layout_tokens,
         # rows-only by design (no SQL oracle)
         "pca_project": _q_pca_project,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -2071,6 +2102,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, url, count(*) AS tf, dl FROM tok "
             f"WHERE token IN {tuple(_IDX_TOKENS)!r} "
             "GROUP BY token, url, dl"
+        ),
+        "cdc_layout_tokens": (
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            f"sidecar AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/_oracle/*.parquet')) "
+            "SELECT w.url, "
+            "len(string_split(coalesce(s.text, ''), ' '))::BIGINT "
+            "AS n_tokens "
+            "FROM win w JOIN sidecar s USING (seq)"
         ),
         "dropper_filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_discount "
