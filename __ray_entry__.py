@@ -1558,6 +1558,25 @@ def _q_cdc_upsert_pages(sf_dir: str):
     return LakeTable(lake_root, num_partitions=8).read()
 
 
+def _q_cdc_mor_pages(sf_dir: str):
+    # merge-on-read ingest: the same binlog tail committed as permanent
+    # per-partition LWW delta files (state/lake.py _MorDeltaWriter —
+    # no base read/rewrite at commit, write amplification ~1 regardless
+    # of table size) with the merge deferred to the read. Deltas are
+    # left PENDING, so this hash-verifies the deferred-resolution path
+    # (_resolve_mor_pid replaying apply_changes base → deltas in commit
+    # order) against the SAME DuckDB oracle as the copy-on-write
+    # flagship — deferred and eager merges must agree bit-for-bit.
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.state.lake import LakeTable
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_mor_")
+    kw = {"merge_on_read": True, "collect_changes": False}
+    run_cdc(log, lake_root, num_partitions=8, lake_kwargs=kw)
+    return LakeTable(lake_root, num_partitions=8, **kw).read()
+
+
 def _q_cdc_domain_stats(sf_dir: str):
     # CDC → provenance rollup, composed end to end from verified parts:
     # binlog tail → LWW lake state → url_parts domain extraction →
@@ -1919,7 +1938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_bipartite": _q_pagerank,
         "mixture_sample": _q_mixture_sample,
         "grouped_regression": _q_grouped_regression,
-        "cdc_domain_stats": _q_cdc_domain_stats,
+        "cdc_mor_pages": _q_cdc_mor_pages,
         "nfc_normalize": _q_nfc_normalize,
         "regex_ops": _q_regex_ops,
         "asof_join_forward": _q_asof_join_forward,
@@ -1948,6 +1967,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_upsert_pages": _q_cdc_upsert_pages,
         "cdc_index_tokens": _q_cdc_index_tokens,
         "cdc_layout_tokens": _q_cdc_layout_tokens,
+        # driver-window overflow: same oracle family as the windowed
+        # cdc_matview_domains; mimic-verified (scripts/check_oracle.py)
+        "cdc_domain_stats": _q_cdc_domain_stats,
         # rows-only by design (no SQL oracle)
         "pca_project": _q_pca_project,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -2042,6 +2064,21 @@ def oracle_sql() -> dict[str, str]:
     cdc_log = _ensure_cdc_oracle_log()
     return {
         "cdc_upsert_pages": (
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            f"sidecar AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/_oracle/*.parquet')) "
+            "SELECT w.url, w.warc_ts, w.lang, "
+            "CAST(w.fetch_status AS BIGINT) AS fetch_status, "
+            "s.text AS text, w.extra_score "
+            "FROM win w JOIN sidecar s USING (seq)"
+        ),
+        # deferred (merge-on-read) resolution must equal the eager merge:
+        # identical oracle to cdc_upsert_pages by design
+        "cdc_mor_pages": (
             f"WITH ev AS (SELECT * FROM read_parquet("
             f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
             "win AS (SELECT * FROM (SELECT *, row_number() OVER ("

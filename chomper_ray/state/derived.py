@@ -43,7 +43,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from chomper_ray.state.lake import LakeTable, load_manifest
+from chomper_ray.state.lake import (LakeTable, load_manifest,
+                                    manifest_has_deltas)
 from chomper_ray.state.output import _write_layout
 
 
@@ -92,6 +93,12 @@ class LakeBucketLayout:
         man = load_manifest(self.lake.root)
         if man is None:
             return {"applied_cid": None, "rewritten": [], "removed": []}
+        if manifest_has_deltas(man):
+            raise ValueError(
+                f"lake at {self.lake.root} has pending merge-on-read "
+                "deltas; the derived layout projects base snapshot files "
+                "and would be silently stale — run lake.compact_deltas() "
+                "first (the layout then syncs off the folded snapshots)")
         st = self._state()
         head_files = {int(p): v["file"]
                       for p, v in man["partitions"].items()}

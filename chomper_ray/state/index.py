@@ -447,7 +447,8 @@ class LakeTextIndex:
     def refresh(self) -> dict:
         """Apply every unapplied lake commit in chain order. Returns
         ``{"applied": [markers...], "skipped": [cids...]}``; idempotent."""
-        from chomper_ray.state.lake import committed_epochs, load_manifest
+        from chomper_ray.state.lake import (committed_epochs, load_manifest,
+                                            manifest_has_deltas)
 
         root = self.lake.root
         cids = committed_epochs(root)
@@ -464,8 +465,21 @@ class LakeTextIndex:
                 applied.append(self._write_segment(cid, [], [], full=True))
                 prev_cid = cid
                 continue
+            # merge-on-read: an ingest commit leaves base files untouched
+            # (its rows live in delta files); the later compact_deltas
+            # commit carries the effect via ITS lineage. At the chain head
+            # that later commit doesn't exist yet — refuse rather than go
+            # stale; mid-chain such a commit contributes an empty segment
+            # (or a base-only full build that the compaction diff tops up).
+            has_deltas = manifest_has_deltas(man)
+            if has_deltas and cid == cids[-1]:
+                raise ValueError(
+                    f"lake at {root} has pending merge-on-read deltas "
+                    "at its head manifest; the index diffs base "
+                    "snapshot files — run lake.compact_deltas() first")
             all_files = [str(root / v["file"])
-                         for _, v in sorted(man["partitions"].items())]
+                         for _, v in sorted(man["partitions"].items())
+                         if v.get("file")]
             if prev_cid is None or prev_cid not in done and not applied \
                     and not self._segments():
                 # first segment ever: full build from this manifest
@@ -473,16 +487,21 @@ class LakeTextIndex:
                                                    full=True))
                 prev_cid = cid
                 continue
+            if has_deltas:
+                applied.append(self._write_segment(cid, [], [], full=False))
+                prev_cid = cid
+                continue
             touched = sorted({int(ln["partition_id"])
                               for ln in man.get("lineage", [])})
             prev_man = load_manifest(root, prev_cid)
             new_files = [str(root / man["partitions"][str(p)]["file"])
-                         for p in touched if str(p) in man["partitions"]]
+                         for p in touched
+                         if man["partitions"].get(str(p), {}).get("file")]
             old_files, missing_old = [], False
             for p in touched:
                 part = prev_man["partitions"].get(str(p)) \
                     if prev_man else None
-                if part is None:
+                if part is None or not part.get("file"):
                     continue
                 f = root / part["file"]
                 if not f.exists():  # compacted away

@@ -366,17 +366,10 @@ class _PartitionMerger:
             ids[is_new] = start + np.arange(int(is_new.sum()), dtype="float64")
             new[self.id_field] = ids.astype("int64")
 
-        out_fields = ([pa.field(self.id_field, pa.int64())]
-                      if self.id_field else []) + list(target) + [
-            pa.field(INTERNAL_SEQ, pa.int64()),
-            pa.field(INTERNAL_DELETED, pa.bool_()),
-        ]
-        if self.managed_timestamps:
-            out_fields += [pa.field("created_at", pa.timestamp("us")),
-                           pa.field("updated_at", pa.timestamp("us"))]
-        out_schema = pa.schema(out_fields)
+        out_schema = _snapshot_schema(target, self.managed_timestamps,
+                                      id_field=self.id_field)
         out_tbl = pa.Table.from_pandas(
-            new[[f.name for f in out_fields]], schema=out_schema,
+            new[[f.name for f in out_schema]], schema=out_schema,
             preserve_index=False,
         )
 
@@ -439,6 +432,192 @@ def _conform_snapshot(tbl: pa.Table, target: pa.Schema, managed: bool,
     return schema_mod.conform(tbl, full)
 
 
+def _snapshot_schema(target: pa.Schema, managed: bool,
+                     id_field: str | None = None) -> pa.Schema:
+    """The physical schema of a snapshot file for a given target schema:
+    optional surrogate id up front, internal version/tombstone columns,
+    managed timestamps at the tail."""
+    fields = ([pa.field(id_field, pa.int64())] if id_field else []) \
+        + list(target) + [pa.field(INTERNAL_SEQ, pa.int64()),
+                          pa.field(INTERNAL_DELETED, pa.bool_())]
+    if managed:
+        fields += [pa.field("created_at", pa.timestamp("us")),
+                   pa.field("updated_at", pa.timestamp("us"))]
+    return pa.schema(fields)
+
+
+def manifest_has_deltas(manifest: dict | None) -> bool:
+    """True when a merge-on-read manifest carries unfolded delta files —
+    the guard derived structures (matview/index/derived layouts) use:
+    their per-commit diffs read base snapshot files only, so pending
+    deltas would leave them silently stale."""
+    if not manifest:
+        return False
+    return any(v.get("deltas") for v in manifest.get("partitions", {}).values())
+
+
+class _MorDeltaWriter(_PartitionMerger):
+    """Merge-on-read commit: instead of the copy-on-write read-modify-write,
+    each touched partition's staged change rows are folded to the epoch's
+    per-partition LWW change-set (the same combiner contract staging
+    applies per block, made total per partition — deterministic content
+    regardless of task/block boundaries, so retries and racing runners
+    produce byte-identical delta files) and written as a permanent delta
+    file next to the base snapshot. No base read, no base rewrite: commit
+    write amplification is ~1 regardless of table size. The merge is
+    deferred to read()/lookup()/compact_deltas(), which replay
+    ``apply_changes`` base → deltas in commit order — the exact
+    computation copy-on-write would have run at commit time.
+    """
+
+    def _merge_one(self, pid: int) -> pa.Table:
+        changes = self._read_staged(pid, self.epoch)
+        return self._write_delta(pid, self.epoch, self.commit_id, changes)
+
+    def _merge_chain(self, pid: int) -> list[pa.Table]:
+        rows = []
+        for epoch, cid, _schema_json, _ts in self.epoch_plan:
+            changes = self._read_staged(pid, epoch)
+            if changes.num_rows == 0:
+                continue  # epoch didn't touch this partition
+            rows.append(self._write_delta(pid, epoch, cid, changes))
+        return rows
+
+    def _write_delta(self, pid: int, epoch: int, cid: int,
+                     changes: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t0 = time.perf_counter()
+        events_in = changes.num_rows
+        # total per-partition LWW dedup: one max-version row per key —
+        # block-layout-independent, so the file content is deterministic
+        # across retried attempts (the exactly-once requirement; the
+        # copy-on-write merge gets the same invariance from apply_changes)
+        changes = lww_dedup_table(changes, self.key,
+                                  (self.version_ts, "seq"))
+        root = Path(self.root)
+        pdir = root / _DATA_DIR / f"p={pid:05d}"
+        pdir.mkdir(parents=True, exist_ok=True)
+        rel = f"{_DATA_DIR}/p={pid:05d}/delta-c{cid:06d}.parquet"
+        tmp = pdir / f".delta-c{cid:06d}.{uuid.uuid4().hex[:8]}.parquet.tmp"
+        pq.write_table(changes, tmp)
+        os.replace(tmp, root / rel)
+        n_del = int(pc.sum(pc.equal(changes["op"], "delete")).as_py() or 0)
+        return pa.table({
+            "partition_id": [pid],
+            "epoch": [epoch],
+            "file": [rel],
+            "rows": [changes.num_rows],
+            "live_rows": [-1],  # unknown until resolution
+            "deleted_rows": [n_del],
+            "events_in": [events_in],
+            "change_events": [0],
+            "changes_file": [""],
+            "hash": [snapshot_content_hash(changes.to_pandas(), self.key)],
+            "wall_s": [round(time.perf_counter() - t0, 4)],
+        })
+
+
+def _replay_step(base_tbl: pa.Table, changes: pa.Table, target: pa.Schema,
+                 *, key: str, version_ts: str, overwrite: bool,
+                 protected: tuple[str, ...], managed: bool,
+                 insert_missing: bool,
+                 commit_ts_us: int) -> tuple[pa.Table, str]:
+    """One deferred merge step (read-time twin of ``_merge_step`` minus
+    the file writes): conform the base to the commit's target schema and
+    apply the delta's change rows. Deterministic output (sorted by key).
+    The returned content hash is computed on the merge-output frame in
+    the exact column order ``_merge_step`` hashes, so a full replay's
+    final hash equals the copy-on-write manifest hash bit-for-bit."""
+    base_tbl = _conform_snapshot(base_tbl, target, managed)
+    base = base_tbl.to_pandas(types_mapper=None)
+    ch = changes.to_pandas()
+    new, _ = apply_changes(
+        base, ch, key=key, version_ts=version_ts, overwrite=overwrite,
+        protected=protected, managed_timestamps=managed,
+        commit_ts=pd.Timestamp(commit_ts_us, unit="us"),
+        collect_changes=False, insert_missing=insert_missing,
+    )
+    new = new.sort_values(key, kind="stable").reset_index(drop=True)
+    out_schema = _snapshot_schema(target, managed)
+    out_tbl = pa.Table.from_pandas(new[[f.name for f in out_schema]],
+                                   schema=out_schema, preserve_index=False)
+    return out_tbl, snapshot_content_hash(new, key)
+
+
+def _resolve_mor_pid(root: str | Path, part: dict, delta_commits: dict,
+                     *, key: str, version_ts: str, overwrite: bool,
+                     protected: tuple[str, ...], managed: bool,
+                     insert_missing: bool, columns=None,
+                     key_filter=None) -> tuple[pa.Table | None, str | None]:
+    """Resolve one partition's current state from its base snapshot plus
+    pending merge-on-read deltas, replaying ``apply_changes`` in commit
+    order. ``columns`` prunes the replay to the requested fields (plus
+    key/version/internals — per-column LWW/fold/protected semantics are
+    column-local, so prune-then-merge ≡ merge-then-prune). ``key_filter``
+    restricts to one key (the point-lookup path) — merges are per-key
+    independent, so filtering both sides first is exact.
+
+    Returns ``(resolved_table, content_hash)``; the hash is only
+    meaningful for full-column, unfiltered resolution (it then equals
+    what a copy-on-write merge chain would have recorded in its
+    manifest) and is the carried base hash when no deltas are pending."""
+    import pyarrow.compute as pc
+
+    root = Path(root)
+    deltas = sorted(part.get("deltas", []), key=lambda d: d["commit_id"])
+    targets = {d["commit_id"]:
+               schema_mod.schema_from_json(
+                   delta_commits[str(d["commit_id"])]["schema"])
+               for d in deltas}
+    needed = None
+    if columns is not None:
+        needed = set(columns) | {key, version_ts}
+
+    def prune(schema: pa.Schema) -> pa.Schema:
+        if needed is None:
+            return schema
+        return pa.schema([f for f in schema if f.name in needed])
+
+    base_file = part.get("file")
+    if base_file:
+        base_cols = None
+        if needed is not None:
+            avail = set(pq.read_schema(root / base_file).names)
+            base_cols = [c for c in [*sorted(needed),
+                                     INTERNAL_SEQ, INTERNAL_DELETED,
+                                     *(('created_at', 'updated_at')
+                                       if managed else ())]
+                         if c in avail]
+        base_tbl = pq.read_table(root / base_file, columns=base_cols)
+    elif deltas:
+        base_tbl = _snapshot_schema(prune(targets[deltas[0]["commit_id"]]),
+                                    managed).empty_table()
+    else:
+        return None, None
+    if key_filter is not None:
+        base_tbl = base_tbl.filter(pc.equal(base_tbl[key], key_filter))
+    content_hash = part.get("hash")
+    for d in deltas:
+        cid = d["commit_id"]
+        dc = delta_commits[str(cid)]
+        target = prune(targets[cid])
+        ch_cols = None
+        if needed is not None:
+            avail = set(pq.read_schema(root / d["file"]).names)
+            ch_cols = [c for c in ["op", "seq", *sorted(needed)]
+                       if c in avail]
+        changes = pq.read_table(root / d["file"], columns=ch_cols)
+        if key_filter is not None:
+            changes = changes.filter(pc.equal(changes[key], key_filter))
+        base_tbl, content_hash = _replay_step(
+            base_tbl, changes, target, key=key, version_ts=version_ts,
+            overwrite=overwrite, protected=protected, managed=managed,
+            insert_missing=insert_missing,
+            commit_ts_us=int(dc["commit_ts_us"]))
+    return base_tbl, content_hash
+
+
 def snapshot_content_hash(df: pd.DataFrame, key: str) -> str:
     """Order-independent content hash of a snapshot (row-value based, not
     file bytes — Parquet metadata isn't stable). Deterministic across
@@ -474,7 +653,21 @@ class LakeTable:
                  collect_changes: bool = True,
                  insert_missing: bool = True,
                  staging_root: str | Path | None = None,
-                 id_field: str | None = None):
+                 id_field: str | None = None,
+                 merge_on_read: bool = False):
+        if merge_on_read:
+            # MOR defers the merge to read()/compact_deltas(); anything
+            # that needs the BASE state at commit time is unavailable.
+            if collect_changes:
+                raise ValueError(
+                    "merge_on_read defers merges past commit time, so "
+                    "commit-time change listeners cannot diff old values; "
+                    "pass collect_changes=False (or use copy-on-write)")
+            if id_field:
+                raise ValueError(
+                    "id_field assigns surrogate ids against the base "
+                    "state at commit time; unsupported with merge_on_read")
+        self.merge_on_read = merge_on_read
         self.root = Path(root)
         # staging is transient shuffle data: on a cluster it lives on the
         # shared lake filesystem (or local NVMe shuffle dirs); single-node
@@ -553,15 +746,59 @@ class LakeTable:
         m = load_manifest(self.root)
         return schema_mod.schema_from_json(m["schema"]) if m else None
 
+    def _mor_kwargs(self) -> dict:
+        """Policy args for merge-on-read resolution. MOR defers the merge,
+        so the READING LakeTable's policy flags (overwrite/protected/
+        managed_timestamps/insert_missing) must match the writer's —
+        copy-on-write bakes them in at commit time instead."""
+        return dict(key=self.key, version_ts=self.version[0],
+                    overwrite=self.overwrite, protected=self.protected,
+                    managed=self.managed_timestamps,
+                    insert_missing=self.insert_missing)
+
+    def _resolved_hashes(self, m: dict) -> dict[str, str]:
+        """Per-partition content hashes of delta-bearing partitions,
+        resolved by replaying the pending deltas (one Ray task per
+        partition; only hashes return to the driver)."""
+        import ray.data as rd
+
+        parts = {p: v for p, v in m["partitions"].items()
+                 if v.get("deltas")}
+        if not parts:
+            return {}
+        root = str(self.root)
+        dc = m.get("delta_commits", {})
+        kw = self._mor_kwargs()
+
+        def hash_pid(batch: pa.Table) -> pa.Table:
+            out_p, out_h = [], []
+            for pid in batch["pid"].to_pylist():
+                _, h = _resolve_mor_pid(root, parts[str(int(pid))], dc, **kw)
+                out_p.append(str(int(pid)))
+                out_h.append(h or "0")
+            return pa.table({"pid": out_p, "hash": out_h})
+
+        pids = sorted(parts, key=int)
+        stats = (rd.from_arrow(pa.table({"pid": pa.array(
+                    [int(p) for p in pids], type=pa.int32())}))
+                 .repartition(len(pids))
+                 .map_batches(hash_pid, batch_format="pyarrow")
+                 .to_pandas())
+        return {r.pid: r.hash for r in stats.itertuples(index=False)}
+
     def snapshot_hash(self) -> str:
         """Whole-table content hash from the manifest (per-partition
-        hashes combined) — the replay-equivalence check."""
+        hashes combined) — the replay-equivalence check. With pending
+        merge-on-read deltas the delta-bearing partitions are resolved
+        first (a Ray job), so the result equals what the copy-on-write
+        chain would have recorded."""
         m = load_manifest(self.root)
         if not m:
             return "0"
+        resolved = self._resolved_hashes(m) if manifest_has_deltas(m) else {}
         acc = 0
         for pid in sorted(m["partitions"]):
-            acc ^= int(m["partitions"][pid]["hash"], 16)
+            acc ^= int(resolved.get(pid, m["partitions"][pid]["hash"]), 16)
         return f"{acc:016x}"
 
     # -- commit -----------------------------------------------------------
@@ -757,6 +994,12 @@ class LakeTable:
             # deterministic per chain id (replays produce identical timestamps)
             commit_ts_us = 1_600_000_000_000_000 + cid * 1_000_000
 
+        if not self.merge_on_read and manifest_has_deltas(prev):
+            raise ValueError(
+                f"lake at {self.root} has pending merge-on-read deltas; a "
+                "copy-on-write commit would silently drop them — construct "
+                "with merge_on_read=True or run compact_deltas() first")
+
         id_starts: dict[int, int] = {}
         next_max_id = (prev or {}).get("max_id")
         if self.id_field and touched_pids:
@@ -767,7 +1010,8 @@ class LakeTable:
                 acc += counts[pid]
             next_max_id = acc - 1
 
-        merger = _PartitionMerger(
+        merger_cls = _MorDeltaWriter if self.merge_on_read else _PartitionMerger
+        merger = merger_cls(
             str(self.root), epoch, prev_files, schema_json, self.key,
             self.overwrite, self.protected, self.managed_timestamps,
             commit_ts_us, self.collect_changes, self.insert_missing,
@@ -796,12 +1040,22 @@ class LakeTable:
         self.wipe_staging(epoch)
 
         partitions = dict(prev_parts)  # carry forward untouched partitions
+        delta_commits = dict((prev or {}).get("delta_commits") or {})
         lineage = []
         for r in stats.itertuples(index=False):
-            partitions[str(r.partition_id)] = {
-                "file": r.file, "rows": int(r.rows),
-                "live_rows": int(r.live_rows), "hash": r.hash,
-            }
+            if self.merge_on_read:
+                ent = dict(partitions.get(str(r.partition_id))
+                           or {"file": None, "rows": 0, "live_rows": 0,
+                               "hash": "0"})
+                ent["deltas"] = [*ent.get("deltas", []),
+                                 {"file": r.file, "rows": int(r.rows),
+                                  "commit_id": cid}]
+                partitions[str(r.partition_id)] = ent
+            else:
+                partitions[str(r.partition_id)] = {
+                    "file": r.file, "rows": int(r.rows),
+                    "live_rows": int(r.live_rows), "hash": r.hash,
+                }
             lineage.append({
                 "partition_id": int(r.partition_id), "epoch": epoch,
                 "events_in": int(r.events_in),
@@ -826,6 +1080,12 @@ class LakeTable:
         }
         if next_max_id is not None:
             manifest["max_id"] = int(next_max_id)
+        if self.merge_on_read:
+            delta_commits[str(cid)] = {
+                "schema": schema_json, "commit_ts_us": commit_ts_us,
+                "log_epoch": epoch}
+            manifest["merge_on_read"] = True
+            manifest["delta_commits"] = delta_commits
         if not _commit_manifest_exclusive(_manifest_path(self.root, cid),
                                           manifest):
             # lost the race
@@ -835,7 +1095,10 @@ class LakeTable:
             partitions_touched=len(stats),
             rows_upserted=int(stats["events_in"].sum()),
             rows_deleted=int(stats["deleted_rows"].sum()),
-            total_rows=sum(int(v["live_rows"]) for v in partitions.values()),
+            # under merge-on-read the live count is unknown until
+            # resolution (read/compact_deltas) — report -1, not a stale sum
+            total_rows=(-1 if self.merge_on_read else
+                        sum(int(v["live_rows"]) for v in partitions.values())),
             wall_s=wall, stage_s=stage_s, merge_s=merge_s, lineage=lineage,
         )
 
@@ -871,6 +1134,11 @@ class LakeTable:
         t0 = time.perf_counter()
         self._sync_partitions()
         prev = load_manifest(self.root)
+        if not self.merge_on_read and manifest_has_deltas(prev):
+            raise ValueError(
+                f"lake at {self.root} has pending merge-on-read deltas; a "
+                "copy-on-write commit would silently drop them — construct "
+                "with merge_on_read=True or run compact_deltas() first")
         prev_files = {int(p): v["file"]
                       for p, v in (prev or {"partitions": {}})["partitions"].items()}
         prev_parts = (prev or {}).get("partitions", {})
@@ -888,7 +1156,8 @@ class LakeTable:
         def ts(e):
             return 1_600_000_000_000_000 + cids[e] * 1_000_000
 
-        merger = _PartitionMerger(
+        merger_cls = _MorDeltaWriter if self.merge_on_read else _PartitionMerger
+        merger = merger_cls(
             str(self.root), plan[0][0], prev_files,
             schema_mod.schema_to_json(plan[0][1]), self.key,
             self.overwrite, self.protected, self.managed_timestamps,
@@ -921,14 +1190,24 @@ class LakeTable:
             self.wipe_staging(e)
 
         partitions = dict(prev_parts)
+        delta_commits = dict((prev or {}).get("delta_commits") or {})
         for e, target in plan:
             es = stats[stats["epoch"] == e] if len(stats) else stats
             lineage = []
             for r in es.itertuples(index=False):
-                partitions[str(r.partition_id)] = {
-                    "file": r.file, "rows": int(r.rows),
-                    "live_rows": int(r.live_rows), "hash": r.hash,
-                }
+                if self.merge_on_read:
+                    ent = dict(partitions.get(str(r.partition_id))
+                               or {"file": None, "rows": 0, "live_rows": 0,
+                                   "hash": "0"})
+                    ent["deltas"] = [*ent.get("deltas", []),
+                                     {"file": r.file, "rows": int(r.rows),
+                                      "commit_id": cids[e]}]
+                    partitions[str(r.partition_id)] = ent
+                else:
+                    partitions[str(r.partition_id)] = {
+                        "file": r.file, "rows": int(r.rows),
+                        "live_rows": int(r.live_rows), "hash": r.hash,
+                    }
                 lineage.append({
                     "partition_id": int(r.partition_id), "epoch": e,
                     "events_in": int(r.events_in),
@@ -949,6 +1228,12 @@ class LakeTable:
                 "lineage": lineage,
                 "wall_s": round((stage_s + merge_s) / len(plan), 4),
             }
+            if self.merge_on_read:
+                delta_commits[str(cids[e])] = {
+                    "schema": schema_mod.schema_to_json(target),
+                    "commit_ts_us": ts(e), "log_epoch": e}
+                manifest["merge_on_read"] = True
+                manifest["delta_commits"] = dict(delta_commits)
             if not _commit_manifest_exclusive(
                     _manifest_path(self.root, cids[e]), manifest):
                 # lost the race to a concurrent runner: epoch already
@@ -963,7 +1248,9 @@ class LakeTable:
                 partitions_touched=len(es),
                 rows_upserted=int(es["events_in"].sum()) if len(es) else 0,
                 rows_deleted=int(es["deleted_rows"].sum()) if len(es) else 0,
-                total_rows=sum(int(v["live_rows"]) for v in partitions.values()),
+                total_rows=(-1 if self.merge_on_read else
+                            sum(int(v["live_rows"])
+                                for v in partitions.values())),
                 wall_s=(stage_s + merge_s) / len(plan),
                 stage_s=stage_s / len(plan), merge_s=merge_s / len(plan),
                 lineage=lineage,
@@ -1001,14 +1288,78 @@ class LakeTable:
         m = load_manifest(self.root, as_of_epoch)
         if not m:
             return []
-        return [str(self.root / v["file"]) for _, v in sorted(m["partitions"].items())]
+        # base snapshots only: a merge-on-read partition that has never
+        # been compacted has no base file yet (file=None); callers that
+        # need the RESOLVED state must go through read() / read_pandas()
+        return [str(self.root / v["file"])
+                for _, v in sorted(m["partitions"].items()) if v.get("file")]
+
+    def _read_resolved(self, m: dict, columns, include_deleted: bool,
+                       include_internal: bool):
+        """Merge-on-read Dataset read: one resolve task per partition
+        replays that partition's pending deltas over its base snapshot
+        (column-pruned to the request), then applies the same tombstone
+        filter / projection as the snapshot path. Streaming: only
+        resolved blocks flow; nothing is materialized on the driver."""
+        import ray.data as rd
+
+        parts = {p: v for p, v in m["partitions"].items()
+                 if v.get("file") or v.get("deltas")}
+        root = str(self.root)
+        dc = m.get("delta_commits", {})
+        kw = self._mor_kwargs()
+        target = schema_mod.schema_from_json(m["schema"])
+        if columns is not None:
+            needed = set(columns) | {self.key, self.version[0]}
+            target = pa.schema([f for f in target if f.name in needed])
+        final_schema = _snapshot_schema(target, self.managed_timestamps)
+        if columns is not None:
+            out_schema = pa.schema([final_schema.field(c) for c in columns])
+        elif include_internal:
+            out_schema = final_schema
+        else:
+            out_schema = pa.schema([f for f in final_schema
+                                    if f.name not in INTERNAL_COLS])
+
+        def resolve(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            out = []
+            for pid in batch["pid"].to_pylist():
+                t, _ = _resolve_mor_pid(root, parts[str(int(pid))], dc,
+                                        columns=columns, **kw)
+                if t is None or t.num_rows == 0:
+                    continue
+                # old untouched partitions may predate the latest schema:
+                # conform (add-null / widen) so every block is uniform
+                t = schema_mod.conform(t, final_schema)
+                if not include_deleted:
+                    t = t.filter(pc.invert(t[INTERNAL_DELETED]))
+                out.append(t.select(out_schema.names))
+            if not out:
+                return out_schema.empty_table()
+            return pa.concat_tables(out)
+
+        pids = sorted(parts, key=int)
+        if not pids:
+            raise FileNotFoundError(
+                f"lake at {self.root} has no committed data")
+        return (rd.from_arrow(pa.table({"pid": pa.array(
+                    [int(p) for p in pids], type=pa.int32())}))
+                .repartition(len(pids))
+                .map_batches(resolve, batch_format="pyarrow"))
 
     def read(self, columns=None, include_deleted: bool = False,
              include_internal: bool = False, as_of_epoch: int | None = None):
         """Table state as a streaming Dataset (no materialization);
-        ``as_of_epoch`` reads a historical snapshot."""
+        ``as_of_epoch`` reads a historical snapshot. Pending merge-on-read
+        deltas are resolved inside the read tasks (``_read_resolved``)."""
         import ray.data as rd
 
+        m = load_manifest(self.root, as_of_epoch)
+        if manifest_has_deltas(m):
+            return self._read_resolved(m, columns, include_deleted,
+                                       include_internal)
         files = self.files(as_of_epoch)
         if not files:
             raise FileNotFoundError(f"lake at {self.root} has no committed data")
@@ -1057,11 +1408,20 @@ class LakeTable:
         part = m["partitions"].get(str(pid))
         if part is None:
             return pd.DataFrame()
-        read_cols = columns
-        if read_cols is not None:
-            read_cols = list({*read_cols, self.key, INTERNAL_DELETED})
-        tbl = pq.read_table(self.root / part["file"], columns=read_cols)
-        tbl = tbl.filter(pc.equal(tbl[self.key], key_value))
+        if part.get("deltas"):
+            # merge-on-read: replay this key's rows through the pending
+            # deltas (base + deltas filtered to the key first — exact,
+            # merges are per-key independent). Still O(one partition's
+            # files), no scan.
+            tbl, _ = _resolve_mor_pid(
+                self.root, part, m.get("delta_commits", {}),
+                columns=columns, key_filter=key_value, **self._mor_kwargs())
+        else:
+            read_cols = columns
+            if read_cols is not None:
+                read_cols = list({*read_cols, self.key, INTERNAL_DELETED})
+            tbl = pq.read_table(self.root / part["file"], columns=read_cols)
+            tbl = tbl.filter(pc.equal(tbl[self.key], key_value))
         df = tbl.to_pandas()
         df = df[~df[INTERNAL_DELETED]]
         if columns is not None:
@@ -1071,8 +1431,19 @@ class LakeTable:
         return df.reset_index(drop=True)
 
     def read_pandas(self, **kw) -> pd.DataFrame:
-        """Small-table convenience for tests: full snapshot as pandas."""
-        tables = [pq.read_table(f) for f in self.files()]
+        """Small-table convenience for tests: full snapshot as pandas.
+        Resolves pending merge-on-read deltas driver-side (no Ray)."""
+        m = load_manifest(self.root)
+        if manifest_has_deltas(m):
+            mkw = self._mor_kwargs()
+            dc = m.get("delta_commits", {})
+            tables = [t for t, _ in
+                      (_resolve_mor_pid(self.root, v, dc, **mkw)
+                       for _, v in sorted(m["partitions"].items(),
+                                          key=lambda kv: int(kv[0])))
+                      if t is not None]
+        else:
+            tables = [pq.read_table(f) for f in self.files()]
         if not tables:
             return pd.DataFrame()
         tbl = pa.concat_tables(tables, promote_options="default")
@@ -1186,6 +1557,114 @@ class LakeTable:
         return CommitResult(epoch=epoch, total_rows=0)
 
     # -- maintenance -------------------------------------------------------
+    def compact_deltas(self, epoch: int | None = None) -> CommitResult:
+        """Maintenance commit folding pending merge-on-read deltas into
+        fresh base snapshots (major compaction). One Ray task per
+        delta-bearing partition replays ``apply_changes`` base → deltas
+        in commit order and writes a new snapshot; untouched partitions
+        carry forward. The resulting manifest is delta-free and its
+        per-partition hashes equal what a copy-on-write chain would have
+        recorded (``_replay_step`` hashes the identical frame), so
+        COW-vs-MOR equivalence is checkable bit-for-bit.
+
+        Carries the binlog cursor forward unchanged (like
+        ``purge_tombstones``); exactly-once via the manifest's exclusive
+        create; deterministic snapshot content (sorted by key).
+        ``epoch=None`` auto-allocates the next chain id."""
+        import ray.data as rd
+
+        t0 = time.perf_counter()
+        last = self.last_committed_epoch()
+        if epoch is None:
+            if last is None:
+                return CommitResult(epoch=-1, skipped=True)
+            epoch = last + 1
+        elif last is not None and epoch <= last:
+            return CommitResult(epoch=epoch, skipped=True)
+        if _manifest_path(self.root, epoch).exists():
+            return CommitResult(epoch=epoch, skipped=True)
+        self._sync_partitions()
+        prev = load_manifest(self.root)
+        if not prev:
+            return CommitResult(epoch=epoch, skipped=True)
+        pend = {p: v for p, v in prev["partitions"].items()
+                if v.get("deltas")}
+        if not pend:
+            return CommitResult(epoch=epoch, skipped=True)
+        root = str(self.root)
+        dc = prev.get("delta_commits", {})
+        kw = self._mor_kwargs()
+        key = self.key
+
+        def fold(batch: pa.Table) -> pa.Table:
+            out = []
+            for pid in batch["pid"].to_pylist():
+                pid = int(pid)
+                tbl, h = _resolve_mor_pid(root, pend[str(pid)], dc, **kw)
+                rel = f"{_DATA_DIR}/p={pid:05d}/snap-{epoch:06d}m.parquet"
+                tmp = (Path(root) / f"{_DATA_DIR}/p={pid:05d}/"
+                       f".snap-{epoch:06d}m.{uuid.uuid4().hex[:8]}"
+                       ".parquet.tmp")
+                tmp.parent.mkdir(parents=True, exist_ok=True)
+                pq.write_table(tbl, tmp)
+                os.replace(tmp, Path(root) / rel)
+                live = int(pa.compute.sum(pa.compute.invert(
+                    tbl[INTERNAL_DELETED])).as_py() or 0)
+                out.append((pid, rel, tbl.num_rows, live, h))
+            return pa.table({
+                "pid": [o[0] for o in out], "file": [o[1] for o in out],
+                "rows": [o[2] for o in out], "live": [o[3] for o in out],
+                "hash": [o[4] for o in out]})
+
+        pids = sorted(pend, key=int)
+        stats = (rd.from_arrow(pa.table({"pid": pa.array(
+                    [int(p) for p in pids], type=pa.int32())}))
+                 .repartition(len(pids))
+                 .map_batches(fold, batch_format="pyarrow")
+                 .to_pandas())  # ≤ num_partitions rows — metadata only
+
+        partitions = {p: v for p, v in prev["partitions"].items()
+                      if p not in pend}
+        lineage = []
+        for r in stats.itertuples(index=False):
+            partitions[str(r.pid)] = {"file": r.file, "rows": int(r.rows),
+                                      "live_rows": int(r.live),
+                                      "hash": r.hash}
+            # compaction DOES change base-file content (unlike purge, a
+            # content no-op for live rows) — derived structures (matview/
+            # index) pick their touched partitions from lineage, so the
+            # folded partitions must appear here for their incremental
+            # old-vs-new diff to capture the deltas' effect
+            lineage.append({
+                "partition_id": int(r.pid), "epoch": epoch, "events_in": 0,
+                "rows": int(r.rows), "live_rows": int(r.live),
+                "deleted_rows": 0, "change_events": 0, "changes_file": None,
+                "wall_s": 0.0})
+        manifest = {
+            "epoch": epoch, "key": self.key,
+            # the binlog cursor passes through maintenance untouched
+            "log_epoch": prev.get("log_epoch", prev.get("epoch")),
+            "num_partitions": prev.get("num_partitions",
+                                       self.num_partitions),
+            "schema": prev["schema"],
+            "commit_ts_us": 1_600_000_000_000_000 + epoch * 1_000_000,
+            "partitions": partitions,
+            "lineage": lineage,
+            "compacted_delta_partitions": len(stats),
+            "merge_on_read": True,
+            "wall_s": round(time.perf_counter() - t0, 4),
+        }
+        if prev.get("max_id") is not None:
+            manifest["max_id"] = prev["max_id"]
+        if not _commit_manifest_exclusive(_manifest_path(self.root, epoch),
+                                          manifest):
+            return CommitResult(epoch=epoch, skipped=True)
+        return CommitResult(
+            epoch=epoch, partitions_touched=len(stats),
+            total_rows=sum(int(v["live_rows"])
+                           for v in partitions.values()),
+            wall_s=time.perf_counter() - t0)
+
     def purge_tombstones(self, epoch: int | None = None,
                          watermark_ts_us: int = 0) -> CommitResult:
         """Maintenance commit: physically drop tombstoned rows whose
@@ -1219,6 +1698,11 @@ class LakeTable:
         prev = load_manifest(self.root)
         if not prev:
             return CommitResult(epoch=epoch, skipped=True)
+        if manifest_has_deltas(prev):
+            raise ValueError(
+                f"lake at {self.root} has pending merge-on-read deltas; "
+                "purge_tombstones rewrites base snapshots only — run "
+                "compact_deltas() first")
         prev_parts = prev["partitions"]
         root = str(self.root)
         key = self.key
@@ -1308,15 +1792,19 @@ class LakeTable:
         referenced: set[str] = set()
         for e in keep:
             m = load_manifest(self.root, e)
-            referenced.update(v["file"] for v in m["partitions"].values())
+            for v in m["partitions"].values():
+                if v.get("file"):
+                    referenced.add(v["file"])
+                referenced.update(d["file"] for d in v.get("deltas", []))
         removed_files = 0
         data_dir = self.root / _DATA_DIR
         if data_dir.is_dir():
-            for f in data_dir.rglob("snap-*.parquet"):
-                rel = str(f.relative_to(self.root))
-                if rel not in referenced:
-                    f.unlink()
-                    removed_files += 1
+            for pattern in ("snap-*.parquet", "delta-*.parquet"):
+                for f in data_dir.rglob(pattern):
+                    rel = str(f.relative_to(self.root))
+                    if rel not in referenced:
+                        f.unlink()
+                        removed_files += 1
         removed_manifests = 0
         for e in eps:
             if e not in keep:

@@ -46,7 +46,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from chomper_ray.stages.merge import INTERNAL_DELETED
-from chomper_ray.state.lake import LakeTable, committed_epochs, load_manifest
+from chomper_ray.state.lake import (LakeTable, committed_epochs,
+                                    load_manifest, manifest_has_deltas)
 
 
 class MaterializedAgg:
@@ -158,8 +159,11 @@ class MaterializedAgg:
     # -- maintenance --------------------------------------------------------
     def _full_recompute(self, cid: int) -> pd.DataFrame:
         man = load_manifest(self.lake.root, cid)
+        # merge-on-read partitions may have no base yet (file=None); their
+        # rows live in deltas, folded in by a later compact_deltas commit
         files = [str(self.lake.root / v["file"])
-                 for _, v in sorted(man["partitions"].items())]
+                 for _, v in sorted(man["partitions"].items())
+                 if v.get("file")]
         view_cols = pd.DataFrame(columns=self.group_cols + self.value_cols
                                  + ["n_live"])
         parts = self._scan_to_partials(files, +1)
@@ -187,19 +191,32 @@ class MaterializedAgg:
                 self._write_view(cid, new_view)
                 current, prev_cid = new_view, cid
                 continue
-            touched = sorted({int(ln["partition_id"])
-                              for ln in man.get("lineage", [])})
+            if manifest_has_deltas(man):
+                if cid == cids[-1]:
+                    raise ValueError(
+                        f"lake at {root} has pending merge-on-read deltas "
+                        "at its head manifest; the view diffs base "
+                        "snapshot files, so refresh here would be "
+                        "silently stale — run lake.compact_deltas() first")
+                # a merge-on-read ingest commit leaves base files
+                # untouched; the later compact_deltas commit carries its
+                # effect (folded partitions appear in THAT lineage), so
+                # this commit contributes a zero delta by construction
+                touched = []
+            else:
+                touched = sorted({int(ln["partition_id"])
+                                  for ln in man.get("lineage", [])})
             prev_man = load_manifest(root, prev_cid) \
                 if prev_cid is not None else None
             new_files = [str(root / man["partitions"][str(p)]["file"])
                          for p in touched
-                         if str(p) in man["partitions"]]
+                         if man["partitions"].get(str(p), {}).get("file")]
             old_files = []
             missing_old = False
             if prev_man is not None:
                 for p in touched:
                     part = prev_man["partitions"].get(str(p))
-                    if part is None:
+                    if part is None or not part.get("file"):
                         continue
                     f = root / part["file"]
                     if not f.exists():  # compacted away
