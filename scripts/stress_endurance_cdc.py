@@ -112,6 +112,11 @@ def spill_stats() -> str:
 def main():
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 48_000_000
     num_cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    # "cow" (default) = copy-on-write merges at commit time;
+    # "mor" = merge-on-read delta commits + one compact_deltas() at the
+    # end — same final state (hash-asserted in tests), different
+    # placement of the merge cost
+    mode = sys.argv[3] if len(sys.argv) > 3 else "cow"
 
     import ray
 
@@ -133,22 +138,38 @@ def main():
     lake = tempfile.mkdtemp(prefix="chomper_endurance_lake_")
     staging = tempfile.mkdtemp(prefix="chomper_endurance_stg_",
                                dir="/dev/shm")
+    lake_kwargs = {"staging_root": staging}
+    if mode == "mor":
+        lake_kwargs.update(merge_on_read=True, collect_changes=False)
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
     t0 = time.perf_counter()
     res = run_cdc(log, lake, num_partitions=NUM_PARTITIONS,
-                  lake_kwargs={"staging_root": staging}, drain=True)
+                  lake_kwargs=lake_kwargs, drain=True)
     wall = time.perf_counter() - t0
     rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
 
+    ingest_bytes = sum(p.stat().st_size for p in Path(lake).rglob("*.parquet"))
+    compact_s, live = 0.0, (res.commits[-1].total_rows if res.commits else 0)
+    if mode == "mor":
+        from chomper_ray.state.lake import LakeTable
+
+        t0 = time.perf_counter()
+        cr = LakeTable(lake, num_partitions=NUM_PARTITIONS,
+                       **{k: v for k, v in lake_kwargs.items()
+                          if k != "staging_root"}).compact_deltas()
+        compact_s = time.perf_counter() - t0
+        live = cr.total_rows
+
     lake_files = len(list(Path(lake).rglob("*.parquet")))
     spill = spill_stats()
-    live = res.commits[-1].total_rows if res.commits else 0
     shutil.rmtree(lake, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
     ray.shutdown()
 
     print(json.dumps({
-        "metric": "endurance_cdc_drain",
+        "metric": "endurance_cdc_drain", "mode": mode,
+        "ingest_gb_written": round(ingest_bytes / 2**30, 2),
+        "compact_s": round(compact_s, 1),
         "n_events": n_events, "num_cpus": num_cpus,
         "num_partitions": NUM_PARTITIONS, "n_epochs": N_EPOCHS,
         "gen_s": round(gen_s, 1), "log_files": log_files,
