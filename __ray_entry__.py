@@ -1672,6 +1672,81 @@ def _q_cdc_index_tokens(sf_dir: str):
     return out.rename(columns={"doc": "url"})[["token", "url", "tf", "dl"]]
 
 
+_ANN_ORACLE_LOG = "/tmp/chomper_ray_ann_oracle"
+
+
+def _ensure_ann_oracle_log():
+    """Deterministic vector change log (3 epochs: 120 inserts, 30
+    vector-rewriting updates, 15 deletes; dim 16, float64) + a fixed
+    query matrix — shared bytes for the maintained-ANN query and its
+    DuckDB oracle. Idempotent; no Ray needed."""
+    from pathlib import Path
+
+    import pyarrow as pa
+
+    d = Path(_ANN_ORACLE_LOG)
+    if (d / "_COMPLETE").exists():
+        return d
+    rng = np.random.default_rng(77)
+    def vec():
+        return rng.normal(size=16).tolist()
+    epochs = []
+    epochs.append([{"op": "insert", "seq": i, "vec_id": f"v{i:04d}",
+                    "warc_ts": pd.Timestamp(10, unit="s"),
+                    "embedding": vec()} for i in range(120)])
+    epochs.append([{"op": "update", "seq": 1000 + i,
+                    "vec_id": f"v{i:04d}",
+                    "warc_ts": pd.Timestamp(20, unit="s"),
+                    "embedding": vec()} for i in range(30)])
+    epochs.append([{"op": "delete", "seq": 2000 + i,
+                    "vec_id": f"v{40 + i:04d}",
+                    "warc_ts": pd.Timestamp(30, unit="s"),
+                    "embedding": None} for i in range(15)])
+    for e, rows in enumerate(epochs):
+        p = d / f"ep-{e}"
+        p.mkdir(parents=True, exist_ok=True)
+        pq.write_table(pa.Table.from_pylist(rows), p / "part-0.parquet")
+    pq.write_table(pa.Table.from_pylist(
+        [{"qid": i, "embedding": vec()} for i in range(4)]),
+        d / "_queries.parquet")
+    (d / "_COMPLETE").touch()
+    return d
+
+
+def _q_cdc_ann_vectors(sf_dir: str):
+    # incremental ANN-INDEX maintenance: the IVF cell-partitioned index
+    # maintained COMMIT BY COMMIT as LSM signed-vector segments (cost ∝
+    # write amplification, never the corpus; state/annindex.py
+    # LakeANNIndex — cell-crossing updates resolve as -1 in the old
+    # cell / +1 in the new). Probing ALL cells makes search exhaustive
+    # = exact brute-force cosine over the live LWW state, so the top-k
+    # hash-verifies against DuckDB list_cosine_similarity over the same
+    # event log. The nprobe<n_cells pruning path is pinned by recall
+    # pytests (tests/test_annindex.py).
+    import ray.data as rd
+
+    from chomper_ray.state.annindex import LakeANNIndex
+    from chomper_ray.state.lake import LakeTable
+
+    log = _ensure_ann_oracle_log()
+    lake = LakeTable(tempfile.mkdtemp(prefix="chomper_ray_lake_ann_"),
+                     key="vec_id", num_partitions=4,
+                     collect_changes=False)
+    for e in range(3):
+        # explicit file path: hive partitioning would inject an
+        # ``epoch`` string column into the lake schema
+        lake.commit_epoch(
+            rd.read_parquet(str(log / f"ep-{e}" / "part-0.parquet")), e)
+    idx = LakeANNIndex(lake, tempfile.mkdtemp(prefix="chomper_ann_idx_"),
+                       n_cells=8)
+    idx.refresh()  # three segments: full + two deltas
+    q = pq.read_table(log / "_queries.parquet").to_pandas()
+    res = idx.search(np.stack(q["embedding"].to_numpy()), k=5)
+    return pd.DataFrame({"qid": res["qid"].astype("int64"),
+                         "vec_id": res["key"],
+                         "score": res["score"].round(6)})
+
+
 def _q_cdc_layout_tokens(sf_dir: str):
     # incremental DERIVED-LAYOUT maintenance: a write_partitioned-style
     # bucketed layout of (url, n_tokens) kept in sync with the lake per
@@ -1970,6 +2045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-window overflow: same oracle family as the windowed
         # cdc_matview_domains; mimic-verified (scripts/check_oracle.py)
         "cdc_domain_stats": _q_cdc_domain_stats,
+        "cdc_ann_vectors": _q_cdc_ann_vectors,
         # rows-only by design (no SQL oracle)
         "pca_project": _q_pca_project,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -2121,6 +2197,24 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_pages, "
             "CAST(sum(length(coalesce(text, ''))) AS BIGINT) "
             "AS total_chars FROM st GROUP BY 1"
+        ),
+        "cdc_ann_vectors": (
+            # maintained IVF index probed at ALL cells == exact cosine
+            # top-k over the LWW state; replayed with
+            # list_cosine_similarity over the same vector event log
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{_ensure_ann_oracle_log()}/ep-*/part-*.parquet')), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY vec_id ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            f"q AS (SELECT * FROM read_parquet("
+            f"'{_ensure_ann_oracle_log()}/_queries.parquet')), "
+            "sc AS (SELECT q.qid, w.vec_id, "
+            "list_cosine_similarity(q.embedding, w.embedding) AS s "
+            "FROM q CROSS JOIN win w) "
+            "SELECT qid, vec_id, ROUND(s, 6) AS score FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY qid "
+            "ORDER BY s DESC, vec_id) AS rk FROM sc) WHERE rk <= 5"
         ),
         "cdc_index_tokens": (
             f"WITH ev AS (SELECT * FROM read_parquet("

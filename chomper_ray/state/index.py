@@ -235,7 +235,125 @@ def phrase_search(root: str | Path, phrase: str,
 # Incremental index maintenance under CDC (LSM-style delta segments)
 # ---------------------------------------------------------------------------
 
-class LakeTextIndex:
+class _LsmSegmentIndex:
+    """Shared machinery for lake indexes maintained COMMIT BY COMMIT as
+    LSM-style signed delta segments (``LakeTextIndex`` postings,
+    ``LakeANNIndex`` vectors — state/annindex.py): segment bookkeeping
+    under ``root/seg-<cid:06d>[-full]/`` with a ``_SEGMENT.json`` marker
+    as the exactly-once commit point, plus the manifest-chain walk that
+    turns each lake commit into a (new_files, old_files) diff of its
+    touched partitions. Subclasses implement ``_write_segment(cid,
+    new_files, old_files, full)`` — what a segment CONTAINS (postings,
+    vectors, ...) is theirs; WHEN one is written is decided here."""
+
+    def __init__(self, lake, root):
+        self.lake = lake
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def _write_segment(self, cid: int, new_files: list[str],
+                       old_files: list[str], full: bool) -> dict:
+        raise NotImplementedError
+
+    # -- segment bookkeeping ------------------------------------------------
+    def _segments(self) -> list[dict]:
+        """Applied segments in chain order; a ``-full`` variant of a cid
+        supersedes (and hides) its delta twin."""
+        segs = {}
+        for m in self.root.glob("seg-*/_SEGMENT.json"):
+            s = json.loads(m.read_text())
+            s["dir"] = str(m.parent)
+            cur = segs.get(s["cid"])
+            if cur is None or (s.get("full") and not cur.get("full")):
+                segs[s["cid"]] = s
+        return [segs[c] for c in sorted(segs)]
+
+    def applied_commits(self) -> list[int]:
+        return [s["cid"] for s in self._segments()]
+
+    def _live_segments(self) -> list[dict]:
+        segs = self._segments()
+        for i in range(len(segs) - 1, -1, -1):
+            if segs[i].get("full"):
+                return segs[i:]
+        return segs
+
+    # -- maintenance ----------------------------------------------------------
+    def refresh(self) -> dict:
+        """Apply every unapplied lake commit in chain order. Returns
+        ``{"applied": [markers...], "skipped": [cids...]}``; idempotent."""
+        from chomper_ray.state.lake import (committed_epochs, load_manifest,
+                                            manifest_has_deltas)
+
+        root = self.lake.root
+        cids = committed_epochs(root)
+        done = set(self.applied_commits())
+        applied, skipped = [], []
+        prev_cid = None
+        for cid in cids:
+            if cid in done:
+                prev_cid = cid
+                skipped.append(cid)
+                continue
+            man = load_manifest(root, cid)
+            if man.get("truncated") or not man["partitions"]:
+                applied.append(self._write_segment(cid, [], [], full=True))
+                prev_cid = cid
+                continue
+            # merge-on-read: an ingest commit leaves base files untouched
+            # (its rows live in delta files); the later compact_deltas
+            # commit carries the effect via ITS lineage. At the chain head
+            # that later commit doesn't exist yet — refuse rather than go
+            # stale; mid-chain such a commit contributes an empty segment
+            # (or a base-only full build that the compaction diff tops up).
+            has_deltas = manifest_has_deltas(man)
+            if has_deltas and cid == cids[-1]:
+                raise ValueError(
+                    f"lake at {root} has pending merge-on-read deltas "
+                    "at its head manifest; the index diffs base "
+                    "snapshot files — run lake.compact_deltas() first")
+            all_files = [str(root / v["file"])
+                         for _, v in sorted(man["partitions"].items())
+                         if v.get("file")]
+            if prev_cid is None or prev_cid not in done and not applied \
+                    and not self._segments():
+                # first segment ever: full build from this manifest
+                applied.append(self._write_segment(cid, all_files, [],
+                                                   full=True))
+                prev_cid = cid
+                continue
+            if has_deltas:
+                applied.append(self._write_segment(cid, [], [], full=False))
+                prev_cid = cid
+                continue
+            touched = sorted({int(ln["partition_id"])
+                              for ln in man.get("lineage", [])})
+            prev_man = load_manifest(root, prev_cid)
+            new_files = [str(root / man["partitions"][str(p)]["file"])
+                         for p in touched
+                         if man["partitions"].get(str(p), {}).get("file")]
+            old_files, missing_old = [], False
+            for p in touched:
+                part = prev_man["partitions"].get(str(p)) \
+                    if prev_man else None
+                if part is None or not part.get("file"):
+                    continue
+                f = root / part["file"]
+                if not f.exists():  # compacted away
+                    missing_old = True
+                    break
+                old_files.append(str(f))
+            if missing_old or prev_man is None:
+                applied.append(self._write_segment(cid, all_files, [],
+                                                   full=True))
+            else:
+                applied.append(self._write_segment(cid, new_files,
+                                                   old_files, full=False))
+            prev_cid = cid
+        return {"applied": applied, "skipped": skipped}
+
+
+class LakeTextIndex(_LsmSegmentIndex):
     """Inverted text index over a ``LakeTable``, maintained COMMIT BY
     COMMIT from each commit's touched partitions — the
     ``MaterializedAgg`` per-commit delta discipline (state/matview.py)
@@ -273,36 +391,11 @@ class LakeTextIndex:
                  num_partitions: int = 64):
         from chomper_ray.stages.merge import DEFAULT_KEY
 
-        self.lake = lake
-        self.root = Path(root)
-        self.root.mkdir(parents=True, exist_ok=True)
+        super().__init__(lake, root)
         self.col = col
         self.key_col = key_col or DEFAULT_KEY
         self.sep = sep
         self.num_partitions = int(num_partitions)
-
-    # -- segment bookkeeping ------------------------------------------------
-    def _segments(self) -> list[dict]:
-        """Applied segments in chain order; a ``-full`` variant of a cid
-        supersedes (and hides) its delta twin."""
-        segs = {}
-        for m in self.root.glob("seg-*/_SEGMENT.json"):
-            s = json.loads(m.read_text())
-            s["dir"] = str(m.parent)
-            cur = segs.get(s["cid"])
-            if cur is None or (s.get("full") and not cur.get("full")):
-                segs[s["cid"]] = s
-        return [segs[c] for c in sorted(segs)]
-
-    def applied_commits(self) -> list[int]:
-        return [s["cid"] for s in self._segments()]
-
-    def _live_segments(self) -> list[dict]:
-        segs = self._segments()
-        for i in range(len(segs) - 1, -1, -1):
-            if segs[i].get("full"):
-                return segs[i:]
-        return segs
 
     def stats(self) -> dict:
         live = self._live_segments()
@@ -444,79 +537,6 @@ class LakeTextIndex:
         return marker
 
     # -- maintenance ----------------------------------------------------------
-    def refresh(self) -> dict:
-        """Apply every unapplied lake commit in chain order. Returns
-        ``{"applied": [markers...], "skipped": [cids...]}``; idempotent."""
-        from chomper_ray.state.lake import (committed_epochs, load_manifest,
-                                            manifest_has_deltas)
-
-        root = self.lake.root
-        cids = committed_epochs(root)
-        done = set(self.applied_commits())
-        applied, skipped = [], []
-        prev_cid = None
-        for cid in cids:
-            if cid in done:
-                prev_cid = cid
-                skipped.append(cid)
-                continue
-            man = load_manifest(root, cid)
-            if man.get("truncated") or not man["partitions"]:
-                applied.append(self._write_segment(cid, [], [], full=True))
-                prev_cid = cid
-                continue
-            # merge-on-read: an ingest commit leaves base files untouched
-            # (its rows live in delta files); the later compact_deltas
-            # commit carries the effect via ITS lineage. At the chain head
-            # that later commit doesn't exist yet — refuse rather than go
-            # stale; mid-chain such a commit contributes an empty segment
-            # (or a base-only full build that the compaction diff tops up).
-            has_deltas = manifest_has_deltas(man)
-            if has_deltas and cid == cids[-1]:
-                raise ValueError(
-                    f"lake at {root} has pending merge-on-read deltas "
-                    "at its head manifest; the index diffs base "
-                    "snapshot files — run lake.compact_deltas() first")
-            all_files = [str(root / v["file"])
-                         for _, v in sorted(man["partitions"].items())
-                         if v.get("file")]
-            if prev_cid is None or prev_cid not in done and not applied \
-                    and not self._segments():
-                # first segment ever: full build from this manifest
-                applied.append(self._write_segment(cid, all_files, [],
-                                                   full=True))
-                prev_cid = cid
-                continue
-            if has_deltas:
-                applied.append(self._write_segment(cid, [], [], full=False))
-                prev_cid = cid
-                continue
-            touched = sorted({int(ln["partition_id"])
-                              for ln in man.get("lineage", [])})
-            prev_man = load_manifest(root, prev_cid)
-            new_files = [str(root / man["partitions"][str(p)]["file"])
-                         for p in touched
-                         if man["partitions"].get(str(p), {}).get("file")]
-            old_files, missing_old = [], False
-            for p in touched:
-                part = prev_man["partitions"].get(str(p)) \
-                    if prev_man else None
-                if part is None or not part.get("file"):
-                    continue
-                f = root / part["file"]
-                if not f.exists():  # compacted away
-                    missing_old = True
-                    break
-                old_files.append(str(f))
-            if missing_old or prev_man is None:
-                applied.append(self._write_segment(cid, all_files, [],
-                                                   full=True))
-            else:
-                applied.append(self._write_segment(cid, new_files,
-                                                   old_files, full=False))
-            prev_cid = cid
-        return {"applied": applied, "skipped": skipped}
-
     def compact(self) -> dict:
         """Fold all live segments into one full segment at the newest
         applied cid, then drop superseded segment dirs. Bounded by the

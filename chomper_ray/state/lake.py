@@ -621,10 +621,23 @@ def _resolve_mor_pid(root: str | Path, part: dict, delta_commits: dict,
 def snapshot_content_hash(df: pd.DataFrame, key: str) -> str:
     """Order-independent content hash of a snapshot (row-value based, not
     file bytes — Parquet metadata isn't stable). Deterministic across
-    processes (fixed pandas hash key)."""
+    processes (fixed pandas hash key). List-typed columns (embeddings)
+    hash by dtype-tagged raw bytes — array cells are unhashable and
+    their truthiness breaks ``notna`` masking otherwise."""
     if not len(df):
         return "0"
     s = df.sort_values(key, kind="stable").reset_index(drop=True)
+
+    def cell_bytes(v):
+        if isinstance(v, (np.ndarray, list, tuple)):
+            a = np.asarray(v)
+            return str(a.dtype).encode() + a.tobytes()
+        return v
+
+    for c in s.columns:
+        if s[c].dtype == object and any(
+                isinstance(v, (np.ndarray, list, tuple)) for v in s[c]):
+            s[c] = s[c].map(cell_bytes)
     h = pd.util.hash_pandas_object(
         s.astype(object).where(s.notna(), None), index=False)
     return f"{int(h.sum()) & 0xFFFFFFFFFFFFFFFF:016x}"

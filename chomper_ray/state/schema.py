@@ -68,6 +68,8 @@ def widen(a: pa.DataType, b: pa.DataType) -> pa.DataType:
         return b
     if pa.types.is_null(b):
         return a
+    if pa.types.is_list(a) and pa.types.is_list(b):
+        return pa.list_(widen(a.value_type, b.value_type))
     raise SchemaEvolutionError(f"cannot reconcile {a} with {b}")
 
 
@@ -110,14 +112,42 @@ def schema_to_json(schema: pa.Schema) -> list[dict]:
     return [{"name": f.name, "type": str(f.type)} for f in schema]
 
 
+_TYPES = {
+    "string": pa.string(), "large_string": pa.large_string(),
+    "binary": pa.binary(), "large_binary": pa.large_binary(),
+    "int8": pa.int8(), "int16": pa.int16(), "int32": pa.int32(),
+    "int64": pa.int64(), "float": pa.float32(), "double": pa.float64(),
+    "bool": pa.bool_(), "timestamp[us]": pa.timestamp("us"),
+    "timestamp[ms]": pa.timestamp("ms"), "timestamp[ns]": pa.timestamp("ns"),
+    "date32[day]": pa.date32(), "null": pa.null(),
+}
+
+
+import re as _re
+
+_LIST_RE = _re.compile(r"^(list|large_list)<[^:<]+: (.+)>$")
+_FSL_RE = _re.compile(r"^fixed_size_list<[^:<]+: (.+)>\[(\d+)\]$")
+
+
+def _parse_type(s: str) -> pa.DataType:
+    """Inverse of Arrow's ``str(type)`` for the registry's type domain —
+    scalars plus (nested) list/large_list/fixed_size_list, the shapes an
+    embedding column round-trips through the manifest as. The child
+    field name varies by producer (``item`` from pandas, ``element``
+    from parquet) and is semantically irrelevant, so any name parses."""
+    if s in _TYPES:
+        return _TYPES[s]
+    m = _LIST_RE.match(s)
+    if m:
+        ctor = pa.list_ if m.group(1) == "list" else pa.large_list
+        return ctor(_parse_type(m.group(2)))
+    m = _FSL_RE.match(s)
+    if m:
+        return pa.list_(_parse_type(m.group(1)), int(m.group(2)))
+    raise SchemaEvolutionError(
+        f"unsupported type in schema registry: {s!r}")
+
+
 def schema_from_json(spec: list[dict]) -> pa.Schema:
-    _TYPES = {
-        "string": pa.string(), "large_string": pa.large_string(),
-        "binary": pa.binary(), "large_binary": pa.large_binary(),
-        "int8": pa.int8(), "int16": pa.int16(), "int32": pa.int32(),
-        "int64": pa.int64(), "float": pa.float32(), "double": pa.float64(),
-        "bool": pa.bool_(), "timestamp[us]": pa.timestamp("us"),
-        "timestamp[ms]": pa.timestamp("ms"), "timestamp[ns]": pa.timestamp("ns"),
-        "date32[day]": pa.date32(), "null": pa.null(),
-    }
-    return pa.schema([pa.field(d["name"], _TYPES[d["type"]]) for d in spec])
+    return pa.schema([pa.field(d["name"], _parse_type(d["type"]))
+                      for d in spec])
