@@ -1,11 +1,12 @@
 """Multimodal column plumbing: images/audio/video as opaque ``binary``
 columns with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-``decode='strict'`` is REAL for PNG images and WAV audio via the
-pure-stdlib codecs in ``functions/codecs.py`` (zlib/struct PNG, ``wave``
-WAV — no third-party library needed); JPEG and video formats keep the
-fail-fast contract (``NotImplementedError`` naming the missing codec)
-because their libraries (PIL/soundfile/av) are not in this container.
+``decode='strict'`` is REAL for PNG and baseline JPEG images and WAV
+audio via the pure-Python codecs in ``functions/codecs.py`` (zlib/struct
+PNG, numpy Huffman+IDCT JPEG, ``wave`` WAV — no third-party library
+needed); video formats keep the fail-fast contract
+(``NotImplementedError`` naming the missing codec) because container
+demuxing genuinely needs av/ffmpeg, absent here.
 ``decode='fake'`` produces a deterministic fake decode derived from the
 payload bytes so the Ray-side plumbing (schema, batch sizing, actor
 signature, output layout) stays testable against any payload.
@@ -21,7 +22,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from chomper_ray.functions.codecs import (decode_png, decode_wav,
+from chomper_ray.functions.codecs import (decode_jpeg, decode_png,
+                                          decode_wav, encode_jpeg,
                                           encode_png, encode_wav,
                                           sniff_media_format)
 
@@ -73,9 +75,9 @@ class DecodeImage:
     def __init__(self, mode: str = "fake", resize: tuple[int, int] = (32, 32)):
         if mode not in ("fake", "strict"):
             raise ValueError("mode must be 'fake' or 'strict'")
-        # strict PNG decode is pure stdlib (functions/codecs.py) — no
-        # build-time codec requirement; JPEG payloads fail fast at
-        # decode naming the missing library (PIL)
+        # strict PNG/JPEG decode is pure Python+numpy
+        # (functions/codecs.py) — no build-time codec requirement;
+        # unknown formats fail fast at decode naming the format
         self.mode = mode
         self.resize = resize
 
@@ -84,9 +86,11 @@ class DecodeImage:
             fmt = sniff_media_format(payload)
             if fmt == "png":
                 return decode_png(payload)  # REAL stdlib decode
+            if fmt == "jpeg":
+                return decode_jpeg(payload)  # REAL numpy baseline decode
             raise NotImplementedError(
-                f"strict image decode: {fmt} needs PIL (not in this "
-                "container); PNG decodes natively")
+                f"strict image decode: unsupported format {fmt!r} "
+                "(PNG and baseline JPEG decode natively)")
         rh = int(h) if pd.notna(h) else 16
         rw = int(w) if pd.notna(w) else 16
         return _fake_pixels(payload, min(rh, 64), min(rw, 64))
@@ -198,9 +202,11 @@ class SampleFrames:
 
 def make_real_media_table(n: int = 48, seed: int = 9) -> pa.Table:
     """Synthetic media table with REAL payloads: PNG images (gradient +
-    noise, alternating scanline filters), 16-bit PCM WAV sine bursts,
-    and 'video' rows that keep an opaque payload (no stdlib video codec
-    exists — those rows exercise the fail-fast contract)."""
+    noise, alternating scanline filters) interleaved with baseline
+    JPEGs (every third image, exercising the numpy Huffman+IDCT
+    decoder), 16-bit PCM WAV sine bursts, and 'video' rows that keep an
+    opaque payload (no stdlib video codec exists — those rows exercise
+    the fail-fast contract)."""
     rng = np.random.default_rng(seed)
     rows = {k: [] for k in ("media_id", "url", "media_type", "payload",
                             "width", "height", "duration_ms")}
@@ -217,8 +223,11 @@ def make_real_media_table(n: int = 48, seed: int = 9) -> pa.Table:
                            (xx + yy + 7 * i) % 256], axis=2)
             px = ((px + rng.integers(0, 32, px.shape)) % 256) \
                 .astype(np.uint8)
-            rows["payload"].append(encode_png(px,
-                                              filter_type=2 if i % 2 else 0))
+            if i % 9 == 6:   # every third image row: a real JPEG
+                rows["payload"].append(encode_jpeg(px, quality=92))
+            else:
+                rows["payload"].append(encode_png(
+                    px, filter_type=2 if i % 2 else 0))
             rows["width"].append(w)
             rows["height"].append(h)
             rows["duration_ms"].append(None)

@@ -11,7 +11,9 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from chomper_ray.functions.codecs import (PNG_MAGIC, decode_png, decode_wav,
+from chomper_ray.functions.codecs import (PNG_MAGIC, decode_jpeg,
+                                           decode_png, decode_wav,
+                                           encode_jpeg,
                                           encode_png, encode_wav,
                                           sniff_media_format)
 from chomper_ray.stages.multimodal import (AudioFeatures, DecodeImage,
@@ -183,10 +185,94 @@ class TestStrictStages:
         assert abs(out["rms"].iloc[0] - 0.5 / np.sqrt(2)) < 1e-3
 
     def test_strict_fails_fast_on_unsupported_formats(self):
-        with pytest.raises(NotImplementedError, match="PIL"):
+        with pytest.raises(NotImplementedError, match="unsupported format"):
+            DecodeImage(mode="strict")(pd.DataFrame(
+                {"payload": [b"GIF89a not supported"], "width": [2],
+                 "height": [2]}))
+        # malformed JPEG (magic only) is an ERROR, not a stub fallback
+        with pytest.raises(ValueError):
             DecodeImage(mode="strict")(pd.DataFrame(
                 {"payload": [b"\xff\xd8\xff\xe0JFIF"], "width": [2],
                  "height": [2]}))
         with pytest.raises(NotImplementedError, match="soundfile"):
             AudioFeatures(mode="strict")(pd.DataFrame(
                 {"payload": [b"not audio"], "duration_ms": [10]}))
+
+    def test_strict_jpeg_pixel_stats(self):
+        px = np.full((16, 16, 3), (200, 64, 32), np.uint8)
+        df = pd.DataFrame({"payload": [encode_jpeg(px, quality=95)],
+                           "width": [16], "height": [16]})
+        out = DecodeImage(mode="strict", resize=(2, 2))(df)
+        want = np.array([200, 64, 32]).mean()
+        assert abs(out["pixel_mean"].iloc[0] - want) < 1.0
+
+
+class TestJpeg:
+    """Baseline JPEG codec (pure numpy Huffman + IDCT): lossy, so
+    roundtrips assert bounded error; flat blocks are exact."""
+
+    def _gradient(self, h=40, w=56):
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.stack([(yy * 4) % 256, (xx * 3) % 256,
+                         ((yy + xx) * 2) % 256], -1).astype(np.uint8)
+
+    def test_flat_color_roundtrips_exactly(self):
+        px = np.full((24, 24, 3), (200, 64, 32), np.uint8)
+        out = decode_jpeg(encode_jpeg(px, quality=95))
+        assert np.abs(out.astype(int) - px.astype(int)).max() == 0
+
+    def test_gradient_roundtrip_bounded_error(self):
+        g = self._gradient()
+        out = decode_jpeg(encode_jpeg(g, quality=95))
+        err = np.abs(out.astype(int) - g.astype(int))
+        assert err.mean() < 1.0 and err.max() <= 4
+
+    def test_grey_single_component(self):
+        yy, xx = np.mgrid[0:40, 0:56]
+        gg = ((yy * 5 + xx * 2) % 256).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(gg, quality=90))
+        assert out.shape == (40, 56, 1)
+        assert np.abs(out[..., 0].astype(int) - gg.astype(int)).mean() < 2
+
+    def test_420_subsampling_and_odd_dims(self):
+        g = self._gradient(41, 55)  # not multiples of the 16x16 MCU
+        out = decode_jpeg(encode_jpeg(g, quality=90, subsample=True))
+        assert out.shape == g.shape
+        assert np.abs(out.astype(int) - g.astype(int)).mean() < 3
+
+    def test_restart_markers(self):
+        g = self._gradient()
+        b = encode_jpeg(g, quality=90, restart_interval=2)
+        assert b"\xff\xd0" in b or b"\xff\xd1" in b
+        out = decode_jpeg(b)
+        assert np.abs(out.astype(int) - g.astype(int)).mean() < 2
+
+    def test_quality_monotonic(self):
+        g = self._gradient()
+        errs = [np.abs(decode_jpeg(encode_jpeg(g, quality=q))
+                       .astype(int) - g.astype(int)).mean()
+                for q in (30, 60, 95)]
+        assert errs[0] > errs[1] > errs[2]
+        assert len(encode_jpeg(g, 30)) < len(encode_jpeg(g, 95))
+
+    def test_unsupported_variants_raise(self):
+        g = encode_jpeg(self._gradient())
+        # flip SOF0 -> SOF2 (progressive)
+        prog = g.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        with pytest.raises(ValueError, match="SOF2"):
+            decode_jpeg(prog)
+        # cut inside the entropy-coded scan: error, not a partial image
+        cut = g.index(b"\xff\xda") + 80
+        assert cut < len(g) - 100
+        with pytest.raises(ValueError, match="truncated"):
+            decode_jpeg(g[:cut] + b"\xff\xd9")
+        with pytest.raises(ValueError, match="not a JPEG"):
+            decode_jpeg(b"plainly not a jpeg")
+
+    def test_idct_inverts_fdct(self):
+        from chomper_ray.functions.codecs import _DCT_C
+        rng = np.random.default_rng(3)
+        b = rng.normal(size=(8, 8))
+        coef = _DCT_C @ b @ _DCT_C.T
+        back = _DCT_C.T @ coef @ _DCT_C
+        assert np.allclose(back, b, atol=1e-12)
