@@ -1,8 +1,10 @@
-"""Pure-stdlib media codecs: PNG decode (``zlib`` + ``struct``) and WAV
-decode (``wave``). No third-party codec library — these make the
-multimodal stages' ``decode='strict'`` mode REAL for the two formats a
-container without PIL/soundfile can still handle, while JPEG/video keep
-the fail-fast contract (stages/multimodal.py).
+"""Pure-Python media codecs — no third-party codec library: PNG
+(``zlib`` + ``struct``), baseline JPEG (numpy Huffman + batched IDCT),
+WAV (``wave``) and MJPEG-in-AVI (``struct`` RIFF walk over JPEG
+frames). These make the multimodal stages' ``decode='strict'`` mode
+REAL for images, audio AND Motion-JPEG video in a container without
+PIL/soundfile/av; inter-coded video (H.264 etc.) keeps the fail-fast
+contract (stages/multimodal.py).
 
 PNG coverage: 8-bit depth, color types 0 (grey), 2 (RGB), 3 (palette →
 RGB), 4 (grey+alpha), 6 (RGBA); all five scanline filters; interlacing
@@ -30,11 +32,13 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def sniff_media_format(payload: bytes) -> str:
-    """'png' | 'wav' | 'jpeg' | 'unknown' from magic bytes."""
+    """'png' | 'wav' | 'jpeg' | 'avi' | 'unknown' from magic bytes."""
     if payload[:8] == PNG_MAGIC:
         return "png"
-    if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
     return "unknown"
@@ -718,3 +722,84 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                        255).astype(np.uint8)[..., None]
     y, cb, cr = (planes[c] for c in order)
     return _ycbcr_to_rgb(y, cb, cr)
+
+
+# --- MJPEG-in-AVI (RIFF) ------------------------------------------------------
+# Motion-JPEG needs no inter-frame codec — an AVI 'movi' list of '00dc'
+# chunks, each one a baseline JPEG the decoder above already handles.
+# That makes strict VIDEO frame sampling real without av/ffmpeg; true
+# inter-coded formats (H.264 etc.) keep the fail-fast contract.
+
+AVI_MAGIC = b"RIFF"
+
+
+def encode_avi_mjpeg(frames, fps: int = 10, quality: int = 85) -> bytes:
+    """Minimal AVI/MJPEG writer (fixtures/tests): RGB uint8 frames →
+    RIFF('AVI ' hdrl(avih, strl(strh 'vids'/'MJPG', strf)) movi(00dc*)
+    idx1)."""
+    frames = [np.asarray(f) for f in frames]
+    h, w = frames[0].shape[:2]
+    jpgs = [encode_jpeg(f, quality=quality) for f in frames]
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(fourcc: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + data)
+
+    usec = int(1_000_000 / fps)
+    avih = struct.pack("<14I", usec, 0, 0, 0x10, len(jpgs), 0, 1, 0,
+                       w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                            1, fps, 0, len(jpgs), 0,
+                                            0xFFFFFFFF, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_items = b"".join(chunk(b"00dc", j) for j in jpgs)
+    movi = lst(b"movi", movi_items)
+    idx, off = b"", 4
+    for j in jpgs:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(j))
+        off += 8 + len(j) + (len(j) % 2)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(payload: bytes):
+    """AVI/MJPEG bytes → (list of (h, w, ncomp) uint8 frames, fps).
+    Walks RIFF chunks with ``struct`` only; each '00dc'/'00db' chunk is
+    decoded by ``decode_jpeg``. Non-MJPEG streams raise ValueError."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    fps = None
+    frames = []
+
+    def walk(buf: bytes):
+        nonlocal fps
+        i = 0
+        while i + 8 <= len(buf):
+            fourcc = buf[i:i + 4]
+            (size,) = struct.unpack("<I", buf[i + 4:i + 8])
+            data = buf[i + 8:i + 8 + size]
+            if fourcc == b"LIST":
+                walk(data[4:])
+            elif fourcc == b"strh" and data[:4] == b"vids":
+                if data[4:8] != b"MJPG":
+                    raise ValueError(
+                        f"unsupported AVI video codec "
+                        f"{data[4:8]!r} (only MJPG is implemented)")
+                scale, rate = struct.unpack("<II", data[20:28])
+                if scale:
+                    fps = rate / scale
+            elif fourcc in (b"00dc", b"00db") and size:
+                frames.append(decode_jpeg(bytes(data)))
+            i += 8 + size + (size % 2)
+
+    walk(payload[12:])
+    if not frames:
+        raise ValueError("AVI contains no MJPEG frames")
+    return frames, float(fps or 0.0)

@@ -22,8 +22,9 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from chomper_ray.functions.codecs import (decode_jpeg, decode_png,
-                                          decode_wav, encode_jpeg,
+from chomper_ray.functions.codecs import (decode_avi_mjpeg, decode_jpeg,
+                                          decode_png, decode_wav,
+                                          encode_avi_mjpeg, encode_jpeg,
                                           encode_png, encode_wav,
                                           sniff_media_format)
 
@@ -177,18 +178,31 @@ class AudioFeatures:
 
 
 class SampleFrames:
-    """video payload → deterministic frame-sample timestamps + per-frame
-    fake features. Real frame extraction would replace ``_frames_impl``."""
+    """video payload → frame-sample timestamps. ``strict`` mode REALLY
+    demuxes + decodes MJPEG-in-AVI payloads (functions/codecs.py — RIFF
+    walk, per-frame baseline-JPEG decode) and samples n_frames evenly
+    from the ACTUAL frame list, timestamps from the container's fps;
+    inter-coded formats raise NotImplementedError naming the codec.
+    ``fake`` mode derives timestamps from metadata only."""
 
     def __init__(self, mode: str = "fake", n_frames: int = 4):
-        if mode == "strict":
-            _require_codec(("av",), "video")
+        if mode not in ("fake", "strict"):
+            raise ValueError("mode must be 'fake' or 'strict'")
         self.mode = mode
         self.n_frames = n_frames
 
     def _frames_impl(self, payload: bytes, duration_ms) -> list[int]:
-        if self.mode == "strict":  # codec verified importable in __init__
-            raise NotImplementedError("real PyAV frame extraction not yet wired")
+        if self.mode == "strict":
+            if sniff_media_format(payload) != "avi":
+                raise NotImplementedError(
+                    "strict frame sampling: only MJPEG-in-AVI decodes "
+                    "natively; other containers need av/ffmpeg (not in "
+                    "this container)")
+            frames, fps = decode_avi_mjpeg(payload)
+            pick = np.linspace(0, len(frames), self.n_frames,
+                               endpoint=False).astype(int)
+            step_ms = 1000.0 / fps if fps else 0.0
+            return [int(i * step_ms) for i in pick]
         d = int(duration_ms) if pd.notna(duration_ms) else 1000
         return [int(t) for t in np.linspace(0, d, self.n_frames, endpoint=False)]
 
@@ -241,11 +255,20 @@ def make_real_media_table(n: int = 48, seed: int = 9) -> pa.Table:
             rows["height"].append(None)
             rows["duration_ms"].append(int(dur * 1000))
         else:
-            rows["payload"].append(
-                rng.integers(0, 256, 96).astype(np.uint8).tobytes())
-            rows["width"].append(None)
-            rows["height"].append(None)
-            rows["duration_ms"].append(int(rng.integers(500, 5000)))
+            # real 3-frame MJPEG-in-AVI clip (strict frame sampling
+            # decodes it; the fail-fast path for inter-coded video is
+            # exercised with raw bytes in pytest)
+            fh, fw = 16, 24
+            yy, xx = np.mgrid[0:fh, 0:fw]
+            clip = [np.stack([(xx * 3 + i + 10 * f) % 256,
+                              (yy * 5) % 256,
+                              ((xx + yy) * 2) % 256],
+                             axis=2).astype(np.uint8) for f in range(3)]
+            fps = int(rng.integers(4, 16))
+            rows["payload"].append(encode_avi_mjpeg(clip, fps=fps))
+            rows["width"].append(fw)
+            rows["height"].append(fh)
+            rows["duration_ms"].append(int(3000 / fps))
     return pa.table({
         "media_id": pa.array(rows["media_id"], type=pa.int64()),
         "url": pa.array(rows["url"]),

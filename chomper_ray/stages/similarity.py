@@ -132,18 +132,28 @@ def train_ivf_centroids(sample: np.ndarray, n_cells: int, iters: int = 10,
 
 def ivf_assign(ds, centroids: np.ndarray, vec_col: str = "embedding"):
     """Add an ``ivf_cell`` column (nearest centroid) — the partitioning
-    key for cell-pruned search."""
+    key for cell-pruned search. Arrow in/out: the embedding column is
+    never round-tripped through pandas object cells, so the written
+    layout keeps a plain ``list<float>`` type (a pandas hop would let
+    Ray's tensor extension leak into the parquet metadata, which plain
+    readers then can't map back to a pandas dtype)."""
+    import pyarrow as pa
     import ray
 
     cref = ray.put(_normalize(centroids.astype(np.float32)))
 
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+    def assign(batch: pa.Table) -> pa.Table:
         cent = ray.get(cref)
-        m = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float32))
-        batch["ivf_cell"] = (m @ cent.T).argmax(axis=1).astype(np.int32)
-        return batch
+        col = batch[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = col.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(col), -1)
+        m = _normalize(np.ascontiguousarray(m, dtype=np.float32))
+        cells = (m @ cent.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("ivf_cell", pa.array(cells))
 
-    return ds.map_batches(assign, batch_format="pandas")
+    return ds.map_batches(assign, batch_format="pyarrow")
 
 
 def ivf_build_index(ds, centroids: np.ndarray, root: str,
