@@ -1496,10 +1496,11 @@ def _q_multimodal_audio_frames(sf_dir: str):
         DEFAULT_MEDIA_BATCH_SIZE, AudioFeatures, SampleFrames,
         make_real_media_table)
 
-    # audio path decodes REAL WAV payloads (stdlib `wave` codec) in
-    # strict mode; frame sampling stays fake — video has no stdlib
-    # codec, so the strict contract there is fail-fast, exercised in
-    # pytest — through the same actor-pool plumbing
+    # BOTH paths strict: audio decodes REAL WAV payloads (stdlib
+    # `wave`), frame sampling REALLY demuxes MJPEG-in-AVI clips and
+    # samples the decoded frame list (functions/codecs.py) — through
+    # the same actor-pool plumbing; inter-coded video stays fail-fast,
+    # exercised in pytest
     ds = rd.from_arrow(make_real_media_table(129))
     aud = ds.map_batches(lambda df: df[df["media_type"] == "audio"],
                          batch_format="pandas") \
@@ -1509,7 +1510,8 @@ def _q_multimodal_audio_frames(sf_dir: str):
                      concurrency=(2, 8))
     vid = ds.map_batches(lambda df: df[df["media_type"] == "video"],
                          batch_format="pandas") \
-        .map_batches(SampleFrames, batch_format="pandas",
+        .map_batches(SampleFrames, fn_constructor_args=("strict",),
+                     batch_format="pandas",
                      batch_size=DEFAULT_MEDIA_BATCH_SIZE,
                      concurrency=(2, 8))
 
