@@ -743,6 +743,21 @@ def _q_token_count(sf_dir: str):
         .map_batches(lambda df: df[["doc_id", "n_tokens"]], batch_format="pandas")
 
 
+def _q_pack_sequences(sf_dir: str):
+    # tokenize-and-pack (the LLM-training packing step): documents'
+    # whitespace tokens concatenated in global doc_id order and cut
+    # into fixed 128-token examples; one row per doc×example overlap
+    # with the doc-relative token span. ONE shuffle of (key, n) pairs;
+    # exact global prefix sums via per-range offsets (stages/text.py
+    # pack_sequences) — hash-verified against SUM() OVER (ORDER BY) +
+    # generate_series SQL.
+    from chomper_ray.stages.text import pack_sequences
+
+    return pack_sequences(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        seq_len=128, num_partitions=8)
+
+
 def _q_word_count(sf_dir: str):
     from chomper_ray.stages.text import count_words
 
@@ -1779,6 +1794,65 @@ def _q_cdc_layout_tokens(sf_dir: str):
     return read_partitioned(lay.root)
 
 
+# window bounds for the maintained sorted-layout scan: µs offsets from
+# the change stream's fixed origin (sources/events.py _BASE_TS_US)
+_SRT_LO_US = 1_500_000_000_000_000 + 5_000 * 1_000_000
+_SRT_HI_US = 1_500_000_000_000_000 + 15_000 * 1_000_000
+
+
+def _q_cdc_sorted_scan(sf_dir: str):
+    # incrementally maintained SORTED-RANGE layout (state/clustered.py
+    # LakeSortedLayout): the write_sorted data-skipping contract kept in
+    # sync with the lake commit-by-commit as LSM signed-row segments
+    # routed by IMMUTABLE range bounds (an update's -1 lands in the same
+    # range file as the base row it cancels; its +1 wherever the new
+    # warc_ts routes). A pruned window scan over the 4-commit lake must
+    # equal SQL `lo <= warc_ts < hi` over the LWW state — hash-verified.
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.state.clustered import LakeSortedLayout
+    from chomper_ray.state.lake import LakeTable
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_srt_")
+    run_cdc(log, lake_root, num_partitions=8)
+    lake = LakeTable(lake_root, num_partitions=8)
+    lay = LakeSortedLayout(lake, tempfile.mkdtemp(prefix="chomper_srt_"),
+                           order_col="warc_ts", columns=["lang"],
+                           num_partitions=16)
+    lay.refresh()  # full segment + 3 delta segments
+    ds, n_read, n_total = lay.read_range(
+        pd.Timestamp(_SRT_LO_US, unit="us"),
+        pd.Timestamp(_SRT_HI_US, unit="us"))
+    assert 0 < n_read < n_total  # file-level data skipping must engage
+    return ds
+
+
+def _q_cdc_zorder_box(sf_dir: str):
+    # incrementally maintained Z-ORDER layout (state/clustered.py
+    # LakeZorderLayout): multi-dimensional data skipping under CDC —
+    # signed rows routed by the bit-interleaved rank of (lang,
+    # fetch_status) with immutable bucket bounds; a box predicate over
+    # the live LWW state must equal the SQL filter — hash-verified
+    # (including the int32→int64 fetch_status schema evolution at
+    # epoch 2, which the layout conforms at read time).
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.state.clustered import LakeZorderLayout
+    from chomper_ray.state.lake import LakeTable
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_zbx_")
+    run_cdc(log, lake_root, num_partitions=8)
+    lake = LakeTable(lake_root, num_partitions=8)
+    lay = LakeZorderLayout(lake, tempfile.mkdtemp(prefix="chomper_zbx_"),
+                           cols=["lang", "fetch_status"],
+                           columns=["warc_ts"], num_partitions=16, bits=8)
+    lay.refresh()
+    ds, n_read, n_total = lay.read_box(
+        {"lang": ("de", "it"), "fetch_status": (200, 302)})
+    assert n_read <= n_total
+    return ds
+
+
 def _q_cdc_lineage(sf_dir: str):
     # per-partition lineage as QUERYABLE METADATA (the north-star's
     # "offsets, row counts, commit epochs logged as queryable
@@ -2048,6 +2122,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cdc_matview_domains; mimic-verified (scripts/check_oracle.py)
         "cdc_domain_stats": _q_cdc_domain_stats,
         "cdc_ann_vectors": _q_cdc_ann_vectors,
+        "cdc_sorted_scan": _q_cdc_sorted_scan,
+        "cdc_zorder_box": _q_cdc_zorder_box,
+        "pack_sequences": _q_pack_sequences,
         # rows-only by design (no SQL oracle)
         "pca_project": _q_pca_project,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -2129,6 +2206,7 @@ def oracle_sql() -> dict[str, str]:
                                          sql_repetition_exprs,
                                          sql_url_exprs)
     from chomper_ray.stages.text import sql_chunk_query as _sql_chunk_query
+    from chomper_ray.stages.text import sql_pack_query as _sql_pack_query
     from chomper_ray.stages.text import (sql_entropy_query, sql_regex_exprs,
                                          sql_string_exprs)
 
@@ -2249,6 +2327,35 @@ def oracle_sql() -> dict[str, str]:
             "AS n_tokens "
             "FROM win w JOIN sidecar s USING (seq)"
         ),
+        "cdc_sorted_scan": (
+            # maintained sorted layout pruned-window scan == SQL range
+            # filter over the LWW state
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete') "
+            "SELECT url, warc_ts, lang FROM win "
+            f"WHERE warc_ts >= TIMESTAMP "
+            f"'{pd.Timestamp(_SRT_LO_US, unit='us')}' "
+            f"AND warc_ts < TIMESTAMP "
+            f"'{pd.Timestamp(_SRT_HI_US, unit='us')}'"
+        ),
+        "cdc_zorder_box": (
+            # maintained z-order layout box scan == SQL box filter over
+            # the LWW state (fetch_status widened to BIGINT by the
+            # epoch-2 schema evolution)
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete') "
+            "SELECT url, lang, CAST(fetch_status AS BIGINT) "
+            "AS fetch_status, warc_ts FROM win "
+            "WHERE lang >= 'de' AND lang < 'it' "
+            "AND fetch_status >= 200 AND fetch_status < 302"
+        ),
+        "pack_sequences": _sql_pack_query(128),
         "dropper_filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_discount "
             "FROM lineitem WHERE NOT (l_discount > 0.05)"

@@ -608,6 +608,126 @@ def sql_chunk_query(size: int, stride: int, col: str = "text",
     )
 
 
+def pack_sequences(ds, seq_len: int, key: str = "doc_id",
+                   col: str = "text", num_partitions: int = 32,
+                   sample_per_block: int = 200):
+    """Tokenize-and-pack: concatenate every document's whitespace
+    tokens in GLOBAL ``key`` order and cut the stream into fixed
+    ``seq_len``-token training examples — the packing step of an LLM
+    data pipeline. Emits one row per (document × example) overlap:
+    ``key, example_id, tok_lo, tok_hi, n_tokens`` where
+    ``[tok_lo, tok_hi)`` is the doc-relative token span landing in
+    example ``example_id`` (every example except the last is exactly
+    full; zero-token docs emit nothing). Downstream shard writers
+    slice documents by these spans — the expansion never ships text.
+
+    Distributed exactly with ONE shuffle of (key, n_tokens) pairs:
+    range-partition by sampled key bounds, fold per-range token totals
+    (≤ num_partitions rows on the driver), broadcast exclusive-prefix
+    offsets back, then each range sorts locally and expands spans
+    vectorized. The OUTPUT is independent of the partitioning (offsets
+    make every prefix sum exact), so bounds sampling is purely a
+    balance knob. SQL parity: ``SUM(n) OVER (ORDER BY key)`` +
+    ``generate_series`` (see ``sql_pack_query``)."""
+    import ray.data as rd  # noqa: F401  (ds is already a Dataset)
+
+    L = int(seq_len)
+    if L <= 0:
+        raise ValueError("seq_len must be positive")
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key: batch[key],
+            "n_tokens": batch[col].str.count(_TOKEN_RE)
+            .fillna(0).astype("int64")})
+
+    # (key, n) pairs only — tiny vs the corpus; materialized so the
+    # totals pass and the expand pass don't re-tokenize the text
+    cts = ds.map_batches(counts, batch_format="pandas").materialize()
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[key]
+        if len(v) > sample_per_block:
+            idx = np.linspace(0, len(v) - 1,
+                              sample_per_block).astype(int)
+            v = v.iloc[idx]
+        return pd.DataFrame({key: v})
+
+    samp = cts.map_batches(sample, batch_format="pandas").to_pandas()
+    vals = np.sort(samp[key].to_numpy())
+    qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
+    bounds = np.unique(vals[(qs * (len(vals) - 1)).astype(int)]) \
+        if len(vals) else np.array([])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_rb"] = np.searchsorted(
+            bounds, df[key].to_numpy(), side="right").astype(np.int32) \
+            if len(bounds) else np.int32(0)
+        return df
+
+    tagged = cts.map_batches(tag, batch_format="pandas")
+    tot = tagged.map_batches(
+        lambda df: df.groupby("_rb", as_index=False)["n_tokens"].sum(),
+        batch_format="pandas").to_pandas()  # ≤ blocks × ranges rows
+    per = np.zeros(len(bounds) + 1, dtype=np.int64)
+    if len(tot):
+        agg = tot.groupby("_rb")["n_tokens"].sum()
+        per[agg.index.to_numpy()] = agg.to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(per)[:-1]])
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        rb = int(g["_rb"].iloc[0])
+        order = np.argsort(g[key].to_numpy(), kind="stable")
+        k = g[key].to_numpy()[order]
+        n = g["n_tokens"].to_numpy()[order]
+        ce = np.cumsum(n) + offsets[rb]
+        cs = ce - n
+        m = n > 0
+        k, n, cs, ce = k[m], n[m], cs[m], ce[m]
+        if not len(k):
+            return pd.DataFrame({
+                key: pd.Series(dtype=g[key].dtype),
+                "example_id": pd.Series(dtype="int64"),
+                "tok_lo": pd.Series(dtype="int64"),
+                "tok_hi": pd.Series(dtype="int64"),
+                "n_tokens": pd.Series(dtype="int64")})
+        e0 = cs // L
+        cnt = ((ce - 1) // L - e0 + 1).astype(np.int64)
+        rep = np.repeat(np.arange(len(k)), cnt)
+        ri = np.arange(int(cnt.sum())) \
+            - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        eid = e0[rep] + ri
+        return pd.DataFrame({
+            key: k[rep],
+            "example_id": eid.astype("int64"),
+            "tok_lo": np.maximum(0, eid * L - cs[rep]).astype("int64"),
+            "tok_hi": np.minimum(n[rep],
+                                 (eid + 1) * L - cs[rep]).astype("int64"),
+            "n_tokens": n[rep].astype("int64")})
+
+    return tagged.groupby("_rb").map_groups(expand, batch_format="pandas")
+
+
+def sql_pack_query(seq_len: int, key: str = "doc_id", col: str = "text",
+                   table: str = "documents") -> str:
+    """DuckDB rendering of ``pack_sequences`` over ``table``."""
+    return (
+        f"WITH t AS (SELECT {key}, len(regexp_extract_all("
+        f"coalesce({col}, ''), '\\S+'))::BIGINT AS n FROM {table}), "
+        f"c AS (SELECT {key}, n, SUM(n) OVER (ORDER BY {key}) AS ce "
+        "FROM t), "
+        f"s AS (SELECT {key}, n, (ce - n)::BIGINT AS cs, "
+        "ce::BIGINT AS ce FROM c WHERE n > 0) "
+        f"SELECT s.{key}, g.eid::BIGINT AS example_id, "
+        f"GREATEST(0, g.eid*{seq_len} - s.cs)::BIGINT AS tok_lo, "
+        f"LEAST(s.n, (g.eid+1)*{seq_len} - s.cs)::BIGINT AS tok_hi, "
+        "s.n AS n_tokens "
+        "FROM s, LATERAL (SELECT unnest(generate_series("
+        f"s.cs // {seq_len}, (s.ce - 1) // {seq_len})) AS eid) g"
+    )
+
+
 def string_features(batch: pd.DataFrame, col: str = "text",
                     extra: dict | None = None) -> pd.DataFrame:
     """Scalar string-function pack over ``col`` — the engine-side

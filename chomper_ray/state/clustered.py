@@ -1,0 +1,654 @@
+"""Incrementally maintained SORTED-RANGE and Z-ORDER layouts over a
+``LakeTable`` — the last two write-once storage layouts
+(state/output.py ``write_sorted`` / ``write_zorder``) brought under the
+per-commit maintenance discipline of ``MaterializedAgg``
+(state/matview.py), ``LakeTextIndex`` (state/index.py) and
+``LakeANNIndex`` (state/annindex.py): after ``refresh()`` a range /
+box scan with file-level data skipping answers over CURRENT lake
+state, at a maintenance cost ∝ each commit's write amplification,
+never the table.
+
+Design = the ``_LsmSegmentIndex`` chain walk + IMMUTABLE routing
+bounds (the LakeANNIndex centroid discipline). Range / z-bucket
+boundaries are fitted once from a bounded sample at the first full
+build, persisted to ``_BOUNDS.json``, and never change for the life of
+the layout root. That immutability is what makes signed resolution
+sound: an update's ``-1`` row carries the OLD version's values and so
+routes to the SAME bucket as the base ``+1`` it cancels, while its
+``+1`` lands wherever the new values route — per-bucket last-op-wins
+by key (segments in chain order; within a segment ``-1`` sorts before
+``+1``) therefore resolves both in-place and bucket-crossing updates
+with one task per bucket and no cross-bucket exchange. Data drift
+degrades file BALANCE (a performance concern, visible in ``stats()``),
+never correctness; re-bounding = build a fresh layout root.
+
+Reads prune at the file level exactly like ``read_range`` /
+``read_box``: every segment's marker carries per-file stats (min/max
+of the order column, or per-column boxes), a scan opens only
+overlapping files, and pruning stays SOUND under deltas because a
+``-1`` that would hide an in-window base row carries that row's own
+values and is therefore in-window itself — its file must overlap.
+When every overlapping file belongs to the newest FULL segment the
+scan degenerates to a plain pruned read (no resolve, no shuffle);
+``compact()`` folds all live segments back into one full segment to
+restore that fast path — the classic LSM trade, chosen deliberately
+for the 100-TB CDC regime where commits are small and scans want
+data skipping.
+
+The reference engine has no storage layouts at all (its exporter is a
+per-row SQL loop — see SURVEY.md §2.4); this family exists for the
+scale goal, paired with ``write_sorted``/``write_zorder`` for
+immutable inputs and hash-verified against SQL by the
+``cdc_sorted_scan`` / ``cdc_zorder_box`` driver queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from chomper_ray.stages.merge import INTERNAL_DELETED
+from chomper_ray.state import schema as schema_mod
+from chomper_ray.state.index import _LsmSegmentIndex
+
+
+def _norm_scalar(v):
+    """Stats/bounds comparison domain (same contract as
+    output.py:_jsonable/_cmp_key): numerics stay numeric as float64,
+    everything else (strings, timestamps) uses str() — zero-padded ISO
+    timestamp strings compare chronologically."""
+    if isinstance(v, (bool, np.bool_)):
+        return bool(v)
+    if isinstance(v, (int, float, np.integer, np.floating)):
+        return float(v)
+    return str(v)
+
+
+def _norm_array(s: pd.Series) -> np.ndarray:
+    """Vectorized ``_norm_scalar``: numeric dtypes -> float64 (ints
+    below 2^53 exact — same tradeoff the layout stats already make),
+    everything else -> str objects."""
+    if pd.api.types.is_numeric_dtype(s) and \
+            not pd.api.types.is_bool_dtype(s):
+        return s.to_numpy(dtype=np.float64, na_value=np.nan)
+    return s.astype(str).to_numpy(dtype=object)
+
+
+def _bound_like(stored, bound):
+    """Coerce a caller bound into the stored stat's domain
+    (output.py:_cmp_key discipline)."""
+    if isinstance(stored, (int, float)) and not isinstance(stored, bool):
+        return float(bound)
+    return str(bound)
+
+
+def _check_no_nulls(s: pd.Series, col: str, what: str) -> None:
+    n = int(s.isna().sum())
+    if n:
+        raise ValueError(
+            f"{what}: route column {col!r} has {n} null value(s) — a "
+            "null has no range/z-bucket and would corrupt file stats; "
+            "drop or fill nulls upstream (same contract as write_sorted)")
+
+
+def _resolve_frames(frames: list[pd.DataFrame], key: str) -> pd.DataFrame:
+    """Per-bucket last-op-wins by key across segments in chain order
+    (``_r`` = segment rank; within a segment -1 sorts before +1, so an
+    in-place update keeps its new version)."""
+    cat = pd.concat(frames, ignore_index=True)
+    cat = cat.sort_values([key, "_r", "op"], kind="stable") \
+        .drop_duplicates(subset=[key], keep="last")
+    return cat[cat["op"] == 1]
+
+
+class _LakeClusteredLayout(_LsmSegmentIndex):
+    """Shared machinery for maintained clustered layouts: immutable
+    bounds, signed routed segments with per-file stats in the marker,
+    stat-pruned per-bucket resolution, compaction. Subclasses say how
+    rows ROUTE (``_route``), what a file's STATS are (``_stats_of``),
+    and how a query PRUNES (``_overlaps``) and FILTERS (``_residual``).
+    """
+
+    PART = "p"
+
+    def __init__(self, lake, root, columns=None, num_partitions: int = 32,
+                 sample_rows: int = 20_000):
+        super().__init__(lake, root)
+        self.key_col = lake.key
+        self.columns = list(columns or [])
+        self.num_partitions = int(num_partitions)
+        self.sample_rows = int(sample_rows)
+
+    # -- subclass hooks -----------------------------------------------------
+    def _route_cols(self) -> list[str]:
+        raise NotImplementedError
+
+    def _fit(self, sample: pd.DataFrame) -> dict:
+        raise NotImplementedError
+
+    def _route(self, df: pd.DataFrame, bounds: dict) -> np.ndarray:
+        raise NotImplementedError
+
+    def _stats_of(self, g: pd.DataFrame) -> dict:
+        raise NotImplementedError
+
+    def _overlaps(self, fmeta: dict, query) -> bool:
+        raise NotImplementedError
+
+    def _residual(self, df: pd.DataFrame, query) -> pd.DataFrame:
+        raise NotImplementedError
+
+    # -- columns / schema -----------------------------------------------------
+    def _layout_cols(self) -> list[str]:
+        cols, seen = [], set()
+        for c in [self.key_col, *self._route_cols(), *self.columns]:
+            if c not in seen:
+                cols.append(c)
+                seen.add(c)
+        return cols
+
+    def _target_schema(self, out_cols: list[str]) -> pa.Schema:
+        cur = self.lake.current_schema()
+        if cur is None:
+            raise ValueError("lake has no committed schema yet")
+        missing = [c for c in out_cols if c not in cur.names]
+        if missing:
+            raise ValueError(
+                f"columns {missing} not in the lake schema {cur.names}")
+        return pa.schema([cur.field(c) for c in out_cols])
+
+    # -- immutable bounds -------------------------------------------------------
+    def _bounds_path(self) -> Path:
+        return self.root / "_BOUNDS.json"
+
+    def bounds(self) -> dict | None:
+        p = self._bounds_path()
+        return json.loads(p.read_text()) if p.exists() else None
+
+    def _ensure_bounds(self, files: list[str]) -> dict:
+        b = self.bounds()
+        if b is not None:
+            return b
+        # first full build: fit on a driver-side sample (bounded by
+        # sample_rows, like LakeANNIndex centroid training); ROUTING
+        # runs distributed
+        rcols = self._route_cols()
+        frames, need = [], self.sample_rows
+        for f in files:
+            t = pq.read_table(f, columns=[*rcols, INTERNAL_DELETED])
+            df = t.to_pandas()
+            df = df[~df[INTERNAL_DELETED].astype(bool)][rcols]
+            if len(df) > need:
+                idx = np.linspace(0, len(df) - 1, need).astype(int)
+                df = df.iloc[idx]
+            if len(df):
+                frames.append(df)
+            need -= len(df)
+            if need <= 0:
+                break
+        samp = pd.concat(frames, ignore_index=True) if frames \
+            else pd.DataFrame({c: pd.Series(dtype="object") for c in rcols})
+        for c in rcols:
+            _check_no_nulls(samp[c], c, type(self).__name__)
+        b = self._fit(samp)
+        tmp = self.root / f"._BOUNDS.{uuid.uuid4().hex[:8]}.tmp"
+        tmp.write_text(json.dumps(b))
+        os.replace(tmp, self._bounds_path())
+        return b
+
+    # -- segment construction -----------------------------------------------------
+    def _signed_ds(self, files: list[str], op: int, bounds: dict,
+                   layout_schema: pa.Schema):
+        import ray.data as rd
+
+        need = self._layout_cols()
+        avail = set(pq.read_schema(files[0]).names)
+        missing_r = [c for c in self._route_cols() if c not in avail]
+        if missing_r:
+            raise ValueError(
+                f"{type(self).__name__}: route column(s) {missing_r} "
+                f"absent from lake files (schema evolution added them "
+                "later?) — route columns must exist from the first "
+                "commit the layout covers")
+        read_cols = [c for c in need if c in avail] + [INTERNAL_DELETED]
+        missing = [c for c in need if c not in avail]
+        route, rcols = self._route, self._route_cols()
+        myname = type(self).__name__
+
+        def prep(df: pd.DataFrame) -> pa.Table:
+            df = df[~df[INTERNAL_DELETED].astype(bool)]
+            for c in rcols:
+                _check_no_nulls(df[c], c, myname)
+            out = df[[c for c in need if c not in missing]].copy()
+            for c in missing:
+                out[c] = None
+            out["op"] = np.int8(op)
+            out["_pb"] = (route(df, bounds).astype(np.int32) if len(df)
+                          else np.empty(0, np.int32))
+            # conform every block to one arrow schema so blocks from the
+            # old/new sides (which may differ across a schema-evolution
+            # commit: int32 vs int64, missing columns) unify cleanly
+            return schema_mod.conform(
+                pa.Table.from_pandas(out, preserve_index=False),
+                layout_schema)
+
+        return rd.read_parquet(files, columns=read_cols) \
+            .map_batches(prep, batch_format="pandas")
+
+    def _sort_frame(self, g: pd.DataFrame) -> pd.DataFrame:
+        return g
+
+    def _write_segment(self, cid: int, new_files: list[str],
+                       old_files: list[str], full: bool) -> dict:
+        import ray.data as rd
+
+        seg_dir = self.root / (f"seg-{cid:06d}-full" if full
+                               else f"seg-{cid:06d}")
+        seg_dir.mkdir(parents=True, exist_ok=True)
+        segs, part = str(seg_dir), self.PART
+        files_meta: list[dict] = []
+        rows_written = rows_delta = 0
+        if new_files or old_files:
+            bounds = self._ensure_bounds(new_files or old_files)
+            layout_schema = pa.schema(
+                list(self._target_schema(self._layout_cols()))
+                + [pa.field("op", pa.int8()), pa.field("_pb", pa.int32())])
+            parts = []
+            if new_files:
+                parts.append(self._signed_ds(new_files, +1, bounds,
+                                             layout_schema))
+            if old_files:
+                parts.append(self._signed_ds(old_files, -1, bounds,
+                                             layout_schema))
+            stats_of, sort_frame = self._stats_of, self._sort_frame
+
+            def write_part(g: pd.DataFrame) -> pd.DataFrame:
+                pid = int(g["_pb"].iloc[0])
+                g = sort_frame(g.drop(columns=["_pb"]))
+                d = Path(segs) / f"{part}={pid:05d}"
+                d.mkdir(parents=True, exist_ok=True)
+                tmp = d / f".part.{uuid.uuid4().hex[:8]}.parquet.tmp"
+                pq.write_table(pa.Table.from_pandas(
+                    g, preserve_index=False), tmp)
+                os.replace(tmp, d / "part.parquet")
+                (d / "_SUCCESS").touch()
+                row = {"pid": pid, "rows": len(g),
+                       "delta": int(g["op"].sum())}
+                row.update(stats_of(g))
+                return pd.DataFrame([row])
+
+            ds = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+            meta = ds.groupby("_pb").map_groups(
+                write_part, batch_format="pandas").to_pandas()
+            for _, r in meta.iterrows():
+                fm = {k: (int(r[k]) if k in ("pid", "rows", "delta")
+                          else _norm_scalar(r[k])) for k in meta.columns}
+                files_meta.append(fm)
+            if len(meta):
+                rows_written = int(meta["rows"].sum())
+                rows_delta = int(meta["delta"].sum())
+        marker = {"cid": int(cid), "full": bool(full),
+                  "files": sorted(files_meta, key=lambda f: f["pid"]),
+                  "rows_written": rows_written, "rows_delta": rows_delta}
+        tmp = seg_dir / f"._SEGMENT.{uuid.uuid4().hex[:8]}.tmp"
+        tmp.write_text(json.dumps(marker))
+        os.replace(tmp, seg_dir / "_SEGMENT.json")
+        return marker
+
+    # -- reads ----------------------------------------------------------------
+    def stats(self) -> dict:
+        live = self._live_segments()
+        return {"rows": sum(s.get("rows_delta", 0) for s in live),
+                "segments": len(live),
+                "files": sum(len(s.get("files", [])) for s in live)}
+
+    def _read(self, query, columns=None):
+        """(Dataset, files_read, files_total) over current lake state,
+        file-pruned by the query; one resolve task per bucket unless
+        every overlapping file sits in the newest full segment (then a
+        plain pruned scan)."""
+        import ray.data as rd
+
+        live = self._live_segments()
+        lcols = self._layout_cols()
+        out_cols = list(columns) if columns is not None else lcols
+        unknown = [c for c in out_cols if c not in lcols]
+        if unknown:
+            raise ValueError(f"columns {unknown} not in layout columns "
+                             f"{lcols}")
+        # the residual filter and resolution need route/key columns even
+        # if the caller projected them out — read, filter, then project
+        # (the read_range columns-union discipline)
+        target = self._target_schema(out_cols)
+        kept: list[tuple[int, str, dict]] = []   # (rank, dir, fmeta)
+        n_total = 0
+        for rank, seg in enumerate(live):
+            for f in seg.get("files", []):
+                n_total += 1
+                if query is None or self._overlaps(f, query):
+                    kept.append((rank, seg["dir"], f))
+        if not kept:
+            return rd.from_arrow(target.empty_table()), 0, n_total
+        n_read = len(kept)
+        key, part, residual = self.key_col, self.PART, self._residual
+        fast = all(rank == 0 for rank, _, _ in kept) and live[0].get("full")
+        if fast:
+            files = [str(Path(d) / f"{part}={f['pid']:05d}"
+                         / "part.parquet") for _, d, f in kept]
+
+            def scan(df: pd.DataFrame) -> pa.Table:
+                if query is not None:
+                    df = residual(df, query)
+                return schema_mod.conform(
+                    pa.Table.from_pandas(df[out_cols],
+                                         preserve_index=False), target)
+
+            ds = rd.read_parquet(files, partitioning=None) \
+                .map_batches(scan, batch_format="pandas")
+            return ds, n_read, n_total
+
+        plan: dict[int, list[tuple[int, str]]] = {}
+        for rank, d, f in kept:
+            plan.setdefault(int(f["pid"]), []).append(
+                (rank, str(Path(d) / f"{part}={f['pid']:05d}"
+                           / "part.parquet")))
+
+        def resolve(batch: pa.Table) -> pa.Table:
+            outs = []
+            for pid in batch["pid"].to_pylist():
+                frames = []
+                for rank, f in plan[int(pid)]:
+                    t = pq.read_table(f).to_pandas()
+                    if len(t):
+                        frames.append(t.assign(_r=rank))
+                if not frames:
+                    continue
+                cat = _resolve_frames(frames, key)
+                if query is not None:
+                    cat = residual(cat, query)
+                if len(cat):
+                    outs.append(schema_mod.conform(
+                        pa.Table.from_pandas(cat[out_cols],
+                                             preserve_index=False),
+                        target))
+            return pa.concat_tables(outs) if outs else target.empty_table()
+
+        pids = sorted(plan)
+        ds = (rd.from_arrow(pa.table({"pid": pa.array(pids,
+                                                      type=pa.int32())}))
+              .repartition(len(pids))
+              .map_batches(resolve, batch_format="pyarrow"))
+        return ds, n_read, n_total
+
+    # -- maintenance ----------------------------------------------------------
+    def compact(self) -> dict:
+        """Fold all live segments into one full segment at the newest
+        applied cid (one Ray task per bucket), then drop superseded
+        segment dirs — bounded by the layout size; run on the
+        compaction cadence, not per commit."""
+        import ray.data as rd
+
+        segs = self._segments()
+        if not segs:
+            return {"compacted": False}
+        live = self._live_segments()
+        if len(live) == 1 and live[0].get("full"):
+            return {"compacted": False}
+        cid = segs[-1]["cid"]
+        seg_dir = self.root / f"seg-{cid:06d}-full"
+        seg_dir.mkdir(parents=True, exist_ok=True)
+        plan: dict[int, list[tuple[int, str]]] = {}
+        for rank, seg in enumerate(live):
+            for f in seg.get("files", []):
+                plan.setdefault(int(f["pid"]), []).append(
+                    (rank, str(Path(seg["dir"])
+                               / f"{self.PART}={f['pid']:05d}"
+                               / "part.parquet")))
+        key, out_dir = self.key_col, str(seg_dir)
+        part, stats_of = self.PART, self._stats_of
+        sort_frame = self._sort_frame
+        files_meta: list[dict] = []
+        rows_written = 0
+        if plan:
+            # meta rides back as one JSON string per rewritten bucket so
+            # every task emits the same (single string column) schema
+            # whether or not its buckets resolved to zero live rows
+            def rewrite(batch: pa.Table) -> pa.Table:
+                rows = []
+                for pid in batch["pid"].to_pylist():
+                    frames = []
+                    for rank, f in plan[int(pid)]:
+                        t = pq.read_table(f).to_pandas()
+                        if len(t):
+                            frames.append(t.assign(_r=rank))
+                    if not frames:
+                        continue
+                    g = _resolve_frames(frames, key).drop(columns=["_r"])
+                    if not len(g):
+                        continue
+                    g = sort_frame(g)
+                    d = Path(out_dir) / f"{part}={int(pid):05d}"
+                    d.mkdir(parents=True, exist_ok=True)
+                    tmp = d / f".part.{uuid.uuid4().hex[:8]}.parquet.tmp"
+                    pq.write_table(pa.Table.from_pandas(
+                        g, preserve_index=False), tmp)
+                    os.replace(tmp, d / "part.parquet")
+                    (d / "_SUCCESS").touch()
+                    row = {"pid": int(pid), "rows": len(g),
+                           "delta": len(g)}
+                    row.update(stats_of(g))
+                    rows.append(json.dumps(row))
+                return pa.table({"meta": pa.array(rows, type=pa.string())})
+
+            pids = sorted(plan)
+            meta = (rd.from_arrow(pa.table({"pid": pa.array(
+                        pids, type=pa.int32())}))
+                    .repartition(len(pids))
+                    .map_batches(rewrite, batch_format="pyarrow")
+                    .to_pandas())
+            files_meta = [json.loads(s) for s in meta["meta"]] \
+                if len(meta) else []
+            rows_written = sum(f["rows"] for f in files_meta)
+        marker = {"cid": int(cid), "full": True,
+                  "files": sorted(files_meta, key=lambda f: f["pid"]),
+                  "rows_written": rows_written,
+                  "rows_delta": rows_written}
+        tmp = seg_dir / f"._SEGMENT.{uuid.uuid4().hex[:8]}.tmp"
+        tmp.write_text(json.dumps(marker))
+        os.replace(tmp, seg_dir / "_SEGMENT.json")
+        for s in segs:
+            if s["dir"] != str(seg_dir):
+                shutil.rmtree(s["dir"], ignore_errors=True)
+        return {"compacted": True, "rows": rows_written}
+
+
+class LakeSortedLayout(_LakeClusteredLayout):
+    """Maintained range-partitioned sorted layout over one order
+    column (the ``write_sorted`` data-skipping contract, kept in sync
+    with lake commits). ``read_range(lo, hi)`` = SQL
+    ``lo <= order_col < hi`` over the live LWW state, opening only
+    overlapping files."""
+
+    PART = "r"
+
+    def __init__(self, lake, root, order_col: str, columns=None,
+                 num_partitions: int = 32, sample_rows: int = 20_000):
+        super().__init__(lake, root, columns=columns,
+                         num_partitions=num_partitions,
+                         sample_rows=sample_rows)
+        self.order_col = order_col
+
+    def _route_cols(self) -> list[str]:
+        return [self.order_col]
+
+    def _fit(self, sample: pd.DataFrame) -> dict:
+        v = np.sort(_norm_array(sample[self.order_col]))
+        qs = np.linspace(0, 1, self.num_partitions + 1)[1:-1]
+        cuts = (np.unique(v[(qs * (len(v) - 1)).astype(int)]).tolist()
+                if len(v) else [])
+        kind = "num" if v.dtype == np.float64 else "str"
+        return {"order_col": self.order_col, "kind": kind, "cuts": cuts}
+
+    def _route(self, df: pd.DataFrame, bounds: dict) -> np.ndarray:
+        v = _norm_array(df[self.order_col])
+        cuts = np.asarray(bounds["cuts"],
+                          dtype=np.float64 if bounds["kind"] == "num"
+                          else object)
+        if not len(cuts):
+            return np.zeros(len(df), dtype=np.int32)
+        return np.searchsorted(cuts, v, side="right").astype(np.int32)
+
+    def _sort_frame(self, g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(self.order_col, kind="stable")
+
+    def _stats_of(self, g: pd.DataFrame) -> dict:
+        v = _norm_array(g[self.order_col])
+        return {"min": _norm_scalar(v.min()), "max": _norm_scalar(v.max())}
+
+    def _overlaps(self, fmeta: dict, query) -> bool:
+        lo, hi = query
+        if lo is not None:
+            a, b = fmeta["max"], _bound_like(fmeta["max"], lo)
+            if a < b:
+                return False
+        if hi is not None:
+            a, b = fmeta["min"], _bound_like(fmeta["min"], hi)
+            if a >= b:
+                return False
+        return True
+
+    def _residual(self, df: pd.DataFrame, query) -> pd.DataFrame:
+        lo, hi = query
+        v = _norm_array(df[self.order_col])
+        isnum = v.dtype == np.float64
+        m = np.ones(len(df), dtype=bool)
+        if lo is not None:
+            m &= v >= (float(lo) if isnum else str(lo))
+        if hi is not None:
+            m &= v < (float(hi) if isnum else str(hi))
+        return df[m]
+
+    def read_range(self, lo=None, hi=None, columns=None):
+        query = (lo, hi) if (lo is not None or hi is not None) else None
+        return self._read(query, columns=columns)
+
+
+class LakeZorderLayout(_LakeClusteredLayout):
+    """Maintained Z-ORDER clustered layout over several columns (the
+    ``write_zorder`` multi-dimensional data-skipping contract under
+    CDC). ``read_box(preds)`` takes ``{col: (lo, hi)}`` with
+    ``lo <= col < hi`` semantics on ANY subset of the clustered
+    columns; files prune on per-column min/max boxes."""
+
+    PART = "z"
+
+    def __init__(self, lake, root, cols, columns=None,
+                 num_partitions: int = 32, bits: int = 10,
+                 sample_rows: int = 20_000):
+        super().__init__(lake, root, columns=columns,
+                         num_partitions=num_partitions,
+                         sample_rows=sample_rows)
+        self.cols = list(cols)
+        self.bits = int(bits)
+        if self.bits * len(self.cols) > 50:
+            raise ValueError("bits * len(cols) must be <= 50 so z-values "
+                             "stay exact in JSON bounds")
+
+    def _route_cols(self) -> list[str]:
+        return self.cols
+
+    def _fit(self, sample: pd.DataFrame) -> dict:
+        n_buckets = (1 << self.bits) - 1
+        qs = np.linspace(0, 1, n_buckets + 1)[1:-1]
+        col_bounds, kinds = {}, {}
+        for c in self.cols:
+            v = np.sort(_norm_array(sample[c]))
+            cuts = (np.unique(v[(qs * (len(v) - 1)).astype(int)]).tolist()
+                    if len(v) else [])
+            col_bounds[c] = cuts
+            kinds[c] = "num" if v.dtype == np.float64 else "str"
+        b = {"cols": self.cols, "bits": self.bits,
+             "col_bounds": col_bounds, "kinds": kinds}
+        z = np.sort(self._zvalue_frame(sample, b)) if len(sample) \
+            else np.array([], dtype=np.uint64)
+        fq = np.linspace(0, 1, self.num_partitions + 1)[1:-1]
+        b["zcuts"] = (np.unique(z[(fq * (len(z) - 1)).astype(int)])
+                      .astype(np.int64).tolist() if len(z) else [])
+        return b
+
+    def _zvalue_frame(self, df: pd.DataFrame, bounds: dict) -> np.ndarray:
+        z = np.zeros(len(df), dtype=np.uint64)
+        bits = bounds["bits"]
+        for ci, c in enumerate(self.cols):
+            cuts = np.asarray(bounds["col_bounds"][c],
+                              dtype=np.float64
+                              if bounds["kinds"][c] == "num" else object)
+            idx = (np.searchsorted(cuts, _norm_array(df[c]), side="right")
+                   .astype(np.uint64) if len(cuts)
+                   else np.zeros(len(df), dtype=np.uint64))
+            for k in range(bits):
+                z |= ((idx >> np.uint64(k)) & np.uint64(1)) \
+                    << np.uint64(k * len(self.cols) + ci)
+        return z
+
+    def _route(self, df: pd.DataFrame, bounds: dict) -> np.ndarray:
+        z = self._zvalue_frame(df, bounds)
+        zcuts = np.asarray(bounds["zcuts"], dtype=np.uint64)
+        if not len(zcuts):
+            return np.zeros(len(df), dtype=np.int32)
+        return np.searchsorted(zcuts, z, side="right").astype(np.int32)
+
+    def _sort_frame(self, g: pd.DataFrame) -> pd.DataFrame:
+        b = self.bounds()
+        if b is None:
+            return g
+        order = np.argsort(self._zvalue_frame(g, b), kind="stable")
+        return g.iloc[order]
+
+    def _stats_of(self, g: pd.DataFrame) -> dict:
+        out = {}
+        for c in self.cols:
+            v = _norm_array(g[c])
+            out[f"min_{c}"] = _norm_scalar(v.min())
+            out[f"max_{c}"] = _norm_scalar(v.max())
+        return out
+
+    def _overlaps(self, fmeta: dict, query: dict) -> bool:
+        for c, (lo, hi) in query.items():
+            if lo is not None:
+                a, b = fmeta[f"max_{c}"], _bound_like(fmeta[f"max_{c}"], lo)
+                if a < b:
+                    return False
+            if hi is not None:
+                a, b = fmeta[f"min_{c}"], _bound_like(fmeta[f"min_{c}"], hi)
+                if a >= b:
+                    return False
+        return True
+
+    def _residual(self, df: pd.DataFrame, query: dict) -> pd.DataFrame:
+        m = np.ones(len(df), dtype=bool)
+        for c, (lo, hi) in query.items():
+            v = _norm_array(df[c])
+            isnum = v.dtype == np.float64
+            if lo is not None:
+                m &= v >= (float(lo) if isnum else str(lo))
+            if hi is not None:
+                m &= v < (float(hi) if isnum else str(hi))
+        return df[m]
+
+    def read_box(self, preds: dict, columns=None):
+        bad = [c for c in preds if c not in self.cols]
+        if bad:
+            raise ValueError(f"box predicate columns {bad} not among the "
+                             f"clustered columns {self.cols}")
+        query = {c: (lo, hi) for c, (lo, hi) in preds.items()
+                 if lo is not None or hi is not None}
+        return self._read(query or None, columns=columns)

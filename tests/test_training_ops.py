@@ -1013,3 +1013,68 @@ def test_ivfpq_search_recall_through_built_index(tmp_path):
     import glob
     all_cells = len(glob.glob(f"{root}/ivf_cell=*"))
     assert all_cells >= 8  # corpus actually spread over cells
+
+
+# --------------------------------------------------------------- pack
+
+def pack_oracle(texts, L):
+    """Pandas replay: global doc_id-order token stream cut into
+    L-token examples."""
+    n = pd.Series(texts).fillna("").str.count(r"\S+").astype("int64")
+    ce = n.cumsum()
+    cs = ce - n
+    rows = []
+    for i in range(len(texts)):
+        if n[i] == 0:
+            continue
+        for eid in range(int(cs[i] // L), int((ce[i] - 1) // L) + 1):
+            rows.append({"doc_id": i, "example_id": eid,
+                         "tok_lo": max(0, eid * L - int(cs[i])),
+                         "tok_hi": min(int(n[i]), (eid + 1) * L - int(cs[i])),
+                         "n_tokens": int(n[i])})
+    return pd.DataFrame(rows)
+
+
+def test_pack_sequences_matches_oracle_and_examples_full():
+    rng = np.random.default_rng(5)
+    texts = [" ".join(f"w{j}" for j in range(int(k)))
+             for k in rng.integers(0, 40, size=60)]
+    texts[7] = ""            # zero-token doc drops out
+    texts[13] = " ".join(["x"] * 150)   # spans multiple examples
+    L = 32
+    got = text.pack_sequences(docs_ds(texts).repartition(5), seq_len=L,
+                              num_partitions=4) \
+        .to_pandas().sort_values(["doc_id", "example_id"]) \
+        .reset_index(drop=True)
+    exp = pack_oracle(texts, L).sort_values(["doc_id", "example_id"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+    # spans partition each doc exactly
+    per_doc = got.groupby("doc_id").agg(lo=("tok_lo", "min"),
+                                        hi=("tok_hi", "max"),
+                                        span=("tok_hi", "sum"),
+                                        span0=("tok_lo", "sum"),
+                                        n=("n_tokens", "first"))
+    assert (per_doc["lo"] == 0).all()
+    assert (per_doc["hi"] == per_doc["n"]).all()
+    assert ((per_doc["span"] - per_doc["span0"]) == per_doc["n"]).all()
+    # every example except the last is exactly full
+    ex = got.assign(w=got["tok_hi"] - got["tok_lo"]) \
+        .groupby("example_id")["w"].sum()
+    assert (ex.iloc[:-1] == L).all() and 0 < ex.iloc[-1] <= L
+
+
+def test_pack_sequences_partitioning_invariant():
+    rng = np.random.default_rng(9)
+    texts = [" ".join(f"t{j}" for j in range(int(k)))
+             for k in rng.integers(1, 25, size=80)]
+
+    def run(parts, nb):
+        return text.pack_sequences(docs_ds(texts).repartition(parts),
+                                   seq_len=17, num_partitions=nb) \
+            .to_pandas().sort_values(["doc_id", "example_id"]) \
+            .reset_index(drop=True)
+
+    a = run(3, 2)
+    b = run(11, 7)
+    pd.testing.assert_frame_equal(a, b)
