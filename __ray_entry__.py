@@ -758,6 +758,21 @@ def _q_pack_sequences(sf_dir: str):
         seq_len=128, num_partitions=8)
 
 
+def _q_shuffled_shards(sf_dir: str):
+    # deterministic global pseudo-shuffle export (the pre-training
+    # "shuffle the corpus once" step): Knuth-hash shard + in-shard
+    # position, no random state, layout/cluster-size independent —
+    # shard assignment and positions hash-verify against one SQL
+    # window function (state/output.py shuffled_export).
+    from chomper_ray.state.output import read_shuffled, shuffled_export
+
+    root = tempfile.mkdtemp(prefix="chomper_shuf_")
+    shuffled_export(_read(sf_dir, "documents", columns=["doc_id"]),
+                    root, key="doc_id", n_shards=8)
+    return read_shuffled(root).map_batches(
+        lambda df: df[["doc_id", "shard", "pos"]], batch_format="pandas")
+
+
 def _q_word_count(sf_dir: str):
     from chomper_ray.stages.text import count_words
 
@@ -2125,6 +2140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_sorted_scan": _q_cdc_sorted_scan,
         "cdc_zorder_box": _q_cdc_zorder_box,
         "pack_sequences": _q_pack_sequences,
+        "shuffled_shards": _q_shuffled_shards,
         # rows-only by design (no SQL oracle)
         "pca_project": _q_pca_project,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -2356,6 +2372,15 @@ def oracle_sql() -> dict[str, str]:
             "AND fetch_status >= 200 AND fetch_status < 302"
         ),
         "pack_sequences": _sql_pack_query(128),
+        "shuffled_shards": (
+            # same Knuth multiplicative hash as mixture_sample's SQL
+            # parity contract; pos = dense in-shard rank by (h, key)
+            "WITH t AS (SELECT doc_id, "
+            "(doc_id * 2654435761) % 4294967296 AS h FROM documents) "
+            "SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard, "
+            "row_number() OVER (PARTITION BY h % 8 "
+            "ORDER BY h, doc_id) - 1 AS pos FROM t"
+        ),
         "dropper_filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_discount "
             "FROM lineitem WHERE NOT (l_discount > 0.05)"

@@ -680,3 +680,88 @@ def read_jsonl_partitioned(root: str | Path):
     # partitioning=None: without it the p=NNNNN shard directory is
     # inferred as a hive column and leaks into the schema
     return rd.read_json(files, partitioning=None)
+
+
+def shuffled_export(ds, root: str | Path, key: str,
+                    n_shards: int = 64,
+                    skip_completed: bool = True) -> dict:
+    """Deterministic GLOBAL pseudo-shuffle export — the "shuffle the
+    corpus once before training" step, without any random state: each
+    row's Knuth multiplicative key hash ``h = (key * 2654435761) %
+    2^32`` (the ``mixture_sample`` SQL-parity hash — key must be int64
+    in [0, 2^32), validated) decides its shard (``h % n_shards``) and
+    its position within the shard (ascending ``(h, key)``). Reading the
+    shards in order therefore yields a fixed hash-scrambled global
+    order that is independent of input layout, cluster size and retry
+    count — and exactly replayable in SQL with one window function.
+
+    One shuffle (groupby shard), vectorized tagging, one sorted parquet
+    file per shard written tmp→rename + ``_SUCCESS`` (rerun skips
+    finished shards; retries are byte-identical). ``read_shuffled``
+    streams the shards back in global order with ``shard``/``pos``
+    attached."""
+    import numpy as np
+    import ray.data as rd  # noqa: F401
+
+    root = Path(root)
+    root.mkdir(parents=True, exist_ok=True)
+    done = {int(p.parent.name.split("=")[1])
+            for p in root.glob("s=*/_SUCCESS")} if skip_completed else set()
+    nsh = int(n_shards)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        kv = df[key].to_numpy()
+        if len(kv) and (kv.min() < 0 or kv.max() >= 4294967296):
+            raise ValueError(
+                f"shuffled_export: key {key!r} outside [0, 2^32) — the "
+                "SQL-parity hash would wrap; remap or widen first")
+        h = (kv.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(4294967296)
+        df = df.copy()
+        df["_h"] = h.astype(np.int64)
+        df["_shard"] = (h % np.uint64(nsh)).astype(np.int32)
+        return df
+
+    roots = str(root)
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        sid = int(g["_shard"].iloc[0])
+        if sid in done:
+            return pd.DataFrame({"shard": [sid], "rows": [0],
+                                 "skipped": [True]})
+        g = g.sort_values(["_h", key], kind="stable") \
+            .reset_index(drop=True)
+        g["pos"] = np.arange(len(g), dtype=np.int64)
+        g = g.drop(columns=["_h"]).rename(columns={"_shard": "shard"})
+        d = Path(roots) / f"s={sid:05d}"
+        d.mkdir(parents=True, exist_ok=True)
+        tmp = d / f".part.{uuid.uuid4().hex[:8]}.parquet.tmp"
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+        os.replace(tmp, d / "part.parquet")
+        (d / "_SUCCESS").touch()
+        return pd.DataFrame({"shard": [sid], "rows": [len(g)],
+                             "skipped": [False]})
+
+    stats = (ds.map_batches(tag, batch_format="pandas")
+             .groupby("_shard").map_groups(write_shard,
+                                           batch_format="pandas")
+             .to_pandas())
+    _write_layout(root, key, nsh)
+    return {"written": int((~stats["skipped"]).sum()),
+            "skipped": int(stats["skipped"].sum()),
+            "rows": int(stats["rows"].sum())}
+
+
+def read_shuffled(root: str | Path):
+    """Stream back a ``shuffled_export`` in global order (shards
+    ascending; rows within a shard already sorted by position). The
+    ``shard``/``pos`` columns are baked into the files at write time,
+    so this is ONE ordered parquet read — no per-shard plumbing."""
+    import ray.data as rd
+
+    root = Path(root)
+    files = sorted(str(m.parent / "part.parquet")
+                   for m in root.glob("s=*/_SUCCESS"))
+    if not files:
+        raise FileNotFoundError(f"no completed shards under {root}")
+    return rd.read_parquet(files, partitioning=None)

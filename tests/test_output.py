@@ -277,3 +277,73 @@ def test_bucket_agg_missing_bucket_keeps_key_dtype(tmp_path):
     # object, even though one bucket contributed a typed-empty frame
     assert out["k"].dtype.kind == "i"
     assert out["n_rows"].dtype.kind == "i"
+
+
+# ------------------------------------------------------- shuffled export
+
+def _shuf_ds(n=300):
+    rng = np.random.default_rng(8)
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(rng.integers(0, 100, n)),
+    })).repartition(5)
+
+
+def _expected_order(n, n_shards):
+    ids = np.arange(n, dtype=np.uint64)
+    h = (ids * np.uint64(2654435761)) % np.uint64(4294967296)
+    shard = (h % np.uint64(n_shards)).astype(int)
+    order = np.lexsort((ids, h, shard))  # shard asc, then h, then key
+    return ids[order].astype(np.int64), shard[order]
+
+
+def test_shuffled_export_global_order(tmp_path):
+    from chomper_ray.state.output import read_shuffled, shuffled_export
+
+    st = shuffled_export(_shuf_ds(), tmp_path / "sh", key="doc_id",
+                         n_shards=8)
+    assert st["rows"] == 300 and st["written"] == 8
+    got = read_shuffled(tmp_path / "sh").to_pandas()
+    # read order == (shard asc, pos asc) == the deterministic hash order
+    exp_ids, exp_shard = _expected_order(300, 8)
+    assert got["doc_id"].to_numpy().tolist() == exp_ids.tolist()
+    assert got["shard"].to_numpy().tolist() == exp_shard.tolist()
+    # pos is dense within each shard
+    for s, g in got.groupby("shard"):
+        assert g["pos"].tolist() == list(range(len(g)))
+    # payload columns survive
+    assert "v" in got.columns
+
+
+def test_shuffled_export_resume_and_identical_retry(tmp_path):
+    from pathlib import Path
+
+    from chomper_ray.state.output import shuffled_export
+
+    shuffled_export(_shuf_ds(), tmp_path / "sh", key="doc_id", n_shards=4)
+    files = sorted(Path(tmp_path / "sh").glob("s=*/part.parquet"))
+    before = {f: f.read_bytes() for f in files}
+    # rerun: everything skipped, bytes untouched
+    st = shuffled_export(_shuf_ds(), tmp_path / "sh", key="doc_id",
+                         n_shards=4)
+    assert st["written"] == 0 and st["skipped"] == 4
+    # torn shard: drop one _SUCCESS, rerun rewrites ONLY that shard
+    victim = files[1].parent
+    (victim / "_SUCCESS").unlink()
+    st = shuffled_export(_shuf_ds(), tmp_path / "sh", key="doc_id",
+                         n_shards=4)
+    assert st["written"] == 1 and st["skipped"] == 3
+    # retries are byte-identical — including the rewritten shard
+    for f, b in before.items():
+        assert f.read_bytes() == b
+
+
+def test_shuffled_export_key_domain_guard(tmp_path):
+    import pytest as _pytest
+
+    from chomper_ray.state.output import shuffled_export
+
+    bad = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 2**33], type=pa.int64())}))
+    with _pytest.raises(Exception, match="2\\^32"):
+        shuffled_export(bad, tmp_path / "sh", key="doc_id", n_shards=2)
