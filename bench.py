@@ -40,6 +40,8 @@ _QUERY_NAMES = [
     # round-over-round)
     "fuzzy_pairs", "dup_span_removal", "nb_classify", "pagerank_bipartite",
     "mixture_sample", "pq_ann",
+    # round-4 additions (same append-only discipline)
+    "pack_sequences", "shuffled_shards", "cdc_sorted_scan",
 ]
 
 

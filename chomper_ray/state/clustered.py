@@ -276,8 +276,11 @@ class _LakeClusteredLayout(_LsmSegmentIndex):
                 d = Path(segs) / f"{part}={pid:05d}"
                 d.mkdir(parents=True, exist_ok=True)
                 tmp = d / f".part.{uuid.uuid4().hex[:8]}.parquet.tmp"
+                # no pandas metadata: per-file metadata differs and
+                # defeats Ray's schema dedup on multi-file reads
                 pq.write_table(pa.Table.from_pandas(
-                    g, preserve_index=False), tmp)
+                    g, preserve_index=False)
+                    .replace_schema_metadata(None), tmp)
                 os.replace(tmp, d / "part.parquet")
                 (d / "_SUCCESS").touch()
                 row = {"pid": pid, "rows": len(g),
@@ -439,7 +442,8 @@ class _LakeClusteredLayout(_LsmSegmentIndex):
                     d.mkdir(parents=True, exist_ok=True)
                     tmp = d / f".part.{uuid.uuid4().hex[:8]}.parquet.tmp"
                     pq.write_table(pa.Table.from_pandas(
-                        g, preserve_index=False), tmp)
+                        g, preserve_index=False)
+                        .replace_schema_metadata(None), tmp)
                     os.replace(tmp, d / "part.parquet")
                     (d / "_SUCCESS").touch()
                     row = {"pid": int(pid), "rows": len(g),

@@ -736,7 +736,10 @@ def shuffled_export(ds, root: str | Path, key: str,
         d = Path(roots) / f"s={sid:05d}"
         d.mkdir(parents=True, exist_ok=True)
         tmp = d / f".part.{uuid.uuid4().hex[:8]}.parquet.tmp"
-        pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+        # no pandas metadata: per-file metadata differs and defeats
+        # Ray's schema dedup when read_shuffled opens every shard
+        pq.write_table(pa.Table.from_pandas(g, preserve_index=False)
+                       .replace_schema_metadata(None), tmp)
         os.replace(tmp, d / "part.parquet")
         (d / "_SUCCESS").touch()
         return pd.DataFrame({"shard": [sid], "rows": [len(g)],

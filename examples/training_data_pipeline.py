@@ -4,6 +4,8 @@
     MinHash near-dup dedup → benchmark decontamination →
     duplicate-span removal (ExactSubstr) → token stats →
     source-mixture rates → balanced per-language mix →
+    sequence packing (fixed-length training examples) →
+    deterministic global pseudo-shuffle →
     resumable partitioned shards
 
 Run standalone (owns its Ray session):
@@ -113,15 +115,33 @@ def main():
     mixed = stratified_sample(rated, group="lang", key="doc_id",
                               n=max(50, final.count() // 8))
 
-    # 5. resumable partitioned shards (rerun skips finished partitions)
-    stats = write_partitioned(mixed, out_dir, key="doc_id",
+    # 5. sequence packing: the surviving corpus cut into fixed-length
+    # training examples (spans only — text never ships through the
+    # packing shuffle); materialized for the two consumers below
+    from chomper_ray.stages.text import pack_sequences
+
+    mixed = mixed.materialize()
+    spans = pack_sequences(mixed, seq_len=256, num_partitions=8)
+    n_examples = 1 + spans.map_batches(
+        lambda df: df[["example_id"]], batch_format="pandas") \
+        .max("example_id")
+
+    # 6. deterministic global pseudo-shuffle (no random state; retries
+    # byte-identical) + resumable partitioned shards of the doc payload
+    from chomper_ray.state.output import read_shuffled, shuffled_export
+
+    shuffled_export(mixed, f"{out_dir}/shuffled", key="doc_id",
+                    n_shards=8)
+    stats = write_partitioned(mixed, f"{out_dir}/byid", key="doc_id",
                               num_partitions=16)
-    back = read_partitioned(out_dir)
+    back = read_partitioned(f"{out_dir}/byid")
     print(json.dumps({
         "input_docs": n0,
         "after_exact_dedup": n_exact,
         "near_dup_dropped": n_near_dropped,
         "after_decontamination": n_decontaminated,
+        "packed_examples_256tok": int(n_examples),
+        "shuffled_rows": read_shuffled(f"{out_dir}/shuffled").count(),
         "shard_partitions": stats["written"],
         "output_docs": back.count(),
         "out_dir": out_dir,
