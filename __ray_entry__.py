@@ -1868,6 +1868,23 @@ def _q_cdc_zorder_box(sf_dir: str):
     return ds
 
 
+def _q_cdc_time_travel(sf_dir: str):
+    # snapshot TIME TRAVEL: read the lake as of commit 1 (two of the
+    # four epochs applied, BEFORE the epoch-2 schema evolution) — the
+    # historical state must hash-equal the SQL LWW replay restricted to
+    # `epoch <= 1`, proving manifests pin bygone states exactly
+    # (state/lake.py read(as_of_epoch=...)).
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.state.lake import LakeTable
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_tt_")
+    run_cdc(log, lake_root, num_partitions=8)
+    lake = LakeTable(lake_root, num_partitions=8)
+    return lake.read(columns=["url", "warc_ts", "lang", "text"],
+                     as_of_epoch=1)
+
+
 def _q_cdc_lineage(sf_dir: str):
     # per-partition lineage as QUERYABLE METADATA (the north-star's
     # "offsets, row counts, commit epochs logged as queryable
@@ -2141,6 +2158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_zorder_box": _q_cdc_zorder_box,
         "pack_sequences": _q_pack_sequences,
         "shuffled_shards": _q_shuffled_shards,
+        "cdc_time_travel": _q_cdc_time_travel,
         # rows-only by design (no SQL oracle)
         "pca_project": _q_pca_project,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -2372,6 +2390,18 @@ def oracle_sql() -> dict[str, str]:
             "AND fetch_status >= 200 AND fetch_status < 302"
         ),
         "pack_sequences": _sql_pack_query(128),
+        "cdc_time_travel": (
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true) "
+            "WHERE CAST(epoch AS BIGINT) <= 1), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            f"sidecar AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/_oracle/*.parquet')) "
+            "SELECT w.url, w.warc_ts, w.lang, s.text AS text "
+            "FROM win w JOIN sidecar s USING (seq)"
+        ),
         "shuffled_shards": (
             # same Knuth multiplicative hash as mixture_sample's SQL
             # parity contract; pos = dense in-shard rank by (h, key)
