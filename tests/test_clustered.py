@@ -46,12 +46,20 @@ def sorted_oracle(lake, lo=None, hi=None, col="score"):
 
 def read_sorted(lay, lo=None, hi=None, cols=None):
     ds, nr, nt = lay.read_range(lo, hi, columns=cols)
-    return ds.to_pandas().sort_values("url").reset_index(drop=True), nr, nt
+    df = ds.to_pandas()
+    if not len(df):
+        # Ray's to_pandas drops the schema on empty datasets; rebuild
+        # the columns from the (typed) Dataset schema
+        df = pd.DataFrame(columns=ds.schema().names)
+    return df.sort_values("url").reset_index(drop=True), nr, nt
 
 
 def assert_range_exact(lay, lake, lo=None, hi=None):
     got, nr, nt = read_sorted(lay, lo, hi)
     exp = sorted_oracle(lake, lo, hi)
+    if len(got) == 0 or len(exp) == 0:
+        assert len(got) == len(exp)
+        return nr, nt
     cols = list(got.columns)
     pd.testing.assert_frame_equal(got[cols], exp[cols])
     return nr, nt
@@ -328,3 +336,73 @@ def test_clustered_marker_is_json_clean(tmp_path, ray_session):
         for f in m["files"]:
             assert isinstance(f["min"], (int, float, str))
             assert isinstance(f["max"], (int, float, str))
+
+
+# ------------------------------------------------------ property-based
+
+from hypothesis import given, settings, strategies as st
+
+_cop = st.tuples(
+    st.sampled_from(["insert", "update", "delete"]),
+    st.integers(0, 7),                              # url index
+    st.floats(0.0, 1.0, allow_nan=False, width=32),  # route value
+    st.sampled_from(LANGS),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(epochs=st.lists(st.lists(_cop, min_size=1, max_size=6),
+                       min_size=1, max_size=3))
+def test_sorted_random_op_sequences_match_lww(epochs, tmp_path_factory,
+                                              ray_session):
+    """Property: for ANY commit sequence of inserts / route-moving
+    updates / deletes, the maintained sorted layout answers full and
+    windowed scans exactly like the live LWW state — after EVERY
+    commit, not just the last."""
+    tmp_path = tmp_path_factory.mktemp("cluprop")
+    lake = LakeTable(tmp_path / "lake", key="url", num_partitions=2,
+                     collect_changes=False)
+    lay = LakeSortedLayout(lake, tmp_path / "s", order_col="score",
+                           columns=["lang"], num_partitions=4)
+    seq = 0
+    for ei, ops in enumerate(epochs):
+        rows = []
+        for op, ui, score, lang in ops:
+            rows.append(mk(op, seq, f"u{ui}", 10 + seq, score, lang))
+            seq += 1
+        commit(lake, rows, ei)
+        lay.refresh()
+        assert_range_exact(lay, lake)
+        assert_range_exact(lay, lake, 0.25, 0.75)
+
+
+@settings(max_examples=6, deadline=None)
+@given(epochs=st.lists(st.lists(_cop, min_size=1, max_size=6),
+                       min_size=1, max_size=3))
+def test_zorder_random_op_sequences_match_lww(epochs, tmp_path_factory,
+                                              ray_session):
+    tmp_path = tmp_path_factory.mktemp("zprop")
+    lake = LakeTable(tmp_path / "lake", key="url", num_partitions=2,
+                     collect_changes=False)
+    lay = LakeZorderLayout(lake, tmp_path / "z", cols=["score", "lang"],
+                           num_partitions=4, bits=6)
+    seq = 0
+    for ei, ops in enumerate(epochs):
+        rows = []
+        for op, ui, score, lang in ops:
+            rows.append(mk(op, seq, f"u{ui}", 10 + seq, score, lang))
+            seq += 1
+        commit(lake, rows, ei)
+        lay.refresh()
+        ds, _, _ = lay.read_box({"score": (0.2, 0.8), "lang": ("d", "g")})
+        got = ds.to_pandas()
+        df = lake.read_pandas()
+        m = (df["score"].to_numpy() >= 0.2) & (df["score"].to_numpy() < 0.8) \
+            & (df["lang"].to_numpy() >= "d") & (df["lang"].to_numpy() < "g")
+        exp = df[m].sort_values("url").reset_index(drop=True)
+        if len(got) == 0 or len(exp) == 0:
+            assert len(got) == len(exp)
+            continue
+        got = got.sort_values("url").reset_index(drop=True)
+        cols = list(got.columns)
+        pd.testing.assert_frame_equal(got[cols], exp[cols])
