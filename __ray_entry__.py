@@ -1868,6 +1868,63 @@ def _q_cdc_zorder_box(sf_dir: str):
     return ds
 
 
+_LANG_DIM = {"de": "lbl-de", "en": "lbl-en", "es": "lbl-es",
+             "fr": "lbl-fr", "it": "lbl-it", "nl": "lbl-nl",
+             "pt": "lbl-pt", "ru": "lbl-ru"}
+
+
+def _keyed_lang_layout(tag: str):
+    """CDC lake + maintained SECONDARY-key bucket layout on `lang`
+    (state/clustered.py LakeKeyedBucketLayout) — shared by the
+    secondary-lookup and live-bucket-join queries."""
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.state.clustered import LakeKeyedBucketLayout
+    from chomper_ray.state.lake import LakeTable
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix=f"chomper_ray_lake_{tag}_")
+    run_cdc(log, lake_root, num_partitions=8)
+    lake = LakeTable(lake_root, num_partitions=8)
+    lay = LakeKeyedBucketLayout(
+        lake, tempfile.mkdtemp(prefix=f"chomper_{tag}_"),
+        bucket_col="lang", columns=["warc_ts"], num_partitions=8)
+    lay.refresh()
+    return lay
+
+
+def _q_cdc_secondary_lookup(sf_dir: str):
+    # secondary-key point lookup under CDC: the lake point-looks-up
+    # only its primary key (url); the maintained lang-keyed bucket
+    # layout answers `lang IN (...)` over live LWW state opening only
+    # the hashed buckets × live segments — hash-verified against the
+    # SQL filter.
+    lay = _keyed_lang_layout("slu")
+    ds, n_read, n_total = lay.lookup(["de", "fr"])
+    assert 0 < n_read < n_total  # bucket pruning must engage
+    return ds
+
+
+def _q_cdc_bucket_join_live(sf_dir: str):
+    # live bucket join on a SECONDARY key: a statically-bucketed
+    # dimension (same stable_bucket hash + partition count) joins the
+    # maintained layout map-only — one task per bucket resolving the
+    # signed segments then merging its one right-side file; neither
+    # side shuffles, and the layout never stales under CDC.
+    import ray.data as rd
+
+    from chomper_ray.state.output import write_partitioned
+
+    lay = _keyed_lang_layout("bjl")
+    dim = pd.DataFrame({"lang": list(_LANG_DIM),
+                        "label": [_LANG_DIM[k] for k in _LANG_DIM]})
+    dim_root = tempfile.mkdtemp(prefix="chomper_dim_")
+    write_partitioned(rd.from_pandas(dim), dim_root, key="lang",
+                      num_partitions=8)
+    ds = lay.join_bucketed(dim_root, right_key="lang")
+    return ds.map_batches(lambda df: df[["url", "lang", "label"]],
+                          batch_format="pandas")
+
+
 def _q_cdc_time_travel(sf_dir: str):
     # snapshot TIME TRAVEL: read the lake as of commit 1 (two of the
     # four epochs applied, BEFORE the epoch-2 schema evolution) — the
@@ -2159,6 +2216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "shuffled_shards": _q_shuffled_shards,
         "cdc_time_travel": _q_cdc_time_travel,
+        "cdc_secondary_lookup": _q_cdc_secondary_lookup,
+        "cdc_bucket_join_live": _q_cdc_bucket_join_live,
         # rows-only by design (no SQL oracle)
         "pca_project": _q_pca_project,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -2390,6 +2449,27 @@ def oracle_sql() -> dict[str, str]:
             "AND fetch_status >= 200 AND fetch_status < 302"
         ),
         "pack_sequences": _sql_pack_query(128),
+        "cdc_secondary_lookup": (
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete') "
+            "SELECT url, lang, warc_ts FROM win "
+            "WHERE lang IN ('de', 'fr')"
+        ),
+        "cdc_bucket_join_live": (
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            "dim(lang, label) AS (VALUES "
+            + ", ".join(f"('{k}', '{v}')" for k, v in
+                        sorted(_LANG_DIM.items()))
+            + ") SELECT w.url, w.lang, d.label "
+            "FROM win w JOIN dim d USING (lang)"
+        ),
         "cdc_time_travel": (
             f"WITH ev AS (SELECT * FROM read_parquet("
             f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true) "

@@ -656,3 +656,172 @@ class LakeZorderLayout(_LakeClusteredLayout):
         query = {c: (lo, hi) for c, (lo, hi) in preds.items()
                  if lo is not None or hi is not None}
         return self._read(query or None, columns=columns)
+
+
+class LakeKeyedBucketLayout(_LakeClusteredLayout):
+    """Maintained hash-bucketed layout on a SECONDARY key — the layout
+    family ``derived.LakeBucketLayout`` explicitly cannot serve (its
+    partition-mirror trick needs the lake's own key; see its module
+    docstring), closed with the signed-segment machinery: rows route by
+    ``stable_bucket(bucket_col)`` — the same hash ``write_partitioned``
+    uses, so a statically-bucketed dimension table co-partitions with
+    this layout — and a row whose bucket column CHANGES resolves as -1
+    in the old bucket / +1 in the new, exactly like an ANN
+    cell-crossing update.
+
+    What it buys under CDC:
+    - ``lookup(values)``: secondary-key point lookup over live LWW
+      state reading ≤ len(values) buckets × live segments files (the
+      lake itself can only point-look-up its primary key).
+    - ``join_bucketed(right_root, ...)``: map-only bucket join against
+      any ``write_partitioned`` layout with the same key and partition
+      count — join elision on a non-lake key that never stales.
+
+    Hash buckets carry no value ordering, so there is no min/max
+    pruning; pruning is by bucket id (exact for point/equi lookups).
+    """
+
+    PART = "b"
+
+    def __init__(self, lake, root, bucket_col: str, columns=None,
+                 num_partitions: int = 32):
+        super().__init__(lake, root, columns=columns,
+                         num_partitions=num_partitions)
+        self.bucket_col = bucket_col
+
+    # -- routing ---------------------------------------------------------------
+    def _route_cols(self) -> list[str]:
+        return [self.bucket_col]
+
+    def _ensure_bounds(self, files: list[str]) -> dict:
+        # hash routing needs no fitted bounds — persist the partition
+        # count so the layout stays self-describing
+        b = self.bounds()
+        if b is not None:
+            return b
+        b = {"bucket_col": self.bucket_col,
+             "num_partitions": self.num_partitions}
+        tmp = self.root / f"._BOUNDS.{uuid.uuid4().hex[:8]}.tmp"
+        tmp.write_text(json.dumps(b))
+        os.replace(tmp, self._bounds_path())
+        return b
+
+    def _fit(self, sample):  # pragma: no cover - _ensure_bounds bypasses
+        raise AssertionError("hash layout fits no bounds")
+
+    def _route(self, df: pd.DataFrame, bounds: dict) -> np.ndarray:
+        from chomper_ray.stages.merge import stable_bucket
+
+        return stable_bucket(df[self.bucket_col].to_numpy(),
+                             bounds["num_partitions"]).astype(np.int32)
+
+    def _sort_frame(self, g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values([self.bucket_col, self.key_col],
+                             kind="stable")
+
+    def _stats_of(self, g: pd.DataFrame) -> dict:
+        return {}
+
+    def _overlaps(self, fmeta: dict, query) -> bool:
+        # query = {"pids": set, "values": list|None}
+        return int(fmeta["pid"]) in query["pids"]
+
+    def _residual(self, df: pd.DataFrame, query) -> pd.DataFrame:
+        vals = query.get("values")
+        if vals is None:
+            return df
+        return df[df[self.bucket_col].isin(vals)]
+
+    # -- reads ----------------------------------------------------------------
+    def lookup(self, values, columns=None):
+        """Live rows whose ``bucket_col`` is in ``values`` —
+        (Dataset, files_read, files_total), opening only the hashed
+        buckets."""
+        from chomper_ray.stages.merge import stable_bucket
+
+        vals = list(values)
+        pids = set(stable_bucket(np.asarray(vals, dtype=object),
+                                 self.num_partitions).tolist())
+        return self._read({"pids": pids, "values": vals},
+                          columns=columns)
+
+    def read_all(self, columns=None):
+        return self._read(None, columns=columns)
+
+    def join_bucketed(self, right_root: str | Path, right_key: str,
+                      columns=None):
+        """Map-only equi-join of the LIVE layout against a
+        ``write_partitioned`` layout bucketed by the SAME key hash and
+        partition count — one task per bucket, each resolving its
+        signed segments then merging with the one right-side bucket
+        file; no shuffle of either side. Inner join; right columns are
+        suffixed ``_r`` on collision (pandas merge semantics)."""
+        import ray.data as rd
+
+        from chomper_ray.state.output import read_layout
+
+        right_root = Path(right_root)
+        lay = read_layout(right_root)
+        if lay["num_partitions"] != self.num_partitions:
+            raise ValueError(
+                f"right layout has {lay['num_partitions']} partitions, "
+                f"this layout {self.num_partitions} — bucket joins need "
+                "identical counts")
+        if lay["key"] != right_key:
+            raise ValueError(f"right layout is keyed by {lay['key']!r}, "
+                             f"not {right_key!r}")
+        live = self._live_segments()
+        plan: dict[int, list[tuple[int, str]]] = {}
+        for rank, seg in enumerate(live):
+            for f in seg.get("files", []):
+                pid = int(f["pid"])
+                plan.setdefault(pid, []).append(
+                    (rank, str(Path(seg["dir"])
+                               / f"{self.PART}={pid:05d}"
+                               / "part.parquet")))
+        key, left_on = self.key_col, self.bucket_col
+        rroot = str(right_root)
+        # typed empty join frame: left dtypes from the lake target
+        # schema, right dtypes from one completed right bucket — every
+        # task emits this schema when its buckets resolve to no matches
+        rfiles = sorted(right_root.glob("p=*/part.parquet"))
+        if not rfiles:
+            raise FileNotFoundError(f"no right buckets under {right_root}")
+        empty_join = (self._target_schema(self._layout_cols())
+                      .empty_table().to_pandas()
+                      .merge(pq.read_schema(rfiles[0]).empty_table()
+                             .to_pandas(),
+                             left_on=left_on, right_on=right_key,
+                             how="inner", suffixes=("", "_r")))
+
+        def join_pid(batch: pa.Table) -> pd.DataFrame:
+            outs = []
+            for pid in batch["pid"].to_pylist():
+                frames = []
+                for rank, f in plan.get(int(pid), []):
+                    t = pq.read_table(f).to_pandas()
+                    if len(t):
+                        frames.append(t.assign(_r=rank))
+                if not frames:
+                    continue
+                left = _resolve_frames(frames, key) \
+                    .drop(columns=["_r", "op"])
+                rf = Path(rroot) / f"p={int(pid):05d}" / "part.parquet"
+                if not (rf.parent / "_SUCCESS").exists() or not len(left):
+                    continue
+                right = pq.read_table(rf).to_pandas()
+                outs.append(left.merge(right, left_on=left_on,
+                                       right_on=right_key, how="inner",
+                                       suffixes=("", "_r")))
+            if not outs:
+                return empty_join.copy()
+            return pd.concat(outs, ignore_index=True)[empty_join.columns]
+
+        pids = sorted(plan)
+        if not pids:
+            return rd.from_arrow(pa.Table.from_pandas(
+                empty_join, preserve_index=False))
+        return (rd.from_arrow(pa.table({"pid": pa.array(
+                    pids, type=pa.int32())}))
+                .repartition(len(pids))
+                .map_batches(join_pid, batch_format="pyarrow"))

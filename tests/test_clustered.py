@@ -406,3 +406,67 @@ def test_zorder_random_op_sequences_match_lww(epochs, tmp_path_factory,
         got = got.sort_values("url").reset_index(drop=True)
         cols = list(got.columns)
         pd.testing.assert_frame_equal(got[cols], exp[cols])
+
+
+# -------------------------------------------------- secondary-key layout
+
+def test_keyed_bucket_layout_lookup_and_join(tmp_path, ray_session):
+    from chomper_ray.state.clustered import LakeKeyedBucketLayout
+    from chomper_ray.state.output import write_partitioned
+
+    XLANGS = ["de", "en", "fr", "pt", "es", "it"]
+    lake = LakeTable(tmp_path / "lake", key="url", num_partitions=4,
+                     collect_changes=False)
+    rng = np.random.default_rng(2)
+    commit(lake, [mk("insert", i, f"u{i:03d}", 10 + i, rng.random(),
+                     XLANGS[i % 6]) for i in range(120)], 0)
+    lay = LakeKeyedBucketLayout(lake, tmp_path / "kb", bucket_col="lang",
+                                columns=["score"], num_partitions=8)
+    lay.refresh()
+    # bucket-crossing updates (lang changes), deletes, inserts
+    e1 = [mk("update", 1000 + i, f"u{i:03d}", 300 + i, rng.random(),
+             XLANGS[(i + 3) % 6]) for i in range(40)]
+    e1 += [mk("delete", 2000 + i, f"u{i:03d}", 400 + i, 0.1, "en")
+           for i in range(40, 55)]
+    e1 += [mk("insert", 3000 + i, f"v{i:03d}", 500 + i, rng.random(),
+              "pt") for i in range(20)]
+    commit(lake, e1, 1)
+    lay.refresh()
+
+    live = lake.read_pandas()
+    ds, nr, nt = lay.lookup(["de", "fr"])
+    got = ds.to_pandas().sort_values("url").reset_index(drop=True)
+    exp = live[live["lang"].isin(["de", "fr"])] \
+        .sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["url", "lang", "score"]],
+                                  exp[["url", "lang", "score"]])
+    assert nr < nt  # only the hashed buckets were opened
+
+    dim = pd.DataFrame({"lang": XLANGS,
+                        "region": ["eu-c", "na", "eu-w", "sa", "eu-s",
+                                   "eu-s2"]})
+    write_partitioned(rd.from_pandas(dim), tmp_path / "dim", key="lang",
+                      num_partitions=8)
+    j = lay.join_bucketed(tmp_path / "dim", right_key="lang") \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    expj = live.merge(dim, on="lang").sort_values("url") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        j[["url", "lang", "score", "region"]],
+        expj[["url", "lang", "score", "region"]])
+
+    # partition-count / key mismatches fail loudly, not silently wrong
+    write_partitioned(rd.from_pandas(dim), tmp_path / "dim4", key="lang",
+                      num_partitions=4)
+    with pytest.raises(ValueError, match="identical counts"):
+        lay.join_bucketed(tmp_path / "dim4", right_key="lang")
+    with pytest.raises(ValueError, match="keyed by"):
+        lay.join_bucketed(tmp_path / "dim", right_key="region")
+
+    # compaction preserves answers and restores one-file-per-bucket
+    assert lay.compact()["compacted"]
+    ds, nr2, _ = lay.lookup(["de", "fr"])
+    got2 = ds.to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2[["url", "lang", "score"]],
+                                  exp[["url", "lang", "score"]])
+    assert nr2 <= nr
