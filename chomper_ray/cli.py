@@ -79,6 +79,17 @@ def main(argv=None):
     mv.add_argument("--view-root", required=True,
                     help="view storage; one parquet per applied manifest")
 
+    lr = sub.add_parser(
+        "layout-refresh",
+        help="fold unapplied lake commits into a maintained sorted "
+             "data-skipping layout on warc_ts (LSM signed segments)")
+    lr.add_argument("--lake-root", required=True)
+    lr.add_argument("--layout-root", required=True,
+                    help="layout storage; seg-<cid>/ per applied commit")
+    lr.add_argument("--compact", action="store_true",
+                    help="fold all live segments into one full segment "
+                         "after applying (restores the no-resolve scan)")
+
     pg = sub.add_parser("purge", help="drop tombstones older than a watermark")
     pg.add_argument("--lake-root", required=True)
     pg.add_argument("--epoch", type=int, default=None,
@@ -180,6 +191,30 @@ def main(argv=None):
             "view_commits": len(after),
             "n_domains": int(len(out)),
             "n_pages": int(out["n_live"].sum()) if len(out) else 0,
+        }))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "layout-refresh":
+        _ray_init()
+        from chomper_ray.state.clustered import LakeSortedLayout
+        from chomper_ray.state.lake import LakeTable
+
+        lay = LakeSortedLayout(LakeTable(args.lake_root),
+                               args.layout_root, order_col="warc_ts",
+                               columns=["lang"])
+        before = lay.applied_commits()
+        res = lay.refresh()
+        compacted = lay.compact()["compacted"] if args.compact else False
+        st = lay.stats()
+        print(json.dumps({
+            "commits_applied": sorted(set(lay.applied_commits())
+                                      - set(before)),
+            "segments_live": st["segments"],
+            "rows": st["rows"], "files": st["files"],
+            "skipped": res["skipped"], "compacted": compacted,
         }))
         import ray
 
