@@ -470,3 +470,25 @@ def test_keyed_bucket_layout_lookup_and_join(tmp_path, ray_session):
     pd.testing.assert_frame_equal(got2[["url", "lang", "score"]],
                                   exp[["url", "lang", "score"]])
     assert nr2 <= nr
+
+
+def test_sorted_survives_lake_gc(tmp_path, ray_session):
+    """Lake GC (compact keep_epochs=1) can remove the PREVIOUS commit's
+    snapshot files before the layout has applied the newest commit —
+    the chain walk must fall back to a full segment, not fail or go
+    stale."""
+    lake, rng = seed_lake(tmp_path, n=120, parts=2)
+    lay = LakeSortedLayout(lake, tmp_path / "s", order_col="score",
+                           num_partitions=4)
+    lay.refresh()
+    commit(lake, [mk("update", 1000 + i, f"u{i:03d}", 300 + i,
+                     rng.random()) for i in range(30)], 1)
+    commit(lake, [mk("update", 2000 + i, f"u{i:03d}", 400 + i,
+                     rng.random()) for i in range(30, 60)], 2)
+    lake.compact(keep_epochs=1)  # drops commit-1 snapshot files
+    m = lay.refresh()
+    # commit 1 diffs fine (its old = commit 0 files may be gone too);
+    # whichever commit hit a missing old file rebuilt full
+    assert any(s.get("full") for s in m["applied"])
+    assert_range_exact(lay, lake)
+    assert_range_exact(lay, lake, 0.3, 0.6)
