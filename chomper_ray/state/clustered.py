@@ -404,6 +404,12 @@ class _LakeClusteredLayout(_LsmSegmentIndex):
             return {"compacted": False}
         live = self._live_segments()
         if len(live) == 1 and live[0].get("full"):
+            # already compact — but a crash between a previous compact's
+            # marker write and its cleanup can leave superseded dirs;
+            # sweep them here so dead segments never accumulate
+            for s in segs:
+                if s["dir"] != live[0]["dir"]:
+                    shutil.rmtree(s["dir"], ignore_errors=True)
             return {"compacted": False}
         cid = segs[-1]["cid"]
         seg_dir = self.root / f"seg-{cid:06d}-full"
@@ -740,7 +746,11 @@ class LakeKeyedBucketLayout(_LakeClusteredLayout):
         from chomper_ray.stages.merge import stable_bucket
 
         vals = list(values)
-        pids = set(stable_bucket(np.asarray(vals, dtype=object),
+        # np.asarray WITHOUT forcing object: pd.util.hash_array hashes
+        # an int64 array differently from the same ints boxed as
+        # objects, and routing hashed the raw int64 column — forcing
+        # object here would silently probe the wrong buckets
+        pids = set(stable_bucket(np.asarray(vals),
                                  self.num_partitions).tolist())
         return self._read({"pids": pids, "values": vals},
                           columns=columns)

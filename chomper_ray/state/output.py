@@ -19,6 +19,7 @@ overwrites with identical bytes.
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 from pathlib import Path
@@ -705,9 +706,18 @@ def shuffled_export(ds, root: str | Path, key: str,
 
     root = Path(root)
     root.mkdir(parents=True, exist_ok=True)
+    nsh = int(n_shards)
+    layout = root / "_LAYOUT.json"
+    if layout.exists():
+        prev = json.loads(layout.read_text())
+        if prev.get("num_partitions") != nsh:
+            raise ValueError(
+                f"shuffled_export: {root} already holds a "
+                f"{prev.get('num_partitions')}-shard export — resuming "
+                f"with n_shards={nsh} would mis-route rows; use a fresh "
+                "root or the original shard count")
     done = {int(p.parent.name.split("=")[1])
             for p in root.glob("s=*/_SUCCESS")} if skip_completed else set()
-    nsh = int(n_shards)
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         kv = df[key].to_numpy()
@@ -750,6 +760,8 @@ def shuffled_export(ds, root: str | Path, key: str,
                                            batch_format="pandas")
              .to_pandas())
     _write_layout(root, key, nsh)
+    if not len(stats):  # empty input: no shards, nothing skipped
+        return {"written": 0, "skipped": 0, "rows": 0}
     return {"written": int((~stats["skipped"]).sum()),
             "skipped": int(stats["skipped"].sum()),
             "rows": int(stats["rows"].sum())}

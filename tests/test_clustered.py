@@ -492,3 +492,33 @@ def test_sorted_survives_lake_gc(tmp_path, ray_session):
     assert any(s.get("full") for s in m["applied"])
     assert_range_exact(lay, lake)
     assert_range_exact(lay, lake, 0.3, 0.6)
+
+
+def test_keyed_bucket_layout_int_column(tmp_path, ray_session):
+    """Integer bucket columns must route lookup values through the SAME
+    hash domain as the stored column (pd.util.hash_array hashes int64
+    differently from object-boxed ints — a forced-object lookup would
+    silently probe the wrong buckets)."""
+    from chomper_ray.state.clustered import LakeKeyedBucketLayout
+
+    lake = LakeTable(tmp_path / "lake", key="url", num_partitions=2,
+                     collect_changes=False)
+    statuses = [200, 301, 404, 500]
+    rows = []
+    for i in range(160):
+        r = mk("insert", i, f"u{i:03d}", 10 + i, i / 160)
+        r["status"] = statuses[i % 4]
+        rows.append(r)
+    commit(lake, rows, 0)
+    lay = LakeKeyedBucketLayout(lake, tmp_path / "kb",
+                                bucket_col="status", num_partitions=8)
+    lay.refresh()
+    ds, nr, nt = lay.lookup([301, 500])
+    got = ds.to_pandas().sort_values("url").reset_index(drop=True)
+    live = lake.read_pandas()
+    exp = live[live["status"].isin([301, 500])] \
+        .sort_values("url").reset_index(drop=True)
+    assert len(got) == len(exp) == 80
+    pd.testing.assert_frame_equal(got[["url", "status"]],
+                                  exp[["url", "status"]])
+    assert nr < nt

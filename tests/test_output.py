@@ -347,3 +347,15 @@ def test_shuffled_export_key_domain_guard(tmp_path):
         "doc_id": pa.array([1, 2, 2**33], type=pa.int64())}))
     with _pytest.raises(Exception, match="2\\^32"):
         shuffled_export(bad, tmp_path / "sh", key="doc_id", n_shards=2)
+
+
+def test_shuffled_export_shard_count_guard(tmp_path):
+    import pytest as _pytest
+
+    from chomper_ray.state.output import shuffled_export
+
+    shuffled_export(_shuf_ds(50), tmp_path / "sh", key="doc_id",
+                    n_shards=4)
+    with _pytest.raises(ValueError, match="shard count"):
+        shuffled_export(_shuf_ds(50), tmp_path / "sh", key="doc_id",
+                        n_shards=8)
