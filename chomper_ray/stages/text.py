@@ -628,7 +628,11 @@ def pack_sequences(ds, seq_len: int, key: str = "doc_id",
     vectorized. The OUTPUT is independent of the partitioning (offsets
     make every prefix sum exact), so bounds sampling is purely a
     balance knob. SQL parity: ``SUM(n) OVER (ORDER BY key)`` +
-    ``generate_series`` (see ``sql_pack_query``)."""
+    ``generate_series`` (see ``sql_pack_query``).
+
+    ``key`` must be unique per document (the global order is BY key;
+    duplicate keys would make the within-tie order, and therefore the
+    packing, depend on block arrival order)."""
     import ray.data as rd  # noqa: F401  (ds is already a Dataset)
 
     L = int(seq_len)
