@@ -767,16 +767,25 @@ def shuffled_export(ds, root: str | Path, key: str,
             "rows": int(stats["rows"].sum())}
 
 
-def read_shuffled(root: str | Path):
-    """Stream back a ``shuffled_export`` in global order (shards
-    ascending; rows within a shard already sorted by position). The
-    ``shard``/``pos`` columns are baked into the files at write time,
-    so this is ONE ordered parquet read — no per-shard plumbing."""
+def read_shuffled(root: str | Path, start_shard: int = 0):
+    """Stream back a ``shuffled_export``. The global shuffle order IS
+    the ``(shard, pos)`` columns baked into every row at write time —
+    rows within a file are stored in that order, but Ray's streaming
+    executor may deliver BLOCKS out of submission order (default
+    ``preserve_order=False``), so a consumer that needs strict arrival
+    order should either iterate the shard files one by one (each is
+    ``root/s=NNNNN/part.parquet``, internally ordered) or enable
+    ``DataContext.execution_options.preserve_order``. ``start_shard``
+    skips shards below it — the mid-epoch training resume knob (a
+    consumer checkpoint records its last finished shard)."""
     import ray.data as rd
 
     root = Path(root)
     files = sorted(str(m.parent / "part.parquet")
-                   for m in root.glob("s=*/_SUCCESS"))
+                   for m in root.glob("s=*/_SUCCESS")
+                   if int(m.parent.name.split("=")[1]) >= start_shard)
     if not files:
-        raise FileNotFoundError(f"no completed shards under {root}")
+        raise FileNotFoundError(
+            f"no completed shards under {root} at or past shard "
+            f"{start_shard}")
     return rd.read_parquet(files, partitioning=None)

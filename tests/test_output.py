@@ -303,8 +303,10 @@ def test_shuffled_export_global_order(tmp_path):
     st = shuffled_export(_shuf_ds(), tmp_path / "sh", key="doc_id",
                          n_shards=8)
     assert st["rows"] == 300 and st["written"] == 8
-    got = read_shuffled(tmp_path / "sh").to_pandas()
-    # read order == (shard asc, pos asc) == the deterministic hash order
+    # the global order CONTRACT is the (shard, pos) columns (block
+    # arrival order is not guaranteed under preserve_order=False)
+    got = read_shuffled(tmp_path / "sh").to_pandas() \
+        .sort_values(["shard", "pos"]).reset_index(drop=True)
     exp_ids, exp_shard = _expected_order(300, 8)
     assert got["doc_id"].to_numpy().tolist() == exp_ids.tolist()
     assert got["shard"].to_numpy().tolist() == exp_shard.tolist()
@@ -359,3 +361,17 @@ def test_shuffled_export_shard_count_guard(tmp_path):
     with _pytest.raises(ValueError, match="shard count"):
         shuffled_export(_shuf_ds(50), tmp_path / "sh", key="doc_id",
                         n_shards=8)
+
+
+def test_read_shuffled_start_shard_resume(tmp_path):
+    from chomper_ray.state.output import read_shuffled, shuffled_export
+
+    shuffled_export(_shuf_ds(200), tmp_path / "sh", key="doc_id",
+                    n_shards=4)
+    full = read_shuffled(tmp_path / "sh").to_pandas() \
+        .sort_values(["shard", "pos"]).reset_index(drop=True)
+    resumed = read_shuffled(tmp_path / "sh", start_shard=2).to_pandas() \
+        .sort_values(["shard", "pos"]).reset_index(drop=True)
+    assert set(resumed["shard"]) == {2, 3}
+    pd.testing.assert_frame_equal(
+        resumed, full[full["shard"] >= 2].reset_index(drop=True))
