@@ -758,6 +758,18 @@ def _q_pack_sequences(sf_dir: str):
         seq_len=128, num_partitions=8)
 
 
+def _q_pack_by_source(sf_dir: str):
+    # per-GROUP sequence packing (Dolma-style "pack each source
+    # separately"): every source gets its own dense example-id stream;
+    # same one-shuffle plan, per-(range, group) offsets on the driver —
+    # hash-verified against SUM() OVER (PARTITION BY ... ORDER BY ...).
+    from chomper_ray.stages.text import pack_sequences_by
+
+    return pack_sequences_by(
+        _read(sf_dir, "documents", columns=["doc_id", "text", "source"]),
+        seq_len=64, by="source", num_partitions=8)
+
+
 def _q_shuffled_shards(sf_dir: str):
     # deterministic global pseudo-shuffle export (the pre-training
     # "shuffle the corpus once" step): Knuth-hash shard + in-shard
@@ -2214,6 +2226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_sorted_scan": _q_cdc_sorted_scan,
         "cdc_zorder_box": _q_cdc_zorder_box,
         "pack_sequences": _q_pack_sequences,
+        "pack_by_source": _q_pack_by_source,
         "shuffled_shards": _q_shuffled_shards,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_secondary_lookup": _q_cdc_secondary_lookup,
@@ -2299,6 +2312,7 @@ def oracle_sql() -> dict[str, str]:
                                          sql_repetition_exprs,
                                          sql_url_exprs)
     from chomper_ray.stages.text import sql_chunk_query as _sql_chunk_query
+    from chomper_ray.stages.text import sql_pack_by_query as _sql_pack_by
     from chomper_ray.stages.text import sql_pack_query as _sql_pack_query
     from chomper_ray.stages.text import (sql_entropy_query, sql_regex_exprs,
                                          sql_string_exprs)
@@ -2449,6 +2463,7 @@ def oracle_sql() -> dict[str, str]:
             "AND fetch_status >= 200 AND fetch_status < 302"
         ),
         "pack_sequences": _sql_pack_query(128),
+        "pack_by_source": _sql_pack_by(64, by="source"),
         "cdc_secondary_lookup": (
             f"WITH ev AS (SELECT * FROM read_parquet("
             f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "

@@ -713,6 +713,141 @@ def pack_sequences(ds, seq_len: int, key: str = "doc_id",
     return tagged.groupby("_rb").map_groups(expand, batch_format="pandas")
 
 
+def pack_sequences_by(ds, seq_len: int, by: str, key: str = "doc_id",
+                      col: str = "text", num_partitions: int = 32,
+                      sample_per_block: int = 200):
+    """Per-GROUP ``pack_sequences`` (the Dolma-style "pack each source
+    separately" shape): every ``by`` group gets its own independent
+    example-id stream, ordered by ``key`` within the group. Output
+    adds the ``by`` column; ``example_id`` is dense per group.
+
+    Same ONE-shuffle plan as ``pack_sequences`` — ranges partition by
+    ``key``, a group's documents scatter across ranges, and the driver
+    folds per-(range, group) token totals into per-group exclusive
+    prefix offsets (driver bound: ranges × distinct groups tiny rows —
+    fine for sources/languages; use the ungrouped packer + a group
+    prefix key if groups number in the millions). SQL parity:
+    ``SUM(n) OVER (PARTITION BY by ORDER BY key)``."""
+    import ray.data as rd  # noqa: F401
+
+    L = int(seq_len)
+    if L <= 0:
+        raise ValueError("seq_len must be positive")
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            by: batch[by],
+            key: batch[key],
+            "n_tokens": batch[col].str.count(_TOKEN_RE)
+            .fillna(0).astype("int64")})
+
+    cts = ds.map_batches(counts, batch_format="pandas").materialize()
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[key]
+        if len(v) > sample_per_block:
+            idx = np.linspace(0, len(v) - 1,
+                              sample_per_block).astype(int)
+            v = v.iloc[idx]
+        return pd.DataFrame({key: v})
+
+    samp = cts.map_batches(sample, batch_format="pandas").to_pandas()
+    vals = np.sort(samp[key].to_numpy())
+    qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
+    bounds = np.unique(vals[(qs * (len(vals) - 1)).astype(int)]) \
+        if len(vals) else np.array([])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_rb"] = np.searchsorted(
+            bounds, df[key].to_numpy(), side="right").astype(np.int32) \
+            if len(bounds) else np.int32(0)
+        return df
+
+    tagged = cts.map_batches(tag, batch_format="pandas")
+    tot = tagged.map_batches(
+        lambda df: df.groupby(["_rb", by], as_index=False)
+        ["n_tokens"].sum(),
+        batch_format="pandas").to_pandas()  # ≤ blocks × ranges × groups
+    # per-(group) exclusive prefix over ranges
+    offsets: dict = {}
+    if len(tot):
+        tot = tot.groupby(["_rb", by])["n_tokens"].sum().reset_index()
+        for g, gdf in tot.groupby(by, sort=True):
+            gdf = gdf.sort_values("_rb")
+            run = 0
+            for _, r in gdf.iterrows():
+                offsets[(int(r["_rb"]), g)] = run
+                run += int(r["n_tokens"])
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        rb = int(g["_rb"].iloc[0])
+        gv = g[by].to_numpy()
+        kv = g[key].to_numpy()
+        order = np.lexsort((kv, gv))
+        gv, kv = gv[order], kv[order]
+        n = g["n_tokens"].to_numpy()[order]
+        c = np.cumsum(n)
+        # per-group cumsum within this range: subtract each group's
+        # running total at its first row
+        starts = np.flatnonzero(np.concatenate(
+            [[True], gv[1:] != gv[:-1]]))
+        sizes = np.diff(np.concatenate([starts, [len(gv)]]))
+        base_at_start = c[starts] - n[starts]
+        ce = c - np.repeat(base_at_start, sizes)
+        off = np.fromiter(
+            (offsets.get((rb, x), 0) for x in gv[starts]),
+            dtype=np.int64, count=len(starts))
+        ce = ce + np.repeat(off, sizes)
+        cs = ce - n
+        m = n > 0
+        gv, kv, n, cs, ce = gv[m], kv[m], n[m], cs[m], ce[m]
+        if not len(kv):
+            return pd.DataFrame({
+                by: pd.Series(dtype=g[by].dtype),
+                key: pd.Series(dtype=g[key].dtype),
+                "example_id": pd.Series(dtype="int64"),
+                "tok_lo": pd.Series(dtype="int64"),
+                "tok_hi": pd.Series(dtype="int64"),
+                "n_tokens": pd.Series(dtype="int64")})
+        e0 = cs // L
+        cnt = ((ce - 1) // L - e0 + 1).astype(np.int64)
+        rep = np.repeat(np.arange(len(kv)), cnt)
+        ri = np.arange(int(cnt.sum())) \
+            - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        eid = e0[rep] + ri
+        return pd.DataFrame({
+            by: gv[rep],
+            key: kv[rep],
+            "example_id": eid.astype("int64"),
+            "tok_lo": np.maximum(0, eid * L - cs[rep]).astype("int64"),
+            "tok_hi": np.minimum(n[rep],
+                                 (eid + 1) * L - cs[rep]).astype("int64"),
+            "n_tokens": n[rep].astype("int64")})
+
+    return tagged.groupby("_rb").map_groups(expand, batch_format="pandas")
+
+
+def sql_pack_by_query(seq_len: int, by: str, key: str = "doc_id",
+                      col: str = "text",
+                      table: str = "documents") -> str:
+    """DuckDB rendering of ``pack_sequences_by`` over ``table``."""
+    return (
+        f"WITH t AS (SELECT {by}, {key}, len(regexp_extract_all("
+        f"coalesce({col}, ''), '\\S+'))::BIGINT AS n FROM {table}), "
+        f"c AS (SELECT {by}, {key}, n, SUM(n) OVER ("
+        f"PARTITION BY {by} ORDER BY {key}) AS ce FROM t), "
+        f"s AS (SELECT {by}, {key}, n, (ce - n)::BIGINT AS cs, "
+        "ce::BIGINT AS ce FROM c WHERE n > 0) "
+        f"SELECT s.{by}, s.{key}, g.eid::BIGINT AS example_id, "
+        f"GREATEST(0, g.eid*{seq_len} - s.cs)::BIGINT AS tok_lo, "
+        f"LEAST(s.n, (g.eid+1)*{seq_len} - s.cs)::BIGINT AS tok_hi, "
+        "s.n AS n_tokens "
+        "FROM s, LATERAL (SELECT unnest(generate_series("
+        f"s.cs // {seq_len}, (s.ce - 1) // {seq_len})) AS eid) g"
+    )
+
+
 def sql_pack_query(seq_len: int, key: str = "doc_id", col: str = "text",
                    table: str = "documents") -> str:
     """DuckDB rendering of ``pack_sequences`` over ``table``."""

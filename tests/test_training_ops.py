@@ -1078,3 +1078,46 @@ def test_pack_sequences_partitioning_invariant():
     a = run(3, 2)
     b = run(11, 7)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pack_sequences_by_group_streams():
+    rng = np.random.default_rng(13)
+    groups = ["a", "b", "c"]
+    texts, srcs = [], []
+    for k in rng.integers(0, 40, size=90):
+        texts.append(" ".join(f"w{j}" for j in range(int(k))))
+        srcs.append(groups[int(rng.integers(0, 3))])
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts), "source": pa.array(srcs),
+    })).repartition(5)
+    L = 16
+    got = text.pack_sequences_by(ds, seq_len=L, by="source",
+                                 num_partitions=4).to_pandas()
+    # per group: identical to running the ungrouped oracle on just
+    # that group's docs
+    for g in groups:
+        sub = [t if s == g else None for t, s in zip(texts, srcs)]
+        sel = [(i, t) for i, (t, s) in enumerate(zip(texts, srcs))
+               if s == g]
+        exp = pack_oracle([t for _, t in sel], L)
+        if len(exp):
+            exp["doc_id"] = exp["doc_id"].map(
+                {j: i for j, (i, _) in enumerate(sel)})
+        gg = got[got["source"] == g].sort_values(
+            ["doc_id", "example_id"]).reset_index(drop=True)
+        exp = exp.sort_values(["doc_id", "example_id"]) \
+            .reset_index(drop=True) if len(exp) else exp
+        assert len(gg) == len(exp)
+        if len(exp):
+            pd.testing.assert_frame_equal(
+                gg[["doc_id", "example_id", "tok_lo", "tok_hi",
+                    "n_tokens"]], exp)
+    # partitioning invariance
+    b = text.pack_sequences_by(ds.repartition(11), seq_len=L,
+                               by="source", num_partitions=7) \
+        .to_pandas().sort_values(["source", "doc_id", "example_id"]) \
+        .reset_index(drop=True)
+    a = got.sort_values(["source", "doc_id", "example_id"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
