@@ -1716,6 +1716,42 @@ def _q_cdc_index_tokens(sf_dir: str):
     return out.rename(columns={"doc": "url"})[["token", "url", "tf", "dl"]]
 
 
+_ENVELOPE_ORACLE_LOG = "/tmp/chomper_ray_envelope_oracle"
+_ENVELOPE_ORACLE_PARAMS = dict(n_events=8_000, n_urls=1_200, n_epochs=3,
+                               seed=77, evolution_epoch=2)
+
+
+def _ensure_envelope_oracle_log():
+    """Deterministic Debezium-style JSONL envelope log whose Parquet
+    twin (written under ``_source`` by the same generator) is the SQL
+    oracle's input — identical events by construction, so the engine's
+    run over the JSON envelopes must hash-equal DuckDB's LWW replay of
+    the Parquet twin."""
+    from chomper_ray.sources.envelopes import generate_envelope_log
+
+    return generate_envelope_log(_ENVELOPE_ORACLE_LOG,
+                                 with_expected_text=True,
+                                 **_ENVELOPE_ORACLE_PARAMS)
+
+
+def _q_cdc_envelope_pages(sf_dir: str):
+    # CDC over a Debezium-style envelope bus: JSONL op/before/after
+    # envelopes (base64 binary payloads, epoch-us ints, per-epoch
+    # _schema.json registry sidecar) normalized by Arrow kernels into
+    # the SAME commit path as the Parquet flagship — extraction, LWW
+    # merge, int32→int64 evolution, exactly-once manifests all shared.
+    # Hash-verified against a DuckDB LWW replay of the log's Parquet
+    # twin, pinning JSON encode→decode→normalize as lossless.
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.sources import envelopes
+    from chomper_ray.state.lake import LakeTable
+
+    log = _ensure_envelope_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_env_")
+    run_cdc(log, lake_root, num_partitions=8, source=envelopes)
+    return LakeTable(lake_root, num_partitions=8).read()
+
+
 _ANN_ORACLE_LOG = "/tmp/chomper_ray_ann_oracle"
 
 
@@ -2229,6 +2265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_by_source": _q_pack_by_source,
         "shuffled_shards": _q_shuffled_shards,
         "cdc_time_travel": _q_cdc_time_travel,
+        "cdc_envelope_pages": _q_cdc_envelope_pages,
         "cdc_secondary_lookup": _q_cdc_secondary_lookup,
         "cdc_bucket_join_live": _q_cdc_bucket_join_live,
         # rows-only by design (no SQL oracle)
@@ -2325,7 +2362,24 @@ def oracle_sql() -> dict[str, str]:
     # generated eagerly so the oracle's read_parquet paths exist even if
     # the driver evaluates the SQL before running the Ray query
     cdc_log = _ensure_cdc_oracle_log()
+    env_src = f"{_ensure_envelope_oracle_log()}/_source"
     return {
+        # the envelope run must equal the LWW replay of the log's
+        # Parquet twin — same query family as cdc_upsert_pages, over
+        # the envelope generator's _source directory
+        "cdc_envelope_pages": (
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{env_src}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            f"sidecar AS (SELECT * FROM read_parquet("
+            f"'{env_src}/_oracle/*.parquet')) "
+            "SELECT w.url, w.warc_ts, w.lang, "
+            "CAST(w.fetch_status AS BIGINT) AS fetch_status, "
+            "s.text AS text, w.extra_score "
+            "FROM win w JOIN sidecar s USING (seq)"
+        ),
         "cdc_upsert_pages": (
             f"WITH ev AS (SELECT * FROM read_parquet("
             f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "

@@ -40,6 +40,10 @@ def main(argv=None):
     g.add_argument("--n-epochs", type=int, default=4)
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--evolution-epoch", type=int, default=None)
+    g.add_argument("--format", choices=["parquet", "envelope"],
+                   default="parquet",
+                   help="parquet binlog segments (default) or "
+                        "Debezium-style JSONL envelopes")
 
     r = sub.add_parser("run-cdc", help="binlog-tail → lake-upsert from checkpoint")
     r.add_argument("--log-dir", required=True)
@@ -52,6 +56,10 @@ def main(argv=None):
     r.add_argument("--staging-root", default=None,
                    help="fast transient storage for shuffle staging files "
                         "(e.g. local NVMe / tmpfs); default: under lake root")
+    r.add_argument("--source", choices=["parquet", "envelope"],
+                   default="parquet",
+                   help="log format: parquet binlog (default) or "
+                        "Debezium-style JSONL envelopes")
     r.add_argument("--drain", action="store_true",
                    help="stage all pending epochs in one parallel pass "
                         "(backlog catch-up mode)")
@@ -101,13 +109,18 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
-        from chomper_ray.sources.events import generate_change_stream
+        params = dict(n_events=args.n_events, n_urls=args.n_urls,
+                      n_epochs=args.n_epochs, seed=args.seed,
+                      evolution_epoch=args.evolution_epoch)
+        if args.format == "envelope":
+            from chomper_ray.sources.envelopes import generate_envelope_log
 
-        out = generate_change_stream(
-            args.out_dir, n_events=args.n_events, n_urls=args.n_urls,
-            n_epochs=args.n_epochs, seed=args.seed,
-            evolution_epoch=args.evolution_epoch)
-        print(json.dumps({"log_dir": str(out)}))
+            out = generate_envelope_log(args.out_dir, **params)
+        else:
+            from chomper_ray.sources.events import generate_change_stream
+
+            out = generate_change_stream(args.out_dir, **params)
+        print(json.dumps({"log_dir": str(out), "format": args.format}))
         return 0
 
     if args.cmd == "run-cdc":
@@ -120,6 +133,10 @@ def main(argv=None):
         fn = tail_cdc if args.tail else run_cdc
         extra = {} if args.tail else {"max_epochs": args.max_epochs,
                                       "drain": args.drain}
+        if args.source == "envelope":
+            from chomper_ray.sources import envelopes
+
+            extra["source"] = envelopes
         res = fn(args.log_dir, args.lake_root,
                  num_partitions=args.num_partitions,
                  lake_kwargs=lake_kwargs, **extra)

@@ -75,6 +75,18 @@ class CdcRunResult:
     commits: list[CommitResult] = field(default_factory=list)
 
 
+def _epoch_rows(source, files: list[str]) -> int:
+    """Raw event count for an epoch's segment files — a ``source`` module
+    may expose ``epoch_rows`` (e.g. JSONL line counting); the default is
+    Parquet footer metadata (no data read)."""
+    import pyarrow.parquet as pq
+
+    fn = getattr(source, "epoch_rows", None)
+    if fn is not None:
+        return int(fn(files))
+    return sum(pq.read_metadata(f).num_rows for f in files)
+
+
 def run_cdc(
     log_dir: str | Path,
     lake_root: str | Path,
@@ -85,6 +97,7 @@ def run_cdc(
     max_epochs: int | None = None,
     lake_kwargs: dict | None = None,
     drain: bool = False,
+    source=None,
 ) -> CdcRunResult:
     """Tail the change log from the lake's checkpoint cursor to the log
     head, committing one epoch at a time. Idempotent + resumable.
@@ -93,16 +106,22 @@ def run_cdc(
     regexes) is module-level, so an actor pool would only add per-epoch
     actor startup latency. Pass ``extract_concurrency`` to force an actor
     pool (the shape a model-loading extractor needs).
-    """
-    import pyarrow.parquet as pq
 
+    ``source`` is the log-format adapter: any module-like object with
+    ``list_epochs / epoch_files / epoch_schema / read_epoch`` (and
+    optionally ``epoch_rows``). Default is the Parquet binlog
+    (``sources.events``); ``sources.envelopes`` reads Debezium-style
+    JSONL envelopes through the identical commit path.
+    """
     t0 = time.perf_counter()
+    source = source if source is not None else ev
     lake = LakeTable(lake_root, num_partitions=num_partitions,
                      **(lake_kwargs or {}))
     # the BINLOG cursor, not the manifest-chain head: maintenance commits
     # (purge/compact between polls) advance the chain but not the cursor
     last = lake.last_applied_log_epoch()
-    pending = [e for e in ev.list_epochs(log_dir) if last is None or e > last]
+    pending = [e for e in source.list_epochs(log_dir)
+               if last is None or e > last]
     if max_epochs is not None:
         pending = pending[:max_epochs]
 
@@ -111,12 +130,12 @@ def run_cdc(
 
     if drain and len(pending) > 1:
         return _run_cdc_drain(log_dir, lake, pending, extract,
-                              extract_batch_size, res, t0)
+                              extract_batch_size, res, t0, source)
 
     for epoch in pending:
-        files = ev.epoch_files(log_dir, epoch)
-        n_raw = sum(pq.read_metadata(f).num_rows for f in files)
-        ds = ev.read_epoch(log_dir, epoch)
+        files = source.epoch_files(log_dir, epoch)
+        n_raw = _epoch_rows(source, files)
+        ds = source.read_epoch(log_dir, epoch)
         # whole blocks as batches (batch_size=None): re-slicing Arrow blocks
         # into fixed-size batches measurably costs more than it buys for
         # binary-payload rows; granularity is controlled by segment file
@@ -131,7 +150,8 @@ def run_cdc(
             ds = ds.map_batches(extract, **kwargs)
         # resolve the post-transform schema WITHOUT executing the pipeline:
         # apply the transform to an empty batch of the segment schema
-        schema_hint = extract(ev.epoch_schema(log_dir, epoch).empty_table()).schema
+        schema_hint = extract(
+            source.epoch_schema(log_dir, epoch).empty_table()).schema
         commit = lake.commit_epoch(ds, epoch, schema_hint=schema_hint)
         res.commits.append(commit)
         if commit.skipped:
@@ -143,7 +163,8 @@ def run_cdc(
     return res
 
 
-def _run_cdc_drain(log_dir, lake, pending, extract, batch_size, res, t0):
+def _run_cdc_drain(log_dir, lake, pending, extract, batch_size, res, t0,
+                   source=ev):
     """Backlog-drain mode: when the tail has fallen behind by several
     epochs, stage ALL pending epochs in ONE parallel pass (one Dataset
     over every pending segment file — no per-epoch barrier), then merge +
@@ -157,7 +178,6 @@ def _run_cdc_drain(log_dir, lake, pending, extract, batch_size, res, t0):
     """
     import time as _time
 
-    import pyarrow.parquet as pq
     import ray.data as rd
 
     # resolve each pending epoch's target schema by chaining the registry
@@ -165,17 +185,21 @@ def _run_cdc_drain(log_dir, lake, pending, extract, batch_size, res, t0):
     targets: dict[int, object] = {}
     n_raw: dict[int, int] = {}
     for e in pending:
-        seg_schema = ev.epoch_schema(log_dir, e)
+        seg_schema = source.epoch_schema(log_dir, e)
         transformed = extract(seg_schema.empty_table()).schema
         base = lake.resolve_target_schema(transformed, base)
         targets[e] = base
-        n_raw[e] = sum(pq.read_metadata(f).num_rows
-                       for f in ev.epoch_files(log_dir, e))
+        n_raw[e] = _epoch_rows(source, source.epoch_files(log_dir, e))
         lake.wipe_staging(e)
 
     # ONE staging pass over all pending epochs' files
-    all_files = [f for e in pending for f in ev.epoch_files(log_dir, e)]
-    ds = rd.read_parquet(all_files, partitioning=None)
+    if source is ev:
+        all_files = [f for e in pending for f in ev.epoch_files(log_dir, e)]
+        ds = rd.read_parquet(all_files, partitioning=None)
+    else:
+        ds = source.read_epoch(log_dir, pending[0])
+        for e in pending[1:]:
+            ds = ds.union(source.read_epoch(log_dir, e))
     kwargs = dict(batch_format="pyarrow")
     if batch_size:
         kwargs["batch_size"] = batch_size

@@ -129,3 +129,38 @@ def test_cli_compact_and_purge(tmp_path):
     assert r["removed_files"] >= 1
     st = cli("status", "--lake-root", str(lake))
     assert st["live_rows"] > 0  # table still readable after GC
+
+
+def test_cli_envelope_source(tmp_path):
+    # generate --format envelope writes JSONL + registry sidecars; the
+    # parquet twin under _source must replay to the same snapshot hash
+    import os
+
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+
+    def cli(*args, timeout=300):
+        out = subprocess.run([sys.executable, "-m", "chomper_ray.cli",
+                              *args], capture_output=True, text=True,
+                             env=env, check=True, timeout=timeout)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    log = tmp_path / "envlog"
+    r = cli("generate", "--out-dir", str(log), "--n-events", "500",
+            "--n-urls", "120", "--n-epochs", "2", "--format", "envelope")
+    assert r["format"] == "envelope"
+    assert (log / "epoch=000000" / "_schema.json").exists()
+
+    r = cli("run-cdc", "--log-dir", str(log), "--lake-root",
+            str(tmp_path / "lake_env"), "--num-partitions", "2",
+            "--source", "envelope")
+    assert r["epochs_run"] == [0, 1] and r["events_applied"] == 500
+    r = cli("run-cdc", "--log-dir", str(log / "_source"), "--lake-root",
+            str(tmp_path / "lake_pq"), "--num-partitions", "2")
+    assert r["epochs_run"] == [0, 1]
+
+    from chomper_ray.state.lake import LakeTable
+
+    assert (LakeTable(tmp_path / "lake_env", num_partitions=2)
+            .snapshot_hash() ==
+            LakeTable(tmp_path / "lake_pq", num_partitions=2)
+            .snapshot_hash())
