@@ -1716,6 +1716,41 @@ def _q_cdc_index_tokens(sf_dir: str):
     return out.rename(columns={"doc": "url"})[["token", "url", "tf", "dl"]]
 
 
+def _q_cdc_backfill_tokens(sf_dir: str):
+    # versioned backfill: reprocess lake HISTORY through a new transform
+    # version (null-safe token count) a bounded number of partitions per
+    # exactly-once maintenance commit (state/backfill.py LakeBackfill) —
+    # 8 partitions land as 3 chunk commits, resumable from the manifest
+    # chain alone, binlog cursor untouched. Hash-verified against the
+    # DuckDB LWW replay with the same token expression — the chunked
+    # in-place rewrite must equal a from-scratch recompute.
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.state.backfill import LakeBackfill
+    from chomper_ray.state.lake import LakeTable
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_bf_")
+    run_cdc(log, lake_root, num_partitions=8)
+    lake = LakeTable(lake_root, num_partitions=8)
+
+    def enrich(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        n = pc.list_value_length(
+            pc.split_pattern(txt, " ")).cast(pa.int64())
+        if "n_tokens" in t.column_names:
+            return t.set_column(t.schema.get_field_index("n_tokens"),
+                                "n_tokens", n)
+        return t.append_column("n_tokens", n)
+
+    chunks = LakeBackfill(lake, "tokens-v1", enrich).run(
+        max_partitions_per_commit=3)
+    assert [c.partitions_touched for c in chunks] == [3, 3, 2]
+    return lake.read(columns=["url", "warc_ts", "n_tokens"])
+
+
 _ENVELOPE_ORACLE_LOG = "/tmp/chomper_ray_envelope_oracle"
 _ENVELOPE_ORACLE_PARAMS = dict(n_events=8_000, n_urls=1_200, n_epochs=3,
                                seed=77, evolution_epoch=2)
@@ -2266,6 +2301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffled_shards": _q_shuffled_shards,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_envelope_pages": _q_cdc_envelope_pages,
+        "cdc_backfill_tokens": _q_cdc_backfill_tokens,
         "cdc_secondary_lookup": _q_cdc_secondary_lookup,
         "cdc_bucket_join_live": _q_cdc_bucket_join_live,
         # rows-only by design (no SQL oracle)
@@ -2364,6 +2400,21 @@ def oracle_sql() -> dict[str, str]:
     cdc_log = _ensure_cdc_oracle_log()
     env_src = f"{_ensure_envelope_oracle_log()}/_source"
     return {
+        # chunked in-place backfill must equal a from-scratch recompute
+        # of the same LWW state
+        "cdc_backfill_tokens": (
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            f"sidecar AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/_oracle/*.parquet')) "
+            "SELECT w.url, w.warc_ts, "
+            "CAST(len(string_split(coalesce(s.text, ''), ' ')) AS BIGINT) "
+            "AS n_tokens "
+            "FROM win w JOIN sidecar s USING (seq)"
+        ),
         # the envelope run must equal the LWW replay of the log's
         # Parquet twin — same query family as cdc_upsert_pages, over
         # the envelope generator's _source directory

@@ -98,6 +98,20 @@ def main(argv=None):
                     help="fold all live segments into one full segment "
                          "after applying (restores the no-resolve scan)")
 
+    bf = sub.add_parser(
+        "backfill",
+        help="chunked in-place reprocess of lake history through a "
+             "registered transform; resumable by --id")
+    bf.add_argument("--lake-root", required=True)
+    bf.add_argument("--id", required=True, dest="backfill_id",
+                    help="backfill version id (resume key)")
+    bf.add_argument("--transform", choices=["token-count"],
+                    default="token-count")
+    bf.add_argument("--max-partitions", type=int, default=None,
+                    help="partitions per chunk commit (default: all)")
+    bf.add_argument("--max-chunks", type=int, default=None,
+                    help="chunk commits this invocation (resume later)")
+
     pg = sub.add_parser("purge", help="drop tombstones older than a watermark")
     pg.add_argument("--lake-root", required=True)
     pg.add_argument("--epoch", type=int, default=None,
@@ -233,6 +247,43 @@ def main(argv=None):
             "rows": st["rows"], "files": st["files"],
             "skipped": res["skipped"], "compacted": compacted,
         }))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "backfill":
+        _ray_init()
+        from chomper_ray.state.backfill import LakeBackfill
+        from chomper_ray.state.lake import LakeTable
+
+        def _token_count():
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            def enrich(t):
+                txt = pc.fill_null(t["text"], "")
+                n = pc.list_value_length(
+                    pc.split_pattern(txt, " ")).cast(pa.int64())
+                if "n_tokens" in t.column_names:
+                    return t.set_column(
+                        t.schema.get_field_index("n_tokens"),
+                        "n_tokens", n)
+                return t.append_column("n_tokens", n)
+            return enrich
+
+        transforms = {"token-count": _token_count}
+        bf = LakeBackfill(LakeTable(args.lake_root), args.backfill_id,
+                          transforms[args.transform]())
+        chunks = []
+        while args.max_chunks is None or len(chunks) < args.max_chunks:
+            res = bf.run_chunk(args.max_partitions)
+            if res.skipped:
+                break
+            chunks.append({"epoch": res.epoch,
+                           "partitions": res.partitions_touched})
+        print(json.dumps({"id": args.backfill_id, "chunks": chunks,
+                          "pending_after": bf.pending()}))
         import ray
 
         ray.shutdown()

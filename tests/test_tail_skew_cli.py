@@ -164,3 +164,36 @@ def test_cli_envelope_source(tmp_path):
             .snapshot_hash() ==
             LakeTable(tmp_path / "lake_pq", num_partitions=2)
             .snapshot_hash())
+
+
+def test_cli_backfill_chunks_and_resume(tmp_path):
+    import os
+
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+
+    def cli(*args, timeout=300):
+        out = subprocess.run([sys.executable, "-m", "chomper_ray.cli",
+                              *args], capture_output=True, text=True,
+                             env=env, check=True, timeout=timeout)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    log, lake = tmp_path / "log", tmp_path / "lake"
+    cli("generate", "--out-dir", str(log), "--n-events", "600",
+        "--n-urls", "150", "--n-epochs", "2")
+    cli("run-cdc", "--log-dir", str(log), "--lake-root", str(lake),
+        "--num-partitions", "4", "--drain")
+
+    r = cli("backfill", "--lake-root", str(lake), "--id", "tok-v1",
+            "--max-partitions", "2", "--max-chunks", "1")
+    assert len(r["chunks"]) == 1 and r["pending_after"] == [2, 3]
+    r = cli("backfill", "--lake-root", str(lake), "--id", "tok-v1",
+            "--max-partitions", "2")
+    assert r["pending_after"] == []
+    r = cli("backfill", "--lake-root", str(lake), "--id", "tok-v1")
+    assert r["chunks"] == []  # idempotent
+
+    st = cli("status", "--lake-root", str(lake))
+    assert "n_tokens" in [c["name"] for c in st["schema"]]
+    # maintenance commits moved the chain head, never the cursor
+    assert st["last_applied_log_epoch"] == 1
+    assert st["last_committed_epoch"] > 1
