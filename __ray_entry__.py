@@ -1751,6 +1751,58 @@ def _q_cdc_backfill_tokens(sf_dir: str):
     return lake.read(columns=["url", "warc_ts", "n_tokens"])
 
 
+_MULTI_ORACLE_LOG = "/tmp/chomper_ray_multi_oracle"
+_MULTI_ORACLE_PARAMS = dict(n_events=10_000, n_urls=1_500, n_links=2_000,
+                            n_epochs=3, seed=31)
+# lakes path keyed by the params so a stale lake from an older
+# parameterization can never satisfy the exactly-once skip
+_MULTI_ORACLE_LAKES = ("/tmp/chomper_ray_multi_oracle_lakes_"
+                       + "_".join(str(v) for v in
+                                  _MULTI_ORACLE_PARAMS.values()))
+
+
+def _ensure_multi_log():
+    """Log generation alone (no Ray): oracle_sql() needs the parquet
+    paths to exist even if the driver evaluates SQL first."""
+    from chomper_ray.sources.events import generate_multi_stream
+
+    return generate_multi_stream(_MULTI_ORACLE_LOG, **_MULTI_ORACLE_PARAMS)
+
+
+def _ensure_multi_oracle():
+    """One multi-table run shared by the pages and links queries —
+    re-entry is a no-op via the per-table exactly-once cursors, so
+    whichever query the driver runs first pays the (one) stream read."""
+    from chomper_ray.pipelines.multi import run_cdc_multi
+
+    log = _ensure_multi_log()
+    run_cdc_multi(log, _MULTI_ORACLE_LAKES, num_partitions=8)
+    return log
+
+
+def _q_cdc_multi_pages(sf_dir: str):
+    # multi-table routing: ONE read pass over a WAL-style stream
+    # interleaving two tables' events fans out to independent
+    # exactly-once lakes (pipelines/multi.py) — this is the pages half,
+    # hash-verified against a per-table DuckDB LWW replay of the same
+    # stream.
+    from chomper_ray.state.lake import LakeTable
+
+    _ensure_multi_oracle()
+    return LakeTable(f"{_MULTI_ORACLE_LAKES}/pages", key="url",
+                     num_partitions=8).read()
+
+
+def _q_cdc_multi_links(sf_dir: str):
+    # the links half of the same single-pass multi-table run: different
+    # key column (link_id), same stream, independent cursor/manifests.
+    from chomper_ray.state.lake import LakeTable
+
+    _ensure_multi_oracle()
+    return LakeTable(f"{_MULTI_ORACLE_LAKES}/links", key="link_id",
+                     num_partitions=8).read()
+
+
 _ENVELOPE_ORACLE_LOG = "/tmp/chomper_ray_envelope_oracle"
 _ENVELOPE_ORACLE_PARAMS = dict(n_events=8_000, n_urls=1_200, n_epochs=3,
                                seed=77, evolution_epoch=2)
@@ -2302,6 +2354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_envelope_pages": _q_cdc_envelope_pages,
         "cdc_backfill_tokens": _q_cdc_backfill_tokens,
+        "cdc_multi_pages": _q_cdc_multi_pages,
+        "cdc_multi_links": _q_cdc_multi_links,
         "cdc_secondary_lookup": _q_cdc_secondary_lookup,
         "cdc_bucket_join_live": _q_cdc_bucket_join_live,
         # rows-only by design (no SQL oracle)
@@ -2414,6 +2468,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(string_split(coalesce(s.text, ''), ' ')) AS BIGINT) "
             "AS n_tokens "
             "FROM win w JOIN sidecar s USING (seq)"
+        ),
+        # per-table LWW replay of the SAME interleaved multi-table
+        # stream the engine fanned out in one pass
+        "cdc_multi_pages": (
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{_ensure_multi_log()}/epoch=*/part-*.parquet')), "
+            "t AS (SELECT * FROM ev WHERE tbl = 'pages'), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM t) WHERE rn = 1 AND op <> 'delete') "
+            "SELECT url, warc_ts, title, lang, fetch_status FROM win"
+        ),
+        "cdc_multi_links": (
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{_ensure_multi_log()}/epoch=*/part-*.parquet')), "
+            "t AS (SELECT * FROM ev WHERE tbl = 'links'), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY link_id ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM t) WHERE rn = 1 AND op <> 'delete') "
+            "SELECT link_id, warc_ts, src_url, dst_url, rel FROM win"
         ),
         # the envelope run must equal the LWW replay of the log's
         # Parquet twin — same query family as cdc_upsert_pages, over

@@ -188,6 +188,132 @@ def generate_change_stream(
     return out
 
 
+def generate_multi_stream(
+    out_dir: str | Path,
+    n_events: int = 8_000,
+    n_urls: int = 1_000,
+    n_links: int = 1_500,
+    n_epochs: int = 3,
+    seed: int = 42,
+    delete_frac: float = 0.05,
+    ooo_frac: float = 0.1,
+    pages_frac: float = 0.6,
+    rows_per_file: int = 50_000,
+    force: bool = False,
+) -> Path:
+    """Deterministic MULTI-TABLE change log: one binlog stream carrying
+    interleaved events for two tables — ``pages`` (keyed ``url``) and
+    ``links`` (keyed ``link_id``) — the shape a database WAL or a
+    single CDC bus topic-set has. Segments hold the UNION schema with a
+    ``tbl`` discriminator column and nulls for the other table's
+    columns; a ``_tables.json`` catalog at the log root records each
+    table's key and payload columns (what a schema registry would).
+
+    No binary payloads here — the routing/exactly-once machinery is the
+    point, and SQL-expressible payloads let the oracle replay both
+    tables end to end.
+    """
+    import json
+
+    out = Path(out_dir)
+    stamp = (f"multi,{n_events},{n_urls},{n_links},{n_epochs},{seed},"
+             f"{delete_frac},{ooo_frac},{pages_frac},{rows_per_file}")
+    done = out / "_COMPLETE"
+    if done.exists() and not force and done.read_text() == stamp:
+        return out
+    out.mkdir(parents=True, exist_ok=True)
+
+    rng = np.random.default_rng(seed)
+    seq = np.arange(n_events, dtype=np.int64)
+    is_pages = rng.random(n_events) < pages_frac
+    tbl = np.where(is_pages, "pages", "links")
+    ts = _BASE_TS_US + seq * 1_000_000 + rng.integers(0, 500_000, n_events)
+    ooo = rng.random(n_events) < ooo_frac
+    ts[ooo] -= rng.integers(1, 3600, ooo.sum()) * 1_000_000
+    epoch = (seq * n_epochs) // n_events
+
+    # per-table key choice + first-touch insert semantics
+    url_idx = rng.integers(0, n_urls, n_events)
+    link_idx = rng.integers(0, n_links, n_events)
+    is_del = rng.random(n_events) < delete_frac
+    seen: dict[tuple[str, int], bool] = {}
+    ops = np.empty(n_events, dtype=object)
+    for i in range(n_events):  # tiny, generation-only
+        k = ("p", int(url_idx[i])) if is_pages[i] else \
+            ("l", int(link_idx[i]))
+        if is_del[i] and k in seen:
+            ops[i] = "delete"
+        elif k in seen:
+            ops[i] = "update"
+        else:
+            ops[i] = "insert"
+            seen[k] = True
+
+    domains = np.array(_DOMAINS_POOL)[url_idx % len(_DOMAINS_POOL)]
+    urls = np.char.add(
+        np.char.add("https://", domains.astype(str)),
+        np.array([f"/page/{i}" for i in url_idx]))
+    titles = np.array([f"Title {i} rev {s % 7}"
+                       for i, s in zip(url_idx, seq)])
+    langs = _LANGS[url_idx % len(_LANGS)]
+    status_pool = np.array([200, 200, 200, 301, 404])
+    fetch_status = status_pool[rng.integers(0, len(status_pool), n_events)]
+    src_urls = np.char.add("https://", np.array(
+        [f"{_DOMAINS_POOL[i % len(_DOMAINS_POOL)]}/page/{i % n_urls}"
+         for i in link_idx]))
+    dst_urls = np.char.add("https://", np.array(
+        [f"{_DOMAINS_POOL[(i * 7 + 3) % len(_DOMAINS_POOL)]}"
+         f"/page/{(i * 13 + 5) % n_urls}" for i in link_idx]))
+    rels = np.array(["follow", "nofollow", "canonical"])[link_idx % 3]
+
+    def col(vals, mask, typ):
+        return pa.array([v if m else None for v, m in zip(vals, mask)],
+                        type=typ)
+
+    for e in range(n_epochs):
+        sel = np.nonzero(epoch == e)[0]
+        edir = out / (_EPOCH_FMT % e)
+        edir.mkdir(parents=True, exist_ok=True)
+        for fi, lo in enumerate(range(0, len(sel), rows_per_file)):
+            idx = sel[lo:lo + rows_per_file]
+            pm = is_pages[idx]
+            lm = ~pm
+            t = pa.table({
+                "op": pa.array([ops[i] for i in idx], type=pa.string()),
+                "epoch": pa.array(epoch[idx], type=pa.int64()),
+                "seq": pa.array(seq[idx], type=pa.int64()),
+                "tbl": pa.array([tbl[i] for i in idx], type=pa.string()),
+                "warc_ts": pa.array(ts[idx], type=pa.timestamp("us")),
+                "url": col(urls[idx], pm, pa.string()),
+                "title": col(titles[idx], pm, pa.string()),
+                "lang": col(langs[idx], pm, pa.string()),
+                "fetch_status": col(fetch_status[idx], pm, pa.int64()),
+                "link_id": col(link_idx[idx], lm, pa.int64()),
+                "src_url": col(src_urls[idx], lm, pa.string()),
+                "dst_url": col(dst_urls[idx], lm, pa.string()),
+                "rel": col(rels[idx], lm, pa.string()),
+            })
+            tmp = edir / f".part-{fi:04d}.{uuid.uuid4().hex[:8]}.parquet.tmp"
+            pq.write_table(t, tmp)
+            os.replace(tmp, edir / f"part-{fi:04d}.parquet")
+
+    catalog = {
+        "pages": {"key": "url",
+                  "columns": ["url", "warc_ts", "title", "lang",
+                              "fetch_status"]},
+        "links": {"key": "link_id",
+                  "columns": ["link_id", "warc_ts", "src_url", "dst_url",
+                              "rel"]},
+    }
+    tmp = out / f"._tables.{uuid.uuid4().hex[:8]}.tmp"
+    tmp.write_text(json.dumps(catalog))
+    os.replace(tmp, out / "_tables.json")
+    tmp = out / f"._COMPLETE.{uuid.uuid4().hex[:8]}.tmp"
+    tmp.write_text(stamp)
+    os.replace(tmp, done)
+    return out
+
+
 def list_epochs(log_dir: str | Path) -> list[int]:
     out = []
     for p in Path(log_dir).iterdir():
