@@ -230,11 +230,25 @@ class LakeBackfill:
 
         partitions = dict(prev_parts)
         out_files: dict[str, str] = {}
+        lineage = []
         for r in stats.itertuples(index=False):
             partitions[str(r.pid)] = {"file": r.file, "rows": int(r.rows),
                                       "live_rows": int(r.live),
                                       "hash": r.hash}
             out_files[str(r.pid)] = r.file
+            # REAL lineage rows, not [] like purge: a backfill changes
+            # LIVE row values, so derived structures (matview / index /
+            # clustered layouts) must see these partitions as touched —
+            # their per-commit old-vs-new file diff then folds the value
+            # changes exactly (purge's zero-delta shortcut would leave
+            # them silently stale here)
+            lineage.append({
+                "partition_id": int(r.pid), "epoch": epoch,
+                "events_in": 0, "rows": int(r.rows),
+                "live_rows": int(r.live), "deleted_rows": 0,
+                "change_events": 0, "changes_file": None,
+                "backfill": self.backfill_id, "wall_s": 0.0,
+            })
         manifest = {
             "epoch": epoch, "key": lake.key,
             # maintenance: the binlog cursor passes through untouched
@@ -244,7 +258,7 @@ class LakeBackfill:
             "schema": target_json,
             "commit_ts_us": 1_600_000_000_000_000 + epoch * 1_000_000,
             "partitions": partitions,
-            "lineage": [],
+            "lineage": lineage,
             "backfill": {"id": self.backfill_id, "out_files": out_files,
                          "pids": [int(p) for p in todo]},
             "wall_s": round(time.perf_counter() - t0, 4),

@@ -167,7 +167,6 @@ def test_contract_violations_raise(log, tmp_path):
 def test_rewrite_only_transform_keeps_schema(log, tmp_path):
     # backfill that rewrites an existing column (no schema change)
     lake = _fresh_lake(log, tmp_path / "l")
-    before = pa.schema([(f["name"], f["type"]) for f in []])  # noqa: F841
 
     def upper_lang(t):
         u = pc.utf8_upper(pc.fill_null(t["lang"], ""))
@@ -178,3 +177,52 @@ def test_rewrite_only_transform_keeps_schema(log, tmp_path):
     assert (df["lang"].fillna("") ==
             df["lang"].fillna("").str.upper()).all()
     assert "n_tokens" not in df.columns
+
+
+def test_derived_structures_track_backfill_commits(log, tmp_path):
+    # a backfill changes LIVE values, so its manifests carry REAL
+    # lineage rows — matview and inverted index must fold the value
+    # changes instead of treating it like purge's zero-delta
+    from chomper_ray.state.index import LakeTextIndex
+    from chomper_ray.state.matview import MaterializedAgg
+
+    lake = _fresh_lake(log, tmp_path / "l")
+
+    def contrib(df):
+        out = df[["lang"]].copy()
+        out["one"] = 1
+        return out
+
+    view = MaterializedAgg(lake, tmp_path / "mv", contrib,
+                           group_cols=["lang"], value_cols=["one"],
+                           read_columns=["url", "lang"])
+    before = view.refresh()
+    assert (before["lang"] == before["lang"].str.lower()).all()
+    idx = LakeTextIndex(lake, tmp_path / "idx", num_partitions=8)
+    idx.refresh()
+    assert idx.postings("zzznew").empty
+
+    def rewrite(t):
+        lang = pc.utf8_upper(pc.fill_null(t["lang"], ""))
+        txt = pc.binary_join_element_wise(
+            pc.fill_null(t["text"], ""), "zzznew", " ")
+        t = t.set_column(t.schema.get_field_index("lang"), "lang", lang)
+        return t.set_column(t.schema.get_field_index("text"), "text", txt)
+
+    LakeBackfill(lake, "v2", rewrite).run(max_partitions_per_commit=2)
+
+    after = view.refresh()
+    assert (after["lang"] == after["lang"].str.upper()).all()
+    assert after["n_live"].sum() == before["n_live"].sum()
+
+    idx.refresh()
+    n_live = int(before["n_live"].sum())
+    post = idx.postings("zzznew")
+    assert len(post) == n_live  # every live doc gained the token
+    # maintained index == from-scratch rebuild on the backfilled lake
+    fresh = LakeTextIndex(lake, tmp_path / "idx2", num_partitions=8)
+    fresh.refresh()
+    got = post.sort_values("doc").reset_index(drop=True)
+    want = fresh.postings("zzznew").sort_values("doc") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
