@@ -1751,6 +1751,26 @@ def _q_cdc_backfill_tokens(sf_dir: str):
     return lake.read(columns=["url", "warc_ts", "n_tokens"])
 
 
+def _q_cdc_repartition_pages(sf_dir: str):
+    # live-lake repartition (the skew lever): ingest at 8 partitions,
+    # re-bucket the committed table to 13 as ONE exactly-once
+    # maintenance commit (lake.repartition_table), then apply the final
+    # log epoch on the NEW layout. The final state must hash-equal the
+    # same DuckDB LWW replay as the flagship — moving every row across
+    # buckets changes nothing but the bucket assignment.
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.state.lake import LakeTable
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_rp_")
+    run_cdc(log, lake_root, num_partitions=8, max_epochs=3)
+    lake = LakeTable(lake_root, num_partitions=8)
+    res = lake.repartition_table(13)
+    assert not res.skipped
+    run_cdc(log, lake_root)  # epoch 3 applies on the 13-bucket layout
+    return LakeTable(lake_root).read()
+
+
 _MULTI_ORACLE_LOG = "/tmp/chomper_ray_multi_oracle"
 _MULTI_ORACLE_PARAMS = dict(n_events=10_000, n_urls=1_500, n_links=2_000,
                             n_epochs=3, seed=31)
@@ -2356,6 +2376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_backfill_tokens": _q_cdc_backfill_tokens,
         "cdc_multi_pages": _q_cdc_multi_pages,
         "cdc_multi_links": _q_cdc_multi_links,
+        "cdc_repartition_pages": _q_cdc_repartition_pages,
         "cdc_secondary_lookup": _q_cdc_secondary_lookup,
         "cdc_bucket_join_live": _q_cdc_bucket_join_live,
         # rows-only by design (no SQL oracle)
@@ -2467,6 +2488,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w.url, w.warc_ts, "
             "CAST(len(string_split(coalesce(s.text, ''), ' ')) AS BIGINT) "
             "AS n_tokens "
+            "FROM win w JOIN sidecar s USING (seq)"
+        ),
+        # repartition must not change the table's state: identical
+        # oracle to cdc_upsert_pages by design
+        "cdc_repartition_pages": (
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            f"sidecar AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/_oracle/*.parquet')) "
+            "SELECT w.url, w.warc_ts, w.lang, "
+            "CAST(w.fetch_status AS BIGINT) AS fetch_status, "
+            "s.text AS text, w.extra_score "
             "FROM win w JOIN sidecar s USING (seq)"
         ),
         # per-table LWW replay of the SAME interleaved multi-table

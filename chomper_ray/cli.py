@@ -112,6 +112,13 @@ def main(argv=None):
     bf.add_argument("--max-chunks", type=int, default=None,
                     help="chunk commits this invocation (resume later)")
 
+    rp = sub.add_parser(
+        "repartition",
+        help="re-bucket the live table to a new partition count "
+             "(one exactly-once maintenance commit)")
+    rp.add_argument("--lake-root", required=True)
+    rp.add_argument("--num-partitions", type=int, required=True)
+
     pg = sub.add_parser("purge", help="drop tombstones older than a watermark")
     pg.add_argument("--lake-root", required=True)
     pg.add_argument("--epoch", type=int, default=None,
@@ -247,6 +254,21 @@ def main(argv=None):
             "rows": st["rows"], "files": st["files"],
             "skipped": res["skipped"], "compacted": compacted,
         }))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "repartition":
+        _ray_init()
+        from chomper_ray.state.lake import LakeTable
+
+        res = LakeTable(args.lake_root).repartition_table(
+            args.num_partitions)
+        print(json.dumps({"epoch": res.epoch, "skipped": res.skipped,
+                          "num_partitions": args.num_partitions,
+                          "partitions_touched": res.partitions_touched,
+                          "live_rows": res.total_rows}))
         import ray
 
         ray.shutdown()

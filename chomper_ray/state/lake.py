@@ -1790,6 +1790,192 @@ class LakeTable:
             total_rows=int(stats["live"].sum()),
             wall_s=time.perf_counter() - t0)
 
+    def repartition_table(self, new_num_partitions: int,
+                          epoch: int | None = None) -> CommitResult:
+        """Maintenance commit: re-bucket the LIVE TABLE to a different
+        partition count — the skew/parallelism lever the hot-key stress
+        documented (BASELINE.md: spreading one wide partition 4 ways
+        halved the merge wall), applicable WITHOUT rebuilding the lake.
+
+        Pay-once shuffle, exactly-once: phase A splits each old
+        partition snapshot by the new ``stable_bucket`` routing into
+        bucket-row-grouped intermediate files (one Ray task per old
+        partition, same layout trick as ingest staging); phase B writes
+        one new snapshot per new partition (one task each, row-group
+        pruned reads); the atomic manifest then declares the new
+        ``num_partitions``. Rows — live AND tombstones, internal
+        columns included — are preserved bit-for-bit; only their
+        bucket assignment changes. The binlog cursor passes through
+        untouched, and subsequent ingests adopt the new count off the
+        manifest (an explicitly conflicting count still raises
+        ``PartitionMismatchError``).
+
+        The manifest carries lineage rows for every old∪new partition,
+        so derived structures (matview / index / clustered layouts)
+        fold the commit as (+ all new files, − all old files) — a net
+        zero value delta, kept correct at the cost of one full-table
+        fold, which is what moving every row honestly costs.
+        """
+        import ray.data as rd
+
+        t0 = time.perf_counter()
+        new_nb = int(new_num_partitions)
+        if new_nb < 1:
+            raise ValueError("new_num_partitions must be >= 1")
+        last = self.last_committed_epoch()
+        if last is None:
+            return CommitResult(epoch=-1, skipped=True)
+        if epoch is None:
+            epoch = last + 1
+        elif epoch <= last:
+            return CommitResult(epoch=epoch, skipped=True)
+        if _manifest_path(self.root, epoch).exists():
+            return CommitResult(epoch=epoch, skipped=True)
+        self._sync_partitions()
+        old_nb = self.num_partitions
+        prev = load_manifest(self.root)
+        if manifest_has_deltas(prev):
+            raise ValueError(
+                f"lake at {self.root} has pending merge-on-read deltas; "
+                "repartition_table rewrites base snapshots only — run "
+                "compact_deltas() first")
+        if new_nb == old_nb:
+            return CommitResult(epoch=epoch, skipped=True)
+        prev_parts = prev["partitions"]
+        root = str(self.root)
+        key = self.key
+        split_root = self._staging_base / f"repart={epoch:06d}"
+        if split_root.exists():
+            shutil.rmtree(split_root)  # crashed attempt leftovers
+        split_base = str(split_root)
+        rng = _staging_range_size(new_nb)
+
+        def split(batch: pa.Table) -> pa.Table:
+            out_pid, out_n = [], []
+            for old_pid in batch["pid"].to_pylist():
+                rel = prev_parts[str(int(old_pid))].get("file")
+                if not rel:
+                    continue
+                tbl = pq.read_table(Path(root) / rel)
+                if tbl.num_rows == 0:
+                    continue
+                b = stable_bucket(tbl[key], new_nb)
+                order = np.argsort(b, kind="stable")
+                tbl = tbl.take(pa.array(order))
+                bs = b[order]
+                tbl = tbl.append_column(BUCKET_COL,
+                                        pa.array(bs, type=pa.int32()))
+                bounds = np.searchsorted(bs, np.arange(new_nb + 1))
+                tid = uuid.uuid4().hex[:12]
+                writer, cur_rid = None, -1
+                for p in range(new_nb):
+                    lo, hi = int(bounds[p]), int(bounds[p + 1])
+                    if hi <= lo:
+                        continue
+                    rid = p // rng
+                    if rid != cur_rid:
+                        if writer is not None:
+                            writer.close()
+                        d = Path(split_base) / f"r={rid:05d}"
+                        d.mkdir(parents=True, exist_ok=True)
+                        writer = pq.ParquetWriter(
+                            d / f"{tid}.parquet", tbl.schema,
+                            compression="none")
+                        cur_rid = rid
+                    writer.write_table(tbl.slice(lo, hi - lo),
+                                       row_group_size=max(1, hi - lo))
+                    out_pid.append(p)
+                    out_n.append(hi - lo)
+                if writer is not None:
+                    writer.close()
+            return pa.table({"pid": pa.array(out_pid, type=pa.int32()),
+                             "n": pa.array(out_n, type=pa.int64())})
+
+        old_pids = sorted(prev_parts, key=int)
+        marks = (rd.from_arrow(pa.table({
+                    "pid": pa.array([int(p) for p in old_pids],
+                                    type=pa.int32())}))
+                 .repartition(max(1, len(old_pids)))
+                 .map_batches(split, batch_format="pyarrow")
+                 .to_pandas())
+        touched_new = sorted(int(p) for p in marks["pid"].unique()) \
+            if len(marks) else []
+
+        def assemble(batch: pa.Table) -> pa.Table:
+            out = []
+            for pid in batch["pid"].to_pylist():
+                pid = int(pid)
+                d = Path(split_base) / f"r={pid // rng:05d}"
+                files = sorted(d.glob("*.parquet"))
+                parts = [pq.read_table(f,
+                                       filters=[(BUCKET_COL, "=", pid)])
+                         for f in files]
+                tbl = pa.concat_tables([p for p in parts if p.num_rows])
+                tbl = tbl.drop_columns([BUCKET_COL])
+                # canonical order: keys are unique per partition
+                tbl = tbl.take(pa.compute.sort_indices(tbl[key]))
+                new_rel = (f"{_DATA_DIR}/p={pid:05d}/"
+                           f"snap-{epoch:06d}r.parquet")
+                tmp = (Path(root) / f"{_DATA_DIR}/p={pid:05d}/"
+                       f".snap-{epoch:06d}r.{uuid.uuid4().hex[:8]}"
+                       ".parquet.tmp")
+                tmp.parent.mkdir(parents=True, exist_ok=True)
+                pq.write_table(tbl, tmp)
+                os.replace(tmp, Path(root) / new_rel)
+                h = snapshot_content_hash(tbl.to_pandas(), key)
+                live = int(pa.compute.sum(pa.compute.invert(
+                    tbl[INTERNAL_DELETED])).as_py() or 0)
+                out.append((pid, new_rel, tbl.num_rows, live, h))
+            return pa.table({
+                "pid": [o[0] for o in out], "file": [o[1] for o in out],
+                "rows": [o[2] for o in out], "live": [o[3] for o in out],
+                "hash": [o[4] for o in out]})
+
+        if touched_new:
+            stats = (rd.from_arrow(pa.table({
+                        "pid": pa.array(touched_new, type=pa.int32())}))
+                     .repartition(len(touched_new))
+                     .map_batches(assemble, batch_format="pyarrow")
+                     .to_pandas())
+        else:
+            stats = pd.DataFrame(
+                columns=["pid", "file", "rows", "live", "hash"])
+        shutil.rmtree(split_root, ignore_errors=True)
+
+        partitions = {}
+        for r in stats.itertuples(index=False):
+            partitions[str(r.pid)] = {"file": r.file, "rows": int(r.rows),
+                                      "live_rows": int(r.live),
+                                      "hash": r.hash}
+        lineage = [{"partition_id": p, "epoch": epoch, "events_in": 0,
+                    "rows": 0, "live_rows": 0, "deleted_rows": 0,
+                    "change_events": 0, "changes_file": None,
+                    "repartition": f"{old_nb}->{new_nb}", "wall_s": 0.0}
+                   for p in sorted({int(q) for q in old_pids}
+                                   | set(touched_new))]
+        manifest = {
+            "epoch": epoch, "key": self.key,
+            "log_epoch": prev.get("log_epoch", prev.get("epoch")),
+            "num_partitions": new_nb,
+            "schema": prev["schema"],
+            "commit_ts_us": 1_600_000_000_000_000 + epoch * 1_000_000,
+            "partitions": partitions,
+            "lineage": lineage,
+            "repartitioned_from": old_nb,
+            "wall_s": round(time.perf_counter() - t0, 4),
+        }
+        if prev.get("max_id") is not None:
+            manifest["max_id"] = prev["max_id"]
+        if not _commit_manifest_exclusive(_manifest_path(self.root, epoch),
+                                          manifest):
+            return CommitResult(epoch=epoch, skipped=True)
+        self.num_partitions = new_nb
+        self._requested_partitions = new_nb
+        return CommitResult(
+            epoch=epoch, partitions_touched=len(stats),
+            total_rows=int(stats["live"].sum()) if len(stats) else 0,
+            wall_s=time.perf_counter() - t0)
+
     def compact(self, keep_epochs: int = 1) -> dict:
         """Garbage-collect snapshot files no manifest in the retained
         window references. Copy-on-write leaves one snapshot per
