@@ -76,11 +76,18 @@ def run_cdc_multi(
     *,
     num_partitions: int | None = None,
     max_epochs: int | None = None,
+    source=None,
 ) -> dict[str, CdcRunResult]:
     """Tail a multi-table change log into one lake per table under
     ``root/<name>``, reading the stream once per epoch. Idempotent and
-    resumable per table (each lake keeps its own binlog cursor)."""
+    resumable per table (each lake keeps its own binlog cursor).
+
+    ``source`` is the same log-format adapter protocol ``run_cdc``
+    takes (default: the Parquet binlog; ``sources.envelopes`` reads a
+    multi-table Debezium stream whose ``source.table`` becomes the
+    ``tbl`` discriminator)."""
     t0 = time.perf_counter()
+    source = source if source is not None else ev
     if tables is None:
         tables = table_catalog(log_dir)
 
@@ -93,14 +100,14 @@ def run_cdc_multi(
     results = {name: CdcRunResult() for name in tables}
     cursors = {name: lakes[name].last_applied_log_epoch()
                for name in tables}
-    all_epochs = ev.list_epochs(log_dir)
+    all_epochs = source.list_epochs(log_dir)
     pending = [e for e in all_epochs
                if any(c is None or e > c for c in cursors.values())]
     if max_epochs is not None:
         pending = pending[:max_epochs]
 
     for epoch in pending:
-        seg_schema = ev.epoch_schema(log_dir, epoch)
+        seg_schema = source.epoch_schema(log_dir, epoch)
         # tables whose cursor hasn't passed this epoch yet
         active = [n for n in tables
                   if cursors[n] is None or epoch > cursors[n]]
@@ -152,7 +159,7 @@ def run_cdc_multi(
             return pa.concat_tables(outs)
 
         t_stage = time.perf_counter()
-        staged = (ev.read_epoch(log_dir, epoch)
+        staged = (source.read_epoch(log_dir, epoch)
                   .map_batches(stage_all, batch_format="pyarrow")
                   .to_pandas())  # marker rows only — metadata
         stage_s = time.perf_counter() - t_stage

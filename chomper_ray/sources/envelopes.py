@@ -50,8 +50,9 @@ _EPOCH_FMT = "epoch=%06d"
 _OP_CODES = pa.array(["c", "r", "u", "d"])
 _OP_NAMES = pa.array(["insert", "insert", "update", "delete"])
 # envelope-level columns; everything else is a payload column riding
-# before/after
-_ENVELOPE_COLS = ("op", "epoch", "seq")
+# before/after ("tbl" rides source.table — Debezium's own table
+# discriminator — not the row image)
+_ENVELOPE_COLS = ("op", "epoch", "seq", "tbl")
 
 
 def generate_envelope_log(
@@ -72,8 +73,6 @@ def generate_envelope_log(
     Idempotent via a ``_COMPLETE`` stamp (same contract as the Parquet
     generator).
     """
-    import pyarrow.parquet as pq
-
     from chomper_ray.sources import events as ev
 
     out = Path(out_dir)
@@ -85,6 +84,19 @@ def generate_envelope_log(
     src = ev.generate_change_stream(
         out / "_source", with_expected_text=with_expected_text,
         force=force, **stream_params)
+    _encode_epochs(out, src)
+    tmp = out / f"._COMPLETE.{uuid.uuid4().hex[:8]}.tmp"
+    tmp.write_text(stamp)
+    os.replace(tmp, done)
+    return out
+
+
+def _encode_epochs(out: Path, src: Path) -> None:
+    """Re-encode every epoch of a Parquet change log as envelope JSONL
+    files + per-epoch normalized-schema registry sidecars."""
+    import pyarrow.parquet as pq
+
+    from chomper_ray.sources import events as ev
 
     for epoch in ev.list_epochs(src):
         edir = out / (_EPOCH_FMT % epoch)
@@ -119,11 +131,18 @@ def generate_envelope_log(
                         image[c] = v
                 code = {"insert": "r" if epoch == 0 else "c",
                         "update": "u", "delete": "d"}[op]
+                table = cols["tbl"][i] if "tbl" in cols else "pages"
+                # a multi-table stream's union-schema nulls (the other
+                # table's columns) don't ride the wire — Debezium
+                # envelopes carry only the row's own table's columns
+                if "tbl" in cols:
+                    image = {k: v for k, v in image.items()
+                             if v is not None or k == "html_b64"}
                 env = {
                     "op": code,
                     "ts_ms": image.get("warc_ts_us", 0) // 1000
                     if image.get("warc_ts_us") is not None else 0,
-                    "source": {"table": "pages", "epoch": epoch,
+                    "source": {"table": table, "epoch": epoch,
                                "seq": cols["seq"][i]},
                     "before": image if code == "d" else None,
                     "after": None if code == "d" else image,
@@ -139,6 +158,33 @@ def generate_envelope_log(
         tmp.write_text(json.dumps(schema_to_json(norm_schema)))
         os.replace(tmp, edir / "_schema.json")
 
+
+def generate_multi_envelope_log(
+    out_dir: str | Path,
+    *,
+    force: bool = False,
+    **stream_params,
+) -> Path:
+    """Multi-table Debezium stream: the ``generate_multi_stream`` WAL
+    re-encoded as envelopes whose ``source.table`` discriminates — each
+    event's image carries ONLY its own table's columns (the union
+    schema's cross-table nulls are a storage artifact, not wire
+    content). The ``_tables.json`` catalog is mirrored to the envelope
+    log root so ``pipelines.multi.table_catalog`` works on either."""
+    import shutil as _shutil
+
+    from chomper_ray.sources import events as ev
+
+    out = Path(out_dir)
+    stamp = f"multi-envelopes,{sorted(stream_params.items())}"
+    done = out / "_COMPLETE"
+    if done.exists() and not force and done.read_text() == stamp:
+        return out
+
+    src = ev.generate_multi_stream(out / "_source", force=force,
+                                   **stream_params)
+    _encode_epochs(out, src)
+    _shutil.copyfile(src / "_tables.json", out / "_tables.json")
     tmp = out / f"._COMPLETE.{uuid.uuid4().hex[:8]}.tmp"
     tmp.write_text(stamp)
     os.replace(tmp, done)
@@ -243,6 +289,9 @@ def normalize_envelopes(batch: pa.Table, target: pa.Schema,
     for f in target:
         if f.name == "op":
             out.append(ops.cast(f.type))
+        elif f.name == "tbl":  # the Debezium table discriminator
+            out.append(_image_field(src, "table", n, pa.string())
+                       .cast(f.type))
         elif f.name in ("epoch", "seq"):
             out.append(_image_field(src, f.name, n, pa.int64())
                        .cast(f.type))

@@ -134,3 +134,38 @@ def test_epoch_alignment_empty_epochs_advance_cursors(tmp_path):
     lk = LakeTable(tmp_path / "lakes" / "links", key="link_id",
                    num_partitions=2)
     assert lk.last_applied_log_epoch() == 2
+
+
+def test_multi_over_debezium_envelopes_matches_parquet(tmp_path):
+    # the full composition: a multi-table Debezium stream
+    # (source.table discriminates, images carry only their own table's
+    # columns) routed by run_cdc_multi must hash-equal the same routing
+    # over the log's Parquet twin — per table
+    from chomper_ray.sources import envelopes as env
+
+    log = env.generate_multi_envelope_log(
+        tmp_path / "log", n_events=1500, n_urls=300, n_links=400,
+        n_epochs=2, seed=41)
+    src = env.source_log(log)
+    assert (log / "_tables.json").exists()  # catalog mirrored
+    ra = run_cdc_multi(log, tmp_path / "a", num_partitions=3,
+                       source=env)
+    rb = run_cdc_multi(src, tmp_path / "b", num_partitions=3)
+    cat = table_catalog(log)
+    for name, spec in cat.items():
+        assert ra[name].events_applied == rb[name].events_applied > 0
+        ha = LakeTable(tmp_path / "a" / name, key=spec.key,
+                       num_partitions=3).snapshot_hash()
+        hb = LakeTable(tmp_path / "b" / name, key=spec.key,
+                       num_partitions=3).snapshot_hash()
+        assert ha == hb, name
+    # cross-table nulls stay off the wire: a pages envelope carries no
+    # links columns
+    import json as _json
+
+    line = _json.loads((log / "epoch=000000").glob("part-*.jsonl")
+                       .__iter__().__next__()
+                       .read_text().splitlines()[0])
+    image = line["after"] or line["before"]
+    assert not ({"link_id", "src_url"} <= set(image)
+                and {"url", "title"} <= set(image))
