@@ -1771,6 +1771,34 @@ def _q_cdc_repartition_pages(sf_dir: str):
     return LakeTable(lake_root).read()
 
 
+# one predicate object drives BOTH the engine's pushdown read and the
+# DuckDB oracle's WHERE (Expression.to_sql) — compiled to a
+# pyarrow.dataset row-group filter on the engine side
+def _filtered_scan_expr():
+    from chomper_ray.functions.expr import F
+
+    return ((F("lang").isin(["en", "de", "fr"]))
+            & (F("fetch_status") >= 301)) | (F("lang") == "ru")
+
+
+def _q_cdc_filtered_scan(sf_dir: str):
+    # predicate-pushdown lake read: read(where=Expression) compiles the
+    # predicate to a pyarrow.dataset filter so parquet row groups prune
+    # by column statistics before any bytes leave storage (residual
+    # Arrow-kernel fallback when schema evolution makes pushdown
+    # unprovable — same answers either way, pinned by pytest). The SAME
+    # Expression renders the oracle SQL below.
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.state.lake import LakeTable
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_ws_")
+    run_cdc(log, lake_root, num_partitions=8)
+    lake = LakeTable(lake_root, num_partitions=8)
+    return lake.read(columns=["url", "warc_ts", "lang", "fetch_status"],
+                     where=_filtered_scan_expr())
+
+
 _MULTI_ORACLE_LOG = "/tmp/chomper_ray_multi_oracle"
 _MULTI_ORACLE_PARAMS = dict(n_events=10_000, n_urls=1_500, n_links=2_000,
                             n_epochs=3, seed=31)
@@ -2377,6 +2405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_multi_pages": _q_cdc_multi_pages,
         "cdc_multi_links": _q_cdc_multi_links,
         "cdc_repartition_pages": _q_cdc_repartition_pages,
+        "cdc_filtered_scan": _q_cdc_filtered_scan,
         "cdc_secondary_lookup": _q_cdc_secondary_lookup,
         "cdc_bucket_join_live": _q_cdc_bucket_join_live,
         # rows-only by design (no SQL oracle)
@@ -2489,6 +2518,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(string_split(coalesce(s.text, ''), ' ')) AS BIGINT) "
             "AS n_tokens "
             "FROM win w JOIN sidecar s USING (seq)"
+        ),
+        # the WHERE clause is rendered from the SAME Expression object
+        # the engine pushed down to the parquet scanner
+        "cdc_filtered_scan": (
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete') "
+            "SELECT url, warc_ts, lang, "
+            "CAST(fetch_status AS BIGINT) AS fetch_status FROM win "
+            f"WHERE {_filtered_scan_expr().to_sql()}"
         ),
         # repartition must not change the table's state: identical
         # oracle to cdc_upsert_pages by design

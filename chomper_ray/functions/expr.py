@@ -131,6 +131,53 @@ class Expression:
             return f"({left} {kw} ({vals}))"
         return f"({left} {_SQL_OP[op]} {_sql_operand(self.right)})"
 
+    # ---- pushdown compilation (parquet scanner) --------------------------
+    def columns(self) -> set[str]:
+        """Column names the predicate references (for read pruning and
+        pushdown-safety checks)."""
+        out: set[str] = set()
+        for side in (self.left, self.right):
+            if isinstance(side, Expression):
+                out |= side.columns()
+            elif isinstance(side, Col):
+                out.add(side.name)
+        return out
+
+    def to_arrow_dataset(self):
+        """Compile to a ``pyarrow.dataset`` expression so the parquet
+        scanner prunes row groups by column statistics BEFORE any bytes
+        reach Ray. Match semantics equal ``matches`` (nulls don't
+        match): the scanner keeps only rows where the predicate is
+        true. Callers must ensure every referenced column exists in
+        every scanned file (schema evolution — see
+        ``LakeTable.read(where=...)``'s safety walk)."""
+        import pyarrow.dataset as pds
+
+        op = self.op
+        if op == "not":
+            # three-valued NOT: unknown stays unknown (excluded) either
+            # way, so scanner-level invert preserves matches semantics
+            return ~self.left.to_arrow_dataset()
+        if op in ("and", "or"):
+            l, r = (self.left.to_arrow_dataset(),
+                    self.right.to_arrow_dataset())
+            return (l & r) if op == "and" else (l | r)
+
+        def operand(v):
+            return pds.field(v.name) if isinstance(v, Col) else \
+                pds.scalar(v)
+
+        left = operand(self.left)
+        if op == "in":
+            return left.isin(list(self.right))
+        if op == "not_in":
+            return ~left.isin(list(self.right))
+        right = operand(self.right)
+        import operator as _o
+
+        return {"eq": _o.eq, "ne": _o.ne, "lt": _o.lt, "lte": _o.le,
+                "gt": _o.gt, "gte": _o.ge}[op](left, right)
+
     def __repr__(self) -> str:
         return f"Expression({self.op!r}, {self.left!r}, {self.right!r})"
 

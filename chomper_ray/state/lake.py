@@ -1362,14 +1362,126 @@ class LakeTable:
                 .repartition(len(pids))
                 .map_batches(resolve, batch_format="pyarrow"))
 
+    def _pushdown_safe(self, m: dict, wcols: list[str]) -> bool:
+        """True when every live snapshot file is KNOWN to contain every
+        predicate column, so the parquet scanner can filter by row-group
+        statistics. Metadata-only: each file's name encodes the commit
+        that wrote it; that manifest's schema says what it contains. A
+        GC'd manifest (compact) means unknown → unsafe → the caller
+        falls back to the residual kernel filter."""
+        import re
+
+        eps = set()
+        for v in m["partitions"].values():
+            f = v.get("file")
+            if not f:
+                return False
+            mt = re.search(r"snap-(\d+)", f)
+            if not mt:
+                return False
+            eps.add(int(mt.group(1)))
+        need = set(wcols)
+        for e in eps:
+            try:
+                man = load_manifest(self.root, e)
+            except FileNotFoundError:
+                man = None  # GC'd manifest: provenance unknowable
+            if man is None:
+                return False
+            if not need <= {d["name"] for d in man["schema"]}:
+                return False
+        return True
+
+    def _read_where(self, m: dict, where, columns, include_deleted: bool,
+                    include_internal: bool, as_of_epoch):
+        """Predicate-filtered read. Pushdown path: the Expression
+        compiles to a ``pyarrow.dataset`` filter (plus the tombstone
+        term) so row groups prune by column statistics before any bytes
+        leave storage. Fallback (schema evolution left a file without a
+        predicate column, manifest GC'd, or pending MOR deltas): stream
+        blocks, conform to the manifest schema (null-fill the evolved
+        columns) and apply the compiled Arrow-kernel mask — same match
+        semantics (nulls don't match) either way."""
+        import ray.data as rd
+
+        target = schema_mod.schema_from_json(m["schema"])
+        wcols = sorted(where.columns())
+        missing = [c for c in wcols if c not in target.names]
+        if missing:
+            raise KeyError(
+                f"predicate references column(s) {missing} not in the "
+                f"lake schema {target.names}")
+
+        if not manifest_has_deltas(m) and self._pushdown_safe(m, wcols):
+            import pyarrow.dataset as pds
+
+            f = where.to_arrow_dataset()
+            if not include_deleted:
+                f = f & (pds.field(INTERNAL_DELETED) == False)  # noqa: E712
+            files = self.files(as_of_epoch)
+            if columns is not None:
+                ds = rd.read_parquet(files,
+                                     columns=list(dict.fromkeys(columns)),
+                                     filter=f)
+            else:
+                ds = rd.read_parquet(files, partitioning=None, filter=f)
+                if not include_internal:
+                    drop = list(INTERNAL_COLS)
+                    ds = ds.map_batches(
+                        lambda t: t.drop_columns(
+                            [c for c in drop if c in t.column_names]),
+                        batch_format="pyarrow")
+            return ds
+
+        read_cols = None if columns is None else \
+            list(dict.fromkeys([*columns, *wcols]))
+        base = self.read(columns=read_cols,
+                         include_deleted=include_deleted,
+                         include_internal=True if columns is None
+                         else include_internal,
+                         as_of_epoch=as_of_epoch)
+        spec = m["schema"]
+        out_cols = tuple(columns) if columns is not None else None
+        internal = include_internal
+
+        def residual(t: pa.Table, _spec=spec, _w=where,
+                     _cols=out_cols) -> pa.Table:
+            tgt = schema_mod.schema_from_json(_spec)
+            for c in _w.columns():
+                if c not in t.column_names:
+                    # pre-evolution block: the column reads as null
+                    t = t.append_column(
+                        c, pa.nulls(t.num_rows, type=tgt.field(c).type))
+            t = t.filter(_w.matches(t))
+            if _cols is not None:
+                return t.select(list(_cols))
+            if not internal:
+                t = t.drop_columns([c for c in INTERNAL_COLS
+                                    if c in t.column_names])
+            # uniform column order across evolved/unevolved blocks
+            order = [f.name for f in tgt if f.name in t.column_names]
+            order += [c for c in t.column_names if c not in order]
+            return t.select(order)
+
+        return base.map_batches(residual, batch_format="pyarrow")
+
     def read(self, columns=None, include_deleted: bool = False,
-             include_internal: bool = False, as_of_epoch: int | None = None):
+             include_internal: bool = False, as_of_epoch: int | None = None,
+             where=None):
         """Table state as a streaming Dataset (no materialization);
         ``as_of_epoch`` reads a historical snapshot. Pending merge-on-read
-        deltas are resolved inside the read tasks (``_read_resolved``)."""
+        deltas are resolved inside the read tasks (``_read_resolved``).
+        ``where`` (a ``functions.expr.Expression``) filters with parquet
+        row-group pushdown when provably safe (``_read_where``)."""
         import ray.data as rd
 
         m = load_manifest(self.root, as_of_epoch)
+        if where is not None:
+            if not m:
+                raise FileNotFoundError(
+                    f"lake at {self.root} has no committed data")
+            return self._read_where(m, where, columns, include_deleted,
+                                    include_internal, as_of_epoch)
         if manifest_has_deltas(m):
             return self._read_resolved(m, columns, include_deleted,
                                        include_internal)
