@@ -117,7 +117,13 @@ def main(argv=None):
         help="re-bucket the live table to a new partition count "
              "(one exactly-once maintenance commit)")
     rp.add_argument("--lake-root", required=True)
-    rp.add_argument("--num-partitions", type=int, required=True)
+    g = rp.add_mutually_exclusive_group(required=True)
+    g.add_argument("--num-partitions", type=int, default=None)
+    g.add_argument("--auto", action="store_true",
+                   help="act on suggest_num_partitions (recent ingest "
+                        "lineage volumes); no-op when nothing is hot")
+    rp.add_argument("--window", type=int, default=5,
+                    help="ingest commits to consider for --auto")
 
     pg = sub.add_parser("purge", help="drop tombstones older than a watermark")
     pg.add_argument("--lake-root", required=True)
@@ -263,10 +269,25 @@ def main(argv=None):
         _ray_init()
         from chomper_ray.state.lake import LakeTable
 
-        res = LakeTable(args.lake_root).repartition_table(
-            args.num_partitions)
+        lake = LakeTable(args.lake_root)
+        if args.auto:
+            target = lake.suggest_num_partitions(window=args.window)
+            lake._sync_partitions()
+            if target == lake.num_partitions:
+                print(json.dumps({"skipped": True, "auto": True,
+                                  "num_partitions": target,
+                                  "reason": "no hot partitions in the "
+                                            "lineage window"}))
+                import ray
+
+                ray.shutdown()
+                return 0
+        else:
+            target = args.num_partitions
+        res = lake.repartition_table(target)
         print(json.dumps({"epoch": res.epoch, "skipped": res.skipped,
-                          "num_partitions": args.num_partitions,
+                          "auto": bool(args.auto),
+                          "num_partitions": target,
                           "partitions_touched": res.partitions_touched,
                           "live_rows": res.total_rows}))
         import ray

@@ -162,6 +162,39 @@ def detect_hot_partitions(volumes: dict[int, int], *, factor: float = 4.0,
     return hot
 
 
+def suggest_partitions(volumes: dict[int, int], current: int, *,
+                       factor: float = 4.0, min_rows: int = 100_000,
+                       max_growth: int = 4) -> int:
+    """Partition-count recommendation from observed per-partition ingest
+    volumes — the advisory half of the skew lever whose mechanical half
+    is ``LakeTable.repartition_table``.
+
+    Model (matches the hot-key stress): spreading a wide-hot bucket
+    over ``k``× more buckets divides its peak by ~``k`` (the hot set is
+    DISTINCT keys — the combiner already collapsed duplicate keys).
+    Pick the smallest ``k`` bringing the peak under the hot threshold
+    (``factor × median``), capped at ``max_growth`` per step (one
+    bounded shuffle at a time; the next poll re-evaluates).
+
+    Returns ``current`` when nothing is hot — callers treat
+    ``suggestion == current`` as "leave it alone".
+    """
+    import math
+
+    if not volumes or current < 1:
+        return current
+    vals = np.array([v for v in volumes.values() if v > 0])
+    if not len(vals):
+        return current
+    med = float(np.median(vals))
+    peak = float(vals.max())
+    threshold = max(factor * med, float(min_rows))
+    if peak <= threshold:
+        return current
+    k = min(max_growth, max(2, math.ceil(peak / threshold)))
+    return current * k
+
+
 def _manifest_path(root: Path, epoch: int) -> Path:
     return root / _MANIFEST_DIR / f"manifest-{epoch:06d}.json"
 
@@ -1901,6 +1934,32 @@ class LakeTable:
             rows_deleted=int(stats["purged"].sum()),
             total_rows=int(stats["live"].sum()),
             wall_s=time.perf_counter() - t0)
+
+    def suggest_num_partitions(self, window: int = 5,
+                               max_growth: int = 4) -> int:
+        """Advisory partition count from the last ``window`` INGEST
+        commits' lineage volumes (metadata only). ``== num_partitions``
+        means leave it alone; a larger answer feeds
+        ``repartition_table`` (CLI: ``repartition --auto``)."""
+        self._sync_partitions()
+        vols: dict[int, int] = {}
+        n_ingest = 0
+        for e in reversed(committed_epochs(self.root)):
+            m = load_manifest(self.root, e)
+            rows = [ln for ln in (m or {}).get("lineage", [])
+                    if int(ln.get("events_in", 0) or 0) > 0]
+            if not rows:
+                continue  # maintenance commit (purge/backfill/repart)
+            for ln in rows:
+                pid = int(ln["partition_id"])
+                vols[pid] = vols.get(pid, 0) + int(ln["events_in"])
+            n_ingest += 1
+            if n_ingest >= window:
+                break
+        return suggest_partitions(vols, self.num_partitions,
+                                  factor=self.hot_factor,
+                                  min_rows=self.hot_min_rows,
+                                  max_growth=max_growth)
 
     def repartition_table(self, new_num_partitions: int,
                           epoch: int | None = None) -> CommitResult:

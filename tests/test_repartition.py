@@ -115,3 +115,49 @@ def test_mor_head_refuses(log, tmp_path):
     run_cdc(log, root, num_partitions=4, lake_kwargs=kw)
     with pytest.raises(ValueError, match="merge-on-read"):
         LakeTable(root, num_partitions=4, **kw).repartition_table(8)
+
+
+def test_suggest_partitions_pure():
+    from chomper_ray.state.lake import suggest_partitions
+
+    # balanced: leave alone
+    vols = {p: 1000 for p in range(8)}
+    assert suggest_partitions(vols, 8, min_rows=100) == 8
+    # one wide-hot bucket at 10x median: threshold 4000, k=ceil(10/4)=3
+    vols[3] = 10_000
+    assert suggest_partitions(vols, 8, min_rows=100, max_growth=4) == 24
+    # extreme peak: growth capped at max_growth per step
+    vols[3] = 1_000_000
+    assert suggest_partitions(vols, 8, min_rows=100, max_growth=4) == 32
+    # modest 5x peak with factor 4 -> threshold 4000, ceil(5000/4000)=2
+    vols = {p: 1000 for p in range(8)}
+    vols[3] = 5000
+    assert suggest_partitions(vols, 8, min_rows=100) == 16
+    # below min_rows: never flags small tables
+    vols = {0: 50, 1: 5}
+    assert suggest_partitions(vols, 2, min_rows=100_000) == 2
+    assert suggest_partitions({}, 8) == 8
+
+
+def test_suggest_from_lineage_and_auto_flow(log, tmp_path):
+    root = tmp_path / "l"
+    run_cdc(log, root, num_partitions=4)
+    lake = LakeTable(root, num_partitions=4)
+    # sf-test volumes are tiny: with the production min_rows nothing is
+    # hot; with a tiny threshold the zipf-skewed urls flag growth
+    assert lake.suggest_num_partitions() == 4
+    lake.hot_min_rows = 10
+    lake.hot_factor = 2.0
+    sug = lake.suggest_num_partitions()
+    if sug != 4:  # zipf skew concentrated a bucket — act on it
+        res = lake.repartition_table(sug)
+        assert not res.skipped
+        assert LakeTable(root).suggest_num_partitions() >= 4
+    # maintenance commits (events_in == 0 lineage) are ignored by the
+    # window walk: a backfill commit doesn't change the suggestion
+    from chomper_ray.state.backfill import LakeBackfill
+
+    before = LakeTable(root).suggest_num_partitions()
+    LakeBackfill(LakeTable(root), "noop", lambda t: t).run_chunk(
+        max_partitions=1)
+    assert LakeTable(root).suggest_num_partitions() == before
