@@ -1771,6 +1771,33 @@ def _q_cdc_repartition_pages(sf_dir: str):
     return LakeTable(lake_root).read()
 
 
+_DELETE_WM_US = 2_000_000_000_000_000  # far-future version watermark
+
+
+def _q_cdc_delete_where(sf_dir: str):
+    # administrative logical delete (GDPR/retention): after epochs 0-1,
+    # delete_where(lang='de') commits synthetic delete events through
+    # the NORMAL merge (LWW version = the caller's watermark, binlog
+    # cursor untouched), then epochs 2-3 apply — late updates for the
+    # deleted keys carry older versions and must stay dead. The oracle
+    # replays the same decision in SQL: LWW state at epoch<=1 selects
+    # the doomed urls, a synthetic delete stream unions in at the
+    # watermark, one LWW pass over everything.
+    from chomper_ray.functions.expr import F
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.state.lake import LakeTable
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_dw_")
+    run_cdc(log, lake_root, num_partitions=8, max_epochs=2)
+    lake = LakeTable(lake_root, num_partitions=8)
+    res = lake.delete_where(F("lang") == "de",
+                            version_ts_us=_DELETE_WM_US)
+    assert not res.skipped
+    run_cdc(log, lake_root, num_partitions=8)
+    return lake.read(columns=["url", "warc_ts", "lang", "fetch_status"])
+
+
 # one predicate object drives BOTH the engine's pushdown read and the
 # DuckDB oracle's WHERE (Expression.to_sql) — compiled to a
 # pyarrow.dataset row-group filter on the engine side
@@ -2406,6 +2433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_multi_links": _q_cdc_multi_links,
         "cdc_repartition_pages": _q_cdc_repartition_pages,
         "cdc_filtered_scan": _q_cdc_filtered_scan,
+        "cdc_delete_where": _q_cdc_delete_where,
         "cdc_secondary_lookup": _q_cdc_secondary_lookup,
         "cdc_bucket_join_live": _q_cdc_bucket_join_live,
         # rows-only by design (no SQL oracle)
@@ -2518,6 +2546,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(string_split(coalesce(s.text, ''), ' ')) AS BIGINT) "
             "AS n_tokens "
             "FROM win w JOIN sidecar s USING (seq)"
+        ),
+        # admin delete replayed in SQL: doomed urls = LWW state at
+        # epoch<=1 with lang='de'; synthetic deletes union in at the
+        # watermark version; one LWW pass over everything
+        "cdc_delete_where": (
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "s1 AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev WHERE CAST(epoch AS BIGINT) <= 1) "
+            "WHERE rn = 1 AND op <> 'delete'), "
+            "doomed AS (SELECT url FROM s1 WHERE lang = 'de'), "
+            "allev AS ("
+            "SELECT op, seq, url, warc_ts, lang, "
+            "CAST(fetch_status AS BIGINT) AS fetch_status FROM ev "
+            "UNION ALL SELECT 'delete', 0, url, "
+            f"make_timestamp({_DELETE_WM_US}), NULL, NULL FROM doomed), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM allev) WHERE rn = 1 AND op <> 'delete') "
+            "SELECT url, warc_ts, lang, fetch_status FROM win"
         ),
         # the WHERE clause is rendered from the SAME Expression object
         # the engine pushed down to the parquet scanner

@@ -1017,16 +1017,28 @@ class LakeTable:
                       touched_pids: list[int],
                       commit_ts_us: int | None = None,
                       stage_s: float = 0.0,
-                      events_in_override: int | None = None) -> CommitResult:
+                      events_in_override: int | None = None,
+                      log_epoch_override: int | None = None) -> CommitResult:
         """Phase B + atomic manifest for an already-staged epoch.
         ``epoch`` is the LOG epoch; the manifest lands at an allocated
-        chain id (== log epoch unless maintenance commits interleaved)."""
+        chain id (== log epoch unless maintenance commits interleaved).
+
+        ``log_epoch_override``: for ADMINISTRATIVE ingest-like commits
+        (``delete_where``) whose events come from the engine, not the
+        binlog — ``epoch`` is then a chain id and the recorded binlog
+        cursor passes through unchanged so tail polls never skip
+        pending log epochs."""
         import ray.data as rd
 
         t0 = time.perf_counter()
-        applied = self.last_applied_log_epoch()
-        if applied is not None and epoch <= applied:
-            return CommitResult(epoch=epoch, skipped=True)
+        if log_epoch_override is None:
+            applied = self.last_applied_log_epoch()
+            if applied is not None and epoch <= applied:
+                return CommitResult(epoch=epoch, skipped=True)
+        else:
+            last = self.last_committed_epoch()
+            if last is not None and epoch <= last:
+                return CommitResult(epoch=epoch, skipped=True)
         self._sync_partitions()
         cid = self._alloc_commit_id(epoch)
         if _manifest_path(self.root, cid).exists():
@@ -1115,7 +1127,8 @@ class LakeTable:
         wall = stage_s + merge_s
         manifest = {
             "epoch": cid,
-            "log_epoch": epoch,
+            "log_epoch": epoch if log_epoch_override is None
+            else log_epoch_override,
             "key": self.key,
             "num_partitions": self.num_partitions,
             "schema": schema_json,
@@ -1934,6 +1947,56 @@ class LakeTable:
             rows_deleted=int(stats["purged"].sum()),
             total_rows=int(stats["live"].sum()),
             wall_s=time.perf_counter() - t0)
+
+    def delete_where(self, where, *, version_ts_us: int,
+                     epoch: int | None = None) -> CommitResult:
+        """Administrative logical delete (GDPR / retention): tombstone
+        every live row matching ``where`` by committing synthetic
+        delete events through the NORMAL merge — LWW versioning, change
+        listeners, lineage, and every derived structure's per-commit
+        maintenance see a regular ingest-shaped commit, and the
+        tombstone's payload columns are the delete event's (null), so
+        the data is actually gone from the snapshot, not just hidden.
+
+        ``version_ts_us`` is the version the tombstones carry and is
+        REQUIRED: like ``purge_tombstones``' watermark, the caller
+        asserts no future binlog event for these keys will carry
+        ``warc_ts >= version_ts_us`` unless it should win (resurrect).
+        The binlog cursor passes through untouched. Re-running deletes
+        0 rows (matching rows are already tombstoned) but still commits
+        — same auto-allocation contract as ``purge``/``truncate``;
+        an explicit ``epoch`` ≤ the chain head is skipped exactly-once.
+        """
+        last = self.last_committed_epoch()
+        if last is None:
+            return CommitResult(epoch=-1, skipped=True)
+        if epoch is None:
+            epoch = last + 1
+        elif epoch <= last:
+            return CommitResult(epoch=epoch, skipped=True)
+        if _manifest_path(self.root, epoch).exists():
+            return CommitResult(epoch=epoch, skipped=True)
+        prev = load_manifest(self.root)
+        prev_log = prev.get("log_epoch", prev.get("epoch"))
+        target = schema_mod.schema_from_json(prev["schema"])
+        key, ver = self.key, self.version[0]
+        ver_type = target.field(ver).type
+
+        def mk_deletes(batch: pa.Table, _k=key, _v=ver,
+                       _ts=version_ts_us, _vt=ver_type) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                "op": pa.array(["delete"] * n, type=pa.string()),
+                "seq": pa.array([0] * n, type=pa.int64()),
+                _k: batch[_k],
+                _v: pa.array([_ts] * n, type=pa.int64()).cast(_vt),
+            })
+
+        changes = (self.read(columns=[key], where=where)
+                   .map_batches(mk_deletes, batch_format="pyarrow"))
+        pids, stage_s = self.stage_epoch(changes, epoch, target)
+        return self.commit_staged(epoch, target, pids, stage_s=stage_s,
+                                  log_epoch_override=prev_log)
 
     def suggest_num_partitions(self, window: int = 5,
                                max_growth: int = 4) -> int:
