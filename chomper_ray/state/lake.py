@@ -1645,14 +1645,21 @@ class LakeTable:
                                 str(self.root / ln["changes_file"])))
         return out
 
-    def change_events_ds(self):
+    def change_events_ds(self, since_epoch: int | None = None):
         """Committed change-listener events as a STREAMING Dataset
         (url, field, event, epoch) — the downstream-subscription read
         path; at scale the change log is itself big data. The epoch is
-        reconstructed per row from the file path (epoch-NNNNNN naming)."""
+        reconstructed per row from the file path (epoch-NNNNNN naming).
+
+        ``since_epoch``: resume a subscription — only events from LOG
+        epochs strictly greater are read (file-level pruning off the
+        lineage metadata; a consumer checkpoints the last epoch it
+        processed, exactly like the engine's own binlog cursor)."""
         import ray.data as rd
 
         files = self._change_files()
+        if since_epoch is not None:
+            files = [(e, f) for e, f in files if e > since_epoch]
         if not files:
             return rd.from_arrow(pa.schema(
                 [pa.field(self.key, pa.string()),

@@ -428,6 +428,17 @@ def test_change_events_ds_matches_driver_frame(change_log, tmp_path):
                      na_position="first").reset_index(drop=True)
     pd.testing.assert_frame_equal(a[["url", "field", "event", "epoch"]],
                                   b[["url", "field", "event", "epoch"]])
+    # subscription resume: since_epoch prunes whole change files by the
+    # lineage metadata — equals the frame filtered by epoch
+    c = lake.change_events_ds(since_epoch=0).to_pandas() \
+        .sort_values(["url", "epoch", "event", "field"],
+                     na_position="first").reset_index(drop=True)
+    want = a[a["epoch"] > 0].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        c[["url", "field", "event", "epoch"]],
+        want[["url", "field", "event", "epoch"]])
+    last = int(a["epoch"].max())
+    assert lake.change_events_ds(since_epoch=last).count() == 0
 
 
 def test_multi_epoch_commit_crash_between_manifests(change_log, tmp_path,
