@@ -40,10 +40,15 @@ def main(argv=None):
     g.add_argument("--n-epochs", type=int, default=4)
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--evolution-epoch", type=int, default=None)
-    g.add_argument("--format", choices=["parquet", "envelope"],
+    g.add_argument("--format",
+                   choices=["parquet", "envelope", "multi",
+                            "multi-envelope"],
                    default="parquet",
-                   help="parquet binlog segments (default) or "
-                        "Debezium-style JSONL envelopes")
+                   help="parquet binlog segments (default), "
+                        "Debezium-style JSONL envelopes, or the "
+                        "two-table WAL variants")
+    g.add_argument("--n-links", type=int, default=1_500,
+                   help="links keyspace (multi formats only)")
 
     r = sub.add_parser("run-cdc", help="binlog-tail → lake-upsert from checkpoint")
     r.add_argument("--log-dir", required=True)
@@ -65,6 +70,18 @@ def main(argv=None):
                         "(backlog catch-up mode)")
     r.add_argument("--tail", action="store_true",
                    help="continuous: poll for new epochs (Ctrl-C to stop)")
+
+    rm = sub.add_parser(
+        "run-cdc-multi",
+        help="multi-table log → one exactly-once lake per table "
+             "(one stream read per epoch; tables from _tables.json)")
+    rm.add_argument("--log-dir", required=True)
+    rm.add_argument("--root", required=True,
+                    help="parent dir; each table lands at <root>/<name>")
+    rm.add_argument("--num-partitions", type=int, default=None)
+    rm.add_argument("--max-epochs", type=int, default=None)
+    rm.add_argument("--source", choices=["parquet", "envelope"],
+                    default="parquet")
 
     s = sub.add_parser("status", help="lake checkpoint + lineage summary")
     s.add_argument("--lake-root", required=True)
@@ -143,6 +160,20 @@ def main(argv=None):
             from chomper_ray.sources.envelopes import generate_envelope_log
 
             out = generate_envelope_log(args.out_dir, **params)
+        elif args.format in ("multi", "multi-envelope"):
+            mp = dict(n_events=args.n_events, n_urls=args.n_urls,
+                      n_links=args.n_links, n_epochs=args.n_epochs,
+                      seed=args.seed)
+            if args.format == "multi":
+                from chomper_ray.sources.events import \
+                    generate_multi_stream
+
+                out = generate_multi_stream(args.out_dir, **mp)
+            else:
+                from chomper_ray.sources.envelopes import \
+                    generate_multi_envelope_log
+
+                out = generate_multi_envelope_log(args.out_dir, **mp)
         else:
             from chomper_ray.sources.events import generate_change_stream
 
@@ -173,6 +204,28 @@ def main(argv=None):
             "events_applied": res.events_applied,
             "wall_s": round(res.wall_s, 2),
         }))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "run-cdc-multi":
+        _ray_init()
+        from chomper_ray.pipelines.multi import run_cdc_multi
+
+        kw = {}
+        if args.source == "envelope":
+            from chomper_ray.sources import envelopes
+
+            kw["source"] = envelopes
+        res = run_cdc_multi(args.log_dir, args.root,
+                            num_partitions=args.num_partitions,
+                            max_epochs=args.max_epochs, **kw)
+        print(json.dumps({
+            name: {"epochs_run": r.epochs_run,
+                   "epochs_skipped": r.epochs_skipped,
+                   "events_applied": r.events_applied}
+            for name, r in sorted(res.items())}))
         import ray
 
         ray.shutdown()

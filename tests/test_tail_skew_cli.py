@@ -197,3 +197,30 @@ def test_cli_backfill_chunks_and_resume(tmp_path):
     # maintenance commits moved the chain head, never the cursor
     assert st["last_applied_log_epoch"] == 1
     assert st["last_committed_epoch"] > 1
+
+
+def test_cli_multi_table(tmp_path):
+    import os
+
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+
+    def cli(*args, timeout=300):
+        out = subprocess.run([sys.executable, "-m", "chomper_ray.cli",
+                              *args], capture_output=True, text=True,
+                             env=env, check=True, timeout=timeout)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    log = tmp_path / "mlog"
+    cli("generate", "--out-dir", str(log), "--n-events", "600",
+        "--n-urls", "150", "--n-links", "200", "--n-epochs", "2",
+        "--format", "multi")
+    r = cli("run-cdc-multi", "--log-dir", str(log), "--root",
+            str(tmp_path / "lakes"), "--num-partitions", "2")
+    assert set(r) == {"pages", "links"}
+    assert r["pages"]["epochs_run"] == r["links"]["epochs_run"] == [0, 1]
+    assert (r["pages"]["events_applied"]
+            + r["links"]["events_applied"]) == 600
+    # replay no-op per table
+    r2 = cli("run-cdc-multi", "--log-dir", str(log), "--root",
+             str(tmp_path / "lakes"), "--num-partitions", "2")
+    assert all(v["epochs_run"] == [] for v in r2.values())
