@@ -142,6 +142,17 @@ def main(argv=None):
     rp.add_argument("--window", type=int, default=5,
                     help="ingest commits to consider for --auto")
 
+    fs = sub.add_parser("fsck", help="verify snapshot files against "
+                                     "their manifest hashes/counts")
+    fs.add_argument("--lake-root", required=True)
+
+    pc_ = sub.add_parser("prune-changes",
+                         help="retention for the change-event log")
+    pc_.add_argument("--lake-root", required=True)
+    pc_.add_argument("--before-epoch", type=int, required=True,
+                     help="delete change files of LOG epochs < this "
+                          "(every subscriber must have passed it)")
+
     pg = sub.add_parser("purge", help="drop tombstones older than a watermark")
     pg.add_argument("--lake-root", required=True)
     pg.add_argument("--epoch", type=int, default=None,
@@ -346,6 +357,25 @@ def main(argv=None):
         import ray
 
         ray.shutdown()
+        return 0
+
+    if args.cmd == "fsck":
+        _ray_init()
+        from chomper_ray.state.lake import LakeTable
+
+        res = LakeTable(args.lake_root).fsck()
+        print(json.dumps(res))
+        import ray
+
+        ray.shutdown()
+        return 0 if res["ok"] else 2
+
+    if args.cmd == "prune-changes":
+        from chomper_ray.state.lake import LakeTable
+
+        res = LakeTable(args.lake_root).prune_change_events(
+            args.before_epoch)
+        print(json.dumps(res))
         return 0
 
     if args.cmd == "backfill":

@@ -434,7 +434,10 @@ class _PartitionMerger:
             n_events = len(events)
 
         live = int((~new[INTERNAL_DELETED]).sum())
-        content_hash = snapshot_content_hash(new, self.key)
+        # hash the WRITTEN content (the out_schema projection), not the
+        # wider merge frame — so fsck can re-derive it from the file
+        content_hash = snapshot_content_hash(out_tbl.to_pandas(),
+                                             self.key)
         n_del = int(new[INTERNAL_DELETED].sum())
         row = pa.table({
             "partition_id": [pid],
@@ -559,9 +562,11 @@ def _replay_step(base_tbl: pa.Table, changes: pa.Table, target: pa.Schema,
     """One deferred merge step (read-time twin of ``_merge_step`` minus
     the file writes): conform the base to the commit's target schema and
     apply the delta's change rows. Deterministic output (sorted by key).
-    The returned content hash is computed on the merge-output frame in
-    the exact column order ``_merge_step`` hashes, so a full replay's
-    final hash equals the copy-on-write manifest hash bit-for-bit."""
+    The returned content hash is computed on the snapshot-schema
+    projection — the exact content ``_merge_step`` writes and hashes —
+    so a full replay's final hash equals the copy-on-write manifest
+    hash bit-for-bit, and ``fsck`` can re-derive either from the file
+    bytes alone."""
     base_tbl = _conform_snapshot(base_tbl, target, managed)
     base = base_tbl.to_pandas(types_mapper=None)
     ch = changes.to_pandas()
@@ -575,7 +580,7 @@ def _replay_step(base_tbl: pa.Table, changes: pa.Table, target: pa.Schema,
     out_schema = _snapshot_schema(target, managed)
     out_tbl = pa.Table.from_pandas(new[[f.name for f in out_schema]],
                                    schema=out_schema, preserve_index=False)
-    return out_tbl, snapshot_content_hash(new, key)
+    return out_tbl, snapshot_content_hash(out_tbl.to_pandas(), key)
 
 
 def _resolve_mor_pid(root: str | Path, part: dict, delta_commits: dict,
@@ -1633,7 +1638,38 @@ class LakeTable:
             rows.extend(m.get("lineage", []))
         return pd.DataFrame(rows)
 
-    def _change_files(self) -> list[tuple[int, str]]:
+    def _changes_horizon(self) -> int | None:
+        """LOG epochs strictly below this have had their change files
+        pruned (``prune_change_events``). None = nothing pruned."""
+        p = self.root / _CHANGES_DIR / "_HORIZON"
+        return int(p.read_text()) if p.exists() else None
+
+    def prune_change_events(self, before_epoch: int) -> dict:
+        """Retention for the change-listener log: delete change files of
+        LOG epochs < ``before_epoch``. At 10^10 events the change log is
+        itself unbounded data; the contract is the usual log-retention
+        one — every subscriber's checkpoint must have passed the
+        horizon. The horizon marker lands ATOMICALLY before any unlink,
+        so a crash mid-prune leaves a consistent feed (files at or past
+        the horizon intact, reads below it refused); metadata-only +
+        O(files) unlinks, no data read."""
+        cur = self._changes_horizon()
+        horizon = max(before_epoch, cur or 0)
+        hdir = self.root / _CHANGES_DIR
+        hdir.mkdir(parents=True, exist_ok=True)
+        tmp = hdir / f"._HORIZON.{uuid.uuid4().hex[:8]}.tmp"
+        tmp.write_text(str(horizon))
+        os.replace(tmp, hdir / "_HORIZON")
+        removed = 0
+        for e, f in self._change_files(_ignore_horizon=True):
+            if e < horizon and Path(f).exists():
+                Path(f).unlink()
+                removed += 1
+        return {"removed_files": removed, "horizon": horizon}
+
+    def _change_files(self, _ignore_horizon: bool = False
+                      ) -> list[tuple[int, str]]:
+        horizon = None if _ignore_horizon else self._changes_horizon()
         out = []
         for e in committed_epochs(self.root):
             m = load_manifest(self.root, e)
@@ -1641,8 +1677,10 @@ class LakeTable:
                 if ln.get("changes_file"):
                     # lineage rows carry the LOG epoch (the user-facing
                     # change-event epoch; the manifest id may differ)
-                    out.append((int(ln.get("epoch", e)),
-                                str(self.root / ln["changes_file"])))
+                    le = int(ln.get("epoch", e))
+                    if horizon is not None and le < horizon:
+                        continue  # pruned by retention
+                    out.append((le, str(self.root / ln["changes_file"])))
         return out
 
     def change_events_ds(self, since_epoch: int | None = None):
@@ -1654,9 +1692,20 @@ class LakeTable:
         ``since_epoch``: resume a subscription — only events from LOG
         epochs strictly greater are read (file-level pruning off the
         lineage metadata; a consumer checkpoints the last epoch it
-        processed, exactly like the engine's own binlog cursor)."""
+        processed, exactly like the engine's own binlog cursor). A
+        request reaching below a retention horizon
+        (``prune_change_events``) refuses loudly instead of silently
+        returning a partial feed."""
         import ray.data as rd
 
+        horizon = self._changes_horizon()
+        if horizon is not None and \
+                (since_epoch is None or since_epoch < horizon - 1):
+            raise ValueError(
+                f"change feed pruned below epoch {horizon} "
+                f"(prune_change_events); pass since_epoch >= "
+                f"{horizon - 1} or re-bootstrap the consumer from a "
+                "snapshot read")
         files = self._change_files()
         if since_epoch is not None:
             files = [(e, f) for e, f in files if e > since_epoch]
@@ -1684,6 +1733,10 @@ class LakeTable:
     def change_events(self) -> pd.DataFrame:
         """Driver-side convenience frame of all change events (tests /
         small tables); the scale path is ``change_events_ds``."""
+        if self._changes_horizon() is not None:
+            raise ValueError(
+                "change feed has a retention horizon; use "
+                "change_events_ds(since_epoch=...) instead")
         files = self._change_files()
         if not files:
             return pd.DataFrame(columns=[self.key, "field", "event", "epoch"])
@@ -2216,6 +2269,78 @@ class LakeTable:
             epoch=epoch, partitions_touched=len(stats),
             total_rows=int(stats["live"].sum()) if len(stats) else 0,
             wall_s=time.perf_counter() - t0)
+
+    def fsck(self, as_of_epoch: int | None = None) -> dict:
+        """Integrity check: re-derive every live snapshot file's
+        content hash and row/live counts and compare against what its
+        manifest recorded — one Ray task per partition, driver sees
+        only verdicts. Catches bit rot, truncated writes and manual
+        tampering before they become silent wrong answers. Partitions
+        whose base is still pending merge-on-read deltas are reported
+        as ``skipped_mor`` (delta files carry no recorded hash until
+        ``compact_deltas`` folds them)."""
+        import ray.data as rd
+
+        m = load_manifest(self.root, as_of_epoch)
+        if not m:
+            return {"ok": True, "partitions_checked": 0,
+                    "mismatches": [], "missing_files": [],
+                    "skipped_mor": []}
+        key = self.key
+        root = str(self.root)
+        parts = m["partitions"]
+        skipped = sorted(int(p) for p, v in parts.items()
+                         if v.get("deltas"))
+        check = {int(p): v for p, v in parts.items()
+                 if v.get("file") and not v.get("deltas")}
+        missing = sorted(p for p, v in check.items()
+                         if not (self.root / v["file"]).exists())
+        todo = sorted(p for p in check if p not in missing)
+        if not todo:
+            return {"ok": not missing, "partitions_checked": 0,
+                    "mismatches": [], "missing_files": missing,
+                    "skipped_mor": skipped}
+        meta = {p: (check[p]["file"], check[p]["hash"],
+                    int(check[p]["rows"]), int(check[p]["live_rows"]))
+                for p in todo}
+
+        def verify(batch: pa.Table) -> pa.Table:
+            pids, oks, reasons = [], [], []
+            for pid in batch["pid"].to_pylist():
+                pid = int(pid)
+                rel, want_h, want_rows, want_live = meta[pid]
+                tbl = pq.read_table(Path(root) / rel)
+                got_h = snapshot_content_hash(tbl.to_pandas(), key)
+                got_live = int(pa.compute.sum(pa.compute.invert(
+                    tbl[INTERNAL_DELETED])).as_py() or 0)
+                bad = []
+                if tbl.num_rows != want_rows:
+                    bad.append(f"rows {tbl.num_rows}!={want_rows}")
+                if got_live != want_live:
+                    bad.append(f"live {got_live}!={want_live}")
+                if got_h != want_h:
+                    bad.append(f"hash {got_h}!={want_h}")
+                pids.append(pid)
+                oks.append(not bad)
+                reasons.append("; ".join(bad))
+            return pa.table({"pid": pa.array(pids, type=pa.int32()),
+                             "ok": pa.array(oks, type=pa.bool_()),
+                             "reason": pa.array(reasons,
+                                                type=pa.string())})
+
+        stats = (rd.from_arrow(pa.table({
+                    "pid": pa.array(todo, type=pa.int32())}))
+                 .repartition(len(todo))
+                 .map_batches(verify, batch_format="pyarrow")
+                 .to_pandas())
+        mismatches = [{"partition_id": int(r.pid), "file": meta[int(r.pid)][0],
+                       "reason": r.reason}
+                      for r in stats.itertuples(index=False) if not r.ok]
+        return {"ok": not mismatches and not missing,
+                "partitions_checked": len(todo),
+                "mismatches": mismatches,
+                "missing_files": missing,
+                "skipped_mor": skipped}
 
     def compact(self, keep_epochs: int = 1) -> dict:
         """Garbage-collect snapshot files no manifest in the retained
