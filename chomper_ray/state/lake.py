@@ -178,6 +178,14 @@ def suggest_partitions(volumes: dict[int, int], current: int, *,
 
     Returns ``current`` when nothing is hot — callers treat
     ``suggestion == current`` as "leave it alone".
+
+    ``min_rows`` is the economics guard, not just noise filtering: a
+    partition merge has a fixed per-task cost (task dispatch, file
+    open/rewrite, hash), so splitting only pays when the hot
+    partition's EXCESS volume dwarfs it. Measured: at 4.8 M events the
+    32→128 split halves the wide-hot merge wall; at 0.4 M the same
+    split makes it ~1.3× SLOWER (fixed costs dominate). Keep
+    ``min_rows`` at production scale honest rather than tuning it down.
     """
     import math
 

@@ -127,6 +127,42 @@ def run_one(log_dir: Path, tag: str) -> dict:
             "events": res.events_applied}
 
 
+def run_remediated(log_dir: Path, tag: str, n_events: int) -> dict:
+    """The closed loop on the wide-hot log: epoch 0 ingests at the
+    default 32 partitions (straggling merge), `suggest_num_partitions`
+    reads the hot volume off epoch 0's lineage, `repartition_table`
+    acts on it, epoch 1 ingests on the widened layout — its merge wall
+    is the remediation's payoff (same event distribution per epoch)."""
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.state.lake import LakeTable
+
+    lake_root = tempfile.mkdtemp(prefix=f"chomper_hot_{tag}_")
+    staging = tempfile.mkdtemp(prefix=f"chomper_hot_stg_{tag}_",
+                               dir="/dev/shm")
+    kw = {"staging_root": staging}
+    res0 = run_cdc(log_dir, lake_root, num_partitions=NUM_PARTITIONS,
+                   lake_kwargs=kw, max_epochs=1)
+    lake = LakeTable(lake_root, num_partitions=NUM_PARTITIONS, **kw)
+    # volume thresholds scaled to the stress size (production default
+    # min_rows=100k fires by itself at the full 4.8M run)
+    lake.hot_min_rows = max(1_000, n_events // 200)
+    suggestion = lake.suggest_num_partitions()
+    t0 = time.perf_counter()
+    if suggestion != NUM_PARTITIONS:
+        lake.repartition_table(suggestion)
+    repart_s = time.perf_counter() - t0
+    res1 = run_cdc(log_dir, lake_root, lake_kwargs=kw)
+    merge0 = sum(c.merge_s for c in res0.commits)
+    merge1 = sum(c.merge_s for c in res1.commits)
+    shutil.rmtree(lake_root, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    return {"suggested_partitions": suggestion,
+            "repartition_s": round(repart_s, 3),
+            "merge_epoch0_at_32": round(merge0, 3),
+            "merge_epoch1_after": round(merge1, 3),
+            "merge_improvement": round(merge0 / max(merge1, 1e-9), 3)}
+
+
 def main():
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 4_800_000
     num_cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
@@ -159,6 +195,7 @@ def main():
     uni = run_one(log_uni, "uni")
     hot = run_one(log_hot, "hot")
     wide = run_one(log_wide, "wide")
+    remediated = run_remediated(log_wide, "rem", n_events)
     ray.shutdown()
 
     out = {
@@ -166,6 +203,7 @@ def main():
         "n_events": n_events, "num_cpus": num_cpus,
         "num_partitions": NUM_PARTITIONS, "hot_frac": 0.5,
         "uniform": uni, "hot": hot, "hot_wide": wide,
+        "auto_remediated": remediated,
         "merge_ratio_hot": round(hot["merge_s"] / max(uni["merge_s"], 1e-9), 3),
         "merge_ratio_wide": round(wide["merge_s"] / max(uni["merge_s"], 1e-9), 3),
         "wall_ratio_hot": round(hot["wall_s"] / max(uni["wall_s"], 1e-9), 3),
