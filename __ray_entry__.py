@@ -1716,6 +1716,71 @@ def _q_cdc_index_tokens(sf_dir: str):
     return out.rename(columns={"doc": "url"})[["token", "url", "tf", "dl"]]
 
 
+def _q_cdc_mor_matview_domains(sf_dir: str):
+    # MOR-native derived maintenance (round 4): the per-domain matview
+    # maintained commit by commit over a merge-on-read lake whose
+    # deltas are left PENDING — no compaction anywhere. Each MOR commit
+    # folds as the lake's key-restricted old/new diff
+    # (state/lake.py materialize_mor_commit_diff): old = the commit's
+    # own keys resolved at the previous manifest, new = one replay step
+    # over them — so maintenance cost scales with the COMMIT'S KEYS,
+    # cheaper than the copy-on-write whole-partition diff. Hash-verified
+    # against the same LWW SQL oracle as cdc_matview_domains.
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.stages.text import url_parts
+    from chomper_ray.state.lake import (LakeTable, load_manifest,
+                                        manifest_has_deltas)
+    from chomper_ray.state.matview import MaterializedAgg
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_mormv_")
+    kw = {"merge_on_read": True, "collect_changes": False}
+    run_cdc(log, lake_root, num_partitions=8, lake_kwargs=kw)
+    lake = LakeTable(lake_root, num_partitions=8, **kw)
+    assert manifest_has_deltas(load_manifest(lake.root))  # head stays MOR
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        d = url_parts(df)
+        return pd.DataFrame({
+            "domain": d["domain"],
+            "n_chars": d["text"].fillna("").str.len().astype("int64"),
+        })
+
+    view = MaterializedAgg(lake, tempfile.mkdtemp(prefix="chomper_mormv_"),
+                           contrib, group_cols=["domain"],
+                           value_cols=["n_chars"],
+                           read_columns=["url", "text"]).refresh()
+    return view.rename(columns={"n_live": "n_pages",
+                                "sum_n_chars": "total_chars"})
+
+
+def _q_cdc_mor_index_tokens(sf_dir: str):
+    # MOR-native index maintenance (round 4): the inverted index
+    # maintained at a DELTA-BEARING merge-on-read head — full build at
+    # the first (already delta-bearing) manifest via
+    # materialize_mor_resolved, then per-commit LSM segments from the
+    # key-restricted MOR diff. The resolved postings hash-verify
+    # against the same from-scratch SQL tokenization as
+    # cdc_index_tokens; no compaction ever runs.
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.state.index import LakeTextIndex
+    from chomper_ray.state.lake import (LakeTable, load_manifest,
+                                        manifest_has_deltas)
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_moridx_")
+    kw = {"merge_on_read": True, "collect_changes": False}
+    run_cdc(log, lake_root, num_partitions=8, lake_kwargs=kw)
+    lake = LakeTable(lake_root, num_partitions=8, **kw)
+    assert manifest_has_deltas(load_manifest(lake.root))  # head stays MOR
+    idx = LakeTextIndex(lake, tempfile.mkdtemp(prefix="chomper_mor_idx_"),
+                        num_partitions=16)
+    idx.refresh()
+    parts = [idx.postings(t) for t in _IDX_TOKENS]
+    out = pd.concat(parts, ignore_index=True)
+    return out.rename(columns={"doc": "url"})[["token", "url", "tf", "dl"]]
+
+
 def _q_cdc_backfill_tokens(sf_dir: str):
     # versioned backfill: reprocess lake HISTORY through a new transform
     # version (null-safe token count) a bounded number of partitions per
@@ -2419,6 +2484,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_layout_tokens": _q_cdc_layout_tokens,
         # driver-window overflow: same oracle family as the windowed
         # cdc_matview_domains; mimic-verified (scripts/check_oracle.py)
+        "cdc_mor_matview_domains": _q_cdc_mor_matview_domains,
+        "cdc_mor_index_tokens": _q_cdc_mor_index_tokens,
         "cdc_domain_stats": _q_cdc_domain_stats,
         "cdc_ann_vectors": _q_cdc_ann_vectors,
         "cdc_sorted_scan": _q_cdc_sorted_scan,
@@ -2738,6 +2805,43 @@ def oracle_sql() -> dict[str, str]:
             "len(string_split(coalesce(s.text, ''), ' '))::BIGINT "
             "AS n_tokens "
             "FROM win w JOIN sidecar s USING (seq)"
+        ),
+        # MOR-native derived maintenance (round 4): maintained AT a
+        # delta-bearing merge-on-read head — deferred merges + LSM
+        # folds must reproduce the identical LWW state, so the oracles
+        # are the SAME SQL as the copy-on-write twins above
+        "cdc_mor_matview_domains": (
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            f"sidecar AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/_oracle/*.parquet')), "
+            "st AS (SELECT w.url, s.text FROM win w "
+            "JOIN sidecar s USING (seq)) "
+            f"SELECT {sql_url_exprs('url')['domain']} AS domain, "
+            "count(*) AS n_pages, "
+            "CAST(sum(length(coalesce(text, ''))) AS BIGINT) "
+            "AS total_chars FROM st GROUP BY 1"
+        ),
+        "cdc_mor_index_tokens": (
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            f"sidecar AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/_oracle/*.parquet')), "
+            "st AS (SELECT w.url, s.text FROM win w "
+            "JOIN sidecar s USING (seq)), "
+            "tok AS (SELECT url, "
+            "len(string_split(coalesce(text, ''), ' ')) AS dl, "
+            "unnest(string_split(coalesce(text, ''), ' ')) AS token "
+            "FROM st) "
+            "SELECT token, url, count(*) AS tf, dl FROM tok "
+            f"WHERE token IN {tuple(_IDX_TOKENS)!r} "
+            "GROUP BY token, url, dl"
         ),
         "cdc_sorted_scan": (
             # maintained sorted layout pruned-window scan == SQL range

@@ -12,10 +12,13 @@ keeps working under CDC instead of silently staling.
 The trick that makes maintenance trivial here: the layout is keyed by
 the LAKE's own key with the LAKE's own partition count, so layout
 bucket i derives from exactly lake partition i — no shuffle ever. A
-refresh diffs the head manifest's partition→file map against the
-per-partition file fingerprints recorded at the last refresh and
-rewrites ONLY the partitions whose snapshot file changed (copy-on-write
-means a changed partition has a new file name). Cost ∝ the changed
+refresh diffs the head manifest's per-partition fingerprint (base file
++ pending merge-on-read delta chain) against the fingerprints recorded
+at the last refresh and rewrites ONLY the partitions whose RESOLVED
+content may have changed (copy-on-write gives a changed partition a
+new file name; merge-on-read appends a delta file — the rewrite task
+then resolves base ⊕ deltas, so the layout stays fresh at a
+delta-bearing head without compaction). Cost ∝ the changed
 partitions' size — write amplification, never table size — and the
 diff skips intermediate commits entirely (only head state matters for
 a non-aggregating projection).
@@ -43,8 +46,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from chomper_ray.state.lake import (LakeTable, load_manifest,
-                                    manifest_has_deltas)
+from chomper_ray.state.lake import (LakeTable, _resolve_mor_pid,
+                                    load_manifest)
 from chomper_ray.state.output import _write_layout
 
 
@@ -93,15 +96,18 @@ class LakeBucketLayout:
         man = load_manifest(self.lake.root)
         if man is None:
             return {"applied_cid": None, "rewritten": [], "removed": []}
-        if manifest_has_deltas(man):
-            raise ValueError(
-                f"lake at {self.lake.root} has pending merge-on-read "
-                "deltas; the derived layout projects base snapshot files "
-                "and would be silently stale — run lake.compact_deltas() "
-                "first (the layout then syncs off the folded snapshots)")
         st = self._state()
-        head_files = {int(p): v["file"]
-                      for p, v in man["partitions"].items()}
+        # fingerprint = base file + pending delta chain: a merge-on-read
+        # ingest (new delta) or a compaction (new base, empty chain)
+        # changes it exactly when the partition's RESOLVED content may
+        # have changed — the layout projects resolved state, so it
+        # maintains through a delta-bearing head without compaction
+        head_parts = {int(p): v for p, v in man["partitions"].items()
+                      if v.get("file") or v.get("deltas")}
+        head_files = {p: "|".join([v.get("file") or ""]
+                                  + [d["file"]
+                                     for d in v.get("deltas", [])])
+                      for p, v in head_parts.items()}
         changed = sorted(p for p, f in head_files.items()
                          if st["files"].get(str(p)) != f)
         removed = sorted(int(p) for p in st["files"]
@@ -121,13 +127,22 @@ class LakeBucketLayout:
                 [key, *columns, INTERNAL_DELETED]))
         else:
             read_cols = None
+        dc = man.get("delta_commits", {})
+        mor_kw = self.lake._mor_kwargs()
 
         def rewrite(batch: pd.DataFrame) -> pd.DataFrame:
             out = []
             for pid in batch["pid"].astype(int):
                 pid = int(pid)
-                f = Path(lake_root) / head_files[pid]
-                t = pq.read_table(f, columns=read_cols)
+                part = head_parts[pid]
+                if part.get("deltas"):
+                    t, _ = _resolve_mor_pid(
+                        lake_root, part, dc,
+                        columns=(None if columns is None
+                                 else [key, *columns]), **mor_kw)
+                else:
+                    t = pq.read_table(Path(lake_root) / part["file"],
+                                      columns=read_cols)
                 df = t.to_pandas()
                 df = df[~df[INTERNAL_DELETED].astype(bool)]
                 df = df.drop(columns=[c for c in df.columns

@@ -281,9 +281,29 @@ class _LsmSegmentIndex:
     # -- maintenance ----------------------------------------------------------
     def refresh(self) -> dict:
         """Apply every unapplied lake commit in chain order. Returns
-        ``{"applied": [markers...], "skipped": [cids...]}``; idempotent."""
-        from chomper_ray.state.lake import (committed_epochs, load_manifest,
-                                            manifest_has_deltas)
+        ``{"applied": [markers...], "skipped": [cids...]}``; idempotent.
+
+        Merge-on-read lakes maintain WITHOUT compaction: a delta-bearing
+        ingest commit writes a real segment from the lake's
+        key-restricted old/new diff (``materialize_mor_commit_diff`` —
+        −1 rows are the commit's keys resolved at the PREVIOUS manifest,
+        +1 rows are one replay step over them), so the segment covers
+        exactly the changed rows; a ``compact_deltas`` commit writes an
+        empty segment (pure storage reorganization — its changes were
+        applied commit-by-commit). Full builds / GC fallbacks at a
+        delta-bearing manifest scan the RESOLVED state
+        (``materialize_mor_resolved``)."""
+        import shutil
+        import tempfile
+
+        from chomper_ray.state.lake import (committed_epochs,
+                                            is_compaction_manifest,
+                                            load_manifest,
+                                            manifest_has_deltas,
+                                            materialize_mor_commit_diff,
+                                            materialize_mor_resolved,
+                                            mor_commit_delta_pids,
+                                            mor_diff_inputs_exist)
 
         root = self.lake.root
         cids = committed_epochs(root)
@@ -300,35 +320,55 @@ class _LsmSegmentIndex:
                 applied.append(self._write_segment(cid, [], [], full=True))
                 prev_cid = cid
                 continue
-            # merge-on-read: an ingest commit leaves base files untouched
-            # (its rows live in delta files); the later compact_deltas
-            # commit carries the effect via ITS lineage. At the chain head
-            # that later commit doesn't exist yet — refuse rather than go
-            # stale; mid-chain such a commit contributes an empty segment
-            # (or a base-only full build that the compaction diff tops up).
-            has_deltas = manifest_has_deltas(man)
-            if has_deltas and cid == cids[-1]:
-                raise ValueError(
-                    f"lake at {root} has pending merge-on-read deltas "
-                    "at its head manifest; the index diffs base "
-                    "snapshot files — run lake.compact_deltas() first")
-            all_files = [str(root / v["file"])
-                         for _, v in sorted(man["partitions"].items())
-                         if v.get("file")]
+
+            def full_build(man=man, cid=cid):
+                # whole-state build at this manifest; pending
+                # merge-on-read deltas are resolved first
+                scratch = None
+                if manifest_has_deltas(man):
+                    scratch = tempfile.mkdtemp(prefix="chomper_idx_full_")
+                    files = materialize_mor_resolved(
+                        root, man, self.lake._mor_kwargs(), scratch)
+                else:
+                    files = [str(root / v["file"])
+                             for _, v in sorted(man["partitions"].items())
+                             if v.get("file")]
+                try:
+                    return self._write_segment(cid, files, [], full=True)
+                finally:
+                    if scratch is not None:
+                        shutil.rmtree(scratch, ignore_errors=True)
+
             if prev_cid is None or prev_cid not in done and not applied \
                     and not self._segments():
                 # first segment ever: full build from this manifest
-                applied.append(self._write_segment(cid, all_files, [],
-                                                   full=True))
+                applied.append(full_build())
                 prev_cid = cid
                 continue
-            if has_deltas:
+            if is_compaction_manifest(man):
                 applied.append(self._write_segment(cid, [], [], full=False))
+                prev_cid = cid
+                continue
+            prev_man = load_manifest(root, prev_cid)
+            mor_pids = mor_commit_delta_pids(man, cid)
+            if mor_pids:
+                if prev_man is None or not mor_diff_inputs_exist(
+                        root, man, prev_man, cid):
+                    applied.append(full_build())
+                else:
+                    scratch = tempfile.mkdtemp(prefix="chomper_idx_diff_")
+                    try:
+                        new_files, old_files = materialize_mor_commit_diff(
+                            root, man, prev_man, cid,
+                            self.lake._mor_kwargs(), scratch)
+                        applied.append(self._write_segment(
+                            cid, new_files, old_files, full=False))
+                    finally:
+                        shutil.rmtree(scratch, ignore_errors=True)
                 prev_cid = cid
                 continue
             touched = sorted({int(ln["partition_id"])
                               for ln in man.get("lineage", [])})
-            prev_man = load_manifest(root, prev_cid)
             new_files = [str(root / man["partitions"][str(p)]["file"])
                          for p in touched
                          if man["partitions"].get(str(p), {}).get("file")]
@@ -344,8 +384,7 @@ class _LsmSegmentIndex:
                     break
                 old_files.append(str(f))
             if missing_old or prev_man is None:
-                applied.append(self._write_segment(cid, all_files, [],
-                                                   full=True))
+                applied.append(full_build())
             else:
                 applied.append(self._write_segment(cid, new_files,
                                                    old_files, full=False))

@@ -491,10 +491,13 @@ def _snapshot_schema(target: pa.Schema, managed: bool,
 
 
 def manifest_has_deltas(manifest: dict | None) -> bool:
-    """True when a merge-on-read manifest carries unfolded delta files —
-    the guard derived structures (matview/index/derived layouts) use:
-    their per-commit diffs read base snapshot files only, so pending
-    deltas would leave them silently stale."""
+    """True when a merge-on-read manifest carries unfolded delta files.
+    Lake operations that rewrite base files in place (COW commits,
+    purge, repartition, backfill, delete_where) refuse at such a head —
+    they would drop the pending changes. Derived structures (matview /
+    index / layouts) do NOT refuse: they fold each delta commit's exact
+    effect via ``materialize_mor_commit_diff`` and treat compaction as
+    a zero delta (``is_compaction_manifest``)."""
     if not manifest:
         return False
     return any(v.get("deltas") for v in manifest.get("partitions", {}).values())
@@ -601,8 +604,10 @@ def _resolve_mor_pid(root: str | Path, part: dict, delta_commits: dict,
     order. ``columns`` prunes the replay to the requested fields (plus
     key/version/internals — per-column LWW/fold/protected semantics are
     column-local, so prune-then-merge ≡ merge-then-prune). ``key_filter``
-    restricts to one key (the point-lookup path) — merges are per-key
-    independent, so filtering both sides first is exact.
+    restricts to one key (the point-lookup path) or, given an Arrow
+    array / list of keys, to that key SET (the derived-maintenance diff
+    path) — merges are per-key independent, so filtering both sides
+    first is exact either way.
 
     Returns ``(resolved_table, content_hash)``; the hash is only
     meaningful for full-column, unfiltered resolution (it then equals
@@ -625,6 +630,19 @@ def _resolve_mor_pid(root: str | Path, part: dict, delta_commits: dict,
             return schema
         return pa.schema([f for f in schema if f.name in needed])
 
+    key_set = None
+    if isinstance(key_filter, pa.ChunkedArray):
+        key_set = key_filter.combine_chunks()
+    elif isinstance(key_filter, pa.Array):
+        key_set = key_filter
+    elif isinstance(key_filter, (list, tuple, np.ndarray)):
+        key_set = pa.array(key_filter)
+
+    def key_mask(arr):
+        if key_set is not None:
+            return pc.is_in(arr, value_set=key_set)
+        return pc.equal(arr, key_filter)
+
     base_file = part.get("file")
     if base_file:
         base_cols = None
@@ -642,7 +660,7 @@ def _resolve_mor_pid(root: str | Path, part: dict, delta_commits: dict,
     else:
         return None, None
     if key_filter is not None:
-        base_tbl = base_tbl.filter(pc.equal(base_tbl[key], key_filter))
+        base_tbl = base_tbl.filter(key_mask(base_tbl[key]))
     content_hash = part.get("hash")
     for d in deltas:
         cid = d["commit_id"]
@@ -655,7 +673,7 @@ def _resolve_mor_pid(root: str | Path, part: dict, delta_commits: dict,
                        if c in avail]
         changes = pq.read_table(root / d["file"], columns=ch_cols)
         if key_filter is not None:
-            changes = changes.filter(pc.equal(changes[key], key_filter))
+            changes = changes.filter(key_mask(changes[key]))
         base_tbl, content_hash = _replay_step(
             base_tbl, changes, target, key=key, version_ts=version_ts,
             overwrite=overwrite, protected=protected, managed=managed,
@@ -687,6 +705,179 @@ def snapshot_content_hash(df: pd.DataFrame, key: str) -> str:
     h = pd.util.hash_pandas_object(
         s.astype(object).where(s.notna(), None), index=False)
     return f"{int(h.sum()) & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
+def is_compaction_manifest(manifest: dict | None) -> bool:
+    """True for a ``compact_deltas`` maintenance commit. Under the
+    derived-maintenance contract (matview/index/layout refresh), a
+    merge-on-read ingest commit carries its OWN effect (the key-
+    restricted old/new diff of its delta — ``materialize_mor_commit_
+    diff``), which makes compaction pure storage reorganization: its
+    lineage lists the folded partitions so the lake's own bookkeeping
+    stays uniform, but derived structures must fold a ZERO delta for it
+    or they would double-count every folded change."""
+    return bool(manifest and manifest.get("compacted_delta_partitions"))
+
+
+def mor_commit_delta_pids(manifest: dict, cid: int) -> list[int]:
+    """Partitions whose pending delta list includes commit ``cid`` —
+    i.e. the partitions a merge-on-read ingest commit touched."""
+    return sorted(int(p) for p, v in manifest.get("partitions", {}).items()
+                  if any(d["commit_id"] == cid
+                         for d in v.get("deltas", [])))
+
+
+def mor_diff_inputs_exist(root, man: dict, prev_man: dict | None,
+                          cid: int) -> bool:
+    """Whether every file ``materialize_mor_commit_diff`` would read is
+    still on disk — this commit's delta files plus the touched
+    partitions' base + earlier-delta chain at ``prev_man``. False (a
+    GC'd input) routes derived maintenance to its full-recompute
+    fallback, the same contract as the copy-on-write missing-old
+    path."""
+    root = Path(root)
+    prev_parts = (prev_man or {}).get("partitions", {})
+    for p in mor_commit_delta_pids(man, cid):
+        ent = man["partitions"][str(p)]
+        files = [d["file"] for d in ent["deltas"] if d["commit_id"] == cid]
+        prev_ent = prev_parts.get(str(p)) or {}
+        if prev_ent.get("file"):
+            files.append(prev_ent["file"])
+        files += [d["file"] for d in prev_ent.get("deltas", [])]
+        if any(not (root / f).exists() for f in files):
+            return False
+    return True
+
+
+def materialize_mor_commit_diff(root, man: dict, prev_man: dict | None,
+                                cid: int, mor_kwargs: dict,
+                                scratch_dir) -> tuple[list[str], list[str]]:
+    """Materialize a merge-on-read ingest commit's EXACT effect as a
+    pair of snapshot-schema parquet file lists ``(new_files,
+    old_files)`` under ``scratch_dir`` — the same shape the
+    copy-on-write old-vs-new partition diff feeds derived maintenance
+    (matview partials, LSM index segments), so every consumer reuses
+    its existing file-based scan unchanged.
+
+    Exactness: LWW merges are per-key independent, so restricting both
+    sides to the commit's own key set K (the keys in its delta file) is
+    lossless — untouched keys appear identically on both sides of any
+    wider diff and cancel. old = resolved state of the touched
+    partitions at ``prev_man`` filtered to K (base ⊕ earlier deltas,
+    conformed to the commit's target schema so the ± diff cancels
+    column-by-column across evolution epochs); new = one
+    ``_replay_step`` of this commit's delta over it — identical to the
+    resolved state at ``man`` filtered to K by replay associativity.
+
+    Scale: one Ray task per touched partition; old-side I/O is bounded
+    by the touched partitions (like the COW diff), but everything
+    downstream — tokenize/assign/shuffle/write — sees only the
+    commit's OWN keys, which makes derived maintenance under MOR
+    CHEAPER than under COW for small commits into big partitions.
+    Empty sides return no file. The caller owns ``scratch_dir``
+    (create before, delete after consuming the scans)."""
+    import ray.data as rd
+
+    scratch = Path(scratch_dir)
+    scratch.mkdir(parents=True, exist_ok=True)
+    touched = {str(p): next(d for d in
+                            man["partitions"][str(p)]["deltas"]
+                            if d["commit_id"] == cid)
+               for p in mor_commit_delta_pids(man, cid)}
+    if not touched:
+        return [], []
+    entry = man["delta_commits"][str(cid)]
+    target_json = entry["schema"]
+    commit_ts_us = int(entry["commit_ts_us"])
+    prev_parts = (prev_man or {}).get("partitions", {})
+    prev_dc = (prev_man or {}).get("delta_commits", {})
+    kw = dict(mor_kwargs)
+    key, managed = kw["key"], kw["managed"]
+    roots, scratchs = str(root), str(scratch)
+
+    def diff(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        target = schema_mod.schema_from_json(target_json)
+        out = []
+        for pid in batch["pid"].to_pylist():
+            pid = int(pid)
+            d = touched[str(pid)]
+            changes = pq.read_table(Path(roots) / d["file"])
+            keys = pc.unique(changes[key])
+            old_tbl, _ = _resolve_mor_pid(
+                roots, prev_parts.get(str(pid)) or {}, prev_dc,
+                key_filter=keys, **kw)
+            if old_tbl is None:
+                old_tbl = _snapshot_schema(target, managed).empty_table()
+            old_tbl = _conform_snapshot(old_tbl, target, managed)
+            new_tbl, _ = _replay_step(old_tbl, changes, target,
+                                      commit_ts_us=commit_ts_us, **kw)
+            nf = of = ""
+            if old_tbl.num_rows:
+                of = f"{scratchs}/old-p{pid:05d}.parquet"
+                pq.write_table(old_tbl, of)
+            if new_tbl.num_rows:
+                nf = f"{scratchs}/new-p{pid:05d}.parquet"
+                pq.write_table(new_tbl, nf)
+            out.append((pid, nf, of))
+        return pa.table({"pid": [o[0] for o in out],
+                         "new": [o[1] for o in out],
+                         "old": [o[2] for o in out]})
+
+    pids = sorted(touched, key=int)
+    stats = (rd.from_arrow(pa.table({"pid": pa.array(
+                [int(p) for p in pids], type=pa.int32())}))
+             .repartition(len(pids))
+             .map_batches(diff, batch_format="pyarrow")
+             .to_pandas())  # ≤ touched-partition rows — paths only
+    return ([f for f in stats["new"] if f], [f for f in stats["old"] if f])
+
+
+def materialize_mor_resolved(root, man: dict, mor_kwargs: dict,
+                             scratch_dir) -> list[str]:
+    """Snapshot-schema parquet files of the FULL resolved state at
+    ``man`` — delta-free partitions contribute their base file path
+    as-is (no copy); delta-bearing ones are resolved (base ⊕ deltas,
+    one Ray task per partition) into ``scratch_dir``. The full-build /
+    full-recompute twin of ``materialize_mor_commit_diff`` — derived
+    structures use it when they must scan whole-table state at a
+    delta-bearing manifest (first build, or compacted-away history)."""
+    import ray.data as rd
+
+    parts = man.get("partitions", {})
+    plain = [str(Path(root) / v["file"])
+             for _, v in sorted(parts.items())
+             if not v.get("deltas") and v.get("file")]
+    pend = {p: v for p, v in parts.items() if v.get("deltas")}
+    if not pend:
+        return plain
+    scratch = Path(scratch_dir)
+    scratch.mkdir(parents=True, exist_ok=True)
+    dc = man.get("delta_commits", {})
+    kw = dict(mor_kwargs)
+    roots, scratchs = str(root), str(scratch)
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        out = []
+        for pid in batch["pid"].to_pylist():
+            pid = int(pid)
+            tbl, _ = _resolve_mor_pid(roots, pend[str(pid)], dc, **kw)
+            f = ""
+            if tbl is not None and tbl.num_rows:
+                f = f"{scratchs}/resolved-p{pid:05d}.parquet"
+                pq.write_table(tbl, f)
+            out.append((pid, f))
+        return pa.table({"pid": [o[0] for o in out],
+                         "file": [o[1] for o in out]})
+
+    pids = sorted(pend, key=int)
+    stats = (rd.from_arrow(pa.table({"pid": pa.array(
+                [int(p) for p in pids], type=pa.int32())}))
+             .repartition(len(pids))
+             .map_batches(resolve, batch_format="pyarrow")
+             .to_pandas())
+    return plain + [f for f in stats["file"] if f]
 
 
 class LakeTable:
@@ -1870,10 +2061,12 @@ class LakeTable:
                                       "live_rows": int(r.live),
                                       "hash": r.hash}
             # compaction DOES change base-file content (unlike purge, a
-            # content no-op for live rows) — derived structures (matview/
-            # index) pick their touched partitions from lineage, so the
-            # folded partitions must appear here for their incremental
-            # old-vs-new diff to capture the deltas' effect
+            # content no-op for live rows); the folded partitions appear
+            # in lineage for uniform bookkeeping, but derived structures
+            # detect this commit via is_compaction_manifest and fold a
+            # ZERO delta — they already applied every delta commit
+            # individually (materialize_mor_commit_diff), so diffing the
+            # fold here would double-count
             lineage.append({
                 "partition_id": int(r.pid), "epoch": epoch, "events_in": 0,
                 "rows": int(r.rows), "live_rows": int(r.live),

@@ -21,6 +21,16 @@ needs a group rescan), so this view intentionally supports additive
 aggregates only — pair it with a periodic full recompute if you need
 extrema.
 
+Merge-on-read lakes maintain without compaction: a delta-bearing
+ingest commit folds its EXACT effect via the lake's key-restricted
+old/new diff (``materialize_mor_commit_diff`` — old = resolved
+pre-commit state of the commit's own keys, new = one replay step over
+it), and a ``compact_deltas`` commit folds a ZERO delta (pure storage
+reorganization; its changes were counted commit-by-commit). The
+maintained view therefore equals a full recompute at EVERY commit of a
+COW chain, a MOR chain, or any mix — including at a delta-bearing
+head (pinned by pytest).
+
 Scale: per-commit cost ∝ the commit's own write amplification (its
 touched partitions), never table size; the view itself is one row per
 group — an aggregate view with 10^9 groups should be a lake table, not
@@ -39,6 +49,8 @@ from __future__ import annotations
 
 from pathlib import Path
 from typing import Callable, Sequence
+import shutil
+import tempfile
 import uuid
 
 import pandas as pd
@@ -47,7 +59,12 @@ import pyarrow.parquet as pq
 
 from chomper_ray.stages.merge import INTERNAL_DELETED
 from chomper_ray.state.lake import (LakeTable, committed_epochs,
-                                    load_manifest, manifest_has_deltas)
+                                    is_compaction_manifest, load_manifest,
+                                    manifest_has_deltas,
+                                    materialize_mor_commit_diff,
+                                    materialize_mor_resolved,
+                                    mor_commit_delta_pids,
+                                    mor_diff_inputs_exist)
 
 
 class MaterializedAgg:
@@ -159,14 +176,24 @@ class MaterializedAgg:
     # -- maintenance --------------------------------------------------------
     def _full_recompute(self, cid: int) -> pd.DataFrame:
         man = load_manifest(self.lake.root, cid)
-        # merge-on-read partitions may have no base yet (file=None); their
-        # rows live in deltas, folded in by a later compact_deltas commit
-        files = [str(self.lake.root / v["file"])
-                 for _, v in sorted(man["partitions"].items())
-                 if v.get("file")]
         view_cols = pd.DataFrame(columns=self.group_cols + self.value_cols
                                  + ["n_live"])
-        parts = self._scan_to_partials(files, +1)
+        scratch = None
+        if manifest_has_deltas(man):
+            # resolve pending merge-on-read deltas so the recompute sees
+            # the manifest's TRUE state, not stale bases
+            scratch = tempfile.mkdtemp(prefix="chomper_mv_full_")
+            files = materialize_mor_resolved(
+                self.lake.root, man, self.lake._mor_kwargs(), scratch)
+        else:
+            files = [str(self.lake.root / v["file"])
+                     for _, v in sorted(man["partitions"].items())
+                     if v.get("file")]
+        try:
+            parts = self._scan_to_partials(files, +1)
+        finally:
+            if scratch is not None:
+                shutil.rmtree(scratch, ignore_errors=True)
         return self._fold([view_cols, parts])
 
     def refresh(self) -> pd.DataFrame:
@@ -191,51 +218,62 @@ class MaterializedAgg:
                 self._write_view(cid, new_view)
                 current, prev_cid = new_view, cid
                 continue
-            if manifest_has_deltas(man):
-                if cid == cids[-1]:
-                    raise ValueError(
-                        f"lake at {root} has pending merge-on-read deltas "
-                        "at its head manifest; the view diffs base "
-                        "snapshot files, so refresh here would be "
-                        "silently stale — run lake.compact_deltas() first")
-                # a merge-on-read ingest commit leaves base files
-                # untouched; the later compact_deltas commit carries its
-                # effect (folded partitions appear in THAT lineage), so
-                # this commit contributes a zero delta by construction
-                touched = []
+            prev_man = load_manifest(root, prev_cid) \
+                if prev_cid is not None else None
+            mor_pids = mor_commit_delta_pids(man, cid)
+            scratch = None
+            if is_compaction_manifest(man):
+                # compaction is pure storage reorganization: every
+                # folded delta commit was already applied individually
+                # (chain order), so this commit is content-neutral
+                new_files, old_files = [], []
+                missing_old = prev_man is None and prev_cid is not None
+            elif mor_pids:
+                # merge-on-read ingest commit: fold its exact effect —
+                # the key-restricted old/new diff of its own delta
+                missing_old = (prev_man is None and prev_cid is not None) \
+                    or not mor_diff_inputs_exist(root, man, prev_man, cid)
+                new_files, old_files = [], []
+                if not missing_old:
+                    scratch = tempfile.mkdtemp(prefix="chomper_mv_diff_")
+                    new_files, old_files = materialize_mor_commit_diff(
+                        root, man, prev_man, cid,
+                        self.lake._mor_kwargs(), scratch)
             else:
                 touched = sorted({int(ln["partition_id"])
                                   for ln in man.get("lineage", [])})
-            prev_man = load_manifest(root, prev_cid) \
-                if prev_cid is not None else None
-            new_files = [str(root / man["partitions"][str(p)]["file"])
-                         for p in touched
-                         if man["partitions"].get(str(p), {}).get("file")]
-            old_files = []
-            missing_old = False
-            if prev_man is not None:
-                for p in touched:
-                    part = prev_man["partitions"].get(str(p))
-                    if part is None or not part.get("file"):
-                        continue
-                    f = root / part["file"]
-                    if not f.exists():  # compacted away
-                        missing_old = True
-                        break
-                    old_files.append(str(f))
-            if missing_old or (prev_man is None and prev_cid is not None):
-                new_view = self._full_recompute(cid)
-            else:
-                if current is None:
-                    current = self.view(prev_cid) if prev_cid is not None \
-                        else self._fold([])
-                base = current.rename(
-                    columns={f"sum_{c}": c for c in self.value_cols})
-                parts = [base[self.group_cols + self.value_cols
-                              + ["n_live"]]] if len(base) else []
-                parts.append(self._scan_to_partials(new_files, +1))
-                parts.append(self._scan_to_partials(old_files, -1))
-                new_view = self._fold(parts)
+                new_files = [str(root / man["partitions"][str(p)]["file"])
+                             for p in touched
+                             if man["partitions"].get(str(p), {}).get("file")]
+                old_files = []
+                missing_old = prev_man is None and prev_cid is not None
+                if prev_man is not None:
+                    for p in touched:
+                        part = prev_man["partitions"].get(str(p))
+                        if part is None or not part.get("file"):
+                            continue
+                        f = root / part["file"]
+                        if not f.exists():  # compacted away
+                            missing_old = True
+                            break
+                        old_files.append(str(f))
+            try:
+                if missing_old:
+                    new_view = self._full_recompute(cid)
+                else:
+                    if current is None:
+                        current = self.view(prev_cid) \
+                            if prev_cid is not None else self._fold([])
+                    base = current.rename(
+                        columns={f"sum_{c}": c for c in self.value_cols})
+                    parts = [base[self.group_cols + self.value_cols
+                                  + ["n_live"]]] if len(base) else []
+                    parts.append(self._scan_to_partials(new_files, +1))
+                    parts.append(self._scan_to_partials(old_files, -1))
+                    new_view = self._fold(parts)
+            finally:
+                if scratch is not None:
+                    shutil.rmtree(scratch, ignore_errors=True)
             self._write_view(cid, new_view)
             current, prev_cid = new_view, cid
         return self.view()

@@ -202,15 +202,29 @@ def test_annindex_truncate_and_empty(tmp_path, ray_session):
     assert idx.search(rng.normal(size=(2, DIM)), k=3).empty
 
 
-def test_annindex_refuses_stale_mor_head(tmp_path, ray_session):
+def test_annindex_maintains_at_mor_head(tmp_path, ray_session):
+    """Merge-on-read commits fold directly into the index (no
+    compaction needed): full build at a delta-bearing head, per-commit
+    maintenance across MOR updates/deletes (cell-crossing vectors
+    included), and a zero-delta compaction."""
     rng = np.random.default_rng(16)
+    q = rng.normal(size=(2, DIM))
     lake = LakeTable(tmp_path / "lake", key="url", num_partitions=2,
                      merge_on_read=True, collect_changes=False)
     commit(lake, [mk("insert", i, f"u{i}", 10, rng.normal(size=DIM))
                   for i in range(10)], 0)
     idx = LakeANNIndex(lake, tmp_path / "ann", n_cells=2)
-    with pytest.raises(ValueError, match="pending merge-on-read deltas"):
-        idx.refresh()
+    idx.refresh()  # full build from the resolved delta-bearing head
+    assert_search_exact(idx, lake, q, k=3)
+    # MOR update (fresh vector -> likely cell crossing) + delete,
+    # still no compaction
+    commit(lake, [mk("update", 20, "u1", 20, rng.normal(size=DIM) * 5),
+                  mk("delete", 21, "u2", 20, None)], 1)
+    idx.refresh()
+    assert_search_exact(idx, lake, q, k=3)
+    # compaction folds the same content: search results unchanged
+    before = got_topk(idx, q, 3)
     lake.compact_deltas()
     idx.refresh()
-    assert_search_exact(idx, lake, rng.normal(size=(2, DIM)), k=3)
+    assert got_topk(idx, q, 3) == before
+    assert_search_exact(idx, lake, q, k=3)

@@ -231,16 +231,22 @@ def test_sorted_truncate_empties_layout(tmp_path, ray_session):
     assert lay.stats()["rows"] == 0
 
 
-def test_sorted_mor_head_guard(tmp_path, ray_session):
+def test_sorted_maintains_at_mor_head(tmp_path, ray_session):
+    """Merge-on-read commits fold directly into the layout (no
+    compaction required); compaction afterwards is a zero delta."""
     lake = LakeTable(tmp_path / "lake", key="url", num_partitions=2,
                      collect_changes=False, merge_on_read=True)
     commit(lake, [mk("insert", i, f"u{i}", 10 + i, i / 10)
                   for i in range(10)], 0)
     lay = LakeSortedLayout(lake, tmp_path / "s", order_col="score")
-    with pytest.raises(ValueError, match="merge-on-read"):
-        lay.refresh()
+    lay.refresh()  # full build from the resolved delta-bearing head
+    assert_range_exact(lay, lake)
+    commit(lake, [mk("update", 50, "u3", 99, 0.95),
+                  mk("delete", 51, "u4", 99, 0.0)], 1)
+    lay.refresh()  # per-commit MOR diff, still no compaction
+    assert_range_exact(lay, lake)
     lake.compact_deltas()
-    lay.refresh()
+    lay.refresh()  # zero delta
     assert_range_exact(lay, lake)
 
 

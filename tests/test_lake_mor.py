@@ -8,9 +8,14 @@ base → deltas in commit order.
 The oracle is the copy-on-write path itself: the same change stream
 committed through a COW LakeTable must produce the identical resolved
 state (frames AND manifest content hashes bit-for-bit), before and
-after compact_deltas(). Guards: anything that diffs/rewrites base
-snapshot files (COW commits, purge_tombstones, matview/index/derived
-refresh at a delta-bearing head) must refuse rather than go stale.
+after compact_deltas(). Guards: anything that rewrites base snapshot
+files in place (COW commits, purge_tombstones, repartition, backfill,
+delete_where) must refuse at a delta-bearing head rather than drop the
+pending changes. Derived structures (matview/index/layouts) do NOT
+refuse: they fold each merge-on-read commit's exact effect
+(materialize_mor_commit_diff) and treat compaction as a zero delta —
+tested below at the delta-bearing head, across compaction, and across
+the schema-evolution epoch.
 """
 
 import shutil
@@ -318,7 +323,13 @@ def test_cow_commit_on_delta_lake_refuses(runs, tmp_path):
     assert not cow2.commit_epoch(new_ds, 4).skipped
 
 
-def test_derived_structures_refuse_stale_refresh(runs, tmp_path):
+def test_derived_structures_maintain_at_mor_head(runs, tmp_path):
+    """The contract flip from the round-4 refusal: derived structures
+    fold merge-on-read commits directly (key-restricted old/new diff),
+    so a delta-bearing head refreshes to CURRENT state with no
+    compaction anywhere — and a later compaction folds a ZERO delta
+    (results bit-identical before/after). The `runs` log includes the
+    evolution epoch, so the diff path crosses a schema change."""
     from chomper_ray.state.derived import LakeBucketLayout
     from chomper_ray.state.index import LakeTextIndex
     from chomper_ray.state.matview import MaterializedAgg
@@ -329,26 +340,54 @@ def test_derived_structures_refuse_stale_refresh(runs, tmp_path):
         return pd.DataFrame({"lang": df["lang"].fillna(""),
                              "one": [1] * len(df)})
 
+    def view_want(live):
+        return (live.assign(lang=live["lang"].fillna(""))
+                .groupby("lang").size().rename("n_live").reset_index()
+                .sort_values("lang").reset_index(drop=True))
+
     view = MaterializedAgg(ml, tmp_path / "mv", contrib,
                            group_cols=["lang"], value_cols=["one"],
                            read_columns=["lang"])
     idx = LakeTextIndex(ml, tmp_path / "ix", col="text",
                         num_partitions=8)
     layout = LakeBucketLayout(ml, tmp_path / "bl", columns=["url", "lang"])
-    for obj in (view, idx, layout):
-        with pytest.raises(ValueError,
-                           match="pending merge-on-read deltas"):
-            obj.refresh()
-    ml.compact_deltas()
-    # post-fold refreshes succeed and match recomputation from live state
+
+    # refresh AT the delta-bearing head (4 pending MOR commits, never
+    # compacted) — results must equal recomputation from live state
     vdf = view.refresh()
     live = ml.read_pandas()
-    want = (live.assign(lang=live["lang"].fillna("")).groupby("lang")
-            .size().rename("n_live").reset_index()
-            .sort_values("lang").reset_index(drop=True))
-    got = (vdf[["lang", "n_live"]]
-           .sort_values("lang").reset_index(drop=True))
-    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    got = vdf[["lang", "n_live"]].sort_values("lang").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, view_want(live), check_dtype=False)
     idx.refresh()
     assert idx.stats()["n_docs"] == len(live)
     layout.refresh()
+    lay_df = pd.concat(
+        [pq.read_table(f).to_pandas()
+         for f in (tmp_path / "bl").rglob("part.parquet")],
+        ignore_index=True)
+    assert sorted(lay_df["url"]) == sorted(live["url"])
+
+    # compaction folds the SAME content -> zero delta for all three
+    # (the compaction's own empty marker segment is the only change)
+    def content_stats(s):
+        return {k: v for k, v in s.items() if k != "segments"}
+
+    n_postings = content_stats(idx.stats())
+    ml.compact_deltas()
+    vdf2 = view.refresh()
+    pd.testing.assert_frame_equal(
+        vdf2[["lang", "n_live"]].sort_values("lang")
+        .reset_index(drop=True), got, check_dtype=False)
+    idx.refresh()
+    assert content_stats(idx.stats()) == n_postings
+    r = layout.refresh()
+    # compaction rewrote every delta-bearing base -> fingerprints moved,
+    # but the rewritten content is identical
+    lay2 = pd.concat(
+        [pq.read_table(f).to_pandas()
+         for f in (tmp_path / "bl").rglob("part.parquet")],
+        ignore_index=True)
+    pd.testing.assert_frame_equal(
+        lay2.sort_values("url").reset_index(drop=True),
+        lay_df.sort_values("url").reset_index(drop=True))
+    assert r["applied_cid"] == load_manifest(ml.root)["epoch"]
