@@ -68,6 +68,10 @@ def main(argv=None):
     r.add_argument("--drain", action="store_true",
                    help="stage all pending epochs in one parallel pass "
                         "(backlog catch-up mode)")
+    r.add_argument("--merge-on-read", action="store_true",
+                   help="commit per-partition LWW delta files instead of "
+                        "rewriting base snapshots (write amplification ~1; "
+                        "reads resolve base+deltas; compact-deltas folds)")
     r.add_argument("--tail", action="store_true",
                    help="continuous: poll for new epochs (Ctrl-C to stop)")
 
@@ -95,6 +99,18 @@ def main(argv=None):
     c.add_argument("--lake-root", required=True)
     c.add_argument("--keep-epochs", type=int, default=1,
                    help="time-travel window: how many manifests stay readable")
+
+    cd = sub.add_parser(
+        "compact-deltas",
+        help="fold pending merge-on-read delta chains into fresh base "
+             "snapshots (the read-amplification lever; derived "
+             "structures never need this — they fold MOR commits "
+             "directly)")
+    cd.add_argument("--lake-root", required=True)
+    cd.add_argument("--min-chain", type=int, default=0,
+                    help="minor compaction: fold only partitions whose "
+                         "pending chain is at least this deep "
+                         "(default 0 = fold everything pending)")
 
     mv = sub.add_parser(
         "matview-refresh",
@@ -199,6 +215,9 @@ def main(argv=None):
         lake_kwargs = {}
         if args.staging_root:
             lake_kwargs["staging_root"] = args.staging_root
+        if args.merge_on_read:
+            lake_kwargs["merge_on_read"] = True
+            lake_kwargs["collect_changes"] = False
         fn = tail_cdc if args.tail else run_cdc
         extra = {} if args.tail else {"max_epochs": args.max_epochs,
                                       "drain": args.drain}
@@ -243,19 +262,31 @@ def main(argv=None):
         return 0
 
     if args.cmd == "status":
-        from chomper_ray.state.lake import LakeTable, load_manifest
+        from chomper_ray.state.lake import (LakeTable, load_manifest,
+                                            manifest_has_deltas)
 
         lake = LakeTable(args.lake_root)
         m = load_manifest(args.lake_root)
-        print(json.dumps({
+        # per-partition live counts are unknown while merge-on-read
+        # deltas are pending (resolution happens at read time) — report
+        # null plus the pending-chain picture instead of a stale sum
+        pending = manifest_has_deltas(m)
+        out = {
             "last_committed_epoch": lake.last_committed_epoch(),
             "last_applied_log_epoch": lake.last_applied_log_epoch(),
             "snapshot_hash": lake.snapshot_hash(),
             "num_partitions": (m or {}).get("num_partitions"),
-            "live_rows": sum(v.get("live_rows", 0)
-                             for v in (m or {}).get("partitions", {}).values()),
+            "live_rows": (None if pending else
+                          sum(v.get("live_rows", 0)
+                              for v in (m or {}).get("partitions",
+                                                     {}).values())),
             "schema": (m or {}).get("schema"),
-        }))
+        }
+        if pending:
+            out["pending_delta_chains"] = {
+                str(k): v
+                for k, v in sorted(lake.delta_chain_lengths().items())}
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "truncate":
@@ -270,6 +301,22 @@ def main(argv=None):
 
         out = LakeTable(args.lake_root).compact(keep_epochs=args.keep_epochs)
         print(json.dumps(out))
+        return 0
+
+    if args.cmd == "compact-deltas":
+        _ray_init()
+        from chomper_ray.state.lake import LakeTable
+
+        lake = LakeTable(args.lake_root)
+        before = lake.delta_chain_lengths()
+        res = lake.compact_deltas(min_chain=args.min_chain)
+        print(json.dumps({
+            "epoch": res.epoch, "skipped": res.skipped,
+            "partitions_folded": res.partitions_touched,
+            "chains_before": {str(k): v for k, v in sorted(before.items())},
+            "chains_after": {str(k): v for k, v in
+                             sorted(lake.delta_chain_lengths().items())},
+        }))
         return 0
 
     if args.cmd == "matview-refresh":

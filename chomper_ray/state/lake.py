@@ -1987,15 +1987,37 @@ class LakeTable:
         return CommitResult(epoch=epoch, total_rows=0)
 
     # -- maintenance -------------------------------------------------------
-    def compact_deltas(self, epoch: int | None = None) -> CommitResult:
+    def delta_chain_lengths(self) -> dict[int, int]:
+        """Pending merge-on-read delta-chain length per partition —
+        the read-amplification signal ``compact_deltas(min_chain=...)``
+        acts on (a read of partition p opens 1 base + chain(p) delta
+        files). Metadata-only; empty when nothing is pending."""
+        m = load_manifest(self.root)
+        if not m:
+            return {}
+        return {int(p): len(v.get("deltas", []))
+                for p, v in m["partitions"].items() if v.get("deltas")}
+
+    def compact_deltas(self, epoch: int | None = None, *,
+                       min_chain: int = 0) -> CommitResult:
         """Maintenance commit folding pending merge-on-read deltas into
-        fresh base snapshots (major compaction). One Ray task per
-        delta-bearing partition replays ``apply_changes`` base → deltas
-        in commit order and writes a new snapshot; untouched partitions
-        carry forward. The resulting manifest is delta-free and its
-        per-partition hashes equal what a copy-on-write chain would have
-        recorded (``_replay_step`` hashes the identical frame), so
-        COW-vs-MOR equivalence is checkable bit-for-bit.
+        fresh base snapshots. One Ray task per selected delta-bearing
+        partition replays ``apply_changes`` base → deltas in commit
+        order and writes a new snapshot; untouched partitions carry
+        forward. Folded partitions' hashes equal what a copy-on-write
+        chain would have recorded (``_replay_step`` hashes the
+        identical frame), so COW-vs-MOR equivalence is checkable
+        bit-for-bit.
+
+        ``min_chain`` selects MINOR compaction: only partitions whose
+        pending chain is at least that deep are folded; shallower
+        chains stay pending (their ``delta_commits`` entries are
+        carried). Since derived maintenance folds each MOR commit
+        individually and treats any compaction as a zero delta, partial
+        folds need no special handling downstream — minor compaction is
+        purely the read-amplification lever (a partition read opens
+        1 + chain files), paid only where chains are deep. Default 0 =
+        major compaction (fold everything pending).
 
         Carries the binlog cursor forward unchanged (like
         ``purge_tombstones``); exactly-once via the manifest's exclusive
@@ -2018,7 +2040,7 @@ class LakeTable:
         if not prev:
             return CommitResult(epoch=epoch, skipped=True)
         pend = {p: v for p, v in prev["partitions"].items()
-                if v.get("deltas")}
+                if len(v.get("deltas", [])) >= max(1, min_chain)}
         if not pend:
             return CommitResult(epoch=epoch, skipped=True)
         root = str(self.root)
@@ -2088,13 +2110,24 @@ class LakeTable:
         }
         if prev.get("max_id") is not None:
             manifest["max_id"] = prev["max_id"]
+        # minor compaction (min_chain > 0) may leave shallow chains
+        # pending — carry their delta_commits entries so resolution
+        # keeps working, pruned to the commit ids still referenced
+        still_ref = {d["commit_id"] for v in partitions.values()
+                     for d in v.get("deltas", [])}
+        if still_ref:
+            dc_prev = prev.get("delta_commits", {})
+            manifest["delta_commits"] = {str(c): dc_prev[str(c)]
+                                         for c in sorted(still_ref)}
         if not _commit_manifest_exclusive(_manifest_path(self.root, epoch),
                                           manifest):
             return CommitResult(epoch=epoch, skipped=True)
         return CommitResult(
             epoch=epoch, partitions_touched=len(stats),
-            total_rows=sum(int(v["live_rows"])
-                           for v in partitions.values()),
+            # live totals are unknown while any chain is still pending
+            total_rows=(-1 if still_ref else
+                        sum(int(v["live_rows"])
+                            for v in partitions.values())),
             wall_s=time.perf_counter() - t0)
 
     def purge_tombstones(self, epoch: int | None = None,

@@ -181,6 +181,50 @@ def test_mor_keyed_bucket_layout_tracks_commits(tmp_path, ray_session):
     check()
 
 
+def test_minor_compaction_folds_deep_chains_only(tmp_path, ray_session):
+    """compact_deltas(min_chain=N) is the read-amplification lever:
+    only partitions with chains >= N fold; shallow chains stay pending
+    (delta_commits carried), resolved reads are unchanged, and derived
+    maintenance sees the partial fold as a zero delta like any other
+    compaction."""
+    lake = mor_lake(tmp_path / "lake")
+    idx = LakeTextIndex(lake, tmp_path / "idx", num_partitions=8)
+    # epoch 0 touches many partitions (chain 1 everywhere); epochs 1-3
+    # hammer one url -> its partition reaches chain 4
+    commit(lake, [mk("insert", i, f"u{i}", 10, f"base w{i % 7}")
+                  for i in range(24)], 0)
+    for e in range(1, 4):
+        commit(lake, [mk("update", 100 + e, "u5", 10 + e,
+                         f"hot rev{e}")], e)
+    idx.refresh()
+    chains = lake.delta_chain_lengths()
+    assert max(chains.values()) == 4 and min(chains.values()) == 1
+    before = lake.read_pandas().sort_values("url").reset_index(drop=True)
+
+    res = lake.compact_deltas(min_chain=3)
+    assert res.partitions_touched == 1
+    after_chains = lake.delta_chain_lengths()
+    assert after_chains and max(after_chains.values()) == 1
+    pd.testing.assert_frame_equal(
+        lake.read_pandas().sort_values("url").reset_index(drop=True),
+        before)
+    # minor compaction = zero delta for the index; still == rebuild
+    m = idx.refresh()
+    assert m["applied"][0]["postings"] == 0
+    assert_index_equals_rebuild(idx, lake, tmp_path, "minor")
+
+    # a second minor pass at the same threshold: nothing deep enough
+    assert lake.compact_deltas(min_chain=3).skipped
+    # major compaction finishes the job
+    assert not lake.compact_deltas().skipped
+    assert lake.delta_chain_lengths() == {}
+    pd.testing.assert_frame_equal(
+        lake.read_pandas().sort_values("url").reset_index(drop=True),
+        before)
+    idx.refresh()
+    assert_index_equals_rebuild(idx, lake, tmp_path, "major")
+
+
 def test_mor_index_created_mid_mixed_chain(tmp_path, ray_session):
     """An index created AFTER a MOR→compact→MOR history walks the whole
     chain correctly: full build at the first commit's delta-bearing
