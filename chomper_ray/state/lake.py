@@ -1311,7 +1311,7 @@ class LakeTable:
                                "hash": "0"})
                 ent["deltas"] = [*ent.get("deltas", []),
                                  {"file": r.file, "rows": int(r.rows),
-                                  "commit_id": cid}]
+                                  "commit_id": cid, "hash": r.hash}]
                 partitions[str(r.partition_id)] = ent
             else:
                 partitions[str(r.partition_id)] = {
@@ -1464,7 +1464,8 @@ class LakeTable:
                                    "hash": "0"})
                     ent["deltas"] = [*ent.get("deltas", []),
                                      {"file": r.file, "rows": int(r.rows),
-                                      "commit_id": cids[e]}]
+                                      "commit_id": cids[e],
+                                      "hash": r.hash}]
                     partitions[str(r.partition_id)] = ent
                 else:
                     partitions[str(r.partition_id)] = {
@@ -2505,59 +2506,82 @@ class LakeTable:
             wall_s=time.perf_counter() - t0)
 
     def fsck(self, as_of_epoch: int | None = None) -> dict:
-        """Integrity check: re-derive every live snapshot file's
-        content hash and row/live counts and compare against what its
-        manifest recorded — one Ray task per partition, driver sees
-        only verdicts. Catches bit rot, truncated writes and manual
-        tampering before they become silent wrong answers. Partitions
-        whose base is still pending merge-on-read deltas are reported
-        as ``skipped_mor`` (delta files carry no recorded hash until
-        ``compact_deltas`` folds them)."""
+        """Integrity check: re-derive every live file's content hash
+        and row counts and compare against what the manifest recorded —
+        one Ray task per partition, driver sees only verdicts. Catches
+        bit rot, truncated writes and manual tampering before they
+        become silent wrong answers.
+
+        Merge-on-read partitions are FULLY checked too: the carried
+        base snapshot verifies against its original (hash, rows, live)
+        and every pending delta file against the (hash, rows) its
+        writing commit recorded in the delta entry (``_write_delta``
+        hashes the change-set content). ``skipped_mor`` only lists
+        delta files written before hashes were recorded in delta
+        entries (older manifests)."""
         import ray.data as rd
 
         m = load_manifest(self.root, as_of_epoch)
+        empty = {"ok": True, "partitions_checked": 0,
+                 "files_checked": 0, "mismatches": [],
+                 "missing_files": [], "skipped_mor": []}
         if not m:
-            return {"ok": True, "partitions_checked": 0,
-                    "mismatches": [], "missing_files": [],
-                    "skipped_mor": []}
+            return empty
         key = self.key
         root = str(self.root)
         parts = m["partitions"]
-        skipped = sorted(int(p) for p, v in parts.items()
-                         if v.get("deltas"))
-        check = {int(p): v for p, v in parts.items()
-                 if v.get("file") and not v.get("deltas")}
-        missing = sorted(p for p, v in check.items()
-                         if not (self.root / v["file"]).exists())
-        todo = sorted(p for p in check if p not in missing)
+        # per pid: list of (rel_file, want_hash, want_rows, want_live);
+        # want_live None => delta file (no live count recorded)
+        meta: dict[int, list[tuple[str, str, int, int | None]]] = {}
+        missing, skipped = [], []
+        for p, v in parts.items():
+            pid = int(p)
+            ent = []
+            if v.get("file"):
+                ent.append((v["file"], v["hash"], int(v["rows"]),
+                            int(v["live_rows"])))
+            for d in v.get("deltas", []):
+                if d.get("hash") is None:  # pre-hash manifest vintage
+                    skipped.append(d["file"])
+                    continue
+                ent.append((d["file"], d["hash"], int(d["rows"]), None))
+            present = []
+            for e in ent:
+                if (self.root / e[0]).exists():
+                    present.append(e)
+                else:
+                    missing.append(pid)
+            if present:
+                meta[pid] = present
+        missing = sorted(set(missing))
+        todo = sorted(meta)
         if not todo:
-            return {"ok": not missing, "partitions_checked": 0,
-                    "mismatches": [], "missing_files": missing,
-                    "skipped_mor": skipped}
-        meta = {p: (check[p]["file"], check[p]["hash"],
-                    int(check[p]["rows"]), int(check[p]["live_rows"]))
-                for p in todo}
+            return {**empty, "ok": not missing,
+                    "missing_files": missing, "skipped_mor": skipped}
 
         def verify(batch: pa.Table) -> pa.Table:
-            pids, oks, reasons = [], [], []
+            pids, files, oks, reasons = [], [], [], []
             for pid in batch["pid"].to_pylist():
                 pid = int(pid)
-                rel, want_h, want_rows, want_live = meta[pid]
-                tbl = pq.read_table(Path(root) / rel)
-                got_h = snapshot_content_hash(tbl.to_pandas(), key)
-                got_live = int(pa.compute.sum(pa.compute.invert(
-                    tbl[INTERNAL_DELETED])).as_py() or 0)
-                bad = []
-                if tbl.num_rows != want_rows:
-                    bad.append(f"rows {tbl.num_rows}!={want_rows}")
-                if got_live != want_live:
-                    bad.append(f"live {got_live}!={want_live}")
-                if got_h != want_h:
-                    bad.append(f"hash {got_h}!={want_h}")
-                pids.append(pid)
-                oks.append(not bad)
-                reasons.append("; ".join(bad))
+                for rel, want_h, want_rows, want_live in meta[pid]:
+                    tbl = pq.read_table(Path(root) / rel)
+                    got_h = snapshot_content_hash(tbl.to_pandas(), key)
+                    bad = []
+                    if tbl.num_rows != want_rows:
+                        bad.append(f"rows {tbl.num_rows}!={want_rows}")
+                    if want_live is not None:
+                        got_live = int(pa.compute.sum(pa.compute.invert(
+                            tbl[INTERNAL_DELETED])).as_py() or 0)
+                        if got_live != want_live:
+                            bad.append(f"live {got_live}!={want_live}")
+                    if got_h != want_h:
+                        bad.append(f"hash {got_h}!={want_h}")
+                    pids.append(pid)
+                    files.append(rel)
+                    oks.append(not bad)
+                    reasons.append("; ".join(bad))
             return pa.table({"pid": pa.array(pids, type=pa.int32()),
+                             "file": pa.array(files, type=pa.string()),
                              "ok": pa.array(oks, type=pa.bool_()),
                              "reason": pa.array(reasons,
                                                 type=pa.string())})
@@ -2567,11 +2591,12 @@ class LakeTable:
                  .repartition(len(todo))
                  .map_batches(verify, batch_format="pyarrow")
                  .to_pandas())
-        mismatches = [{"partition_id": int(r.pid), "file": meta[int(r.pid)][0],
+        mismatches = [{"partition_id": int(r.pid), "file": r.file,
                        "reason": r.reason}
                       for r in stats.itertuples(index=False) if not r.ok]
         return {"ok": not mismatches and not missing,
                 "partitions_checked": len(todo),
+                "files_checked": len(stats),
                 "mismatches": mismatches,
                 "missing_files": missing,
                 "skipped_mor": skipped}

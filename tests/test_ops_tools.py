@@ -46,15 +46,44 @@ def test_fsck_detects_corruption_and_missing(lake):
     assert res["missing_files"] == [1]
 
 
-def test_fsck_mor_deltas_skipped(tmp_path):
+def test_fsck_checks_mor_delta_files(tmp_path):
+    """Delta entries record the change-set content hash, so fsck fully
+    verifies a delta-bearing lake: every pending delta file is checked
+    (nothing skipped), corruption in a DELTA is pinpointed to its file,
+    and the folded lake still passes afterwards."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chomper_ray.state.lake import load_manifest
+
     log = generate_change_stream(tmp_path / "log", **PARAMS)
     kw = {"merge_on_read": True, "collect_changes": False}
     run_cdc(log, tmp_path / "lake", num_partitions=3, lake_kwargs=kw)
     lake = LakeTable(tmp_path / "lake", num_partitions=3, **kw)
     res = lake.fsck()
-    assert res["ok"] and res["skipped_mor"]  # deltas pending, no hash yet
-    lake.compact_deltas()
+    n_deltas = sum(len(v.get("deltas", []))
+                   for v in load_manifest(lake.root)["partitions"].values())
+    assert res["ok"] and res["skipped_mor"] == []
+    assert res["files_checked"] == n_deltas  # bases are file=None here
+    # corrupt one delta file: flip a value, keep row count
+    d0 = load_manifest(lake.root)["partitions"]["0"]["deltas"][0]
+    f0 = lake.root / d0["file"]
+    t = pq.read_table(f0)
+    lang = t["lang"].to_pylist()
+    lang[0] = "xx" if lang[0] != "xx" else "yy"
+    t = t.set_column(t.schema.get_field_index("lang"), "lang",
+                     pa.array(lang, type=pa.string()))
+    pq.write_table(t, f0)
     res = lake.fsck()
+    assert not res["ok"]
+    assert [m["file"] for m in res["mismatches"]] == [d0["file"]]
+    assert "hash" in res["mismatches"][0]["reason"]
+    # restore by rerunning the exactly-once commit? no — repair by
+    # copying is out of scope; rebuild the lake fresh and fold instead
+    run_cdc(log, tmp_path / "lake2", num_partitions=3, lake_kwargs=kw)
+    lake2 = LakeTable(tmp_path / "lake2", num_partitions=3, **kw)
+    lake2.compact_deltas()
+    res = lake2.fsck()
     assert res["ok"] and res["skipped_mor"] == [] \
         and res["partitions_checked"] == 3
 
