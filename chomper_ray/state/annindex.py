@@ -97,16 +97,25 @@ class LakeANNIndex(_LsmSegmentIndex):
         return cent
 
     # -- segment construction ----------------------------------------------------
-    def _signed_ds(self, files: list[str], op: int, cent_ref):
-        """Signed (key, vec, op, cell) rows over LIVE rows of the given
-        lake partition files; cell = nearest centroid (row-local)."""
+    def _signed_ds(self, new_files: list[str], old_files: list[str],
+                   cent_ref):
+        """Signed (key, vec, op, cell) rows over LIVE rows of BOTH file
+        sets in one read; op (+1 new / −1 old) derives per-row from the
+        block's source path, cell = nearest centroid (row-local). One
+        read instead of a two-branch ``union`` — UnionOperator feeding
+        the cell shuffle can livelock Ray's streaming executor at
+        large-segment scale (see LakeTextIndex._postings_ds)."""
         import ray
         import ray.data as rd
 
         key, vec_col = self.key_col, self.vec_col
+        signs = {f: 1 for f in new_files}
+        signs.update({f: -1 for f in old_files})
 
         def assign(df: pd.DataFrame) -> pd.DataFrame:
+            op_rows = df["path"].map(signs).astype("int8")
             df = df[~df[INTERNAL_DELETED].astype(bool)]
+            op_rows = op_rows[df.index]
             if not len(df):
                 return pd.DataFrame({
                     "key": pd.Series(dtype="object"),
@@ -119,11 +128,12 @@ class LakeANNIndex(_LsmSegmentIndex):
             return pd.DataFrame({
                 "key": df[key].to_numpy(),
                 "vec": list(df[vec_col].to_numpy()),
-                "op": np.int8(op),
+                "op": op_rows.to_numpy(),
                 "cell": (m @ cent.T).argmax(axis=1).astype(np.int32)})
 
-        ds = rd.read_parquet(files, columns=[key, vec_col,
-                                             INTERNAL_DELETED])
+        ds = rd.read_parquet(list(signs), columns=[key, vec_col,
+                                                   INTERNAL_DELETED],
+                             include_paths=True)
         return ds.map_batches(assign, batch_format="pandas")
 
     def _write_segment(self, cid: int, new_files: list[str],
@@ -139,11 +149,6 @@ class LakeANNIndex(_LsmSegmentIndex):
         n_vecs_delta, rows_scanned = 0, 0
         if cent is not None and (new_files or old_files):
             cent_ref = ray.put(cent)
-            parts = []
-            if new_files:
-                parts.append(self._signed_ds(new_files, +1, cent_ref))
-            if old_files:
-                parts.append(self._signed_ds(old_files, -1, cent_ref))
 
             def write_cell(g: pd.DataFrame) -> pd.DataFrame:
                 c = int(g["cell"].iloc[0])
@@ -162,7 +167,7 @@ class LakeANNIndex(_LsmSegmentIndex):
                                      "n": [int(g["op"].sum())],
                                      "rows": [len(g)]})
 
-            ds = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+            ds = self._signed_ds(new_files, old_files, cent_ref)
             meta = ds.groupby("cell").map_groups(
                 write_cell, batch_format="pandas").to_pandas()
             if len(meta):

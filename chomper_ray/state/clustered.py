@@ -205,42 +205,55 @@ class _LakeClusteredLayout(_LsmSegmentIndex):
         return b
 
     # -- segment construction -----------------------------------------------------
-    def _signed_ds(self, files: list[str], op: int, bounds: dict,
-                   layout_schema: pa.Schema):
+    def _signed_ds(self, new_files: list[str], old_files: list[str],
+                   bounds: dict, layout_schema: pa.Schema):
+        """Signed layout rows over LIVE rows of BOTH file sets in one
+        read. op (+1 new / −1 old) derives per-row from each block's
+        source path — one read instead of a two-branch ``union``, which
+        can livelock Ray's streaming executor at large-segment scale
+        (see LakeTextIndex._postings_ds). Schema differences across an
+        evolution commit (missing value columns, int widening) are
+        handled by reading with an explicit target schema: the scanner
+        null-fills absent fields and casts per file, and the read is
+        still pruned to exactly those fields."""
         import ray.data as rd
 
         need = self._layout_cols()
-        avail = set(pq.read_schema(files[0]).names)
-        missing_r = [c for c in self._route_cols() if c not in avail]
-        if missing_r:
-            raise ValueError(
-                f"{type(self).__name__}: route column(s) {missing_r} "
-                f"absent from lake files (schema evolution added them "
-                "later?) — route columns must exist from the first "
-                "commit the layout covers")
-        read_cols = [c for c in need if c in avail] + [INTERNAL_DELETED]
-        missing = [c for c in need if c not in avail]
+        for side in (new_files, old_files):
+            if not side:
+                continue
+            avail = set(pq.read_schema(side[0]).names)
+            missing_r = [c for c in self._route_cols() if c not in avail]
+            if missing_r:
+                raise ValueError(
+                    f"{type(self).__name__}: route column(s) {missing_r} "
+                    f"absent from lake files (schema evolution added "
+                    "them later?) — route columns must exist from the "
+                    "first commit the layout covers")
+        signs = {f: 1 for f in new_files}
+        signs.update({f: -1 for f in old_files})
+        read_schema = pa.schema(
+            list(self._target_schema(need))
+            + [pa.field(INTERNAL_DELETED, pa.bool_())])
         route, rcols = self._route, self._route_cols()
         myname = type(self).__name__
 
         def prep(df: pd.DataFrame) -> pa.Table:
+            op_rows = df["path"].map(signs).astype("int8")
             df = df[~df[INTERNAL_DELETED].astype(bool)]
+            op_rows = op_rows[df.index]
             for c in rcols:
                 _check_no_nulls(df[c], c, myname)
-            out = df[[c for c in need if c not in missing]].copy()
-            for c in missing:
-                out[c] = None
-            out["op"] = np.int8(op)
+            out = df[need].copy()
+            out["op"] = op_rows.to_numpy()
             out["_pb"] = (route(df, bounds).astype(np.int32) if len(df)
                           else np.empty(0, np.int32))
-            # conform every block to one arrow schema so blocks from the
-            # old/new sides (which may differ across a schema-evolution
-            # commit: int32 vs int64, missing columns) unify cleanly
             return schema_mod.conform(
                 pa.Table.from_pandas(out, preserve_index=False),
                 layout_schema)
 
-        return rd.read_parquet(files, columns=read_cols) \
+        return rd.read_parquet(list(signs), schema=read_schema,
+                               include_paths=True) \
             .map_batches(prep, batch_format="pandas")
 
     def _sort_frame(self, g: pd.DataFrame) -> pd.DataFrame:
@@ -261,13 +274,6 @@ class _LakeClusteredLayout(_LsmSegmentIndex):
             layout_schema = pa.schema(
                 list(self._target_schema(self._layout_cols()))
                 + [pa.field("op", pa.int8()), pa.field("_pb", pa.int32())])
-            parts = []
-            if new_files:
-                parts.append(self._signed_ds(new_files, +1, bounds,
-                                             layout_schema))
-            if old_files:
-                parts.append(self._signed_ds(old_files, -1, bounds,
-                                             layout_schema))
             stats_of, sort_frame = self._stats_of, self._sort_frame
 
             def write_part(g: pd.DataFrame) -> pd.DataFrame:
@@ -288,7 +294,8 @@ class _LakeClusteredLayout(_LsmSegmentIndex):
                 row.update(stats_of(g))
                 return pd.DataFrame([row])
 
-            ds = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+            ds = self._signed_ds(new_files, old_files, bounds,
+                                 layout_schema)
             meta = ds.groupby("_pb").map_groups(
                 write_part, batch_format="pandas").to_pandas()
             for _, r in meta.iterrows():

@@ -445,9 +445,17 @@ class LakeTextIndex(_LsmSegmentIndex):
                 "segments": len(live)}
 
     # -- segment construction -------------------------------------------------
-    def _postings_ds(self, files: list[str], op: int):
+    def _postings_ds(self, new_files: list[str], old_files: list[str]):
         """Signed (token, doc, tf, dl, op) postings over LIVE rows of
-        the given lake partition files."""
+        BOTH file sets in one read — op (+1 new / −1 old) derives
+        per-row from each block's source path. One read instead of a
+        two-branch ``union`` matters beyond cost: UnionOperator feeding
+        the bucket shuffle livelocks Ray's streaming executor at scale
+        (observed wedged at a 48M-posting segment: union inqueue held
+        ~6.6 GB while the sort's reservation starved the upstream maps;
+        driver spun, workers idle). The per-row sign also stays correct
+        if Ray ever bundles blocks from different files into one
+        batch."""
         import polars as pl
         import ray.data as rd
 
@@ -455,9 +463,13 @@ class LakeTextIndex(_LsmSegmentIndex):
 
         col, key, sep, nb = self.col, self.key_col, self.sep, \
             self.num_partitions
+        signs = {f: 1 for f in new_files}
+        signs.update({f: -1 for f in old_files})
 
         def postings(df: pd.DataFrame) -> pd.DataFrame:
+            op_rows = df["path"].map(signs).astype("int8")
             df = df[~df[INTERNAL_DELETED].astype(bool)]
+            op_rows = op_rows[df.index]
             if not len(df):
                 return pd.DataFrame({
                     "token": pd.Series(dtype="object"),
@@ -471,22 +483,26 @@ class LakeTextIndex(_LsmSegmentIndex):
                                dtype=pl.Utf8)
                 if df[key].dtype == object else
                 pl.Series(df[key].to_numpy()),
+                "op": pl.Series(op_rows.to_numpy()),
                 "w": pl.Series(pd.Series(df[col]).fillna("")
                                .astype(str).tolist()).str.split(sep),
             }).with_columns(pl.col("w").list.len().alias("dl"))
-            g = base.explode("w").group_by(["d", "w", "dl"]).len() \
+            # a doc's rows come from exactly one file, so op is constant
+            # per (d, side); carrying it through the groupby is exact
+            g = base.explode("w").group_by(["d", "w", "dl", "op"]).len() \
                 .to_pandas()
             out = pd.DataFrame({"token": g["w"],
                                 "doc": g["d"],
                                 "tf": g["len"].astype("int64"),
                                 "dl": g["dl"].astype("int64")})
-            out["op"] = np.int8(op)
+            out["op"] = g["op"].astype("int8")
             out["_tb"] = stable_bucket(out["token"].to_numpy(),
                                        nb).astype("int32")
             return out
 
-        ds = rd.read_parquet(files,
-                             columns=[key, col, INTERNAL_DELETED])
+        ds = rd.read_parquet(list(signs),
+                             columns=[key, col, INTERNAL_DELETED],
+                             include_paths=True)
         return ds.map_batches(postings, batch_format="pandas")
 
     def _doc_stats(self, new_files: list[str], old_files: list[str]) \
@@ -552,14 +568,9 @@ class LakeTextIndex(_LsmSegmentIndex):
             (d / "_SUCCESS").touch()
             return pd.DataFrame({"pid": [pid], "postings": [len(g)]})
 
-        parts = []
-        if new_files:
-            parts.append(self._postings_ds(new_files, +1))
-        if old_files:
-            parts.append(self._postings_ds(old_files, -1))
         n_postings = 0
-        if parts:
-            ds = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+        if new_files or old_files:
+            ds = self._postings_ds(new_files, old_files)
             meta = ds.groupby("_tb").map_groups(
                 write_bucket, batch_format="pandas").to_pandas()
             n_postings = int(meta["postings"].sum()) if len(meta) else 0

@@ -11,6 +11,7 @@ copy-on-write diff, which scans whole touched partitions."""
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
+from hypothesis import given, settings, strategies as st
 
 from chomper_ray.state.clustered import LakeSortedLayout
 from chomper_ray.state.index import LakeTextIndex
@@ -18,7 +19,7 @@ from chomper_ray.state.lake import LakeTable
 from chomper_ray.state.matview import MaterializedAgg
 
 from tests.test_incindex import (assert_index_equals_rebuild, mk,
-                                 resolved_all)
+                                 reference_postings, resolved_all)
 
 
 def mor_lake(root, num_partitions=4):
@@ -179,6 +180,46 @@ def test_mor_keyed_bucket_layout_tracks_commits(tmp_path, ray_session):
     lake.compact_deltas()
     kbl.refresh()
     check()
+
+
+_VOCAB = ["lorem", "ipsum", "dolor", "sit", "amet", "web", "page"]
+_op = st.tuples(
+    st.sampled_from(["insert", "update", "delete"]),
+    st.integers(0, 5),                       # url index
+    st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=6),
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(epochs=st.lists(st.lists(_op, min_size=1, max_size=5),
+                       min_size=1, max_size=3),
+       compact_after=st.lists(st.booleans(), min_size=3, max_size=3))
+def test_mor_random_op_sequences_match_rebuild(epochs, compact_after,
+                                               tmp_path_factory,
+                                               ray_session):
+    """Property: for ANY merge-on-read commit sequence of inserts /
+    full token-set updates / deletes, with compactions interleaved at
+    ARBITRARY points, the per-commit maintained index equals the
+    plain-Python tokenization of the final resolved LWW state."""
+    tmp_path = tmp_path_factory.mktemp("morprop")
+    lake = mor_lake(tmp_path / "lake", num_partitions=2)
+    idx = LakeTextIndex(lake, tmp_path / "idx", num_partitions=4)
+    seq = 0
+    for ei, ops in enumerate(epochs):
+        rows = []
+        for op, ui, toks in ops:
+            rows.append(mk(op, seq, f"u{ui}", 10 + seq,
+                           None if op == "delete" else " ".join(toks)))
+            seq += 1
+        lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(rows)), ei)
+        idx.refresh()
+        if compact_after[ei % len(compact_after)]:
+            lake.compact_deltas()
+            idx.refresh()
+    got = resolved_all(idx)
+    want = reference_postings(lake)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert idx.stats()["n_docs"] == len(lake.read_pandas())
 
 
 def test_minor_compaction_folds_deep_chains_only(tmp_path, ray_session):
