@@ -98,6 +98,7 @@ def run_cdc(
     lake_kwargs: dict | None = None,
     drain: bool = False,
     source=None,
+    after_commit=None,
 ) -> CdcRunResult:
     """Tail the change log from the lake's checkpoint cursor to the log
     head, committing one epoch at a time. Idempotent + resumable.
@@ -112,6 +113,17 @@ def run_cdc(
     optionally ``epoch_rows``). Default is the Parquet binlog
     (``sources.events``); ``sources.envelopes`` reads Debezium-style
     JSONL envelopes through the identical commit path.
+
+    ``after_commit(commit_result)`` runs driver-side after each
+    non-skipped commit's manifest has landed — the wiring point for
+    derived maintenance (``MaterializedAgg.refresh`` /
+    ``LakeTextIndex.refresh`` / layout refresh), which then follows the
+    feed commit-by-commit, merge-on-read included. The callback must be
+    idempotent-from-anywhere (every ``refresh()`` is: it walks the
+    manifest chain from its own applied marker), because a crash
+    between the commit and the hook re-enters with the commit already
+    durable and skipped — the NEXT epoch's hook call catches up.
+    Exceptions propagate (the commit itself stays committed).
     """
     t0 = time.perf_counter()
     source = source if source is not None else ev
@@ -130,7 +142,8 @@ def run_cdc(
 
     if drain and len(pending) > 1:
         return _run_cdc_drain(log_dir, lake, pending, extract,
-                              extract_batch_size, res, t0, source)
+                              extract_batch_size, res, t0, source,
+                              after_commit)
 
     for epoch in pending:
         files = source.epoch_files(log_dir, epoch)
@@ -159,12 +172,14 @@ def run_cdc(
         else:
             res.epochs_run.append(epoch)
             res.events_applied += n_raw
+            if after_commit is not None:
+                after_commit(commit)
     res.wall_s = time.perf_counter() - t0
     return res
 
 
 def _run_cdc_drain(log_dir, lake, pending, extract, batch_size, res, t0,
-                   source=ev):
+                   source=ev, after_commit=None):
     """Backlog-drain mode: when the tail has fallen behind by several
     epochs, stage ALL pending epochs in ONE parallel pass (one Dataset
     over every pending segment file — no per-epoch barrier), then merge +
@@ -236,6 +251,8 @@ def _run_cdc_drain(log_dir, lake, pending, extract, batch_size, res, t0,
         else:
             res.epochs_run.append(e)
             res.events_applied += n_raw[e]
+            if after_commit is not None:
+                after_commit(commit)
     res.wall_s = _time.perf_counter() - t0
     return res
 

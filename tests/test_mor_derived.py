@@ -182,6 +182,47 @@ def test_mor_keyed_bucket_layout_tracks_commits(tmp_path, ray_session):
     check()
 
 
+def test_after_commit_hook_keeps_index_fresh(tmp_path, ray_session):
+    """run_cdc(after_commit=...) is the wiring point for derived
+    maintenance: refreshing a LakeTextIndex from the hook keeps it
+    equal to the live state after EVERY commit — per-epoch and drain
+    modes, on a merge-on-read lake, no compaction anywhere."""
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.sources.events import generate_change_stream
+
+    log = generate_change_stream(tmp_path / "log", n_events=1200,
+                                 n_urls=150, n_epochs=4, seed=31)
+    kw = {"merge_on_read": True, "collect_changes": False}
+    lake = LakeTable(tmp_path / "lake", num_partitions=4, **kw)
+    idx = LakeTextIndex(lake, tmp_path / "idx", num_partitions=8)
+    fired = []
+
+    def hook(commit):
+        fired.append(commit.epoch)
+        idx.refresh()
+        # after the hook's refresh the index is AT the chain head; in
+        # drain mode ALL manifests land before the hooks fire, so the
+        # first drained hook catches the later commits too and the
+        # rest are no-ops — refresh walks the chain either way
+        assert idx.applied_commits()[-1] == lake.last_committed_epoch()
+
+    run_cdc(log, tmp_path / "lake", num_partitions=4, lake_kwargs=kw,
+            after_commit=hook, max_epochs=2)
+    assert fired == [0, 1]
+    # drain mode for the remaining TWO epochs (true drain path);
+    # hook fires per drained commit in chain order
+    run_cdc(log, tmp_path / "lake", num_partitions=4, lake_kwargs=kw,
+            after_commit=hook, drain=True)
+    assert fired == [0, 1, 2, 3]
+    got = resolved_all(idx)
+    live = lake.read_pandas()
+    assert set(got["doc"]) == set(live["url"])
+    # rerun: everything skipped, hook does NOT fire
+    run_cdc(log, tmp_path / "lake", num_partitions=4, lake_kwargs=kw,
+            after_commit=hook)
+    assert fired == [0, 1, 2, 3]
+
+
 _VOCAB = ["lorem", "ipsum", "dolor", "sit", "amet", "web", "page"]
 _op = st.tuples(
     st.sampled_from(["insert", "update", "delete"]),
