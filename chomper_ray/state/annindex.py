@@ -109,6 +109,7 @@ class LakeANNIndex(_LsmSegmentIndex):
         import ray.data as rd
 
         key, vec_col = self.key_col, self.vec_col
+        assert not (set(new_files) & set(old_files))  # sign by path
         signs = {f: 1 for f in new_files}
         signs.update({f: -1 for f in old_files})
 

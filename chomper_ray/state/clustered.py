@@ -230,6 +230,7 @@ class _LakeClusteredLayout(_LsmSegmentIndex):
                     f"absent from lake files (schema evolution added "
                     "them later?) — route columns must exist from the "
                     "first commit the layout covers")
+        assert not (set(new_files) & set(old_files))  # sign by path
         signs = {f: 1 for f in new_files}
         signs.update({f: -1 for f in old_files})
         read_schema = pa.schema(

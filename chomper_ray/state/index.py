@@ -463,6 +463,7 @@ class LakeTextIndex(_LsmSegmentIndex):
 
         col, key, sep, nb = self.col, self.key_col, self.sep, \
             self.num_partitions
+        assert not (set(new_files) & set(old_files))  # sign by path
         signs = {f: 1 for f in new_files}
         signs.update({f: -1 for f in old_files})
 
