@@ -653,7 +653,19 @@ def _resolve_mor_pid(root: str | Path, part: dict, delta_commits: dict,
                                      *(('created_at', 'updated_at')
                                        if managed else ())]
                          if c in avail]
-        base_tbl = pq.read_table(root / base_file, columns=base_cols)
+        # push the key restriction into the parquet scan: row groups
+        # whose key stats exclude the wanted set never decode (the
+        # post-read key_mask below stays as the exactness guarantee).
+        # Bounded so a drain-sized key set doesn't build a giant
+        # filter expression — past that the full read + mask wins.
+        base_filters = None
+        if key_filter is not None:
+            vals = (key_set.to_pylist() if key_set is not None
+                    else [key_filter])
+            if len(vals) <= 10_000:
+                base_filters = [(key, "in", vals)]
+        base_tbl = pq.read_table(root / base_file, columns=base_cols,
+                                 filters=base_filters)
     elif deltas:
         base_tbl = _snapshot_schema(prune(targets[deltas[0]["commit_id"]]),
                                     managed).empty_table()
