@@ -72,6 +72,12 @@ def main(argv=None):
                    help="commit per-partition LWW delta files instead of "
                         "rewriting base snapshots (write amplification ~1; "
                         "reads resolve base+deltas; compact-deltas folds)")
+    r.add_argument("--compact-min-chain", type=int, default=None,
+                   metavar="N",
+                   help="after the run, fold merge-on-read partitions "
+                        "whose pending delta chain is >= N deep (the "
+                        "read-amplification cadence; requires "
+                        "--merge-on-read)")
     r.add_argument("--tail", action="store_true",
                    help="continuous: poll for new epochs (Ctrl-C to stop)")
 
@@ -225,15 +231,28 @@ def main(argv=None):
             from chomper_ray.sources import envelopes
 
             extra["source"] = envelopes
+        if args.compact_min_chain is not None and not args.merge_on_read:
+            p.error("--compact-min-chain requires --merge-on-read")
         res = fn(args.log_dir, args.lake_root,
                  num_partitions=args.num_partitions,
                  lake_kwargs=lake_kwargs, **extra)
-        print(json.dumps({
+        out = {
             "epochs_run": res.epochs_run,
             "epochs_skipped": res.epochs_skipped,
             "events_applied": res.events_applied,
             "wall_s": round(res.wall_s, 2),
-        }))
+        }
+        if args.compact_min_chain is not None:
+            from chomper_ray.state.lake import LakeTable
+
+            lake = LakeTable(args.lake_root, **lake_kwargs)
+            c = lake.compact_deltas(min_chain=args.compact_min_chain)
+            out["compacted_partitions"] = (0 if c.skipped
+                                           else c.partitions_touched)
+            out["pending_chains"] = {
+                str(k): v
+                for k, v in sorted(lake.delta_chain_lengths().items())}
+        print(json.dumps(out))
         import ray
 
         ray.shutdown()
