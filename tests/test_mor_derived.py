@@ -223,6 +223,45 @@ def test_after_commit_hook_keeps_index_fresh(tmp_path, ray_session):
     assert fired == [0, 1, 2, 3]
 
 
+def test_after_commit_hook_failure_recovers(tmp_path, ray_session):
+    """The documented crash contract: if after_commit raises, the
+    commit stays durable; the rerun skips it (hook does not re-fire for
+    it) and the NEXT epoch's hook call catches the index up, because
+    refresh() walks the chain from its own applied marker."""
+    import pytest
+
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.sources.events import generate_change_stream
+
+    log = generate_change_stream(tmp_path / "log", n_events=600,
+                                 n_urls=120, n_epochs=2, seed=13)
+    kw = {"merge_on_read": True, "collect_changes": False}
+    lake = LakeTable(tmp_path / "lake", num_partitions=4, **kw)
+    idx = LakeTextIndex(lake, tmp_path / "idx", num_partitions=8)
+    calls = []
+
+    def flaky_hook(commit):
+        calls.append(commit.epoch)
+        if len(calls) == 1:
+            raise RuntimeError("simulated crash before refresh")
+        idx.refresh()
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_cdc(log, tmp_path / "lake", num_partitions=4, lake_kwargs=kw,
+                after_commit=flaky_hook)
+    assert calls == [0]
+    assert lake.last_committed_epoch() == 0  # the commit survived
+    assert idx.applied_commits() == []       # hook died before refresh
+    # re-entry: epoch 0 skips (hook not re-fired), epoch 1 commits and
+    # its hook's refresh folds BOTH commits
+    run_cdc(log, tmp_path / "lake", num_partitions=4, lake_kwargs=kw,
+            after_commit=flaky_hook)
+    assert calls == [0, 1]
+    assert idx.applied_commits()[-1] == lake.last_committed_epoch()
+    got = resolved_all(idx)
+    assert set(got["doc"]) == set(lake.read_pandas()["url"])
+
+
 _VOCAB = ["lorem", "ipsum", "dolor", "sit", "amet", "web", "page"]
 _op = st.tuples(
     st.sampled_from(["insert", "update", "delete"]),

@@ -169,3 +169,37 @@ def test_multi_over_debezium_envelopes_matches_parquet(tmp_path):
     image = line["after"] or line["before"]
     assert not ({"link_id", "src_url"} <= set(image)
                 and {"url", "title"} <= set(image))
+
+
+def test_mixed_mor_cow_tables(log, tmp_path):
+    """Per-table lake_kwargs compose with merge-on-read: the pages
+    table commits MOR delta files (head stays delta-bearing) while
+    links stays copy-on-write — both resolve to the same pandas LWW
+    oracle, and compacting pages afterwards changes nothing."""
+    from chomper_ray.state.lake import load_manifest, manifest_has_deltas
+
+    cat = table_catalog(log)
+    cat["pages"].lake_kwargs = {"merge_on_read": True,
+                                "collect_changes": False}
+    res = run_cdc_multi(log, tmp_path / "lakes", tables=cat,
+                        num_partitions=4)
+    assert res["pages"].epochs_run == res["links"].epochs_run == [0, 1, 2]
+    pages_lake = LakeTable(tmp_path / "lakes" / "pages", key="url",
+                           num_partitions=4, merge_on_read=True,
+                           collect_changes=False)
+    assert manifest_has_deltas(load_manifest(pages_lake.root))
+    assert not manifest_has_deltas(
+        load_manifest(tmp_path / "lakes" / "links"))
+    for name, lake in [("pages", pages_lake),
+                       ("links", LakeTable(tmp_path / "lakes" / "links",
+                                           key="link_id",
+                                           num_partitions=4))]:
+        spec = cat[name]
+        got = (lake.read().to_pandas()[spec.columns]
+               .sort_values(spec.key).reset_index(drop=True))
+        want = (_lww(_raw(log, name), spec.key)[spec.columns]
+                .sort_values(spec.key).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    before = pages_lake.snapshot_hash()
+    assert not pages_lake.compact_deltas().skipped
+    assert pages_lake.snapshot_hash() == before
