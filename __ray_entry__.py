@@ -1754,6 +1754,45 @@ def _q_cdc_mor_matview_domains(sf_dir: str):
                                 "sum_n_chars": "total_chars"})
 
 
+def _q_cdc_matview_extrema(sf_dir: str):
+    # IVM beyond additivity (round 4): grouped MIN/MAX maintained per
+    # commit with affected-group rescan (state/matview.py
+    # MaterializedExtrema) — min/max are NOT self-maintainable under
+    # updates/deletes, so when a commit touches a group's extremum
+    # holder without restoring the value, that group (alone) is
+    # rescanned from current state. The 4 per-epoch commits include
+    # deletes and updates of extremum rows; the maintained view
+    # hash-verifies against a full-scan SQL GROUP BY over the LWW
+    # state.
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.stages.text import url_parts
+    from chomper_ray.state.lake import LakeTable
+    from chomper_ray.state.matview import MaterializedExtrema
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_mx_")
+    run_cdc(log, lake_root, num_partitions=8)
+    lake = LakeTable(lake_root, num_partitions=8)
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        d = url_parts(df)
+        return pd.DataFrame({
+            "domain": d["domain"],
+            "n_chars": d["text"].fillna("").str.len().astype("int64"),
+            "warc_ts": d["warc_ts"],
+        })
+
+    view = MaterializedExtrema(
+        lake, tempfile.mkdtemp(prefix="chomper_mx_"), contrib,
+        group_cols=["domain"], max_cols=["warc_ts", "n_chars"],
+        min_cols=["n_chars"], read_columns=["url", "text", "warc_ts"])
+    out = view.refresh()
+    return out.rename(columns={"n_live": "n_pages",
+                               "max_warc_ts": "latest_ts",
+                               "max_n_chars": "max_chars",
+                               "min_n_chars": "min_chars"})
+
+
 def _q_cdc_mor_index_tokens(sf_dir: str):
     # MOR-native index maintenance (round 4): the inverted index
     # maintained at a DELTA-BEARING merge-on-read head — full build at
@@ -2486,6 +2525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cdc_matview_domains; mimic-verified (scripts/check_oracle.py)
         "cdc_mor_matview_domains": _q_cdc_mor_matview_domains,
         "cdc_mor_index_tokens": _q_cdc_mor_index_tokens,
+        "cdc_matview_extrema": _q_cdc_matview_extrema,
         "cdc_domain_stats": _q_cdc_domain_stats,
         "cdc_ann_vectors": _q_cdc_ann_vectors,
         "cdc_sorted_scan": _q_cdc_sorted_scan,
@@ -2842,6 +2882,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, url, count(*) AS tf, dl FROM tok "
             f"WHERE token IN {tuple(_IDX_TOKENS)!r} "
             "GROUP BY token, url, dl"
+        ),
+        "cdc_matview_extrema": (
+            # maintained MIN/MAX view (affected-group rescan IVM) ==
+            # full-scan SQL GROUP BY extrema over the LWW state
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            f"sidecar AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/_oracle/*.parquet')), "
+            "st AS (SELECT w.url, w.warc_ts, s.text FROM win w "
+            "JOIN sidecar s USING (seq)) "
+            f"SELECT {sql_url_exprs('url')['domain']} AS domain, "
+            "count(*) AS n_pages, "
+            "max(warc_ts) AS latest_ts, "
+            "CAST(max(length(coalesce(text, ''))) AS BIGINT) "
+            "AS max_chars, "
+            "CAST(min(length(coalesce(text, ''))) AS BIGINT) "
+            "AS min_chars FROM st GROUP BY 1"
         ),
         "cdc_sorted_scan": (
             # maintained sorted layout pruned-window scan == SQL range

@@ -846,6 +846,53 @@ def materialize_mor_commit_diff(root, man: dict, prev_man: dict | None,
     return ([f for f in stats["new"] if f], [f for f in stats["old"] if f])
 
 
+def plan_commit_diff(lake, man: dict, prev_man: dict | None,
+                     prev_cid: int | None, cid: int,
+                     scratch_prefix: str = "chomper_diff_"):
+    """One commit's derived-maintenance diff plan, uniform across
+    copy-on-write, merge-on-read and compaction commits:
+    returns ``(new_files, old_files, missing_old, scratch_dir)`` where
+    the file lists are snapshot-schema parquet paths for the commit's
+    ± sides, ``missing_old`` routes the caller to its full-recompute
+    fallback (GC'd inputs / no previous manifest), and ``scratch_dir``
+    (or None) is a temp dir the caller must remove after consuming the
+    scans. Compaction commits and empty commits yield empty sides —
+    a zero delta by the derived-maintenance contract."""
+    import tempfile
+
+    root = lake.root
+    if is_compaction_manifest(man):
+        return [], [], (prev_man is None and prev_cid is not None), None
+    mor_pids = mor_commit_delta_pids(man, cid)
+    if mor_pids:
+        missing_old = (prev_man is None and prev_cid is not None) \
+            or not mor_diff_inputs_exist(root, man, prev_man, cid)
+        if missing_old:
+            return [], [], True, None
+        scratch = tempfile.mkdtemp(prefix=scratch_prefix)
+        new_files, old_files = materialize_mor_commit_diff(
+            root, man, prev_man, cid, lake._mor_kwargs(), scratch)
+        return new_files, old_files, False, scratch
+    touched = sorted({int(ln["partition_id"])
+                      for ln in man.get("lineage", [])})
+    new_files = [str(root / man["partitions"][str(p)]["file"])
+                 for p in touched
+                 if man["partitions"].get(str(p), {}).get("file")]
+    old_files = []
+    missing_old = prev_man is None and prev_cid is not None
+    if prev_man is not None:
+        for p in touched:
+            part = prev_man["partitions"].get(str(p))
+            if part is None or not part.get("file"):
+                continue
+            f = root / part["file"]
+            if not f.exists():  # compacted away
+                missing_old = True
+                break
+            old_files.append(str(f))
+    return new_files, old_files, missing_old, None
+
+
 def materialize_mor_resolved(root, man: dict, mor_kwargs: dict,
                              scratch_dir) -> list[str]:
     """Snapshot-schema parquet files of the FULL resolved state at

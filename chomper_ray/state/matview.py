@@ -18,8 +18,8 @@ oracle as the full-scan ``cdc_domain_stats``).
 Self-maintainability (standard IVM theory): count/sum are
 self-maintainable; min/max are NOT under updates/deletes (a lowered max
 needs a group rescan), so this view intentionally supports additive
-aggregates only — pair it with a periodic full recompute if you need
-extrema.
+aggregates only — ``MaterializedExtrema`` below covers min/max with
+the affected-group-rescan discipline.
 
 Merge-on-read lakes maintain without compaction: a delta-bearing
 ingest commit folds its EXACT effect via the lake's key-restricted
@@ -53,18 +53,16 @@ import shutil
 import tempfile
 import uuid
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 from chomper_ray.stages.merge import INTERNAL_DELETED
 from chomper_ray.state.lake import (LakeTable, committed_epochs,
-                                    is_compaction_manifest, load_manifest,
-                                    manifest_has_deltas,
-                                    materialize_mor_commit_diff,
+                                    load_manifest, manifest_has_deltas,
                                     materialize_mor_resolved,
-                                    mor_commit_delta_pids,
-                                    mor_diff_inputs_exist)
+                                    plan_commit_diff)
 
 
 class MaterializedAgg:
@@ -220,43 +218,11 @@ class MaterializedAgg:
                 continue
             prev_man = load_manifest(root, prev_cid) \
                 if prev_cid is not None else None
-            mor_pids = mor_commit_delta_pids(man, cid)
-            scratch = None
-            if is_compaction_manifest(man):
-                # compaction is pure storage reorganization: every
-                # folded delta commit was already applied individually
-                # (chain order), so this commit is content-neutral
-                new_files, old_files = [], []
-                missing_old = prev_man is None and prev_cid is not None
-            elif mor_pids:
-                # merge-on-read ingest commit: fold its exact effect —
-                # the key-restricted old/new diff of its own delta
-                missing_old = (prev_man is None and prev_cid is not None) \
-                    or not mor_diff_inputs_exist(root, man, prev_man, cid)
-                new_files, old_files = [], []
-                if not missing_old:
-                    scratch = tempfile.mkdtemp(prefix="chomper_mv_diff_")
-                    new_files, old_files = materialize_mor_commit_diff(
-                        root, man, prev_man, cid,
-                        self.lake._mor_kwargs(), scratch)
-            else:
-                touched = sorted({int(ln["partition_id"])
-                                  for ln in man.get("lineage", [])})
-                new_files = [str(root / man["partitions"][str(p)]["file"])
-                             for p in touched
-                             if man["partitions"].get(str(p), {}).get("file")]
-                old_files = []
-                missing_old = prev_man is None and prev_cid is not None
-                if prev_man is not None:
-                    for p in touched:
-                        part = prev_man["partitions"].get(str(p))
-                        if part is None or not part.get("file"):
-                            continue
-                        f = root / part["file"]
-                        if not f.exists():  # compacted away
-                            missing_old = True
-                            break
-                        old_files.append(str(f))
+            # one commit's ± sides — uniform across COW / merge-on-read
+            # (key-restricted materialized diff) / compaction (zero)
+            new_files, old_files, missing_old, scratch = plan_commit_diff(
+                self.lake, man, prev_man, prev_cid, cid,
+                scratch_prefix="chomper_mv_diff_")
             try:
                 if missing_old:
                     new_view = self._full_recompute(cid)
@@ -271,6 +237,311 @@ class MaterializedAgg:
                     parts.append(self._scan_to_partials(new_files, +1))
                     parts.append(self._scan_to_partials(old_files, -1))
                     new_view = self._fold(parts)
+            finally:
+                if scratch is not None:
+                    shutil.rmtree(scratch, ignore_errors=True)
+            self._write_view(cid, new_view)
+            current, prev_cid = new_view, cid
+        return self.view()
+
+
+class MaterializedExtrema:
+    """Grouped MIN/MAX view over a LakeTable, maintained per commit —
+    the NON-self-maintainable aggregate family ``MaterializedAgg``
+    deliberately excludes (a lowered maximum cannot be derived from
+    the old view + the commit alone), closed with the classical
+    affected-group rescan:
+
+    Per commit, both diff sides reduce to per-group extrema partials
+    (same distributed combiner shape as the additive view). For a max
+    column, group by group:
+
+    - the commit can only RAISE the max → fold in place
+      (``max' = max(cur, new-side max)``);
+    - the old side's max reaches the current max (the commit touched a
+      row that may have BEEN the extremum) and the new side does not
+      restore it → the true max may have dropped, and only the data
+      knows where to: the group is RESCANNED (one distributed pruned
+      scan over current state restricted to the affected groups).
+
+    Rescans are bounded by the commit's touched groups and triggered
+    only when an extremum-holding row is updated-down or deleted —
+    the standard IVM trade for non-self-maintainable aggregates. The
+    conservative trigger (extremum VALUE matched, even if another row
+    ties) favors correctness over rescan avoidance; ``last_rescans``
+    records each refresh's rescan groups for cost assertions.
+
+    Everything else follows ``MaterializedAgg``: ``contrib`` is a
+    row-local map to ``group_cols`` + value columns, commits fold via
+    the uniform ``plan_commit_diff`` (copy-on-write, merge-on-read
+    key-restricted diffs, compaction = zero delta), history gaps route
+    to a full recompute, storage is one parquet per applied commit
+    with the marker-last exactly-once contract. Value columns may be
+    any ordered dtype pandas can group-max (numbers, timestamps,
+    strings); SQL semantics for nulls (ignored; all-null group → null
+    extremum).
+    """
+
+    def __init__(self, lake: LakeTable, view_root: str | Path,
+                 contrib: Callable[[pd.DataFrame], pd.DataFrame],
+                 group_cols: Sequence[str],
+                 max_cols: Sequence[str] = (),
+                 min_cols: Sequence[str] = (),
+                 read_columns: Sequence[str] | None = None):
+        if not max_cols and not min_cols:
+            raise ValueError("need at least one max_cols or min_cols")
+        self.lake = lake
+        self.view_root = Path(view_root)
+        self.view_root.mkdir(parents=True, exist_ok=True)
+        self.contrib = contrib
+        self.group_cols = list(group_cols)
+        self.max_cols = list(max_cols)
+        self.min_cols = list(min_cols)
+        self.read_columns = list(read_columns) if read_columns else None
+        self._ext_cols = [f"max_{c}" for c in self.max_cols] \
+            + [f"min_{c}" for c in self.min_cols]
+        self.last_rescans: list[tuple[int, int]] = []  # (cid, n_groups)
+
+    # -- storage (same contract as MaterializedAgg) -------------------------
+    def _view_path(self, cid: int) -> Path:
+        return self.view_root / f"view-{cid:06d}.parquet"
+
+    def applied_commits(self) -> list[int]:
+        return sorted(int(p.stem.split("-")[1])
+                      for p in self.view_root.glob("view-*.parquet"))
+
+    def _empty_view(self) -> pd.DataFrame:
+        return pd.DataFrame(columns=self.group_cols + ["n_live"]
+                            + self._ext_cols)
+
+    def view(self, cid: int | None = None) -> pd.DataFrame:
+        done = self.applied_commits()
+        if not done:
+            return self._empty_view()
+        cid = done[-1] if cid is None else cid
+        return pq.read_table(self._view_path(cid)).to_pandas()
+
+    def _write_view(self, cid: int, df: pd.DataFrame) -> None:
+        final = self._view_path(cid)
+        if final.exists():
+            return
+        tmp = final.with_suffix(f".parquet.tmp-{uuid.uuid4().hex[:8]}")
+        df = df.sort_values(self.group_cols, kind="stable") \
+            .reset_index(drop=True)
+        df["n_live"] = df["n_live"].astype("int64")
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+        tmp.replace(final)
+
+    # -- distributed partials -----------------------------------------------
+    def _side_partials(self, files: list[str],
+                       only_groups: pd.DataFrame | None = None) \
+            -> pd.DataFrame:
+        """Exact per-group (n_live, max_*, min_*) over LIVE rows of the
+        given files — per-block combiner partials folded driver-side
+        (bounded by groups × blocks). ``only_groups`` restricts to the
+        rescan set via an in-task semi-join."""
+        import ray.data as rd
+
+        gcols = self.group_cols
+        if not files:
+            return pd.DataFrame(columns=gcols + ["n_live"]
+                                + self._ext_cols)
+        contrib = self.contrib
+        maxc, minc = self.max_cols, self.min_cols
+        read_cols = self.read_columns
+        if read_cols is not None:
+            read_cols = list(dict.fromkeys([*read_cols, INTERNAL_DELETED]))
+
+        def group_extrema(out: pd.DataFrame, specs, count_col=None):
+            # per-column dropna before the groupby extremum: pandas
+            # object-dtype (string) reductions break on mixed NaN/value
+            # groups (the nan mask fills ±inf, which then meets a str)
+            if count_col is None:
+                base = out.groupby(gcols, sort=False, dropna=False) \
+                    .size().rename("n_live").reset_index()
+            else:
+                base = out.groupby(gcols, sort=False, dropna=False)[
+                    count_col].sum().rename("n_live").reset_index()
+            for name, src, how in specs:
+                s = out.dropna(subset=[src])
+                if not len(s):
+                    base[name] = pd.Series(dtype=out[src].dtype)
+                    continue
+                e = s.groupby(gcols, sort=False, dropna=False)[src] \
+                    .agg(how).rename(name).reset_index()
+                base = base.merge(e, on=gcols, how="left")
+            return base
+
+        block_specs = [(f"max_{c}", c, "max") for c in maxc] \
+            + [(f"min_{c}", c, "min") for c in minc]
+        fold_specs = [(f"max_{c}", f"max_{c}", "max") for c in maxc] \
+            + [(f"min_{c}", f"min_{c}", "min") for c in minc]
+        empty_cols = gcols + ["n_live"] + [s[0] for s in block_specs]
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[~df[INTERNAL_DELETED].astype(bool)].copy()
+            out = contrib(df)
+            if only_groups is not None:
+                out = out.merge(only_groups, on=gcols)
+            if not len(out):
+                return pd.DataFrame(columns=empty_cols)
+            return group_extrema(out, block_specs)
+
+        if read_cols is not None:
+            ds = rd.read_parquet(files, columns=read_cols)
+        else:
+            ds = rd.read_parquet(files, partitioning=None)
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        if not len(parts):
+            return pd.DataFrame(columns=gcols + ["n_live"]
+                                + self._ext_cols)
+        return group_extrema(parts, fold_specs, count_col="n_live")
+
+    # -- fold algebra ---------------------------------------------------------
+    def _apply_commit(self, cur: pd.DataFrame, new_p: pd.DataFrame,
+                      old_p: pd.DataFrame) \
+            -> tuple[pd.DataFrame, pd.DataFrame]:
+        """Fold one commit's exact side partials into the view.
+        Returns (folded_view, rescan_groups) — rescan rows carry the
+        group key only; their extrema are recomputed from data."""
+        gcols = self.group_cols
+        m = cur.merge(new_p, on=gcols, how="outer",
+                      suffixes=("", "_new")) \
+            .merge(old_p.rename(columns={c: f"{c}_old"
+                                         for c in old_p.columns
+                                         if c not in gcols}),
+                   on=gcols, how="outer")
+        for c in ["n_live", "n_live_new", "n_live_old"]:
+            if c not in m.columns:
+                m[c] = 0
+            m[c] = pd.to_numeric(m[c], errors="coerce") \
+                .fillna(0).astype("int64")
+        m["n_live"] = m["n_live"] + m["n_live_new"] - m["n_live_old"]
+        m = m[m["n_live"] > 0].reset_index(drop=True)
+        def cmp_ge(a: pd.Series, b: pd.Series) -> pd.Series:
+            # a >= b where both present, else False — masked so NaN/NaT
+            # never meets a value of another dtype in a comparison
+            r = pd.Series(False, index=a.index)
+            both = (~a.isna()) & (~b.isna())
+            if both.any():
+                r.loc[both] = (a[both] >= b[both]).astype(bool)
+            return r
+
+        need_rescan = pd.Series(False, index=m.index)
+        for kind, cols in (("max", self.max_cols), ("min", self.min_cols)):
+            for c in cols:
+                v = f"{kind}_{c}"
+                curv = m[v] if v in m.columns else pd.Series(
+                    np.nan, index=m.index)
+                newv = m.get(f"{v}_new", pd.Series(np.nan, index=m.index))
+                oldv = m.get(f"{v}_old", pd.Series(np.nan, index=m.index))
+                if kind == "max":
+                    better, worse = newv, curv
+                    restored = cmp_ge(newv, curv)
+                    touched_ext = cmp_ge(oldv, curv)
+                else:
+                    better, worse = curv, newv
+                    restored = cmp_ge(curv, newv)
+                    touched_ext = cmp_ge(curv, oldv)
+                # new value adopted when cur is absent or new beats it
+                new_wins = curv.isna() | (cmp_ge(better, worse)
+                                          & ~newv.isna())
+                m[v] = curv.where(~new_wins, newv)
+                need_rescan |= touched_ext & ~restored
+        keep = gcols + ["n_live"] + self._ext_cols
+        folded = m[keep].copy()
+        rescan = m.loc[need_rescan, gcols].copy()
+        return folded, rescan
+
+    def _files_at(self, cid: int) -> tuple[list[str], str | None]:
+        man = load_manifest(self.lake.root, cid)
+        if manifest_has_deltas(man):
+            scratch = tempfile.mkdtemp(prefix="chomper_mx_full_")
+            return materialize_mor_resolved(
+                self.lake.root, man, self.lake._mor_kwargs(),
+                scratch), scratch
+        return [str(self.lake.root / v["file"])
+                for _, v in sorted(man["partitions"].items())
+                if v.get("file")], None
+
+    def _full_recompute(self, cid: int) -> pd.DataFrame:
+        files, scratch = self._files_at(cid)
+        try:
+            p = self._side_partials(files)
+        finally:
+            if scratch is not None:
+                shutil.rmtree(scratch, ignore_errors=True)
+        return p[self.group_cols + ["n_live"] + self._ext_cols] \
+            if len(p) else self._empty_view()
+
+    def _run_rescan(self, cid: int, folded: pd.DataFrame,
+                    rescan: pd.DataFrame) -> pd.DataFrame:
+        files, scratch = self._files_at(cid)
+        try:
+            exact = self._side_partials(files, only_groups=rescan)
+        finally:
+            if scratch is not None:
+                shutil.rmtree(scratch, ignore_errors=True)
+        gcols = self.group_cols
+        missing = rescan.merge(exact[gcols], on=gcols, how="left",
+                               indicator=True)
+        missing = missing[missing["_merge"] == "left_only"]
+        if len(missing):
+            raise ValueError(
+                f"extrema rescan found no live rows for groups the "
+                f"additive count says exist: {missing[gcols].to_dict()}")
+        keep = folded.merge(rescan, on=gcols, how="left", indicator=True)
+        folded = folded[keep["_merge"] == "left_only"].reset_index(
+            drop=True)
+        exact = exact[gcols + ["n_live"] + self._ext_cols]
+        sides = [s for s in (folded, exact) if len(s)]
+        if not sides:
+            return self._empty_view()
+        if len(sides) == 1:
+            return sides[0].reset_index(drop=True)
+        return pd.concat(sides, ignore_index=True)
+
+    def refresh(self) -> pd.DataFrame:
+        """Apply every unapplied manifest commit in chain order;
+        idempotent. Appends each refresh's rescan count to
+        ``last_rescans``."""
+        cids = committed_epochs(self.lake.root)
+        if not cids:
+            return self.view()
+        done = set(self.applied_commits())
+        root = self.lake.root
+        prev_cid = None
+        current = None
+        for cid in cids:
+            if cid in done:
+                prev_cid = cid
+                current = None
+                continue
+            man = load_manifest(root, cid)
+            if man.get("truncated") or not man["partitions"]:
+                new_view = self._empty_view()
+                self._write_view(cid, new_view)
+                current, prev_cid = new_view, cid
+                continue
+            prev_man = load_manifest(root, prev_cid) \
+                if prev_cid is not None else None
+            new_files, old_files, missing_old, scratch = plan_commit_diff(
+                self.lake, man, prev_man, prev_cid, cid,
+                scratch_prefix="chomper_mx_diff_")
+            try:
+                if missing_old:
+                    new_view = self._full_recompute(cid)
+                else:
+                    if current is None:
+                        current = self.view(prev_cid) \
+                            if prev_cid is not None else self._empty_view()
+                    new_p = self._side_partials(new_files)
+                    old_p = self._side_partials(old_files)
+                    new_view, rescan = self._apply_commit(
+                        current, new_p, old_p)
+                    if len(rescan):
+                        self.last_rescans.append((cid, len(rescan)))
+                        new_view = self._run_rescan(cid, new_view, rescan)
             finally:
                 if scratch is not None:
                     shutil.rmtree(scratch, ignore_errors=True)
