@@ -87,7 +87,9 @@ class LakeBucketLayout:
     # -- maintenance ----------------------------------------------------------
     def refresh(self) -> dict:
         """Sync the layout to the lake's head manifest. Returns
-        ``{"applied_cid", "rewritten": [pids], "removed": [pids]}``;
+        ``{"applied_cid", "rewritten": [pids], "removed": [pids],
+        "skipped_neutral": [pids]}`` (the last: fingerprints moved
+        by content-neutral maintenance only — no rewrite);
         idempotent (no-op when the head hasn't moved)."""
         from chomper_ray.stages.merge import INTERNAL_DELETED
 
@@ -95,7 +97,8 @@ class LakeBucketLayout:
 
         man = load_manifest(self.lake.root)
         if man is None:
-            return {"applied_cid": None, "rewritten": [], "removed": []}
+            return {"applied_cid": None, "rewritten": [], "removed": [],
+                    "skipped_neutral": []}
         st = self._state()
         # fingerprint = base file + pending delta chain: a merge-on-read
         # ingest (new delta) or a compaction (new base, empty chain)
@@ -115,7 +118,32 @@ class LakeBucketLayout:
         if not changed and not removed and \
                 st["applied_cid"] == man["epoch"]:
             return {"applied_cid": man["epoch"], "rewritten": [],
-                    "removed": []}
+                    "removed": [], "skipped_neutral": []}
+        # a changed fingerprint whose commits since the last refresh
+        # are ALL live-content-neutral maintenance needs no rewrite:
+        # compaction folds deltas this layout already projected, purge
+        # drops tombstoned rows it never projects. Metadata-only walk
+        # of the manifests in (applied, head].
+        skipped_neutral: list[int] = []
+        if changed and st["applied_cid"] is not None:
+            from chomper_ray.state.lake import (committed_epochs,
+                                                is_compaction_manifest)
+
+            walk = [load_manifest(self.lake.root, c)
+                    for c in committed_epochs(self.lake.root)
+                    if st["applied_cid"] < c <= man["epoch"]]
+            if all(w is not None for w in walk):
+                content_changed: set[int] = set()
+                for w in walk:
+                    if is_compaction_manifest(w) or \
+                            "purged_tombstones" in w:
+                        continue
+                    content_changed.update(
+                        int(ln["partition_id"])
+                        for ln in w.get("lineage", []))
+                skipped_neutral = [p for p in changed
+                                   if p not in content_changed]
+                changed = [p for p in changed if p in content_changed]
 
         key = self.lake.key
         lake_root = str(self.lake.root)
@@ -181,4 +209,4 @@ class LakeBucketLayout:
                            "files": {str(p): f
                                      for p, f in head_files.items()}})
         return {"applied_cid": man["epoch"], "rewritten": changed,
-                "removed": removed}
+                "removed": removed, "skipped_neutral": skipped_neutral}

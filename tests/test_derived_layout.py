@@ -133,3 +133,44 @@ def test_layout_truncate_empties(tmp_path, ray_session):
 
     with pytest.raises(FileNotFoundError):
         read_partitioned(tmp_path / "lay")
+
+
+def test_layout_skips_content_neutral_maintenance(tmp_path, ray_session):
+    """Compaction and tombstone-purge move every fingerprint but leave
+    the layout's live projection untouched — the manifest walk skips
+    their rewrites entirely; a real ingest afterwards rewrites only its
+    own partitions."""
+    lake = LakeTable(tmp_path / "lake", key="url", num_partitions=4,
+                     merge_on_read=True, collect_changes=False)
+    lay = LakeBucketLayout(lake, tmp_path / "lay", transform=make_proj(),
+                           columns=["text"])
+    e0 = [mk("insert", i, f"u{i}", 10, f"w{i} common text")
+          for i in range(40)]
+    lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(e0)), 0)
+    r0 = lay.refresh()
+    assert len(r0["rewritten"]) == 4
+    before = layout_df(tmp_path / "lay")
+
+    lake.compact_deltas()
+    r1 = lay.refresh()
+    assert r1["rewritten"] == [] and sorted(r1["skipped_neutral"]) == \
+        [0, 1, 2, 3]
+    pd.testing.assert_frame_equal(layout_df(tmp_path / "lay"), before)
+    # the skip updated fingerprints: next refresh is a pure no-op
+    r2 = lay.refresh()
+    assert r2["rewritten"] == [] and r2["skipped_neutral"] == []
+
+    # delete a key (tombstone) -> its partition rewrites (real change);
+    # then purge the tombstone -> content-neutral again
+    lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(
+        [mk("delete", 100, "u7", 99, None)])), 1)
+    lake.compact_deltas()  # fold the delete so purge can run
+    r3 = lay.refresh()
+    assert len(r3["rewritten"]) >= 1
+    after_delete = layout_df(tmp_path / "lay")
+    assert "u7" not in set(after_delete["url"])
+    lake.purge_tombstones(watermark_ts_us=10**18)
+    r4 = lay.refresh()
+    assert r4["rewritten"] == [] and len(r4["skipped_neutral"]) >= 1
+    pd.testing.assert_frame_equal(layout_df(tmp_path / "lay"),
+                                  after_delete)
