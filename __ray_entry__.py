@@ -1793,6 +1793,38 @@ def _q_cdc_matview_extrema(sf_dir: str):
                                "min_n_chars": "min_chars"})
 
 
+def _q_cdc_topk_pages(sf_dir: str):
+    # maintained TOP-K ROWS per group (round 4): the 3 freshest live
+    # pages per domain, maintained per commit (state/matview.py
+    # MaterializedTopK) — folds in place when the commit can only push
+    # rows INTO the top-k; rescans exactly the groups whose fold
+    # under-fills or whose k-th row falls below the old cut (a
+    # previously-unseen row may belong). Hash-verified against the SQL
+    # ROW_NUMBER() oracle over the LWW state.
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.stages.text import url_parts
+    from chomper_ray.state.lake import LakeTable
+    from chomper_ray.state.matview import MaterializedTopK
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_tk_")
+    run_cdc(log, lake_root, num_partitions=8)
+    lake = LakeTable(lake_root, num_partitions=8)
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        d = url_parts(df)
+        return pd.DataFrame({"domain": d["domain"], "url": d["url"],
+                             "warc_ts": d["warc_ts"]})
+
+    view = MaterializedTopK(
+        lake, tempfile.mkdtemp(prefix="chomper_tk_"), contrib,
+        group_cols=["domain"], value_col="warc_ts", k=3,
+        read_columns=["url", "warc_ts"])
+    out = view.refresh()
+    out["rank"] = out["rank"].astype("int64")
+    return out[["domain", "url", "warc_ts", "rank"]]
+
+
 def _q_cdc_mor_index_tokens(sf_dir: str):
     # MOR-native index maintenance (round 4): the inverted index
     # maintained at a DELTA-BEARING merge-on-read head — full build at
@@ -2526,6 +2558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_mor_matview_domains": _q_cdc_mor_matview_domains,
         "cdc_mor_index_tokens": _q_cdc_mor_index_tokens,
         "cdc_matview_extrema": _q_cdc_matview_extrema,
+        "cdc_topk_pages": _q_cdc_topk_pages,
         "cdc_domain_stats": _q_cdc_domain_stats,
         "cdc_ann_vectors": _q_cdc_ann_vectors,
         "cdc_sorted_scan": _q_cdc_sorted_scan,
@@ -2902,6 +2935,22 @@ def oracle_sql() -> dict[str, str]:
             "AS max_chars, "
             "CAST(min(length(coalesce(text, ''))) AS BIGINT) "
             "AS min_chars FROM st GROUP BY 1"
+        ),
+        "cdc_topk_pages": (
+            # maintained TOP-K ROWS view (fold + under-fill/cut-check
+            # rescan IVM) == SQL ROW_NUMBER() over the LWW state
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            f"rk AS (SELECT {sql_url_exprs('url')['domain']} AS domain, "
+            "url, warc_ts, row_number() OVER (PARTITION BY "
+            f"{sql_url_exprs('url')['domain']} "
+            "ORDER BY warc_ts DESC, url) AS rank FROM win "
+            "WHERE warc_ts IS NOT NULL) "
+            "SELECT domain, url, warc_ts, CAST(rank AS BIGINT) AS rank "
+            "FROM rk WHERE rank <= 3"
         ),
         "cdc_sorted_scan": (
             # maintained sorted layout pruned-window scan == SQL range

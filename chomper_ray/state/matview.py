@@ -245,6 +245,384 @@ class MaterializedAgg:
         return self.view()
 
 
+class MaterializedTopK:
+    """Maintained TOP-K ROWS per group (``ORDER BY value
+    [DESC|ASC], key`` semantics) — the row-level sibling of
+    ``MaterializedExtrema`` (k = 1 over a scalar), for the "k freshest
+    pages per domain" / "k best-quality docs per source" views a CDC
+    corpus serves continuously.
+
+    Maintenance per commit:
+
+    - the NEW side reduces to per-group top-k candidates (per-block
+      top-k partials, driver-folded — view-cardinality objects);
+    - the OLD side is filtered IN-TASK against the broadcast current
+      top-k (view-sized, k rows per group), returning only the touched
+      (group, key) pairs that are actually IN the view — so even the
+      copy-on-write whole-partition diff ships ≤ k rows per group back;
+    - fold: drop touched pairs from the current top-k, merge the new
+      candidates (a key on both sides is an update), re-rank; if the
+      group still holds ``min(k, n_live)`` rows the fold is exact —
+      otherwise a previously-unseen row may have entered from below
+      the old cut and only the data knows which: the group is
+      RESCANNED (one distributed scan restricted to the affected
+      groups, resolved state at a merge-on-read head included).
+
+    ``n_ranked`` (rankable live rows per group) rides along additively
+    (exact), which together with the CUT CHECK makes the fold sound:
+    a group rescans when its fold under-fills (candidates <
+    min(k, n_ranked) — a removed member has no local replacement) OR
+    when the folded k-th row ranks strictly below the OLD view's k-th
+    row (a touched row re-entering with a lowered value, or a new tie
+    with a larger key, must not silently occupy the slot of an unseen
+    row that lay just below the old cut). Ties resolve
+    deterministically by ascending key (SQL ``ROW_NUMBER() OVER
+    (PARTITION BY g ORDER BY v DESC, key)`` parity).
+
+    ``contrib(df) -> df`` must return ``group_cols`` + ``value_col`` +
+    the LAKE KEY column (identity is what removal is keyed on). Storage
+    and commit-walk semantics follow the other views (one parquet per
+    applied commit, ``plan_commit_diff`` uniform across COW / MOR /
+    compaction-zero, full recompute on history gaps).
+    """
+
+    def __init__(self, lake: LakeTable, view_root: str | Path,
+                 contrib: Callable[[pd.DataFrame], pd.DataFrame],
+                 group_cols: Sequence[str], value_col: str, k: int,
+                 ascending: bool = False,
+                 read_columns: Sequence[str] | None = None):
+        self.lake = lake
+        self.view_root = Path(view_root)
+        self.view_root.mkdir(parents=True, exist_ok=True)
+        self.contrib = contrib
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self.k = int(k)
+        if self.k < 1:
+            raise ValueError("k must be >= 1")
+        self.ascending = bool(ascending)
+        self.key_col = lake.key
+        self.read_columns = list(read_columns) if read_columns else None
+        self.last_rescans: list[tuple[int, int]] = []
+
+    # -- storage ---------------------------------------------------------------
+    def _view_path(self, cid: int) -> Path:
+        return self.view_root / f"view-{cid:06d}.parquet"
+
+    def applied_commits(self) -> list[int]:
+        return sorted(int(p.stem.split("-")[1])
+                      for p in self.view_root.glob("view-*.parquet"))
+
+    def _row_cols(self) -> list[str]:
+        return self.group_cols + [self.key_col, self.value_col, "rank"]
+
+    def _empty_rows(self) -> pd.DataFrame:
+        return pd.DataFrame(columns=self._row_cols())
+
+    def _empty_counts(self) -> pd.DataFrame:
+        return pd.DataFrame(columns=self.group_cols + ["n_ranked"])
+
+    def view(self, cid: int | None = None) -> pd.DataFrame:
+        """Current (or historical) top-k rows — ``rank`` is 1-based
+        within the group."""
+        rows, _ = self._load(cid)
+        return rows
+
+    def _load(self, cid: int | None = None) \
+            -> tuple[pd.DataFrame, pd.DataFrame]:
+        done = self.applied_commits()
+        if not done:
+            return self._empty_rows(), self._empty_counts()
+        cid = done[-1] if cid is None else cid
+        t = pq.read_table(self._view_path(cid)).to_pandas()
+        rows = t[t["rank"] > 0][self._row_cols()].reset_index(drop=True)
+        counts = t.groupby(self.group_cols, sort=False, dropna=False) \
+            ["n_ranked"].first().reset_index()
+        return rows, counts
+
+    def _write_view(self, cid: int, rows: pd.DataFrame,
+                    counts: pd.DataFrame) -> None:
+        """One file per commit: top-k rows joined with their group's
+        rankable-row count (all-null groups carry no view presence,
+        matching SQL row_number semantics)."""
+        final = self._view_path(cid)
+        if final.exists():
+            return
+        out = rows.merge(counts, on=self.group_cols, how="right")
+        out["rank"] = pd.to_numeric(out["rank"], errors="coerce") \
+            .fillna(0).astype("int64")
+        out["n_ranked"] = out["n_ranked"].astype("int64")
+        out = out.sort_values(self.group_cols + ["rank"], kind="stable") \
+            .reset_index(drop=True)
+        tmp = final.with_suffix(f".parquet.tmp-{uuid.uuid4().hex[:8]}")
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                       tmp)
+        tmp.replace(final)
+
+    # -- ranking ---------------------------------------------------------------
+    def _rank(self, df: pd.DataFrame, k: int | None = None) \
+            -> pd.DataFrame:
+        """Deterministic per-group rank: value (desc unless ascending),
+        ties by ascending key; null values never rank."""
+        k = self.k if k is None else k
+        df = df.dropna(subset=[self.value_col])
+        if not len(df):
+            return self._empty_rows()
+        df = df.sort_values(
+            [*self.group_cols, self.value_col, self.key_col],
+            ascending=[True] * len(self.group_cols)
+            + [self.ascending, True], kind="stable")
+        df = df.copy()
+        df["rank"] = df.groupby(self.group_cols, sort=False,
+                                dropna=False).cumcount() + 1
+        return df[df["rank"] <= k][self._row_cols()] \
+            .reset_index(drop=True)
+
+    # -- distributed partials ---------------------------------------------------
+    def _read_ds(self, files: list[str]):
+        import ray.data as rd
+
+        read_cols = self.read_columns
+        if read_cols is not None:
+            read_cols = list(dict.fromkeys([*read_cols,
+                                            INTERNAL_DELETED]))
+            return rd.read_parquet(files, columns=read_cols)
+        return rd.read_parquet(files, partitioning=None)
+
+    def _scan_counts(self, files: list[str],
+                     only_groups: pd.DataFrame | None = None) \
+            -> pd.DataFrame:
+        """Exact per-group RANKABLE (non-null value) live counts over
+        ``files`` (per-block partials, driver-folded; stable int
+        schema). Null-valued rows never rank, so counting them would
+        make null-heavy groups look under-filled forever."""
+        gcols, vcol, contrib = self.group_cols, self.value_col, \
+            self.contrib
+        if not files:
+            return self._empty_counts()
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[~df[INTERNAL_DELETED].astype(bool)].copy()
+            out = contrib(df).dropna(subset=[vcol])
+            if only_groups is not None:
+                out = out.merge(only_groups, on=gcols)
+            g = out.groupby(gcols, sort=False, dropna=False) \
+                .size().rename("n_ranked").reset_index()
+            g["n_ranked"] = g["n_ranked"].astype("int64")
+            return g
+
+        parts = self._read_ds(files).map_batches(
+            partial, batch_format="pandas").to_pandas()
+        if not len(parts):
+            return self._empty_counts()
+        return parts.groupby(gcols, sort=False, dropna=False) \
+            ["n_ranked"].sum().astype("int64").reset_index()
+
+    def _scan_rows(self, files: list[str], mode: str,
+                   cur_rows: pd.DataFrame | None = None,
+                   only_groups: pd.DataFrame | None = None) \
+            -> pd.DataFrame:
+        """Row partials over LIVE rows of ``files``.
+        mode='topk': per-block per-group top-k candidates (driver
+        re-ranks). mode='touched': rows whose (group, key) is in the
+        broadcast ``cur_rows`` view — ≤ k per group by construction.
+        ``only_groups`` additionally restricts (rescan path)."""
+        gcols, key, vcol = self.group_cols, self.key_col, self.value_col
+        if not files:
+            return self._empty_rows()
+        contrib, k, asc = self.contrib, self.k, self.ascending
+        pair_cols = gcols + [key]
+        pairs = cur_rows[pair_cols] if cur_rows is not None else None
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[~df[INTERNAL_DELETED].astype(bool)].copy()
+            out = contrib(df)
+            if only_groups is not None:
+                out = out.merge(only_groups, on=gcols)
+            if mode == "touched":
+                # empty view -> nothing can be touched (and an empty
+                # object-dtype merge against typed keys would raise)
+                out = out.iloc[0:0] if not len(pairs) \
+                    else out.merge(pairs, on=pair_cols)
+            else:
+                out = out.dropna(subset=[vcol])
+                if len(out):
+                    out = out.sort_values(
+                        [*gcols, vcol, key],
+                        ascending=[True] * len(gcols) + [asc, True],
+                        kind="stable")
+                    out = out.groupby(gcols, sort=False, dropna=False) \
+                        .head(k)
+            return out[pair_cols + [vcol]]
+
+        rows = self._read_ds(files).map_batches(
+            partial, batch_format="pandas").to_pandas()
+        if not len(rows):
+            return self._empty_rows()
+        if mode == "topk":
+            return self._rank(rows)
+        return rows.assign(rank=0)[self._row_cols()] \
+            .reset_index(drop=True)
+
+    # -- maintenance -------------------------------------------------------------
+    def _files_at(self, cid: int) -> tuple[list[str], str | None]:
+        man = load_manifest(self.lake.root, cid)
+        if manifest_has_deltas(man):
+            scratch = tempfile.mkdtemp(prefix="chomper_tk_full_")
+            return materialize_mor_resolved(
+                self.lake.root, man, self.lake._mor_kwargs(),
+                scratch), scratch
+        return [str(self.lake.root / v["file"])
+                for _, v in sorted(man["partitions"].items())
+                if v.get("file")], None
+
+    def _full_recompute(self, cid: int) \
+            -> tuple[pd.DataFrame, pd.DataFrame]:
+        files, scratch = self._files_at(cid)
+        try:
+            return (self._scan_rows(files, "topk"),
+                    self._scan_counts(files))
+        finally:
+            if scratch is not None:
+                shutil.rmtree(scratch, ignore_errors=True)
+
+    def _apply_commit(self, cur_rows, cur_counts, new_files, old_files) \
+            -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+        """Returns (rows, counts, rescan_groups)."""
+        gcols, key, vcol = self.group_cols, self.key_col, self.value_col
+        new_rows = self._scan_rows(new_files, "topk")
+        new_counts = self._scan_counts(new_files)
+        old_rows = self._scan_rows(old_files, "touched",
+                                   cur_rows=cur_rows)
+        old_counts = self._scan_counts(old_files)
+        counts = cur_counts.merge(
+            new_counts.rename(columns={"n_ranked": "n_new"}),
+            on=gcols, how="outer").merge(
+            old_counts.rename(columns={"n_ranked": "n_old"}),
+            on=gcols, how="outer")
+        for c in ["n_ranked", "n_new", "n_old"]:
+            if c not in counts.columns:
+                counts[c] = 0
+            counts[c] = pd.to_numeric(counts[c], errors="coerce") \
+                .fillna(0).astype("int64")
+        counts["n_ranked"] = counts["n_ranked"] + counts["n_new"] \
+            - counts["n_old"]
+        counts = counts[counts["n_ranked"] > 0][gcols + ["n_ranked"]] \
+            .reset_index(drop=True)
+        # remove every touched pair from the current view, then merge
+        # the new candidates (a key on both sides is an update; a new
+        # key not in the old view just competes)
+        tparts = [f for f in (old_rows[gcols + [key]],
+                              new_rows[gcols + [key]]) if len(f)]
+        touched = pd.concat(tparts, ignore_index=True).drop_duplicates() \
+            if tparts else old_rows[gcols + [key]]
+        keep = cur_rows.merge(touched, on=gcols + [key], how="left",
+                              indicator=True)
+        kept = cur_rows[keep["_merge"] == "left_only"]
+        cparts = [f for f in (kept[gcols + [key, vcol]],
+                              new_rows[gcols + [key, vcol]]) if len(f)]
+        cand = pd.concat(cparts, ignore_index=True) if cparts \
+            else new_rows[gcols + [key, vcol]]
+        ranked = self._rank(cand)
+        # under-fill check: a group whose fold holds fewer than
+        # min(k, n_ranked) rows lost a member it cannot replace locally
+        have = ranked.groupby(gcols, sort=False, dropna=False) \
+            .size().rename("have").reset_index()
+        chk = counts.merge(have, on=gcols, how="left")
+        chk["have"] = pd.to_numeric(chk["have"], errors="coerce") \
+            .fillna(0).astype("int64")
+        chk["want"] = chk["n_ranked"].clip(upper=self.k)
+        rescan = chk.loc[chk["have"] < chk["want"], gcols] \
+            .reset_index(drop=True)
+        # cut check: when the OLD view was full, unseen rows may exist
+        # just below its k-th row; the fold is exact only if its k-th
+        # row still ranks at-or-above that old cut row — a touched row
+        # re-entering with a LOWERED value (or a new tie with a larger
+        # key) must not silently occupy an unseen row's slot
+        old_cut = cur_rows[cur_rows["rank"] == self.k]
+        if len(old_cut):
+            kth = ranked[ranked["rank"] == self.k]
+            chk2 = kth.merge(
+                old_cut[gcols + [key, vcol]].rename(
+                    columns={key: "_cutk", vcol: "_cutv"}), on=gcols)
+            if len(chk2):
+                if self.ascending:
+                    worse_val = chk2[vcol] > chk2["_cutv"]
+                else:
+                    worse_val = chk2[vcol] < chk2["_cutv"]
+                tie_worse = (chk2[vcol] == chk2["_cutv"]) \
+                    & (chk2[key] > chk2["_cutk"])
+                below = worse_val | tie_worse
+                if below.any():
+                    rescan = pd.concat(
+                        [rescan, chk2.loc[below, gcols]],
+                        ignore_index=True).drop_duplicates() \
+                        .reset_index(drop=True)
+        if len(rescan):
+            hit = ranked.merge(rescan, on=gcols, how="left",
+                               indicator=True)
+            ranked = ranked[hit["_merge"] == "left_only"] \
+                .reset_index(drop=True)
+        return ranked, counts, rescan
+
+    def refresh(self) -> pd.DataFrame:
+        """Apply every unapplied manifest commit in chain order;
+        idempotent. Returns the current top-k rows."""
+        cids = committed_epochs(self.lake.root)
+        if not cids:
+            return self.view()
+        done = set(self.applied_commits())
+        root = self.lake.root
+        prev_cid = None
+        cur = None  # (rows, counts)
+        for cid in cids:
+            if cid in done:
+                prev_cid = cid
+                cur = None
+                continue
+            man = load_manifest(root, cid)
+            if man.get("truncated") or not man["partitions"]:
+                self._write_view(cid, self._empty_rows(),
+                                 self._empty_counts())
+                cur, prev_cid = (self._empty_rows(),
+                                 self._empty_counts()), cid
+                continue
+            prev_man = load_manifest(root, prev_cid) \
+                if prev_cid is not None else None
+            new_files, old_files, missing_old, scratch = plan_commit_diff(
+                self.lake, man, prev_man, prev_cid, cid,
+                scratch_prefix="chomper_tk_diff_")
+            try:
+                if missing_old:
+                    rows, counts = self._full_recompute(cid)
+                else:
+                    if cur is None:
+                        cur = self._load(prev_cid) \
+                            if prev_cid is not None else \
+                            (self._empty_rows(), self._empty_counts())
+                    rows, counts, rescan = self._apply_commit(
+                        cur[0], cur[1], new_files, old_files)
+                    if len(rescan):
+                        self.last_rescans.append((cid, len(rescan)))
+                        files, rscratch = self._files_at(cid)
+                        try:
+                            er = self._scan_rows(files, "topk",
+                                                 only_groups=rescan)
+                        finally:
+                            if rscratch is not None:
+                                shutil.rmtree(rscratch,
+                                              ignore_errors=True)
+                        if len(er):
+                            rows = er if not len(rows) else pd.concat(
+                                [rows, er], ignore_index=True)
+            finally:
+                if scratch is not None:
+                    shutil.rmtree(scratch, ignore_errors=True)
+            self._write_view(cid, rows, counts)
+            cur, prev_cid = (rows, counts), cid
+        return self.view()
+
+
 class MaterializedExtrema:
     """Grouped MIN/MAX view over a LakeTable, maintained per commit —
     the NON-self-maintainable aggregate family ``MaterializedAgg``
