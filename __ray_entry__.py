@@ -1825,6 +1825,37 @@ def _q_cdc_topk_pages(sf_dir: str):
     return out[["domain", "url", "warc_ts", "rank"]]
 
 
+def _q_cdc_matview_distinct(sf_dir: str):
+    # exact COUNT(DISTINCT) IVM (round 4): the second
+    # non-self-maintainable aggregate family, closed WITHOUT rescans by
+    # keeping per-(group, value) support counts (plain additive
+    # integers — state/matview.py MaterializedDistinct). Distinct langs
+    # per domain maintained across the 4-epoch commit chain,
+    # hash-verified against full-scan SQL COUNT(DISTINCT) over the LWW
+    # state.
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.stages.text import url_parts
+    from chomper_ray.state.lake import LakeTable
+    from chomper_ray.state.matview import MaterializedDistinct
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_dv_")
+    run_cdc(log, lake_root, num_partitions=8)
+    lake = LakeTable(lake_root, num_partitions=8)
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        d = url_parts(df)
+        return pd.DataFrame({"domain": d["domain"], "lang": d["lang"]})
+
+    view = MaterializedDistinct(
+        lake, tempfile.mkdtemp(prefix="chomper_dv_"), contrib,
+        group_cols=["domain"], value_col="lang",
+        read_columns=["url", "lang"])
+    out = view.refresh()
+    return out.rename(columns={"n_distinct": "n_langs",
+                               "n_live": "n_pages"})
+
+
 def _q_cdc_mor_index_tokens(sf_dir: str):
     # MOR-native index maintenance (round 4): the inverted index
     # maintained at a DELTA-BEARING merge-on-read head — full build at
@@ -2271,6 +2302,40 @@ def _q_cdc_bucket_join_live(sf_dir: str):
                           batch_format="pandas")
 
 
+def _q_cdc_join_live(sf_dir: str):
+    # live x live streaming join (round 4): pages and links — two CDC
+    # lakes fed by one multi-table WAL — each maintain a keyed-bucket
+    # layout on the JOIN key (pages.url primary / links.src_url
+    # secondary, same stable_bucket hash + count), and the join is one
+    # map task per bucket resolving BOTH signed segment chains then
+    # inner-merging live rows (state/clustered.py join_live). No join
+    # IVM row-materialization (O(|A join B|) state, hot-key quadratic
+    # hazard) and no shuffle at any point: each commit routes only its
+    # own rows, the join is map-only forever. Hash-verified against a
+    # SQL join of the two LWW replays of the same stream.
+    from chomper_ray.state.clustered import (LakeKeyedBucketLayout,
+                                             join_live)
+    from chomper_ray.state.lake import LakeTable
+
+    _ensure_multi_oracle()
+    pages = LakeTable(f"{_MULTI_ORACLE_LAKES}/pages", key="url",
+                      num_partitions=8)
+    links = LakeTable(f"{_MULTI_ORACLE_LAKES}/links", key="link_id",
+                      num_partitions=8)
+    play = LakeKeyedBucketLayout(
+        pages, tempfile.mkdtemp(prefix="chomper_jl_p_"),
+        bucket_col="url", columns=["lang", "title"], num_partitions=16)
+    llay = LakeKeyedBucketLayout(
+        links, tempfile.mkdtemp(prefix="chomper_jl_l_"),
+        bucket_col="src_url", columns=["dst_url"], num_partitions=16)
+    play.refresh()
+    llay.refresh()
+    ds, _, _ = join_live(play, llay,
+                         left_cols=["url", "lang", "title"],
+                         right_cols=["link_id", "src_url", "dst_url"])
+    return ds
+
+
 def _q_cdc_time_travel(sf_dir: str):
     # snapshot TIME TRAVEL: read the lake as of commit 1 (two of the
     # four epochs applied, BEFORE the epoch-2 schema evolution) — the
@@ -2559,6 +2624,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_mor_index_tokens": _q_cdc_mor_index_tokens,
         "cdc_matview_extrema": _q_cdc_matview_extrema,
         "cdc_topk_pages": _q_cdc_topk_pages,
+        "cdc_matview_distinct": _q_cdc_matview_distinct,
+        "cdc_join_live": _q_cdc_join_live,
         "cdc_domain_stats": _q_cdc_domain_stats,
         "cdc_ann_vectors": _q_cdc_ann_vectors,
         "cdc_sorted_scan": _q_cdc_sorted_scan,
@@ -2745,6 +2812,22 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
             "FROM t) WHERE rn = 1 AND op <> 'delete') "
             "SELECT url, warc_ts, title, lang, fetch_status FROM win"
+        ),
+        "cdc_join_live": (
+            # live x live map-only bucket join of the two maintained
+            # layouts == SQL join of the two per-table LWW replays
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{_ensure_multi_log()}/epoch=*/part-*.parquet')), "
+            "p AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev WHERE tbl = 'pages') "
+            "WHERE rn = 1 AND op <> 'delete'), "
+            "l AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY link_id ORDER BY warc_ts DESC, seq DESC) "
+            "AS rn FROM ev WHERE tbl = 'links') "
+            "WHERE rn = 1 AND op <> 'delete') "
+            "SELECT p.url, p.lang, p.title, l.link_id, l.src_url, "
+            "l.dst_url FROM p JOIN l ON p.url = l.src_url"
         ),
         "cdc_multi_links": (
             f"WITH ev AS (SELECT * FROM read_parquet("
@@ -2935,6 +3018,18 @@ def oracle_sql() -> dict[str, str]:
             "AS max_chars, "
             "CAST(min(length(coalesce(text, ''))) AS BIGINT) "
             "AS min_chars FROM st GROUP BY 1"
+        ),
+        "cdc_matview_distinct": (
+            # maintained exact COUNT(DISTINCT) view (support-count IVM,
+            # no rescans) == full-scan SQL COUNT(DISTINCT) over LWW
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete') "
+            f"SELECT {sql_url_exprs('url')['domain']} AS domain, "
+            "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, "
+            "CAST(count(*) AS BIGINT) AS n_pages FROM win GROUP BY 1"
         ),
         "cdc_topk_pages": (
             # maintained TOP-K ROWS view (fold + under-fill/cut-check

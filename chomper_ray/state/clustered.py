@@ -843,3 +843,118 @@ class LakeKeyedBucketLayout(_LakeClusteredLayout):
                     pids, type=pa.int32())}))
                 .repartition(len(pids))
                 .map_batches(join_pid, batch_format="pyarrow"))
+
+
+def join_live(left: LakeKeyedBucketLayout, right: LakeKeyedBucketLayout,
+              left_cols=None, right_cols=None):
+    """Map-only equi-join of TWO per-commit-maintained keyed-bucket
+    layouts on their bucket columns — the live x live streaming join.
+
+    Classic join IVM materializes the join's rows and folds
+    delta(A) |><| B + A |><| delta(B) per commit: the auxiliary state is
+    O(|A |><| B|) and a hot join key amplifies every commit that touches
+    it (the quadratic hazard). This takes the other classical road:
+    keep BOTH sides co-bucketed under their own per-commit maintenance
+    (each commit routes only its own rows — O(commit)), and make the
+    join itself a per-bucket resolve-and-merge at read time — one Ray
+    task per bucket that both sides populate, each walking the two
+    layouts' signed segment chains and inner-merging the live rows.
+    Always fresh at BOTH heads (delta-bearing merge-on-read included),
+    no shuffle at any point: the "pay the routing per commit, join
+    map-only forever" contract of ``bucket_join``, with both sides
+    live.
+
+    Requirements: identical ``num_partitions`` (the shared
+    ``stable_bucket`` hash then co-locates equal keys). Join is INNER
+    on ``left.bucket_col == right.bucket_col``; right columns whose
+    name collides with a left output column are suffixed ``_r``.
+    Returns ``(Dataset, n_buckets_joined, n_buckets_total)``.
+    """
+    import ray.data as rd
+
+    for side in (left, right):
+        if not isinstance(side, LakeKeyedBucketLayout):
+            raise TypeError("join_live joins LakeKeyedBucketLayout "
+                            f"instances, got {type(side).__name__}")
+    if left.num_partitions != right.num_partitions:
+        raise ValueError(
+            f"left layout has {left.num_partitions} partitions, right "
+            f"{right.num_partitions} — live bucket joins need identical "
+            "counts")
+    lcols = list(left_cols) if left_cols is not None \
+        else left._layout_cols()
+    rcols = list(right_cols) if right_cols is not None \
+        else right._layout_cols()
+    for cols, lay, what in ((lcols, left, "left"), (rcols, right, "right")):
+        unknown = [c for c in cols if c not in lay._layout_cols()]
+        if unknown:
+            raise ValueError(f"{what} columns {unknown} not in layout "
+                             f"columns {lay._layout_cols()}")
+    # read-filter-project discipline: the merge needs both bucket
+    # columns even if the caller projected them out
+    lproj = list(dict.fromkeys([left.bucket_col, *lcols]))
+    rproj = list(dict.fromkeys([right.bucket_col, *rcols]))
+    lnames = set(lproj)
+    rmap = {c: (f"{c}_r" if c in lnames else c) for c in rproj}
+    if len(set(rmap.values())) != len(rmap):
+        raise ValueError(f"right column rename collides: {rmap}")
+    out_cols = lcols + [rmap[c] for c in rcols]
+    if len(set(out_cols)) != len(out_cols):
+        raise ValueError(f"duplicate output columns: {out_cols}")
+    lsch = left._target_schema(lproj)
+    rsch = right._target_schema(rproj)
+    target = pa.schema(
+        [lsch.field(c) for c in lcols]
+        + [pa.field(rmap[c], rsch.field(c).type) for c in rcols])
+
+    def plan_of(lay: LakeKeyedBucketLayout) -> dict:
+        plan: dict[int, list[tuple[int, str]]] = {}
+        for rank, seg in enumerate(lay._live_segments()):
+            for f in seg.get("files", []):
+                plan.setdefault(int(f["pid"]), []).append(
+                    (rank, str(Path(seg["dir"])
+                               / f"{lay.PART}={f['pid']:05d}"
+                               / "part.parquet")))
+        return plan
+
+    lplan, rplan = plan_of(left), plan_of(right)
+    pids = sorted(set(lplan) & set(rplan))
+    n_total = len(set(lplan) | set(rplan))
+    if not pids:
+        return rd.from_arrow(target.empty_table()), 0, n_total
+    lkey, rkey_out = left.bucket_col, rmap[right.bucket_col]
+    lkey_col, rkey_col = left.key_col, right.key_col
+
+    def resolve_side(plan_pid, key):
+        frames = []
+        for rank, f in plan_pid:
+            t = pq.read_table(f).to_pandas()
+            if len(t):
+                frames.append(t.assign(_r=rank))
+        if not frames:
+            return None
+        return _resolve_frames(frames, key).drop(columns=["_r", "op"])
+
+    def join_pid(batch: pa.Table) -> pa.Table:
+        outs = []
+        for pid in batch["pid"].to_pylist():
+            lcat = resolve_side(lplan[int(pid)], lkey_col)
+            if lcat is None or not len(lcat):
+                continue
+            rcat = resolve_side(rplan[int(pid)], rkey_col)
+            if rcat is None or not len(rcat):
+                continue
+            m = lcat[lproj].merge(
+                rcat[rproj].rename(columns=rmap),
+                left_on=lkey, right_on=rkey_out, how="inner")
+            if len(m):
+                outs.append(schema_mod.conform(
+                    pa.Table.from_pandas(m[out_cols],
+                                         preserve_index=False), target))
+        return pa.concat_tables(outs) if outs else target.empty_table()
+
+    ds = (rd.from_arrow(pa.table({"pid": pa.array(pids,
+                                                  type=pa.int32())}))
+          .repartition(len(pids))
+          .map_batches(join_pid, batch_format="pyarrow"))
+    return ds, len(pids), n_total

@@ -623,6 +623,77 @@ class MaterializedTopK:
         return self.view()
 
 
+class MaterializedDistinct:
+    """Grouped EXACT ``COUNT(DISTINCT value)`` view over a LakeTable,
+    maintained per commit — the second non-self-maintainable aggregate
+    family (after min/max), closed WITHOUT rescans: distinct counts
+    become self-maintainable once the view keeps per-(group, value)
+    SUPPORT counts (how many live rows carry each value), which are
+    plain additive integers. A commit's diff folds as ±1 support per
+    touched row; a value's last supporter leaving drops its support row
+    to 0 and the distinct count with it — no data-dependent blind spot,
+    so no rescan path at all.
+
+    Implementation: the support table IS a ``MaterializedAgg`` keyed by
+    ``group_cols + [value_col]`` with no sum columns (``n_live`` per
+    (group, value) = the support count), so storage layout, commit
+    walking, COW/MOR/compaction-zero diff planning, exactly-once view
+    files and resume are all inherited verbatim. ``view()`` projects it
+    to one row per group: ``n_distinct`` (support rows with a non-null
+    value — SQL ``COUNT(DISTINCT x)`` ignores nulls) + ``n_live``
+    (all live rows, nulls included).
+
+    Scale: view state ∝ Σ_g |distinct values in g| — the standard IVM
+    auxiliary-relation bound. A distinct count over an unbounded-
+    cardinality column (e.g. raw url) is the lake itself; use this for
+    the bounded enumerations a rollup serves (langs per domain, status
+    codes per host, shards per source).
+    """
+
+    def __init__(self, lake: LakeTable, view_root: str | Path,
+                 contrib: Callable[[pd.DataFrame], pd.DataFrame],
+                 group_cols: Sequence[str], value_col: str,
+                 read_columns: Sequence[str] | None = None):
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self._agg = MaterializedAgg(
+            lake, view_root, contrib,
+            group_cols=self.group_cols + [value_col], value_cols=[],
+            read_columns=read_columns)
+
+    def applied_commits(self) -> list[int]:
+        return self._agg.applied_commits()
+
+    def support(self, cid: int | None = None) -> pd.DataFrame:
+        """The auxiliary per-(group, value) live support counts."""
+        return self._agg.view(cid)
+
+    def _project(self, support: pd.DataFrame) -> pd.DataFrame:
+        gcols, vcol = self.group_cols, self.value_col
+        if not len(support):
+            return pd.DataFrame(columns=gcols + ["n_distinct", "n_live"])
+        n = support.groupby(gcols, sort=False, dropna=False)["n_live"] \
+            .sum().reset_index()
+        nn = support.dropna(subset=[vcol])
+        d = nn.groupby(gcols, sort=False, dropna=False).size() \
+            .rename("n_distinct").reset_index()
+        out = d.merge(n, on=gcols, how="right")
+        out["n_distinct"] = pd.to_numeric(out["n_distinct"],
+                                          errors="coerce") \
+            .fillna(0).astype("int64")
+        out["n_live"] = out["n_live"].astype("int64")
+        return out[gcols + ["n_distinct", "n_live"]] \
+            .sort_values(gcols, kind="stable").reset_index(drop=True)
+
+    def view(self, cid: int | None = None) -> pd.DataFrame:
+        """One row per group: exact distinct-value count + live rows."""
+        return self._project(self._agg.view(cid))
+
+    def refresh(self) -> pd.DataFrame:
+        """Apply every unapplied manifest commit; idempotent."""
+        return self._project(self._agg.refresh())
+
+
 class MaterializedExtrema:
     """Grouped MIN/MAX view over a LakeTable, maintained per commit —
     the NON-self-maintainable aggregate family ``MaterializedAgg``
