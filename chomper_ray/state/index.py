@@ -308,10 +308,16 @@ class _LsmSegmentIndex:
         root = self.lake.root
         cids = committed_epochs(root)
         done = set(self.applied_commits())
+        # an index compact() folds history into one full segment and
+        # drops the superseded per-commit dirs — commits older than the
+        # newest applied cid are covered by that fold, and re-applying
+        # them would be dead work (their segments would rank BELOW the
+        # full segment and never resolve)
+        newest = max(done) if done else None
         applied, skipped = [], []
         prev_cid = None
         for cid in cids:
-            if cid in done:
+            if cid in done or (newest is not None and cid < newest):
                 prev_cid = cid
                 skipped.append(cid)
                 continue
