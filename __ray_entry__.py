@@ -2374,6 +2374,30 @@ def _q_cdc_lineage(sf_dir: str):
     return out.sort_values(["epoch", "partition_id"]).reset_index(drop=True)
 
 
+def _q_cdc_neardup_pairs(sf_dir: str):
+    # CDC-maintained near-dup index (state/dupindex.py LakeMinHashIndex):
+    # signed MinHash band rows appended per lake commit (cost ∝ the
+    # commit's write amplification, never the corpus); pairs() resolves
+    # the segment chain per band bucket and verifies by signature
+    # Jaccard. Rows-only: MinHash permutations aren't SQL-expressible;
+    # equality with the batch LSH pipeline over the resolved live state
+    # is pinned by tests/test_dupindex.py instead.
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.state.dupindex import LakeMinHashIndex
+    from chomper_ray.state.lake import LakeTable
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_nd_")
+    run_cdc(log, lake_root, num_partitions=8)
+    lake = LakeTable(lake_root, num_partitions=8)
+    idx = LakeMinHashIndex(lake, tempfile.mkdtemp(prefix="chomper_nd_idx_"),
+                           col="text", num_perm=64, bands=16, shingle_k=5,
+                           threshold=0.8, num_partitions=16)
+    idx.refresh()
+    return idx.pairs().to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def _q_change_listeners(sf_dir: str):
     from chomper_ray.pipelines.cdc import run_cdc
     from chomper_ray.sources.events import generate_change_stream
@@ -2661,6 +2685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio_frames": _q_multimodal_audio_frames,
         "change_listeners": _q_change_listeners,
         "cdc_lineage": _q_cdc_lineage,
+        "cdc_neardup_pairs": _q_cdc_neardup_pairs,
         # oracle-backed, mimic-verified (deferred past the window for round-4 slots)
         "word_count": _q_word_count,
         "token_count": _q_token_count,
