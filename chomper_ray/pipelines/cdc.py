@@ -99,6 +99,7 @@ def run_cdc(
     drain: bool = False,
     source=None,
     after_commit=None,
+    epoch_transform=None,
 ) -> CdcRunResult:
     """Tail the change log from the lake's checkpoint cursor to the log
     head, committing one epoch at a time. Idempotent + resumable.
@@ -124,6 +125,15 @@ def run_cdc(
     between the commit and the hook re-enters with the commit already
     durable and skipped — the NEXT epoch's hook call catches up.
     Exceptions propagate (the commit itself stays committed).
+
+    ``epoch_transform(epoch)`` (optional) is called at the START of
+    each epoch and may return a batch callable (pyarrow batches) to
+    map over the epoch's post-extraction Dataset, or None for
+    passthrough — the hook for per-epoch gates whose state advances
+    with the commits (e.g. the near-dup admission filter,
+    ``state/dupindex.run_cdc_admitted``). Setting it forces the
+    sequential per-epoch path even under ``drain`` — such a gate must
+    observe each commit before judging the next epoch.
     """
     t0 = time.perf_counter()
     source = source if source is not None else ev
@@ -140,7 +150,7 @@ def run_cdc(
     res = CdcRunResult()
     extract = ExtractText()
 
-    if drain and len(pending) > 1:
+    if drain and len(pending) > 1 and epoch_transform is None:
         return _run_cdc_drain(log_dir, lake, pending, extract,
                               extract_batch_size, res, t0, source,
                               after_commit)
@@ -161,10 +171,16 @@ def run_cdc(
                                 **kwargs)
         else:
             ds = ds.map_batches(extract, **kwargs)
+        tf = epoch_transform(epoch) if epoch_transform is not None else None
+        if tf is not None:
+            ds = ds.map_batches(tf, batch_format="pyarrow")
         # resolve the post-transform schema WITHOUT executing the pipeline:
-        # apply the transform to an empty batch of the segment schema
-        schema_hint = extract(
-            source.epoch_schema(log_dir, epoch).empty_table()).schema
+        # apply the transform chain to an empty batch of the segment schema
+        hint_table = extract(
+            source.epoch_schema(log_dir, epoch).empty_table())
+        if tf is not None:
+            hint_table = tf(hint_table)
+        schema_hint = hint_table.schema
         commit = lake.commit_epoch(ds, epoch, schema_hint=schema_hint)
         res.commits.append(commit)
         if commit.skipped:

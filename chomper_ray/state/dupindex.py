@@ -62,6 +62,112 @@ from chomper_ray.state.index import _LsmSegmentIndex
 _BUCKET_COLS = ["band_id", "band_hash", "id", "minhash", "op"]
 
 
+def _resolve_band_frames(parts: list[pd.DataFrame]) -> pd.DataFrame | None:
+    """Per-(band_id, band_hash, id) last-op-wins across segments in
+    chain order (within a segment -1 sorts before +1, so a doc whose
+    band hash survived its update stays live)."""
+    if not parts:
+        return None
+    cat = pd.concat(parts, ignore_index=True)
+    cat = cat.sort_values(["band_id", "band_hash", "id", "_r", "op"],
+                          kind="stable")
+    cat = cat.drop_duplicates(subset=["band_id", "band_hash", "id"],
+                              keep="last")
+    return cat[cat["op"] == 1][["band_id", "band_hash", "id", "minhash"]]
+
+
+class _ProbeKernel:
+    """Near-dup probe over a FROZEN segment plan — picklable, so the
+    same kernel serves the driver-side ``near_dups`` convenience AND
+    the distributed admission stage (each map task reads only the
+    buckets its batch's band hashes touch; resolved buckets cached per
+    worker across batches)."""
+
+    def __init__(self, plan: dict[int, list[tuple[int, str]]],
+                 a: np.ndarray, b: np.ndarray, shingle_k: int,
+                 bands: int, num_partitions: int, threshold: float):
+        self.plan = plan
+        self.a, self.b = a, b
+        self.shingle_k = shingle_k
+        self.bands = bands
+        self.num_partitions = num_partitions
+        self.threshold = threshold
+        self._cache: dict[int, pd.DataFrame | None] = {}
+
+    def _bucket(self, pid: int) -> pd.DataFrame | None:
+        if pid not in self._cache:
+            parts = []
+            for rank, f in self.plan.get(pid, ()):
+                t = pq.read_table(f).to_pandas()
+                if len(t):
+                    parts.append(t.assign(_r=rank))
+            self._cache[pid] = _resolve_band_frames(parts)
+        return self._cache[pid]
+
+    def matches_one(self, text: str | None) -> dict:
+        """Live ids whose signature Jaccard with ``text`` ≥ threshold,
+        as ``{id: sim}`` — probes only the query's hashed buckets."""
+        sig = minhash_signature(
+            char_shingle_hashes(text or "", self.shingle_k),
+            self.a, self.b)
+        brows = _band_rows(np.array([0], dtype=np.int64), sig[None, :],
+                           self.bands)
+        cands: dict = {}
+        for band_id, band_hash in zip(brows["band_id"],
+                                      brows["band_hash"]):
+            pid = int(np.uint64(band_hash) % np.uint64(self.num_partitions))
+            res = self._bucket(pid)
+            if res is None:
+                continue
+            hit = res[(res["band_id"] == band_id)
+                      & (res["band_hash"] == band_hash)]
+            for i, s in zip(hit["id"], hit["minhash"]):
+                cands.setdefault(i, s)
+        out = {}
+        for i, s in cands.items():
+            sim = float((np.asarray(s, dtype=np.uint64) == sig).mean())
+            if sim >= self.threshold:
+                out[i] = sim
+        return out
+
+
+class _AdmissionFilter:
+    """``map_batches`` callable: drop events whose ``text`` near-
+    duplicates a live doc under a DIFFERENT key, per the frozen probe
+    kernel — i.e. admission is judged against the corpus as of the
+    index's last refresh (the previous commit, when composed via
+    ``run_cdc_admitted``). Events for the doc's own key always pass
+    (a page updating itself is not a duplicate), as do deletes and
+    null-text rows; two near-dup NEW docs arriving in the SAME epoch
+    are both admitted (documented epoch-granularity semantics)."""
+
+    def __init__(self, kernel: _ProbeKernel, key_col: str, text_col: str,
+                 op_col: str, delete_ops: tuple):
+        self.kernel = kernel
+        self.key_col = key_col
+        self.text_col = text_col
+        self.op_col = op_col
+        self.delete_ops = tuple(delete_ops)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        keys = batch[self.key_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        ops = (batch[self.op_col].to_pylist()
+               if self.op_col in batch.column_names
+               else [None] * batch.num_rows)
+        mask = np.ones(batch.num_rows, dtype=bool)
+        for i, (k, op, t) in enumerate(zip(keys, ops, texts)):
+            if op in self.delete_ops or t is None:
+                continue
+            if any(m != k for m in self.kernel.matches_one(t)):
+                mask[i] = False
+        if mask.all():
+            return batch
+        return batch.filter(pa.array(mask))
+
+
 class LakeMinHashIndex(_LsmSegmentIndex):
     """MinHash+LSH near-dup index over a ``LakeTable``, maintained
     commit by commit as signed band-row segments (module docstring)."""
@@ -197,20 +303,35 @@ class LakeMinHashIndex(_LsmSegmentIndex):
 
     @staticmethod
     def _resolve(parts: list[pd.DataFrame]) -> pd.DataFrame | None:
-        """Per-(band_id, band_hash, id) last-op-wins across segments in
-        chain order (within a segment -1 sorts before +1, so a doc
-        whose band hash survived its update stays live)."""
-        if not parts:
-            return None
-        cat = pd.concat(parts, ignore_index=True)
-        cat = cat.sort_values(["band_id", "band_hash", "id", "_r", "op"],
-                              kind="stable")
-        cat = cat.drop_duplicates(subset=["band_id", "band_hash", "id"],
-                                  keep="last")
-        return cat[cat["op"] == 1][["band_id", "band_hash", "id",
-                                    "minhash"]]
+        return _resolve_band_frames(parts)
 
     # -- reads ----------------------------------------------------------------
+    def _segment_plan(self) -> dict[int, list[tuple[int, str]]]:
+        """pid → [(chain rank, bucket file)] over live segments."""
+        plan: dict[int, list[tuple[int, str]]] = {}
+        for rank, seg in enumerate(self._live_segments()):
+            for d in Path(seg["dir"]).glob("b=*"):
+                if (d / "_SUCCESS").exists():
+                    plan.setdefault(int(d.name.split("=")[1]), []) \
+                        .append((rank, str(d / "part.parquet")))
+        return plan
+
+    def probe_kernel(self) -> _ProbeKernel:
+        """Freeze the current segment chain into a picklable probe."""
+        return _ProbeKernel(self._segment_plan(), self._a, self._b,
+                            self.shingle_k, self.bands,
+                            self.num_partitions, self.threshold)
+
+    def admission_filter(self, op_col: str = "op",
+                         delete_ops: tuple = ("delete",)):
+        """Distributed ingest-time dedup gate: a ``map_batches``
+        callable (pyarrow batches) dropping events whose text
+        near-duplicates a live doc under a different key, judged
+        against the index as frozen NOW. Compose per epoch via
+        ``run_cdc_admitted`` (refresh between commits keeps the gate
+        current)."""
+        return _AdmissionFilter(self.probe_kernel(), self.key_col,
+                                self.col, op_col, delete_ops)
     def near_dups(self, texts) -> pd.DataFrame:
         """Live docs near-duplicating each query text: signature +
         band probe over only the hashed buckets, verified by signature
@@ -219,35 +340,13 @@ class LakeMinHashIndex(_LsmSegmentIndex):
         (≤ bands × live segments per query, buckets cached across
         queries) — the ingest-time admission check."""
         texts = list(texts)
+        kernel = self.probe_kernel()
         out_q, out_id, out_sim = [], [], []
-        cache: dict[int, pd.DataFrame | None] = {}
         for qi, text in enumerate(texts):
-            sig = minhash_signature(
-                char_shingle_hashes(text or "", self.shingle_k),
-                self._a, self._b)
-            brows = _band_rows(np.array([qi], dtype=np.int64),
-                               sig[None, :], self.bands)
-            cands: dict = {}
-            for band_id, band_hash in zip(brows["band_id"],
-                                          brows["band_hash"]):
-                pid = int(np.uint64(band_hash)
-                          % np.uint64(self.num_partitions))
-                if pid not in cache:
-                    cache[pid] = self._resolve(self._bucket_frames(pid))
-                res = cache[pid]
-                if res is None:
-                    continue
-                hit = res[(res["band_id"] == band_id)
-                          & (res["band_hash"] == band_hash)]
-                for i, s in zip(hit["id"], hit["minhash"]):
-                    cands.setdefault(i, s)
-            for i, s in cands.items():
-                sim = float((np.asarray(s, dtype=np.uint64)
-                             == sig).mean())
-                if sim >= self.threshold:
-                    out_q.append(qi)
-                    out_id.append(i)
-                    out_sim.append(sim)
+            for i, sim in kernel.matches_one(text).items():
+                out_q.append(qi)
+                out_id.append(i)
+                out_sim.append(sim)
         return pd.DataFrame({"query": pd.array(out_q, dtype="int64"),
                              "id": out_id,
                              "sim": pd.array(out_sim, dtype="float64")}) \
@@ -264,13 +363,7 @@ class LakeMinHashIndex(_LsmSegmentIndex):
 
         from chomper_ray.stages.dedup import _dedup_pairs_ds
 
-        live = self._live_segments()
-        plan: dict[int, list[tuple[int, str]]] = {}
-        for rank, seg in enumerate(live):
-            for d in Path(seg["dir"]).glob("b=*"):
-                if (d / "_SUCCESS").exists():
-                    plan.setdefault(int(d.name.split("=")[1]), []) \
-                        .append((rank, str(d / "part.parquet")))
+        plan = self._segment_plan()
         sch = self.lake.current_schema()
         key_t = sch.field(self.key_col).type if sch is not None \
             else pa.string()
@@ -371,3 +464,54 @@ class LakeMinHashIndex(_LsmSegmentIndex):
             if s["dir"] != str(seg_dir):
                 shutil.rmtree(s["dir"], ignore_errors=True)
         return {"compacted": True, "band_rows": n_rows}
+
+
+def run_cdc_admitted(log_dir, lake_root, index_root, *,
+                     num_partitions: int | None = None,
+                     lake_kwargs: dict | None = None,
+                     index_kwargs: dict | None = None,
+                     **cdc_kwargs):
+    """Dedup-at-ingest: ``run_cdc`` with a near-dup admission gate —
+    the composition a webtext crawler actually runs (don't let the
+    corpus fill with near-copies; reject them at the door instead of
+    paying a full-corpus dedup later).
+
+    Per epoch: the admission filter is frozen from the index's current
+    segments and applied distributed (after text extraction, before
+    staging); after each commit the ``after_commit`` hook folds the
+    commit's signed band rows into the index, so epoch N+1's gate sees
+    everything epoch N admitted. Near-dup events are judged against
+    the previous commit's live state — two near-dup NEW docs in one
+    epoch are both admitted (epoch-granularity semantics, tested).
+    Events for an already-indexed key always pass; the gate never
+    blocks updates/deletes of a doc by itself.
+
+    Resumable exactly like ``run_cdc``: the index refresh is
+    idempotent-from-anywhere (it walks the manifest chain from its own
+    applied marker), so a crash between commit and refresh re-enters
+    with the gate catching up on the next epoch.
+    """
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.state.lake import LakeTable
+
+    lake = LakeTable(lake_root, num_partitions=num_partitions,
+                     **(lake_kwargs or {}))
+    idx = LakeMinHashIndex(lake, index_root, **(index_kwargs or {}))
+    idx.refresh()  # catch up with any pre-existing commits
+
+    res = run_cdc(
+        log_dir, lake_root, num_partitions=num_partitions,
+        lake_kwargs=lake_kwargs,
+        epoch_transform=lambda epoch: idx.admission_filter(),
+        after_commit=_chain_hooks(idx, cdc_kwargs.pop("after_commit",
+                                                      None)),
+        **cdc_kwargs)
+    return res, idx
+
+
+def _chain_hooks(idx, user_hook):
+    def hook(commit):
+        idx.refresh()
+        if user_hook is not None:
+            user_hook(commit)
+    return hook
