@@ -2398,6 +2398,34 @@ def _q_cdc_neardup_pairs(sf_dir: str):
         .sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def _q_cdc_dedup_ingest(sf_dir: str):
+    # dedup-at-ingest (state/dupindex.run_cdc_admitted): the near-dup
+    # admission gate composed into the CDC loop — per epoch, events
+    # whose text near-duplicates a live doc under a different key are
+    # dropped distributed (map_batches probe of the index's bucket
+    # files), then the commit folds into the index so the next epoch's
+    # gate is current. Rows-only (MinHash admission isn't SQL); the
+    # semantics matrix is pinned by tests/test_admission.py. Returns
+    # the admitted live state — fewer rows than the ungated ingest of
+    # the same log by exactly the rejected near-dups.
+    from chomper_ray.sources.events import generate_change_stream
+    from chomper_ray.state.dupindex import run_cdc_admitted
+    from chomper_ray.state.lake import LakeTable
+
+    log = generate_change_stream("/tmp/chomper_ray_log_admit",
+                                 n_events=3000, n_urls=400, n_epochs=3,
+                                 seed=7)
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_admit_")
+    res, _ = run_cdc_admitted(
+        log, lake_root, tempfile.mkdtemp(prefix="chomper_admit_idx_"),
+        num_partitions=4,
+        index_kwargs={"num_perm": 64, "bands": 16, "shingle_k": 5,
+                      "threshold": 0.8, "num_partitions": 16})
+    df = LakeTable(lake_root, num_partitions=4).read_pandas()
+    return df[["url", "warc_ts", "text"]] \
+        .sort_values("url").reset_index(drop=True)
+
+
 def _q_change_listeners(sf_dir: str):
     from chomper_ray.pipelines.cdc import run_cdc
     from chomper_ray.sources.events import generate_change_stream
@@ -2686,6 +2714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "change_listeners": _q_change_listeners,
         "cdc_lineage": _q_cdc_lineage,
         "cdc_neardup_pairs": _q_cdc_neardup_pairs,
+        "cdc_dedup_ingest": _q_cdc_dedup_ingest,
         # oracle-backed, mimic-verified (deferred past the window for round-4 slots)
         "word_count": _q_word_count,
         "token_count": _q_token_count,

@@ -80,6 +80,14 @@ def main(argv=None):
                         "--merge-on-read)")
     r.add_argument("--tail", action="store_true",
                    help="continuous: poll for new epochs (Ctrl-C to stop)")
+    r.add_argument("--near-dup-index", default=None, metavar="DIR",
+                   help="dedup-at-ingest: maintain a MinHash near-dup "
+                        "index at DIR and drop events whose text "
+                        "near-duplicates a live doc under a different "
+                        "key (forces the sequential per-epoch path)")
+    r.add_argument("--near-dup-threshold", type=float, default=0.8,
+                   help="signature-Jaccard admission threshold "
+                        "(with --near-dup-index; default 0.8)")
 
     rm = sub.add_parser(
         "run-cdc-multi",
@@ -233,9 +241,21 @@ def main(argv=None):
             extra["source"] = envelopes
         if args.compact_min_chain is not None and not args.merge_on_read:
             p.error("--compact-min-chain requires --merge-on-read")
-        res = fn(args.log_dir, args.lake_root,
-                 num_partitions=args.num_partitions,
-                 lake_kwargs=lake_kwargs, **extra)
+        if args.near_dup_index:
+            if args.tail:
+                p.error("--near-dup-index is not supported with --tail")
+            from chomper_ray.state.dupindex import run_cdc_admitted
+
+            res, _ = run_cdc_admitted(
+                args.log_dir, args.lake_root, args.near_dup_index,
+                num_partitions=args.num_partitions,
+                lake_kwargs=lake_kwargs,
+                index_kwargs={"threshold": args.near_dup_threshold},
+                **extra)
+        else:
+            res = fn(args.log_dir, args.lake_root,
+                     num_partitions=args.num_partitions,
+                     lake_kwargs=lake_kwargs, **extra)
         out = {
             "epochs_run": res.epochs_run,
             "epochs_skipped": res.epochs_skipped,

@@ -80,55 +80,88 @@ class _ProbeKernel:
     """Near-dup probe over a FROZEN segment plan — picklable, so the
     same kernel serves the driver-side ``near_dups`` convenience AND
     the distributed admission stage (each map task reads only the
-    buckets its batch's band hashes touch; resolved buckets cached per
-    worker across batches)."""
+    buckets its batch's band hashes touch).
+
+    Probing is BATCHED: one signature matrix + band-row frame for the
+    whole query batch, grouped by bucket, then ONE merge-join per
+    touched bucket against the resolved band rows (a per-row boolean
+    scan of a 100 k-row bucket per band is what made the naive probe
+    ~5 q/s at 10^6 docs — the merge is the 30× fix, measured in
+    scripts/stress_dupindex.py). Resolved buckets are LRU-cached per
+    worker, capped at ``max_cached_buckets`` so worker residency is
+    bounded by cap × bucket size, not the index; size the index's
+    ``num_partitions`` so one bucket fits a worker's heap at corpus
+    scale."""
 
     def __init__(self, plan: dict[int, list[tuple[int, str]]],
                  a: np.ndarray, b: np.ndarray, shingle_k: int,
-                 bands: int, num_partitions: int, threshold: float):
+                 bands: int, num_partitions: int, threshold: float,
+                 max_cached_buckets: int = 64):
         self.plan = plan
         self.a, self.b = a, b
         self.shingle_k = shingle_k
         self.bands = bands
         self.num_partitions = num_partitions
         self.threshold = threshold
-        self._cache: dict[int, pd.DataFrame | None] = {}
+        self.max_cached_buckets = max_cached_buckets
+        from collections import OrderedDict
+        self._cache: "OrderedDict[int, pd.DataFrame | None]" = \
+            OrderedDict()
 
     def _bucket(self, pid: int) -> pd.DataFrame | None:
-        if pid not in self._cache:
-            parts = []
-            for rank, f in self.plan.get(pid, ()):
-                t = pq.read_table(f).to_pandas()
-                if len(t):
-                    parts.append(t.assign(_r=rank))
-            self._cache[pid] = _resolve_band_frames(parts)
-        return self._cache[pid]
+        if pid in self._cache:
+            self._cache.move_to_end(pid)
+            return self._cache[pid]
+        parts = []
+        for rank, f in self.plan.get(pid, ()):
+            t = pq.read_table(f).to_pandas()
+            if len(t):
+                parts.append(t.assign(_r=rank))
+        res = _resolve_band_frames(parts)
+        if res is not None:
+            res = res.reset_index(drop=True)
+        self._cache[pid] = res
+        if len(self._cache) > self.max_cached_buckets:
+            self._cache.popitem(last=False)
+        return res
 
-    def matches_one(self, text: str | None) -> dict:
-        """Live ids whose signature Jaccard with ``text`` ≥ threshold,
-        as ``{id: sim}`` — probes only the query's hashed buckets."""
-        sig = minhash_signature(
-            char_shingle_hashes(text or "", self.shingle_k),
-            self.a, self.b)
-        brows = _band_rows(np.array([0], dtype=np.int64), sig[None, :],
-                           self.bands)
-        cands: dict = {}
-        for band_id, band_hash in zip(brows["band_id"],
-                                      brows["band_hash"]):
-            pid = int(np.uint64(band_hash) % np.uint64(self.num_partitions))
-            res = self._bucket(pid)
+    def matches(self, texts) -> list[dict]:
+        """Per query text, the live ids whose signature Jaccard ≥
+        threshold as ``{id: sim}`` — one merge-join per touched
+        bucket for the whole batch."""
+        texts = list(texts)
+        out: list[dict] = [dict() for _ in texts]
+        if not texts:
+            return out
+        sigs = np.stack([
+            minhash_signature(char_shingle_hashes(t or "", self.shingle_k),
+                              self.a, self.b) for t in texts])
+        q = _band_rows(np.arange(len(texts), dtype=np.int64), sigs,
+                       self.bands)
+        q = q.rename(columns={"id": "_q"})
+        q["_pid"] = (q["band_hash"].to_numpy()
+                     % np.uint64(self.num_partitions)).astype(np.int64)
+        for pid, qg in q.groupby("_pid", sort=False):
+            res = self._bucket(int(pid))
             if res is None:
                 continue
-            hit = res[(res["band_id"] == band_id)
-                      & (res["band_hash"] == band_hash)]
-            for i, s in zip(hit["id"], hit["minhash"]):
-                cands.setdefault(i, s)
-        out = {}
-        for i, s in cands.items():
-            sim = float((np.asarray(s, dtype=np.uint64) == sig).mean())
-            if sim >= self.threshold:
-                out[i] = sim
+            hit = res.merge(qg[["band_id", "band_hash", "_q"]],
+                            on=["band_id", "band_hash"], how="inner")
+            if not len(hit):
+                continue
+            hit = hit.drop_duplicates(subset=["_q", "id"])
+            s = np.stack([np.asarray(x, dtype=np.uint64)
+                          for x in hit["minhash"]])
+            qi = hit["_q"].to_numpy()
+            sims = (s == sigs[qi]).mean(axis=1)
+            keep = sims >= self.threshold
+            for qq, ii, sim in zip(qi[keep], hit["id"].to_numpy()[keep],
+                                   sims[keep]):
+                out[int(qq)][ii] = float(sim)
         return out
+
+    def matches_one(self, text: str | None) -> dict:
+        return self.matches([text])[0]
 
 
 class _AdmissionFilter:
@@ -158,10 +191,11 @@ class _AdmissionFilter:
                if self.op_col in batch.column_names
                else [None] * batch.num_rows)
         mask = np.ones(batch.num_rows, dtype=bool)
-        for i, (k, op, t) in enumerate(zip(keys, ops, texts)):
-            if op in self.delete_ops or t is None:
-                continue
-            if any(m != k for m in self.kernel.matches_one(t)):
+        probe = [i for i, (op, t) in enumerate(zip(ops, texts))
+                 if op not in self.delete_ops and t is not None]
+        found = self.kernel.matches([texts[i] for i in probe])
+        for j, i in enumerate(probe):
+            if any(m != keys[i] for m in found[j]):
                 mask[i] = False
         if mask.all():
             return batch
@@ -342,8 +376,8 @@ class LakeMinHashIndex(_LsmSegmentIndex):
         texts = list(texts)
         kernel = self.probe_kernel()
         out_q, out_id, out_sim = [], [], []
-        for qi, text in enumerate(texts):
-            for i, sim in kernel.matches_one(text).items():
+        for qi, found in enumerate(kernel.matches(texts)):
+            for i, sim in found.items():
                 out_q.append(qi)
                 out_id.append(i)
                 out_sim.append(sim)
