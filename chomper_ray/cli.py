@@ -84,10 +84,15 @@ def main(argv=None):
                    help="dedup-at-ingest: maintain a MinHash near-dup "
                         "index at DIR and drop events whose text "
                         "near-duplicates a live doc under a different "
-                        "key (forces the sequential per-epoch path)")
+                        "key (forces the sequential per-epoch path; "
+                        "composes with --tail)")
     r.add_argument("--near-dup-threshold", type=float, default=0.8,
                    help="signature-Jaccard admission threshold "
                         "(with --near-dup-index; default 0.8)")
+    r.add_argument("--near-dup-rejects", default=None, metavar="DIR",
+                   help="write rejected events' provenance (key, "
+                        "dup_of, sim, epoch) under DIR/epoch=N/ "
+                        "(with --near-dup-index)")
 
     rm = sub.add_parser(
         "run-cdc-multi",
@@ -241,9 +246,9 @@ def main(argv=None):
             extra["source"] = envelopes
         if args.compact_min_chain is not None and not args.merge_on_read:
             p.error("--compact-min-chain requires --merge-on-read")
+        if args.near_dup_rejects and not args.near_dup_index:
+            p.error("--near-dup-rejects requires --near-dup-index")
         if args.near_dup_index:
-            if args.tail:
-                p.error("--near-dup-index is not supported with --tail")
             from chomper_ray.state.dupindex import run_cdc_admitted
 
             res, _ = run_cdc_admitted(
@@ -251,6 +256,8 @@ def main(argv=None):
                 num_partitions=args.num_partitions,
                 lake_kwargs=lake_kwargs,
                 index_kwargs={"threshold": args.near_dup_threshold},
+                rejects_root=args.near_dup_rejects,
+                tail=args.tail,
                 **extra)
         else:
             res = fn(args.log_dir, args.lake_root,

@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 from pathlib import Path
 
@@ -87,11 +88,12 @@ class _ProbeKernel:
     touched bucket against the resolved band rows (a per-row boolean
     scan of a 100 k-row bucket per band is what made the naive probe
     ~5 q/s at 10^6 docs — the merge is the 30× fix, measured in
-    scripts/stress_dupindex.py). Resolved buckets are LRU-cached per
-    worker, capped at ``max_cached_buckets`` so worker residency is
-    bounded by cap × bucket size, not the index; size the index's
-    ``num_partitions`` so one bucket fits a worker's heap at corpus
-    scale."""
+    scripts/stress_dupindex.py). Resolved buckets are LRU-cached
+    across the batches one kernel copy serves (driver-side probing; a
+    task's batches in the distributed gate), capped at
+    ``max_cached_buckets`` so residency is bounded by cap × bucket
+    size, not the index; size the index's ``num_partitions`` so one
+    bucket fits a worker's heap at corpus scale."""
 
     def __init__(self, plan: dict[int, list[tuple[int, str]]],
                  a: np.ndarray, b: np.ndarray, shingle_k: int,
@@ -172,15 +174,47 @@ class _AdmissionFilter:
     ``run_cdc_admitted``). Events for the doc's own key always pass
     (a page updating itself is not a duplicate), as do deletes and
     null-text rows; two near-dup NEW docs arriving in the SAME epoch
-    are both admitted (documented epoch-granularity semantics)."""
+    are both admitted (documented epoch-granularity semantics).
+
+    With ``rejects_dir`` set, each task appends its rejected rows'
+    provenance — (key, dup_of = the best-similarity live match, sim,
+    epoch) — as a parquet part file under that directory: the
+    observability feed a crawler needs ("what did the gate drop, and
+    which page did it duplicate"). Written from inside map tasks, so
+    delivery is at-least-once under task retries; dedup on
+    (epoch, key) if exactness matters downstream. The per-epoch
+    directory is cleaned by ``run_cdc_admitted`` at epoch start, so a
+    crash-and-replay of an UNcommitted epoch never double-logs."""
 
     def __init__(self, kernel: _ProbeKernel, key_col: str, text_col: str,
-                 op_col: str, delete_ops: tuple):
+                 op_col: str, delete_ops: tuple,
+                 rejects_dir: str | None = None,
+                 epoch: int | None = None):
         self.kernel = kernel
         self.key_col = key_col
         self.text_col = text_col
         self.op_col = op_col
         self.delete_ops = tuple(delete_ops)
+        self.rejects_dir = str(rejects_dir) if rejects_dir else None
+        self.epoch = epoch
+
+    def _log_rejects(self, keys, found, dropped: list[int],
+                     fj: dict[int, int]) -> None:
+        rows = []
+        for i in dropped:
+            hits = {m: s for m, s in found[fj[i]].items()
+                    if m != keys[i]}
+            dup_of = max(hits, key=hits.get)
+            rows.append((keys[i], dup_of, hits[dup_of]))
+        d = Path(self.rejects_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        t = pa.table({
+            self.key_col: pa.array([r[0] for r in rows]),
+            "dup_of": pa.array([r[1] for r in rows]),
+            "sim": pa.array([r[2] for r in rows], type=pa.float64()),
+            "epoch": pa.array([self.epoch] * len(rows), type=pa.int64()),
+        })
+        pq.write_table(t, d / f"part-{uuid.uuid4().hex}.parquet")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -194,11 +228,15 @@ class _AdmissionFilter:
         probe = [i for i, (op, t) in enumerate(zip(ops, texts))
                  if op not in self.delete_ops and t is not None]
         found = self.kernel.matches([texts[i] for i in probe])
+        fj = {i: j for j, i in enumerate(probe)}
         for j, i in enumerate(probe):
             if any(m != keys[i] for m in found[j]):
                 mask[i] = False
         if mask.all():
             return batch
+        if self.rejects_dir is not None:
+            self._log_rejects(keys, found,
+                              [i for i in probe if not mask[i]], fj)
         return batch.filter(pa.array(mask))
 
 
@@ -357,15 +395,19 @@ class LakeMinHashIndex(_LsmSegmentIndex):
                             self.num_partitions, self.threshold)
 
     def admission_filter(self, op_col: str = "op",
-                         delete_ops: tuple = ("delete",)):
+                         delete_ops: tuple = ("delete",),
+                         rejects_dir: str | None = None,
+                         epoch: int | None = None):
         """Distributed ingest-time dedup gate: a ``map_batches``
         callable (pyarrow batches) dropping events whose text
         near-duplicates a live doc under a different key, judged
         against the index as frozen NOW. Compose per epoch via
         ``run_cdc_admitted`` (refresh between commits keeps the gate
-        current)."""
+        current). ``rejects_dir`` turns on the rejected-event
+        provenance side-log (see ``_AdmissionFilter``)."""
         return _AdmissionFilter(self.probe_kernel(), self.key_col,
-                                self.col, op_col, delete_ops)
+                                self.col, op_col, delete_ops,
+                                rejects_dir=rejects_dir, epoch=epoch)
     def near_dups(self, texts) -> pd.DataFrame:
         """Live docs near-duplicating each query text: signature +
         band probe over only the hashed buckets, verified by signature
@@ -504,6 +546,8 @@ def run_cdc_admitted(log_dir, lake_root, index_root, *,
                      num_partitions: int | None = None,
                      lake_kwargs: dict | None = None,
                      index_kwargs: dict | None = None,
+                     rejects_root: str | None = None,
+                     tail: bool = False,
                      **cdc_kwargs):
     """Dedup-at-ingest: ``run_cdc`` with a near-dup admission gate —
     the composition a webtext crawler actually runs (don't let the
@@ -524,8 +568,20 @@ def run_cdc_admitted(log_dir, lake_root, index_root, *,
     idempotent-from-anywhere (it walks the manifest chain from its own
     applied marker), so a crash between commit and refresh re-enters
     with the gate catching up on the next epoch.
+
+    ``rejects_root`` enables the provenance side-log: each epoch's
+    rejected events land under ``rejects_root/epoch=<N>/`` as
+    (key, dup_of, sim, epoch) parquet (read back with
+    ``read_rejects``); the epoch directory is cleaned when the gate
+    for that epoch is built, so replaying an uncommitted epoch never
+    double-logs (committed epochs are skipped and keep their log).
+
+    ``tail=True`` runs the gated loop continuously (``tail_cdc``):
+    every poll re-enters ``run_cdc`` from the checkpoint cursor with
+    the SAME index object, so the gate stays current across polls.
+    ``poll_interval_s`` / ``max_idle_polls`` pass through.
     """
-    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.pipelines.cdc import run_cdc, tail_cdc
     from chomper_ray.state.lake import LakeTable
 
     lake = LakeTable(lake_root, num_partitions=num_partitions,
@@ -533,14 +589,41 @@ def run_cdc_admitted(log_dir, lake_root, index_root, *,
     idx = LakeMinHashIndex(lake, index_root, **(index_kwargs or {}))
     idx.refresh()  # catch up with any pre-existing commits
 
-    res = run_cdc(
+    def gate(epoch: int):
+        rej = None
+        if rejects_root is not None:
+            rej = Path(rejects_root) / f"epoch={epoch}"
+            shutil.rmtree(rej, ignore_errors=True)
+            rej = str(rej)
+        return idx.admission_filter(rejects_dir=rej, epoch=epoch)
+
+    fn = tail_cdc if tail else run_cdc
+    res = fn(
         log_dir, lake_root, num_partitions=num_partitions,
         lake_kwargs=lake_kwargs,
-        epoch_transform=lambda epoch: idx.admission_filter(),
+        epoch_transform=gate,
         after_commit=_chain_hooks(idx, cdc_kwargs.pop("after_commit",
                                                       None)),
         **cdc_kwargs)
     return res, idx
+
+
+def read_rejects(rejects_root) -> pd.DataFrame:
+    """The admission gate's rejected-event provenance log as one
+    frame: (key, dup_of, sim, epoch), all epochs, sorted. Rejects are
+    telemetry-sized (O(rejected events)); for a corpus-scale analysis
+    read the directory with ``ray.data.read_parquet`` instead."""
+    files = sorted(Path(rejects_root).glob("epoch=*/part-*.parquet"))
+    if not files:
+        return pd.DataFrame(
+            {"key": pd.array([], dtype="object"),
+             "dup_of": pd.array([], dtype="object"),
+             "sim": pd.array([], dtype="float64"),
+             "epoch": pd.array([], dtype="int64")})
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                   ignore_index=True)
+    return df.sort_values(["epoch", df.columns[0]],
+                          kind="stable").reset_index(drop=True)
 
 
 def _chain_hooks(idx, user_hook):

@@ -94,6 +94,69 @@ def test_same_epoch_neardups_both_admitted(tmp_path, ray_session):
     assert ("a0", "a1") in set(zip(pairs["a"], pairs["b"]))
 
 
+def test_rejects_provenance_log(tmp_path, ray_session):
+    from chomper_ray.state.dupindex import read_rejects
+
+    log = tmp_path / "log"
+    write_log(log, [
+        [ev("insert", 0, "u0", 10, BASE, 0),
+         ev("insert", 1, "u1", 10, OTHER, 0)],
+        [ev("insert", 2, "u2", 20, NEAR, 1),        # dups u0: drop+log
+         ev("insert", 3, "u3", 20, OTHER2, 1)],     # distinct: no log
+    ])
+    rej_root = tmp_path / "rej"
+    res, idx = run_cdc_admitted(log, tmp_path / "lake", tmp_path / "mh",
+                                num_partitions=4, index_kwargs=IDX,
+                                rejects_root=str(rej_root))
+    assert res.epochs_run == [0, 1]
+    df = read_rejects(rej_root)
+    assert list(df.columns) == ["url", "dup_of", "sim", "epoch"]
+    assert len(df) == 1
+    row = df.iloc[0]
+    assert (row["url"], row["dup_of"], row["epoch"]) == ("u2", "u0", 1)
+    assert row["sim"] >= IDX["threshold"]
+    # idempotent re-entry: committed epochs skip, the log is untouched
+    run_cdc_admitted(log, tmp_path / "lake", tmp_path / "mh",
+                     num_partitions=4, index_kwargs=IDX,
+                     rejects_root=str(rej_root))
+    assert read_rejects(rej_root).equals(df)
+    # empty log reads as a typed empty frame
+    assert read_rejects(tmp_path / "nothing").empty
+
+
+def test_tail_mode_gate_spans_polls(tmp_path, ray_session):
+    # tail=True: the gated loop drains what exists, then a later poll
+    # (here: a second bounded tail call after new epochs land) judges
+    # new events against everything the earlier polls admitted.
+    log = tmp_path / "log"
+    write_log(log, [
+        [ev("insert", 0, "t0", 10, BASE, 0)],
+        [ev("insert", 1, "t1", 20, NEAR, 1),        # dups t0: drop
+         ev("insert", 2, "t2", 20, OTHER, 1)],
+    ])
+    res, _ = run_cdc_admitted(log, tmp_path / "lake", tmp_path / "mh",
+                              num_partitions=4, index_kwargs=IDX,
+                              tail=True, max_idle_polls=1,
+                              poll_interval_s=0.01)
+    assert res.epochs_run == [0, 1]
+    assert set(live_texts(tmp_path / "lake", 4)) == {"t0", "t2"}
+    # new epoch appears; the next tail run resumes from the cursor and
+    # its gate reflects the prior polls' live state
+    d = log / "epoch=000002"
+    d.mkdir(parents=True)
+    pq.write_table(pa.Table.from_pylist(
+        [ev("insert", 3, "t3", 30, OTHER.replace(
+            "spacecraft", "satellite"), 2),              # dups t2: drop
+         ev("insert", 4, "t4", 30, OTHER2, 2)], schema=_SCHEMA),
+        d / "part-0.parquet")
+    res2, _ = run_cdc_admitted(log, tmp_path / "lake", tmp_path / "mh",
+                               num_partitions=4, index_kwargs=IDX,
+                               tail=True, max_idle_polls=1,
+                               poll_interval_s=0.01)
+    assert res2.epochs_run == [2]
+    assert set(live_texts(tmp_path / "lake", 4)) == {"t0", "t2", "t4"}
+
+
 def test_gate_catches_up_on_preexisting_lake(tmp_path, ray_session):
     # epoch 0 ingested WITHOUT the gate; the admitted run's entry
     # refresh() folds it before judging epoch 1
