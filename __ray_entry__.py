@@ -2156,6 +2156,139 @@ def _q_cdc_ann_vectors(sf_dir: str):
                          "score": res["score"].round(6)})
 
 
+_VEC_ADMIT_LOG = "/tmp/chomper_ray_vec_admit_log"
+
+
+def _ensure_vec_admission_log():
+    """Deterministic vector change log with PLANTED near-dups for the
+    embedding admission gate (3 epochs; dim 32, float64). Cosine
+    margins are asserted at generation so float rounding can never
+    flip an admission decision vs the SQL oracle: planted dups sit at
+    cos ≥ 0.99, every non-planted cross pair at |cos| ≤ 0.8 (threshold
+    0.9 splits them with ≥ 0.09 slack either side). Idempotent."""
+    from pathlib import Path
+
+    import pyarrow as pa
+
+    d = Path(_VEC_ADMIT_LOG)
+    if (d / "_COMPLETE").exists():
+        return d
+    rng = np.random.default_rng(101)
+    dim = 32
+
+    def vec():
+        return rng.normal(size=dim)
+
+    def near(v):
+        return v + 0.02 * rng.normal(size=dim)
+
+    base = {f"v{i:03d}": vec() for i in range(40)}
+    ep0 = [{"op": "insert", "epoch": 0, "seq": i, "vec_id": k,
+            "warc_ts": pd.Timestamp(10, unit="s"), "embedding": v}
+           for i, (k, v) in enumerate(base.items())]
+    fresh1 = {f"n{i:02d}": vec() for i in range(8)}
+    selfup = {f"v{i:03d}": near(base[f"v{i:03d}"]) for i in range(8, 12)}
+    ep1 = (
+        # near-dups of live ep0 vectors under NEW keys → rejected
+        [{"op": "insert", "epoch": 1, "seq": 100 + i,
+          "vec_id": f"d{i:02d}", "warc_ts": pd.Timestamp(20, unit="s"),
+          "embedding": near(base[f"v{i:03d}"])} for i in range(8)]
+        # genuinely new vectors → admitted
+        + [{"op": "insert", "epoch": 1, "seq": 120 + i, "vec_id": k,
+            "warc_ts": pd.Timestamp(20, unit="s"), "embedding": v}
+           for i, (k, v) in enumerate(fresh1.items())]
+        # self-updates (near their OWN live vector) → admitted
+        + [{"op": "update", "epoch": 1, "seq": 140 + i, "vec_id": k,
+            "warc_ts": pd.Timestamp(21, unit="s"), "embedding": v}
+           for i, (k, v) in enumerate(selfup.items())]
+        # deletes always pass
+        + [{"op": "delete", "epoch": 1, "seq": 160 + i,
+            "vec_id": f"v{12 + i:03d}",
+            "warc_ts": pd.Timestamp(22, unit="s"), "embedding": None}
+           for i in range(3)])
+    ep2 = (
+        # near-dups of epoch-1 ADMISSIONS → rejected (gate caught up)
+        [{"op": "insert", "epoch": 2, "seq": 200 + i,
+          "vec_id": f"m{i:02d}", "warc_ts": pd.Timestamp(30, unit="s"),
+          "embedding": near(fresh1[f"n{i:02d}"])} for i in range(4)]
+        # near-dups of DELETED vectors → admitted (not live)
+        + [{"op": "insert", "epoch": 2, "seq": 220 + i,
+            "vec_id": f"r{i:02d}", "warc_ts": pd.Timestamp(30, unit="s"),
+            "embedding": near(base[f"v{12 + i:03d}"])} for i in range(3)]
+        # fresh → admitted
+        + [{"op": "insert", "epoch": 2, "seq": 240 + i,
+            "vec_id": f"f{i:02d}", "warc_ts": pd.Timestamp(30, unit="s"),
+            "embedding": vec()} for i in range(4)])
+
+    # margin check: every pair of event vectors is either a planted
+    # near-dup family (cos ≥ 0.99 — shared base vector) or separated
+    # (|cos| ≤ 0.8). Families: by the base key a vector derives from.
+    fam, mats = [], []
+    for rows in (ep0, ep1, ep2):
+        for r in rows:
+            if r["embedding"] is None:
+                continue
+            k = r["vec_id"]
+            root = {"d": lambda k: f"v{int(k[1:]):03d}",
+                    "m": lambda k: f"n{int(k[1:]):02d}",
+                    "r": lambda k: f"v{12 + int(k[1:]):03d}"} \
+                .get(k[0], lambda k: k)(k)
+            fam.append(root)
+            mats.append(r["embedding"])
+    m = np.stack(mats)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = m @ m.T
+    same = np.equal.outer(fam, fam)
+    off = ~same & ~np.eye(len(fam), dtype=bool)
+    assert cos[off].max() <= 0.8, cos[off].max()
+    assert cos[same & ~np.eye(len(fam), dtype=bool)].min() >= 0.99
+
+    for e, rows in enumerate((ep0, ep1, ep2)):
+        p = d / f"ep-{e}"
+        p.mkdir(parents=True, exist_ok=True)
+        for r in rows:
+            r["embedding"] = (r["embedding"].tolist()
+                              if r["embedding"] is not None else None)
+        pq.write_table(pa.Table.from_pylist(rows), p / "part-0.parquet")
+    (d / "_COMPLETE").touch()
+    return d
+
+
+def _q_cdc_vec_dedup_ingest(sf_dir: str):
+    # EMBEDDING dedup-at-ingest: the cosine admission gate over the
+    # maintained ANN index (state/annindex.py commit_epoch_admitted /
+    # _VecProbeKernel) — per epoch, events whose vector cosine-matches
+    # a LIVE vector under a different key are dropped before staging;
+    # after each commit the index folds the commit so the next epoch's
+    # gate sees what this one admitted. Probing every cell makes the
+    # gate EXACT, so the final lake state hash-verifies against a
+    # DuckDB replay that unrolls the 3-epoch sequential admission with
+    # list_cosine_similarity (same vectors, same ≥0.9 rule, same LWW).
+    import ray.data as rd
+
+    from chomper_ray.state.annindex import (LakeANNIndex,
+                                            commit_epoch_admitted)
+    from chomper_ray.state.lake import LakeTable
+
+    log = _ensure_vec_admission_log()
+    lake = LakeTable(tempfile.mkdtemp(prefix="chomper_ray_lake_vad_"),
+                     key="vec_id", num_partitions=4,
+                     collect_changes=False)
+    idx = LakeANNIndex(lake, tempfile.mkdtemp(prefix="chomper_vad_idx_"),
+                       n_cells=8)
+    for e in range(3):
+        commit_epoch_admitted(
+            lake, idx,
+            rd.read_parquet(str(log / f"ep-{e}" / "part-0.parquet")),
+            e, threshold=0.9)
+    df = lake.read_pandas()
+    return pd.DataFrame({
+        "vec_id": df["vec_id"],
+        "warc_ts": df["warc_ts"],
+        "e0": [round(float(np.asarray(v)[0]), 6)
+               for v in df["embedding"]]})
+
+
 def _q_cdc_layout_tokens(sf_dir: str):
     # incremental DERIVED-LAYOUT maintenance: a write_partitioned-style
     # bucketed layout of (url, n_tokens) kept in sync with the lake per
@@ -2715,6 +2848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lineage": _q_cdc_lineage,
         "cdc_neardup_pairs": _q_cdc_neardup_pairs,
         "cdc_dedup_ingest": _q_cdc_dedup_ingest,
+        "cdc_vec_dedup_ingest": _q_cdc_vec_dedup_ingest,
         # oracle-backed, mimic-verified (deferred past the window for round-4 slots)
         "word_count": _q_word_count,
         "token_count": _q_token_count,
@@ -2966,6 +3100,39 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_pages, "
             "CAST(sum(length(coalesce(text, ''))) AS BIGINT) "
             "AS total_chars FROM st GROUP BY 1"
+        ),
+        "cdc_vec_dedup_ingest": (
+            # the embedding admission gate unrolled: epoch 0 admits all
+            # (empty index); epoch N admits an event iff it's a delete
+            # or no LIVE vector under a DIFFERENT key cosine-matches it
+            # at ≥ 0.9 (live = LWW over everything admitted so far);
+            # final state = LWW over all admitted events. Same
+            # vectors, rule and ordering as the engine's exact
+            # (all-cells) probe — margins in the fixture keep every
+            # decision ≥ 0.09 away from the threshold.
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{_ensure_vec_admission_log()}/ep-*/part-*.parquet')), "
+            "a0 AS (SELECT * FROM ev WHERE epoch = 0), "
+            "l0 AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY vec_id ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM a0) WHERE rn = 1 AND op <> 'delete'), "
+            "a1 AS (SELECT e.* FROM ev e WHERE e.epoch = 1 AND "
+            "(e.op = 'delete' OR NOT EXISTS (SELECT 1 FROM l0 WHERE "
+            "l0.vec_id <> e.vec_id AND list_cosine_similarity("
+            "l0.embedding, e.embedding) >= 0.9))), "
+            "u1 AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1), "
+            "l1 AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY vec_id ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM u1) WHERE rn = 1 AND op <> 'delete'), "
+            "a2 AS (SELECT e.* FROM ev e WHERE e.epoch = 2 AND "
+            "(e.op = 'delete' OR NOT EXISTS (SELECT 1 FROM l1 WHERE "
+            "l1.vec_id <> e.vec_id AND list_cosine_similarity("
+            "l1.embedding, e.embedding) >= 0.9))), "
+            "u2 AS (SELECT * FROM u1 UNION ALL SELECT * FROM a2) "
+            "SELECT vec_id, warc_ts, ROUND(embedding[1], 6) AS e0 "
+            "FROM (SELECT *, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY warc_ts DESC, seq DESC) AS rn FROM u2) "
+            "WHERE rn = 1 AND op <> 'delete'"
         ),
         "cdc_ann_vectors": (
             # maintained IVF index probed at ALL cells == exact cosine

@@ -49,6 +49,92 @@ from chomper_ray.stages.similarity import _normalize, train_ivf_centroids
 from chomper_ray.state.index import _LsmSegmentIndex
 
 
+class _VecProbeKernel:
+    """Cosine near-dup probe over a FROZEN cell plan — picklable, so
+    the same kernel serves driver-side ``near_vecs`` AND the
+    distributed admission stage (the embedding twin of
+    ``dupindex._ProbeKernel``; ``_AdmissionFilter`` consumes either
+    interchangeably because its logic never looks inside the probed
+    values).
+
+    Probing is batched per cell: queries are assigned to their
+    ``nprobe`` nearest cells (``None`` = every cell — EXHAUSTIVE, the
+    exact-semantics setting the SQL oracle verifies; production sets
+    nprobe for the standard IVF recall/cost trade), each touched cell
+    is resolved once (live per-key last-op-wins across segments,
+    LRU-cached up to ``max_cached_cells``) and scored as one float64
+    matmul against the whole query batch."""
+
+    def __init__(self, plan: dict[int, list[tuple[int, str]]],
+                 centroids: np.ndarray | None, threshold: float,
+                 nprobe: int | None = None,
+                 max_cached_cells: int = 64):
+        self.plan = plan
+        self.centroids = centroids
+        self.threshold = float(threshold)
+        self.nprobe = nprobe
+        self.max_cached_cells = max_cached_cells
+        from collections import OrderedDict
+        self._cache: "OrderedDict[int, tuple | None]" = OrderedDict()
+
+    def _cell(self, c: int):
+        if c in self._cache:
+            self._cache.move_to_end(c)
+            return self._cache[c]
+        parts = []
+        for rank, f in self.plan.get(c, ()):
+            t = pq.read_table(f).to_pandas()
+            if len(t):
+                parts.append(t.assign(_r=rank))
+        res = None
+        if parts:
+            cat = pd.concat(parts, ignore_index=True) \
+                .sort_values(["key", "_r", "op"], kind="stable") \
+                .drop_duplicates(subset=["key"], keep="last")
+            cat = cat[cat["op"] == 1]
+            if len(cat):
+                m = np.stack(cat["vec"].to_numpy()).astype(np.float64)
+                m /= np.maximum(
+                    np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                res = (cat["key"].to_numpy(), m)
+        self._cache[c] = res
+        if len(self._cache) > self.max_cached_cells:
+            self._cache.popitem(last=False)
+        return res
+
+    def matches(self, vecs) -> list[dict]:
+        """Per query vector, the live keys whose cosine similarity ≥
+        threshold as ``{key: sim}``."""
+        vecs = list(vecs)
+        out: list[dict] = [dict() for _ in vecs]
+        if self.centroids is None or not self.plan or not vecs:
+            return out
+        q = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True),
+                            1e-12)
+        cent = self.centroids
+        if self.nprobe is None or self.nprobe >= len(cent):
+            probe = np.tile(np.arange(len(cent)), (len(qn), 1))
+        else:
+            probe = np.argsort(-(qn.astype(np.float32) @ cent.T),
+                               axis=1)[:, :self.nprobe]
+        from collections import defaultdict
+        per_cell: dict[int, list[int]] = defaultdict(list)
+        for row in range(len(qn)):
+            for c in probe[row]:
+                per_cell[int(c)].append(row)
+        for c, rows in per_cell.items():
+            resolved = self._cell(c)
+            if resolved is None:
+                continue
+            keys, m = resolved
+            sc = qn[rows] @ m.T
+            hq, hk = np.nonzero(sc >= self.threshold)
+            for i, j in zip(hq, hk):
+                out[rows[i]][keys[j]] = float(sc[i, j])
+        return out
+
+
 class LakeANNIndex(_LsmSegmentIndex):
     def __init__(self, lake, root, vec_col: str = "embedding",
                  key_col: str | None = None, n_cells: int = 16,
@@ -207,6 +293,62 @@ class LakeANNIndex(_LsmSegmentIndex):
         cat = cat.drop_duplicates(subset=["key"], keep="last")
         return cat[cat["op"] == 1][["key", "vec"]]
 
+    def _cell_plan(self) -> dict[int, list[tuple[int, str]]]:
+        """cell → [(chain rank, cell file)] over live segments."""
+        plan: dict[int, list[tuple[int, str]]] = {}
+        for rank, seg in enumerate(self._live_segments()):
+            for d in Path(seg["dir"]).glob("c=*"):
+                if (d / "_SUCCESS").exists():
+                    plan.setdefault(int(d.name.split("=")[1]), []) \
+                        .append((rank, str(d / "part.parquet")))
+        return plan
+
+    def probe_kernel(self, threshold: float = 0.9,
+                     nprobe: int | None = None) -> _VecProbeKernel:
+        """Freeze the current segment chain into a picklable cosine
+        near-dup probe. ``nprobe=None`` probes every cell (exact)."""
+        return _VecProbeKernel(self._cell_plan(), self.centroids(),
+                               threshold, nprobe)
+
+    def admission_filter(self, threshold: float = 0.9,
+                         nprobe: int | None = None,
+                         op_col: str = "op",
+                         delete_ops: tuple = ("delete",),
+                         rejects_dir: str | None = None,
+                         epoch: int | None = None):
+        """Distributed ingest-time EMBEDDING dedup gate: a
+        ``map_batches`` callable (pyarrow batches) dropping events
+        whose vector cosine-matches a live vector under a different
+        key, judged against the index as frozen NOW. The embedding
+        twin of ``LakeMinHashIndex.admission_filter`` — same
+        semantics matrix (self-updates/deletes/null vectors pass,
+        same-epoch dups both admit), same rejects provenance
+        side-log. Compose per epoch via ``commit_epoch_admitted``."""
+        from chomper_ray.state.dupindex import _AdmissionFilter
+        return _AdmissionFilter(self.probe_kernel(threshold, nprobe),
+                                self.key_col, self.vec_col, op_col,
+                                delete_ops, rejects_dir=rejects_dir,
+                                epoch=epoch)
+
+    def near_vecs(self, vecs, threshold: float = 0.9,
+                  nprobe: int | None = None) -> pd.DataFrame:
+        """Live vectors cosine-matching each query vector ≥
+        ``threshold``: (query, key, sim), ``query`` = position in
+        ``vecs``. Driver-side file reads of only the probed cells —
+        the ingest-time admission check."""
+        kernel = self.probe_kernel(threshold, nprobe)
+        out_q, out_k, out_s = [], [], []
+        for qi, found in enumerate(kernel.matches(list(vecs))):
+            for k, sim in found.items():
+                out_q.append(qi)
+                out_k.append(k)
+                out_s.append(sim)
+        return pd.DataFrame({"query": pd.array(out_q, dtype="int64"),
+                             "key": out_k,
+                             "sim": pd.array(out_s, dtype="float64")}) \
+            .sort_values(["query", "key"], kind="stable") \
+            .reset_index(drop=True)
+
     def search(self, queries: np.ndarray, k: int = 10,
                nprobe: int | None = None) -> pd.DataFrame:
         """Cosine top-k per query over the maintained index. Probes the
@@ -330,3 +472,60 @@ class LakeANNIndex(_LsmSegmentIndex):
             if s["dir"] != str(seg_dir):
                 shutil.rmtree(s["dir"], ignore_errors=True)
         return {"compacted": True, "n_vecs": n_vecs}
+
+
+def commit_epoch_admitted(lake, idx: LakeANNIndex, ds, epoch: int, *,
+                          threshold: float = 0.9,
+                          nprobe: int | None = None,
+                          op_col: str = "op",
+                          delete_ops: tuple = ("delete",),
+                          rejects_root: str | None = None,
+                          schema_hint=None):
+    """Embedding dedup-at-ingest for one epoch: freeze the ANN index's
+    current segments into a cosine admission gate, map it over the
+    epoch's event Dataset, commit, then fold the commit back into the
+    index — so the NEXT epoch's gate sees everything this one
+    admitted. The vector twin of ``dupindex.run_cdc_admitted``'s
+    per-epoch body, shaped for vector lakes that ingest via
+    ``commit_epoch`` rather than the binlog loop (the caller owns
+    epoch iteration; see the ``cdc_vec_dedup_ingest`` driver query).
+
+    Exactly-once like any ``commit_epoch``: replaying a committed
+    epoch skips the commit (the gate still runs, its output is
+    discarded); ``idx.refresh()`` is idempotent-from-anywhere, so a
+    crash between commit and refresh catches up on re-entry.
+
+    ``nprobe=None`` probes every cell — the gate is then EXACT cosine
+    admission over the live state (what the SQL oracle verifies);
+    production sets ``nprobe`` and accepts standard IVF recall.
+
+    ``rejects_root`` enables the per-epoch rejected-event provenance
+    parquet under ``rejects_root/epoch=<N>/`` (read back with
+    ``dupindex.read_rejects``), cleaned here before the gate runs so
+    replaying an uncommitted epoch never double-logs.
+    """
+    import shutil as _sh
+
+    rej = None
+    if rejects_root is not None:
+        rej = Path(rejects_root) / f"epoch={epoch}"
+        _sh.rmtree(rej, ignore_errors=True)
+        rej = str(rej)
+    gate = idx.admission_filter(threshold, nprobe, op_col=op_col,
+                                delete_ops=delete_ops, rejects_dir=rej,
+                                epoch=epoch)
+    if schema_hint is None:
+        # the gate only filters rows, so the post-gate schema IS the
+        # input schema — resolve it from read metadata so commit_epoch
+        # never runs its limit(1) schema probe (which would execute
+        # the gate a second time and double-log its rejects)
+        sch = ds.schema(fetch_if_missing=False)
+        base = getattr(sch, "base_schema", None) if sch is not None \
+            else None
+        if isinstance(base, pa.Schema):
+            schema_hint = base
+    commit = lake.commit_epoch(ds.map_batches(gate,
+                                              batch_format="pyarrow"),
+                               epoch, schema_hint=schema_hint)
+    idx.refresh()
+    return commit
