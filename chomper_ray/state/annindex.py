@@ -49,6 +49,50 @@ from chomper_ray.stages.similarity import _normalize, train_ivf_centroids
 from chomper_ray.state.index import _LsmSegmentIndex
 
 
+def _read_cell_file(f) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One cell file as (keys, op, matrix) — the vector column comes
+    out of Arrow as ONE flattened buffer reshaped to (n, dim), never a
+    per-row object array (np.stack over 15 k object cells was the probe
+    path's dominant cost at 10^6-vector scale)."""
+    t = pq.read_table(f)
+    keys = np.asarray(t["key"].to_pylist(), dtype=object)
+    op = t["op"].to_numpy()
+    col = t["vec"].combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    mat = flat.reshape(len(t), -1) if len(t) else \
+        flat.reshape(0, 0)
+    return keys, op, mat
+
+
+def _mat_to_list_array(mat: np.ndarray) -> pa.ListArray:
+    """(n, d) matrix → list<...> arrow column without per-row boxing."""
+    n, d = mat.shape
+    return pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+        pa.array(mat.reshape(-1)))
+
+
+def _resolve_cell_parts(parts):
+    """Per-key last-op-wins across ``(rank, keys, op, mat)`` chain
+    parts; returns live ``(keys, mat)`` or ``None``. Ordering matches
+    the historical pandas sort ["key", "_r", "op"] keep-last."""
+    if not parts:
+        return None
+    keys = np.concatenate([p[1] for p in parts])
+    op = np.concatenate([p[2] for p in parts])
+    rank = np.concatenate([np.full(len(p[1]), p[0], dtype=np.int32)
+                           for p in parts])
+    mat = np.vstack([p[3] for p in parts])
+    order = np.lexsort((op, rank, keys))
+    keys, op, mat = keys[order], op[order], mat[order]
+    last = np.ones(len(keys), dtype=bool)
+    last[:-1] = keys[:-1] != keys[1:]
+    live = last & (op == 1)
+    if not live.any():
+        return None
+    return keys[live], mat[live]
+
+
 class _VecProbeKernel:
     """Cosine near-dup probe over a FROZEN cell plan — picklable, so
     the same kernel serves driver-side ``near_vecs`` AND the
@@ -83,20 +127,16 @@ class _VecProbeKernel:
             return self._cache[c]
         parts = []
         for rank, f in self.plan.get(c, ()):
-            t = pq.read_table(f).to_pandas()
-            if len(t):
-                parts.append(t.assign(_r=rank))
-        res = None
-        if parts:
-            cat = pd.concat(parts, ignore_index=True) \
-                .sort_values(["key", "_r", "op"], kind="stable") \
-                .drop_duplicates(subset=["key"], keep="last")
-            cat = cat[cat["op"] == 1]
-            if len(cat):
-                m = np.stack(cat["vec"].to_numpy()).astype(np.float64)
-                m /= np.maximum(
-                    np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-                res = (cat["key"].to_numpy(), m)
+            keys, op, mat = _read_cell_file(f)
+            if len(keys):
+                parts.append((rank, keys, op, mat))
+        res = _resolve_cell_parts(parts)
+        if res is not None:
+            keys, m = res
+            m = m.astype(np.float64)
+            m /= np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            res = (keys, m)
         self._cache[c] = res
         if len(self._cache) > self.max_cached_cells:
             self._cache.popitem(last=False)
@@ -151,13 +191,33 @@ class LakeANNIndex(_LsmSegmentIndex):
         return self.root / "_centroids.npy"
 
     def centroids(self) -> np.ndarray | None:
+        """Effective centroids for the CURRENT chain: every full
+        segment snapshots the centroids its cells were assigned with
+        into its own dir, so centroids travel with the chain and the
+        ``_SEGMENT.json`` marker stays the single atomic commit point —
+        ``compact(retrain=True)`` can never leave new centroids paired
+        with an old chain (or vice versa) across a crash. Root
+        ``_centroids.npy`` is the first-build value and the fallback
+        for pre-retrain vintages."""
+        live = self._live_segments()
+        if live and live[0].get("full"):
+            p = Path(live[0]["dir"]) / "_centroids.npy"
+            if p.exists():
+                return np.load(p)
         p = self._centroids_path()
         return np.load(p) if p.exists() else None
+
+    @staticmethod
+    def _snapshot_centroids(seg_dir: Path, cent: np.ndarray) -> None:
+        tmp = seg_dir / f"._centroids.{uuid.uuid4().hex[:8]}.npy.tmp"
+        with open(tmp, "wb") as f:
+            np.save(f, cent)
+        os.replace(tmp, seg_dir / "_centroids.npy")
 
     def _ensure_centroids(self, files: list[str]) -> np.ndarray | None:
         cent = self.centroids()
         if cent is not None:
-            return cent
+            return cent  # chain-resolved (newest full segment, or root)
         # first full build: train on a driver-side sample (the sample is
         # bounded by train_rows; ASSIGNMENT runs distributed)
         sample = []
@@ -260,6 +320,11 @@ class LakeANNIndex(_LsmSegmentIndex):
             if len(meta):
                 n_vecs_delta = int(meta["n"].sum())
                 rows_scanned = int(meta["rows"].sum())
+        if full and cent is not None:
+            # full segments carry the centroids their cells were
+            # assigned with (see centroids()); written before the
+            # marker so the marker stays the atomic commit point
+            self._snapshot_centroids(seg_dir, cent)
         marker = {"cid": int(cid), "full": bool(full),
                   "n_vecs_delta": n_vecs_delta,
                   "rows_scanned": rows_scanned}
@@ -271,8 +336,11 @@ class LakeANNIndex(_LsmSegmentIndex):
     # -- reads ----------------------------------------------------------------
     def stats(self) -> dict:
         live = self._live_segments()
+        cent = self.centroids()
         return {"n_vecs": sum(s["n_vecs_delta"] for s in live),
-                "segments": len(live), "n_cells": self.n_cells}
+                "segments": len(live),
+                "n_cells": len(cent) if cent is not None
+                else self.n_cells}
 
     def _resolved_cell(self, cell: int) -> pd.DataFrame | None:
         """Live (key, vec) rows of one cell: per-key last op wins across
@@ -283,15 +351,14 @@ class LakeANNIndex(_LsmSegmentIndex):
             d = Path(seg["dir"]) / f"c={cell:05d}"
             if not (d / "_SUCCESS").exists():
                 continue
-            t = pq.read_table(d / "part.parquet").to_pandas()
-            if len(t):
-                parts.append(t.assign(_r=rank))
-        if not parts:
+            keys, op, mat = _read_cell_file(d / "part.parquet")
+            if len(keys):
+                parts.append((rank, keys, op, mat))
+        res = _resolve_cell_parts(parts)
+        if res is None:
             return None
-        cat = pd.concat(parts, ignore_index=True)
-        cat = cat.sort_values(["key", "_r", "op"], kind="stable")
-        cat = cat.drop_duplicates(subset=["key"], keep="last")
-        return cat[cat["op"] == 1][["key", "vec"]]
+        keys, mat = res
+        return pd.DataFrame({"key": keys, "vec": list(mat)})
 
     def _cell_plan(self) -> dict[int, list[tuple[int, str]]]:
         """cell → [(chain rank, cell file)] over live segments."""
@@ -389,22 +456,17 @@ class LakeANNIndex(_LsmSegmentIndex):
                     p = Path(d) / f"c={int(cell):05d}"
                     if not (p / "_SUCCESS").exists():
                         continue
-                    t = pq.read_table(p / "part.parquet").to_pandas()
-                    if len(t):
-                        parts.append(t.assign(_r=rank))
-                if not parts:
+                    ks, op, mat = _read_cell_file(p / "part.parquet")
+                    if len(ks):
+                        parts.append((rank, ks, op, mat))
+                res = _resolve_cell_parts(parts)
+                if res is None:
                     continue
-                cat = pd.concat(parts, ignore_index=True) \
-                    .sort_values(["key", "_r", "op"], kind="stable") \
-                    .drop_duplicates(subset=["key"], keep="last")
-                cat = cat[cat["op"] == 1]
-                if not len(cat):
-                    continue
-                m = np.stack(cat["vec"].to_numpy()).astype(np.float64)
+                keys, m = res
+                m = m.astype(np.float64)
                 m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
                                 1e-12)
                 sc = qm @ m.T                      # (nq, n_cell_vecs)
-                keys = cat["key"].to_numpy()
                 top = min(kk, sc.shape[1])
                 idx = np.argpartition(-sc, top - 1, axis=1)[:, :top]
                 for qi in range(sc.shape[0]):
@@ -433,10 +495,28 @@ class LakeANNIndex(_LsmSegmentIndex):
             .reset_index(drop=True)
 
     # -- maintenance ----------------------------------------------------------
-    def compact(self) -> dict:
+    def compact(self, retrain: bool = False, n_cells: int | None = None,
+                train_rows: int | None = None) -> dict:
         """Fold all live segments into one full segment at the newest
         applied cid, then drop superseded segment dirs — bounded by the
-        index size; run on the compaction cadence, not per commit."""
+        index size; run on the compaction cadence, not per commit.
+
+        ``retrain=True`` additionally RE-CLUSTERS: new centroids are
+        trained on a distributed per-cell sample of the resolved live
+        vectors and every live vector is re-assigned — the answer to
+        centroid drift (cells trained at first build skew as the
+        corpus evolves; resolution stays exact regardless, but pruned
+        nprobe-search recall and cell balance decay). Work is one Ray
+        task per OLD cell (resolve + assign + write per-new-cell
+        fragments) plus one per NEW cell (fold fragments into the cell
+        file) — O(index) like any compaction, never driver-memory
+        bound. ``n_cells`` optionally re-sizes the cell count (e.g.
+        after the corpus grew 10×). The new centroids are snapshotted
+        INSIDE the new full segment dir before its ``_SEGMENT.json``
+        marker lands, so the swap is atomic with the chain: a crash
+        anywhere leaves the old chain + old centroids readable, and a
+        rerun restarts cleanly (a higher ``gen`` full segment at the
+        same cid supersedes the previous fold)."""
         import shutil
 
         segs = self._segments()
@@ -444,12 +524,15 @@ class LakeANNIndex(_LsmSegmentIndex):
             return {"compacted": False}
         cid = segs[-1]["cid"]
         live = self._live_segments()
-        if len(live) == 1 and live[0].get("full"):
+        if not retrain and len(live) == 1 and live[0].get("full"):
             return {"compacted": False}
+        if retrain:
+            return self._compact_retrain(cid, n_cells, train_rows)
+        cent = self.centroids()
         n_vecs = 0
         seg_dir = self.root / f"seg-{cid:06d}-full"
         seg_dir.mkdir(parents=True, exist_ok=True)
-        for cell in range(self.n_cells):
+        for cell in sorted(self._cell_plan()):
             res = self._resolved_cell(cell)
             if res is None or not len(res):
                 continue
@@ -463,15 +546,156 @@ class LakeANNIndex(_LsmSegmentIndex):
             os.replace(tmp, d / "part.parquet")
             (d / "_SUCCESS").touch()
             n_vecs += len(res)
+        if cent is not None:
+            self._snapshot_centroids(seg_dir, cent)
         marker = {"cid": int(cid), "full": True,
                   "n_vecs_delta": n_vecs, "rows_scanned": 0}
         tmp = seg_dir / f"._SEGMENT.{uuid.uuid4().hex[:8]}.tmp"
         tmp.write_text(json.dumps(marker))
         os.replace(tmp, seg_dir / "_SEGMENT.json")
-        for s in segs:
-            if s["dir"] != str(seg_dir):
-                shutil.rmtree(s["dir"], ignore_errors=True)
+        for d in self.root.glob("seg-*"):
+            if d != seg_dir:
+                shutil.rmtree(d, ignore_errors=True)
         return {"compacted": True, "n_vecs": n_vecs}
+
+    def _compact_retrain(self, cid: int, n_cells: int | None,
+                         train_rows: int | None) -> dict:
+        import shutil
+
+        import ray
+        import ray.data as rd
+
+        plan = self._cell_plan()
+        old_cells = sorted(plan)
+        if not old_cells:
+            return {"compacted": False}
+        old_cent = self.centroids()
+        new_k = int(n_cells or (len(old_cent) if old_cent is not None
+                                else self.n_cells))
+        gen = 1 + max((int(s.get("gen", 0)) for s in self._segments()
+                       if s["cid"] == cid), default=0)
+        seg_dir = self.root / f"seg-{cid:06d}-full-g{gen}"
+        if seg_dir.exists():  # crashed prior attempt (no marker)
+            shutil.rmtree(seg_dir, ignore_errors=True)
+        seg_dir.mkdir(parents=True)
+        segd = str(seg_dir)
+        plan_ref = ray.put(plan)
+        per_cell = max(1, -(-int(train_rows or self.train_rows)
+                            // len(old_cells)))
+        seed = self.seed
+
+        def resolve(c: int, plan_l) -> tuple | None:
+            parts = []
+            for rank, f in plan_l.get(c, ()):
+                keys, op, mat = _read_cell_file(f)
+                if len(keys):
+                    parts.append((rank, keys, op, mat))
+            return _resolve_cell_parts(parts)
+
+        def sample_cell(batch: pa.Table) -> pa.Table:
+            plan_l = ray.get(plan_ref)
+            out = []
+            for c in batch["cell"].to_pylist():
+                res = resolve(int(c), plan_l)
+                if res is None:
+                    continue
+                _, mat = res
+                rng = np.random.default_rng(seed ^ (int(c) << 16))
+                idx = rng.choice(len(mat),
+                                 size=min(per_cell, len(mat)),
+                                 replace=False)
+                out.append(mat[idx].astype(np.float32))
+            m = np.vstack(out) if out else np.zeros((0, 1), np.float32)
+            return pa.table({"vec": _mat_to_list_array(m)})
+
+        cells_ds = rd.from_arrow(pa.table({
+            "cell": pa.array(old_cells, type=pa.int32())})) \
+            .repartition(len(old_cells))
+        sample_t = cells_ds.map_batches(
+            sample_cell, batch_format="pyarrow").to_arrow_refs()
+        sample = np.vstack([
+            np.asarray(t["vec"].combine_chunks().flatten()
+                       .to_numpy(zero_copy_only=False))
+            .reshape(t.num_rows, -1)
+            for t in map(ray.get, sample_t) if t.num_rows] or
+            [np.zeros((0, 1), np.float32)])
+        if not len(sample):
+            return {"compacted": False}
+        cent = train_ivf_centroids(sample, new_k, seed=seed)
+        cent_ref = ray.put(cent)
+
+        def frag_cell(batch: pa.Table) -> pa.Table:
+            plan_l = ray.get(plan_ref)
+            cn = ray.get(cent_ref)
+            out_c, out_n = [], []
+            for c in batch["cell"].to_pylist():
+                res = resolve(int(c), plan_l)
+                if res is None:
+                    continue
+                keys, mat = res
+                asg = (_normalize(mat.astype(np.float32)) @ cn.T) \
+                    .argmax(axis=1)
+                for nc in np.unique(asg):
+                    sel = asg == nc
+                    d = Path(segd) / f"c={int(nc):05d}"
+                    d.mkdir(parents=True, exist_ok=True)
+                    t = pa.table({
+                        "key": pa.array(keys[sel].tolist()),
+                        "vec": _mat_to_list_array(mat[sel]),
+                        "op": pa.array(np.ones(int(sel.sum()),
+                                               dtype=np.int8))})
+                    tmp = d / f".frag.{uuid.uuid4().hex[:8]}.tmp"
+                    pq.write_table(t, tmp)
+                    os.replace(tmp, d / f"frag-{int(c):05d}.parquet")
+                    out_c.append(int(nc))
+                    out_n.append(int(sel.sum()))
+            return pa.table({"cell": pa.array(out_c, type=pa.int32()),
+                             "n": pa.array(out_n, type=pa.int64())})
+
+        frag_meta = cells_ds.map_batches(
+            frag_cell, batch_format="pyarrow").to_pandas()
+        new_cells = sorted(frag_meta["cell"].unique().tolist())
+        n_vecs = int(frag_meta["n"].sum())
+
+        def fold_cell(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            done = []
+            for nc in batch["cell"].to_pylist():
+                d = Path(segd) / f"c={int(nc):05d}"
+                frags = sorted(d.glob("frag-*.parquet"))
+                if not frags:
+                    continue
+                t = pa.concat_tables([pq.read_table(f) for f in frags])
+                t = t.take(pc.sort_indices(
+                    t, sort_keys=[("key", "ascending")]))
+                tmp = d / f".part.{uuid.uuid4().hex[:8]}.parquet.tmp"
+                pq.write_table(t, tmp)
+                os.replace(tmp, d / "part.parquet")
+                (d / "_SUCCESS").touch()
+                for f in frags:
+                    f.unlink(missing_ok=True)
+                done.append(int(nc))
+            return pa.table({"cell": pa.array(done, type=pa.int32())})
+
+        if new_cells:
+            rd.from_arrow(pa.table({
+                "cell": pa.array(new_cells, type=pa.int32())})) \
+                .repartition(len(new_cells)) \
+                .map_batches(fold_cell, batch_format="pyarrow") \
+                .materialize()
+        self._snapshot_centroids(seg_dir, cent)
+        marker = {"cid": int(cid), "full": True, "gen": gen,
+                  "n_vecs_delta": n_vecs, "rows_scanned": n_vecs}
+        tmp = seg_dir / f"._SEGMENT.{uuid.uuid4().hex[:8]}.tmp"
+        tmp.write_text(json.dumps(marker))
+        os.replace(tmp, seg_dir / "_SEGMENT.json")
+        for d in self.root.glob("seg-*"):
+            if d != seg_dir:
+                shutil.rmtree(d, ignore_errors=True)
+        self.n_cells = len(cent)
+        return {"compacted": True, "retrained": True,
+                "n_vecs": n_vecs, "n_cells": len(cent),
+                "cells_used": len(new_cells)}
 
 
 def commit_epoch_admitted(lake, idx: LakeANNIndex, ds, epoch: int, *,

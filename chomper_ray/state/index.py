@@ -258,13 +258,17 @@ class _LsmSegmentIndex:
     # -- segment bookkeeping ------------------------------------------------
     def _segments(self) -> list[dict]:
         """Applied segments in chain order; a ``-full`` variant of a cid
-        supersedes (and hides) its delta twin."""
+        supersedes (and hides) its delta twin, and a higher ``gen``
+        full variant (a retraining compaction at the same cid —
+        LakeANNIndex.compact(retrain=True)) supersedes a lower one."""
         segs = {}
         for m in self.root.glob("seg-*/_SEGMENT.json"):
             s = json.loads(m.read_text())
             s["dir"] = str(m.parent)
             cur = segs.get(s["cid"])
-            if cur is None or (s.get("full") and not cur.get("full")):
+            if cur is None or \
+                    (bool(s.get("full")), int(s.get("gen", 0))) > \
+                    (bool(cur.get("full")), int(cur.get("gen", 0))):
                 segs[s["cid"]] = s
         return [segs[c] for c in sorted(segs)]
 
