@@ -1689,6 +1689,44 @@ def _q_cdc_matview_domains(sf_dir: str):
                                 "sum_n_chars": "total_chars"})
 
 
+def _q_cdc_matview_windows(sf_dir: str):
+    # time-WINDOWED incremental view maintenance: the per-(domain,
+    # 1-hour tumbling window) rollup maintained COMMIT BY COMMIT —
+    # windows are just a derived grouping column for the additive IVM
+    # machinery, so the engine's windowed-aggregate/late-data contract
+    # (SURVEY §2.5: a page's window is its LIVE LWW version's hour)
+    # holds under CDC with maintenance cost ∝ write amplification. An
+    # out-of-order or late update that moves a page between hours folds
+    # as -1 in the old window group / +1 in the new, like any group
+    # move; the binlog's ooo_frac makes that path real in this run.
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.stages.text import url_parts
+    from chomper_ray.state.lake import LakeTable
+    from chomper_ray.state.matview import MaterializedAgg
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_mvw_")
+    run_cdc(log, lake_root, num_partitions=8)
+    lake = LakeTable(lake_root, num_partitions=8)
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        d = url_parts(df)
+        return pd.DataFrame({
+            "domain": d["domain"],
+            "window_start": df["warc_ts"].dt.floor("h"),
+            "n_chars": d["text"].fillna("").str.len().astype("int64"),
+        })
+
+    view = MaterializedAgg(lake, tempfile.mkdtemp(prefix="chomper_mvw_"),
+                           contrib,
+                           group_cols=["domain", "window_start"],
+                           value_cols=["n_chars"],
+                           read_columns=["url", "warc_ts", "text"]) \
+        .refresh()
+    return view.rename(columns={"n_live": "n_pages",
+                                "sum_n_chars": "total_chars"})
+
+
 _IDX_TOKENS = ("lorem", "magna", "tempor", "dolor", "zzz-absent")
 
 
@@ -2849,6 +2887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_neardup_pairs": _q_cdc_neardup_pairs,
         "cdc_dedup_ingest": _q_cdc_dedup_ingest,
         "cdc_vec_dedup_ingest": _q_cdc_vec_dedup_ingest,
+        "cdc_matview_windows": _q_cdc_matview_windows,
         # oracle-backed, mimic-verified (deferred past the window for round-4 slots)
         "word_count": _q_word_count,
         "token_count": _q_token_count,
@@ -3100,6 +3139,26 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_pages, "
             "CAST(sum(length(coalesce(text, ''))) AS BIGINT) "
             "AS total_chars FROM st GROUP BY 1"
+        ),
+        "cdc_matview_windows": (
+            # tumbling-window rollup over the LWW state: a page counts
+            # in the hour of its LIVE version's warc_ts (the windows /
+            # late-data contract) — the maintained view must equal the
+            # full-scan windowed GROUP BY
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            f"sidecar AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/_oracle/*.parquet')), "
+            "st AS (SELECT w.url, w.warc_ts, s.text FROM win w "
+            "JOIN sidecar s USING (seq)) "
+            f"SELECT {sql_url_exprs('url')['domain']} AS domain, "
+            "date_trunc('hour', warc_ts) AS window_start, "
+            "count(*) AS n_pages, "
+            "CAST(sum(length(coalesce(text, ''))) AS BIGINT) "
+            "AS total_chars FROM st GROUP BY 1, 2"
         ),
         "cdc_vec_dedup_ingest": (
             # the embedding admission gate unrolled: epoch 0 admits all

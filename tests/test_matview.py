@@ -148,3 +148,62 @@ def test_cli_matview_refresh_idempotent(tmp_path):
     again = cli("matview-refresh", "--lake-root", lake, "--view-root", mv)
     assert again["commits_applied"] == []
     assert again["n_pages"] == first["n_pages"]
+
+
+def test_matview_tumbling_windows_late_data(tmp_path):
+    """Windows are a derived grouping column: a page contributes to the
+    hour of its LIVE LWW version's warc_ts, so a late update that moves
+    a page between hours folds as a group move (-1 old window / +1 new)
+    — and an out-of-order update that LOSES the LWW race changes
+    nothing. Maintained view == full windowed recompute per commit."""
+    lake = LakeTable(tmp_path / "lake", key="url", num_partitions=4)
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "w": df["warc_ts"].dt.floor("h"),
+            "val": df["val"].fillna(0).astype("int64")})
+
+    view = MaterializedAgg(lake, tmp_path / "mvw", contrib,
+                           group_cols=["w"], value_cols=["val"],
+                           read_columns=["warc_ts", "val"])
+
+    def windowed(lake) -> dict:
+        live = lake.read_pandas()
+        if not len(live):
+            return {}
+        g = live.assign(w=live["warc_ts"].dt.floor("h")) \
+            .groupby("w", sort=True)
+        return {(str(k)): (int(n), int(s)) for k, n, s in zip(
+            g.size().index, g.size(), g["val"].sum())}
+
+    def got(v) -> dict:
+        return {str(r.w): (int(r.n_live), int(r.sum_val))
+                for r in v.itertuples(index=False)}
+
+    H = 3600
+    e0 = [mk("insert", 0, "u1", 10, "a", 5),
+          mk("insert", 1, "u2", 20, "a", 7),        # hour 0
+          mk("insert", 2, "u3", H + 30, "a", 11)]   # hour 1
+    lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(e0)), 0)
+    assert got(view.refresh()) == windowed(lake)
+    assert len(windowed(lake)) == 2
+
+    # late window-crossing update: u1 moves hour 0 -> hour 2
+    e1 = [mk("update", 3, "u1", 2 * H + 5, "a", 6)]
+    lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(e1)), 1)
+    v = view.refresh()
+    assert got(v) == windowed(lake)
+    assert len(v) == 3 and v["n_live"].sum() == 3
+
+    # out-of-order update that LOSES LWW (older warc_ts): no change
+    before = got(v)
+    e2 = [mk("update", 4, "u3", 40, "a", 99)]
+    lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(e2)), 2)
+    assert got(view.refresh()) == before == windowed(lake)
+
+    # delete empties its window group entirely
+    e3 = [mk("delete", 5, "u2", 3 * H, "a", None)]
+    lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(e3)), 3)
+    v = view.refresh()
+    assert got(v) == windowed(lake)
+    assert v["n_live"].sum() == 2
