@@ -1727,6 +1727,48 @@ def _q_cdc_matview_windows(sf_dir: str):
                                 "sum_n_chars": "total_chars"})
 
 
+def _q_cdc_matview_hopping(sf_dir: str):
+    # HOPPING (sliding) windows under CDC: size 1 h / hop 30 min, so
+    # every live page contributes to size/hop = 2 overlapping window
+    # groups — the contrib EXPLODES each row into its windows, and the
+    # signed IVM fold cancels all of an old version's window rows and
+    # adds all of the new version's (contrib is deterministic and
+    # row-local, so ± contributions pair exactly whatever the row
+    # count). Window starts as BIGINT epoch seconds, timezone-proof
+    # like the batch hopping_window oracle.
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.stages.text import url_parts
+    from chomper_ray.state.lake import LakeTable
+    from chomper_ray.state.matview import MaterializedAgg
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_mvh_")
+    run_cdc(log, lake_root, num_partitions=8)
+    lake = LakeTable(lake_root, num_partitions=8)
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        d = url_parts(df)
+        s = df["warc_ts"].astype("int64") // 1_000_000
+        base = pd.DataFrame({
+            "domain": d["domain"],
+            "w0": (s // 1800) * 1800,
+            "n_chars": d["text"].fillna("").str.len().astype("int64"),
+        })
+        parts = [base.assign(w_start_s=base["w0"] - i * 1800)
+                 for i in range(2)]
+        return pd.concat(parts, ignore_index=True)[
+            ["domain", "w_start_s", "n_chars"]]
+
+    view = MaterializedAgg(lake, tempfile.mkdtemp(prefix="chomper_mvh_"),
+                           contrib,
+                           group_cols=["domain", "w_start_s"],
+                           value_cols=["n_chars"],
+                           read_columns=["url", "warc_ts", "text"]) \
+        .refresh()
+    return view.rename(columns={"n_live": "n_pages",
+                                "sum_n_chars": "total_chars"})
+
+
 _IDX_TOKENS = ("lorem", "magna", "tempor", "dolor", "zzz-absent")
 
 
@@ -2888,6 +2930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dedup_ingest": _q_cdc_dedup_ingest,
         "cdc_vec_dedup_ingest": _q_cdc_vec_dedup_ingest,
         "cdc_matview_windows": _q_cdc_matview_windows,
+        "cdc_matview_hopping": _q_cdc_matview_hopping,
         # oracle-backed, mimic-verified (deferred past the window for round-4 slots)
         "word_count": _q_word_count,
         "token_count": _q_token_count,
@@ -3159,6 +3202,26 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_pages, "
             "CAST(sum(length(coalesce(text, ''))) AS BIGINT) "
             "AS total_chars FROM st GROUP BY 1, 2"
+        ),
+        "cdc_matview_hopping": (
+            # sliding-window rollup over the LWW state: every live page
+            # counts in 2 overlapping 1h/30min windows of its LIVE
+            # version's warc_ts
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            f"sidecar AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/_oracle/*.parquet')), "
+            "st AS (SELECT w.url, w.warc_ts, s.text FROM win w "
+            "JOIN sidecar s USING (seq)) "
+            f"SELECT {sql_url_exprs('url')['domain']} AS domain, "
+            "(epoch_us(warc_ts) // 1800000000) * 1800 - g.i * 1800 "
+            "AS w_start_s, count(*) AS n_pages, "
+            "CAST(sum(length(coalesce(text, ''))) AS BIGINT) "
+            "AS total_chars FROM st "
+            "CROSS JOIN (SELECT unnest(range(2)) AS i) g GROUP BY 1, 2"
         ),
         "cdc_vec_dedup_ingest": (
             # the embedding admission gate unrolled: epoch 0 admits all

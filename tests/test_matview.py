@@ -207,3 +207,62 @@ def test_matview_tumbling_windows_late_data(tmp_path):
     v = view.refresh()
     assert got(v) == windowed(lake)
     assert v["n_live"].sum() == 2
+
+
+def test_matview_hopping_windows_exploding_contrib(tmp_path):
+    """A contrib may EXPLODE each row into several window groups
+    (hopping windows: size 2h / hop 1h => 2 windows per row); the
+    signed fold cancels ALL of an old version's exploded rows and adds
+    all of the new version's, so updates/deletes stay exact."""
+    lake = LakeTable(tmp_path / "lake", key="url", num_partitions=4)
+    H = 3600
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["warc_ts"].astype("int64") // 1_000_000
+        base = pd.DataFrame({
+            "w0": (s // H) * H,
+            "val": df["val"].fillna(0).astype("int64")})
+        return pd.concat([base.assign(w=base["w0"] - i * H)
+                          for i in range(2)], ignore_index=True)[
+            ["w", "val"]]
+
+    view = MaterializedAgg(lake, tmp_path / "mvh", contrib,
+                           group_cols=["w"], value_cols=["val"],
+                           read_columns=["warc_ts", "val"])
+
+    def expect(lake) -> dict:
+        live = lake.read_pandas()
+        out: dict = {}
+        for _, r in live.iterrows():
+            w0 = (int(pd.Timestamp(r["warc_ts"]).value // 10**9) //
+                  H) * H
+            for i in range(2):
+                k = w0 - i * H
+                n, s = out.get(k, (0, 0))
+                out[k] = (n + 1, s + int(r["val"]))
+        return out
+
+    def got(v) -> dict:
+        return {int(r.w): (int(r.n_live), int(r.sum_val))
+                for r in v.itertuples(index=False)}
+
+    e0 = [mk("insert", 0, "u1", 10, "a", 5),
+          mk("insert", 1, "u2", H + 20, "a", 7)]
+    lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(e0)), 0)
+    v = view.refresh()
+    assert got(v) == expect(lake)
+    assert v["n_live"].sum() == 4  # 2 rows x 2 windows each
+
+    # update moves u1 two hours later: BOTH old window rows cancel,
+    # BOTH new window rows appear
+    e1 = [mk("update", 2, "u1", 2 * H + 10, "a", 6)]
+    lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(e1)), 1)
+    v = view.refresh()
+    assert got(v) == expect(lake)
+
+    # delete removes both of u2's window contributions
+    e2 = [mk("delete", 3, "u2", 3 * H, "a", None)]
+    lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(e2)), 2)
+    v = view.refresh()
+    assert got(v) == expect(lake)
+    assert v["n_live"].sum() == 2
