@@ -1727,6 +1727,40 @@ def _q_cdc_matview_windows(sf_dir: str):
                                 "sum_n_chars": "total_chars"})
 
 
+def _q_cdc_matview_quantiles(sf_dir: str):
+    # grouped EXACT quantile IVM (state/matview.py
+    # MaterializedQuantiles): per-domain median + p90 of live-page
+    # token counts maintained per commit WITHOUT rescans — the view
+    # keeps per-(domain, n_tokens) support counts (additive; the
+    # MaterializedDistinct pattern), and percentile_cont interpolation
+    # runs at read over the support multiset, exactly like the SQL.
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.stages.text import url_parts
+    from chomper_ray.state.lake import LakeTable
+    from chomper_ray.state.matview import MaterializedQuantiles
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_mvq_")
+    run_cdc(log, lake_root, num_partitions=8)
+    lake = LakeTable(lake_root, num_partitions=8)
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        d = url_parts(df)
+        return pd.DataFrame({
+            "domain": d["domain"],
+            "n_tokens": d["text"].fillna("").str.split().str.len()
+            .astype("int64"),
+        })
+
+    view = MaterializedQuantiles(
+        lake, tempfile.mkdtemp(prefix="chomper_mvq_"), contrib,
+        group_cols=["domain"], value_col="n_tokens", qs=(0.5, 0.9),
+        read_columns=["url", "text"]).refresh()
+    view["p50"] = view["p50"].round(6)
+    view["p90"] = view["p90"].round(6)
+    return view.rename(columns={"n_live": "n_pages"})
+
+
 def _q_cdc_matview_hopping(sf_dir: str):
     # HOPPING (sliding) windows under CDC: size 1 h / hop 30 min, so
     # every live page contributes to size/hop = 2 overlapping window
@@ -2931,6 +2965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_vec_dedup_ingest": _q_cdc_vec_dedup_ingest,
         "cdc_matview_windows": _q_cdc_matview_windows,
         "cdc_matview_hopping": _q_cdc_matview_hopping,
+        "cdc_matview_quantiles": _q_cdc_matview_quantiles,
         # oracle-backed, mimic-verified (deferred past the window for round-4 slots)
         "word_count": _q_word_count,
         "token_count": _q_token_count,
@@ -3202,6 +3237,27 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_pages, "
             "CAST(sum(length(coalesce(text, ''))) AS BIGINT) "
             "AS total_chars FROM st GROUP BY 1, 2"
+        ),
+        "cdc_matview_quantiles": (
+            # exact grouped percentile_cont over the LWW state — the
+            # maintained support-count view must interpolate identically
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            f"sidecar AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/_oracle/*.parquet')), "
+            "st AS (SELECT w.url, "
+            r"len(regexp_extract_all(coalesce(s.text, ''), '\S+')) "
+            "AS n_tokens FROM win w JOIN sidecar s USING (seq)) "
+            f"SELECT {sql_url_exprs('url')['domain']} AS domain, "
+            "count(*) AS n_pages, "
+            "round(percentile_cont(0.5) WITHIN GROUP "
+            "(ORDER BY n_tokens), 6) AS p50, "
+            "round(percentile_cont(0.9) WITHIN GROUP "
+            "(ORDER BY n_tokens), 6) AS p90 "
+            "FROM st GROUP BY 1"
         ),
         "cdc_matview_hopping": (
             # sliding-window rollup over the LWW state: every live page

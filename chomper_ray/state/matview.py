@@ -694,6 +694,94 @@ class MaterializedDistinct:
         return self._project(self._agg.refresh())
 
 
+class MaterializedQuantiles:
+    """Grouped EXACT quantiles (``percentile_cont`` semantics, any list
+    of q's) over a discrete value column, maintained per commit WITHOUT
+    rescans — the third non-self-maintainable aggregate family, closed
+    the ``MaterializedDistinct`` way: the view keeps per-(group, value)
+    SUPPORT counts (plain additive integers; the support table IS a
+    ``MaterializedAgg`` keyed by ``group_cols + [value_col]``, so
+    COW/MOR/compaction-zero diff planning, exactly-once view files and
+    resume are inherited verbatim). The support rows are the full
+    VALUE MULTISET per group, so any quantile is computed exactly at
+    read: sort the (value, count) rows, cumulative-sum the counts, and
+    linearly interpolate at rank ``(n-1)·q`` — identical to SQL
+    ``percentile_cont(q) WITHIN GROUP (ORDER BY value)``.
+
+    Scale: view state ∝ Σ_g |distinct values in g| (the standard IVM
+    auxiliary-relation bound). Right for bounded-cardinality metrics —
+    token counts, sizes, latencies bucketed to ms, status codes — NOT
+    raw floats of unbounded cardinality (bucket those in the contrib;
+    quantiles are then exact over the buckets). Read cost is
+    driver-side over the support table, proportional to its rows.
+
+    SQL null semantics: null values never enter a quantile; a group
+    whose live rows are ALL null keeps its row with NaN quantiles."""
+
+    def __init__(self, lake: LakeTable, view_root: str | Path,
+                 contrib: Callable[[pd.DataFrame], pd.DataFrame],
+                 group_cols: Sequence[str], value_col: str,
+                 qs: Sequence[float] = (0.5,),
+                 read_columns: Sequence[str] | None = None):
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self.qs = [float(q) for q in qs]
+        if not all(0.0 <= q <= 1.0 for q in self.qs):
+            raise ValueError(f"quantiles must be in [0, 1]: {self.qs}")
+        self._agg = MaterializedAgg(
+            lake, view_root, contrib,
+            group_cols=self.group_cols + [value_col], value_cols=[],
+            read_columns=read_columns)
+
+    def applied_commits(self) -> list[int]:
+        return self._agg.applied_commits()
+
+    def support(self, cid: int | None = None) -> pd.DataFrame:
+        """The auxiliary per-(group, value) live support counts."""
+        return self._agg.view(cid)
+
+    def _qcol(self, q: float) -> str:
+        return "p" + f"{q * 100:g}".replace(".", "_")
+
+    def _project(self, support: pd.DataFrame) -> pd.DataFrame:
+        gcols, vcol = self.group_cols, self.value_col
+        qcols = [self._qcol(q) for q in self.qs]
+        if not len(support):
+            return pd.DataFrame(columns=gcols + ["n_live"] + qcols)
+        groups = support.groupby(gcols, sort=True, dropna=False)[
+            "n_live"].sum().reset_index()
+        nn = support.dropna(subset=[vcol]) \
+            .sort_values(gcols + [vcol], kind="stable")
+        per_group: dict = {}
+        for keys, g in nn.groupby(gcols, sort=False, dropna=False):
+            vals = g[vcol].to_numpy(dtype=np.float64)
+            cum = np.cumsum(g["n_live"].to_numpy(dtype=np.int64))
+            n = int(cum[-1])
+            row = []
+            for q in self.qs:
+                h = (n - 1) * q
+                lo, hi = int(np.floor(h)), int(np.ceil(h))
+                vlo = vals[np.searchsorted(cum, lo + 1)]
+                vhi = vals[np.searchsorted(cum, hi + 1)]
+                row.append(vlo + (h - lo) * (vhi - vlo))
+            per_group[keys if isinstance(keys, tuple) else (keys,)] = row
+        for i, c in enumerate(qcols):
+            groups[c] = [
+                per_group.get(tuple(k), [np.nan] * len(qcols))[i]
+                for k in groups[gcols].itertuples(index=False)]
+        groups["n_live"] = groups["n_live"].astype("int64")
+        return groups[gcols + ["n_live"] + qcols] \
+            .sort_values(gcols, kind="stable").reset_index(drop=True)
+
+    def view(self, cid: int | None = None) -> pd.DataFrame:
+        """One row per group: live-row count + one column per q."""
+        return self._project(self._agg.view(cid))
+
+    def refresh(self) -> pd.DataFrame:
+        """Apply every unapplied manifest commit; idempotent."""
+        return self._project(self._agg.refresh())
+
+
 class MaterializedExtrema:
     """Grouped MIN/MAX view over a LakeTable, maintained per commit —
     the NON-self-maintainable aggregate family ``MaterializedAgg``
