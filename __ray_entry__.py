@@ -1907,6 +1907,39 @@ def _q_cdc_matview_extrema(sf_dir: str):
                                "min_n_chars": "min_chars"})
 
 
+def _q_cdc_matview_sessions(sf_dir: str):
+    # streaming sessionization IVM (round 4): gap-based SESSION windows
+    # maintained per commit (state/matview.py MaterializedSessions).
+    # Sessions are not row-local — one event can extend, split or MERGE
+    # sessions — so touched groups re-sessionize from live state via
+    # the affected-group rescan, with exact fingerprint cancellation so
+    # COW partition rewrites don't rescan co-located untouched domains.
+    # The 4-epoch commit chain includes LWW timestamp moves and deletes
+    # (session splits); the maintained view hash-verifies against a
+    # full-scan SQL lag()-window sessionization over the LWW state.
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.stages.text import url_parts
+    from chomper_ray.state.lake import LakeTable
+    from chomper_ray.state.matview import MaterializedSessions
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_ms_")
+    run_cdc(log, lake_root, num_partitions=8)
+    lake = LakeTable(lake_root, num_partitions=8)
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        d = url_parts(df)
+        return pd.DataFrame({"domain": d["domain"], "url": d["url"],
+                             "warc_ts": d["warc_ts"]})
+
+    view = MaterializedSessions(
+        lake, tempfile.mkdtemp(prefix="chomper_ms_"), contrib,
+        group_col="domain", ts_col="warc_ts", tie_col="url",
+        gap_s=300.0, read_columns=["url", "warc_ts"])
+    return view.refresh()[["domain", "session_id", "session_start",
+                           "session_end", "n_events"]]
+
+
 def _q_cdc_topk_pages(sf_dir: str):
     # maintained TOP-K ROWS per group (round 4): the 3 freshest live
     # pages per domain, maintained per commit (state/matview.py
@@ -2922,6 +2955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_mor_matview_domains": _q_cdc_mor_matview_domains,
         "cdc_mor_index_tokens": _q_cdc_mor_index_tokens,
         "cdc_matview_extrema": _q_cdc_matview_extrema,
+        "cdc_matview_sessions": _q_cdc_matview_sessions,
         "cdc_topk_pages": _q_cdc_topk_pages,
         "cdc_matview_distinct": _q_cdc_matview_distinct,
         "cdc_join_live": _q_cdc_join_live,
@@ -3417,6 +3451,30 @@ def oracle_sql() -> dict[str, str]:
             "AS max_chars, "
             "CAST(min(length(coalesce(text, ''))) AS BIGINT) "
             "AS min_chars FROM st GROUP BY 1"
+        ),
+        "cdc_matview_sessions": (
+            # maintained gap-based session windows (affected-group
+            # rescan IVM) == SQL lag()-window sessionization over LWW
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            f"s AS (SELECT {sql_url_exprs('url')['domain']} AS domain, "
+            "url, warc_ts FROM win WHERE warc_ts IS NOT NULL), "
+            "m AS (SELECT domain, url, warc_ts, CASE WHEN "
+            "lag(warc_ts) OVER w IS NULL OR warc_ts - lag(warc_ts) "
+            "OVER w > INTERVAL 300 SECOND THEN 1 ELSE 0 END AS is_new "
+            "FROM s WINDOW w AS (PARTITION BY domain "
+            "ORDER BY warc_ts, url)), "
+            "x AS (SELECT domain, warc_ts, CAST(sum(is_new) OVER ("
+            "PARTITION BY domain ORDER BY warc_ts, url "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id "
+            "FROM m) "
+            "SELECT domain, session_id, min(warc_ts) AS session_start, "
+            "max(warc_ts) AS session_end, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM x GROUP BY domain, session_id"
         ),
         "cdc_matview_distinct": (
             # maintained exact COUNT(DISTINCT) view (support-count IVM,

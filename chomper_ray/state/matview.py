@@ -782,6 +782,266 @@ class MaterializedQuantiles:
         return self._project(self._agg.refresh())
 
 
+class MaterializedSessions:
+    """Gap-based SESSION WINDOWS maintained per commit — streaming
+    sessionization under CDC. Tumbling/hopping windows are row-local
+    (a row's window is a function of the row), but a session's extent
+    depends on its NEIGHBORS: one new event can extend a session,
+    split nothing, or MERGE two sessions; an LWW update/delete can do
+    the reverse. So sessions are maintained with the affected-group
+    rescan (the ``MaterializedExtrema`` contract): per commit, the
+    groups appearing on EITHER diff side re-sessionize from the live
+    state — one distributed scan restricted to those groups plus one
+    co-locating shuffle of only their rows — while untouched groups'
+    session rows carry forward unchanged. Rescan cost ∝ the touched
+    groups' live rows, never the corpus.
+
+    ``contrib(df) -> [group, ts, tie]`` is row-local (``tie`` breaks
+    equal timestamps deterministically). View rows: ``group,
+    session_id`` (1-based in (ts, tie) order), ``session_start,
+    session_end, n_events`` — a new session starts when the gap from
+    the previous event exceeds ``gap_s`` (strict), SQL
+    ``lag()``-window parity. View state ∝ total sessions (the IVM
+    auxiliary bound); ``last_rescans`` records (cid, n_groups) per
+    refresh for cost assertions."""
+
+    _SESSION_COLS = ["session_id", "session_start", "session_end",
+                     "n_events"]
+
+    def __init__(self, lake: LakeTable, view_root: str | Path,
+                 contrib: Callable[[pd.DataFrame], pd.DataFrame],
+                 group_col: str, ts_col: str, tie_col: str,
+                 gap_s: float,
+                 read_columns: Sequence[str] | None = None):
+        self.lake = lake
+        self.view_root = Path(view_root)
+        self.view_root.mkdir(parents=True, exist_ok=True)
+        self.contrib = contrib
+        self.group_col = group_col
+        self.ts_col = ts_col
+        self.tie_col = tie_col
+        self.gap_s = float(gap_s)
+        self.read_columns = list(read_columns) if read_columns else None
+        self.last_rescans: list[tuple[int, int]] = []
+
+    # -- storage ----------------------------------------------------------
+    def _view_path(self, cid: int) -> Path:
+        return self.view_root / f"view-{cid:06d}.parquet"
+
+    def applied_commits(self) -> list[int]:
+        return sorted(int(p.stem.split("-")[1])
+                      for p in self.view_root.glob("view-*.parquet"))
+
+    def _empty_view(self) -> pd.DataFrame:
+        return pd.DataFrame(columns=[self.group_col]
+                            + self._SESSION_COLS)
+
+    def view(self, cid: int | None = None) -> pd.DataFrame:
+        done = self.applied_commits()
+        if not done:
+            return self._empty_view()
+        cid = done[-1] if cid is None else cid
+        return pq.read_table(self._view_path(cid)).to_pandas()
+
+    def _write_view(self, cid: int, df: pd.DataFrame) -> None:
+        final = self._view_path(cid)
+        if final.exists():
+            return
+        df = df.sort_values([self.group_col, "session_id"],
+                            kind="stable").reset_index(drop=True)
+        for c in ("session_id", "n_events"):
+            df[c] = df[c].astype("int64")
+        tmp = final.with_suffix(f".parquet.tmp-{uuid.uuid4().hex[:8]}")
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       tmp)
+        tmp.replace(final)
+
+    # -- scans ------------------------------------------------------------
+    def _prep_ds(self, files: list[str], only_groups):
+        import ray.data as rd
+
+        contrib = self.contrib
+        gcol, tcol, kcol = self.group_col, self.ts_col, self.tie_col
+        keep = frozenset(only_groups) if only_groups is not None \
+            else None
+
+        def prep(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[~df[INTERNAL_DELETED].astype(bool)]
+            out = contrib(df)[[gcol, tcol, kcol]]
+            if keep is not None:
+                out = out[out[gcol].isin(keep)]
+            return out.reset_index(drop=True)
+
+        read_cols = self.read_columns
+        if read_cols is not None:
+            # the tombstone column is filtered in-task, so it must ride
+            # the pruned read even when the caller didn't list it
+            read_cols = list(dict.fromkeys([*read_cols,
+                                            INTERNAL_DELETED]))
+            ds = rd.read_parquet(files, columns=read_cols)
+        else:
+            ds = rd.read_parquet(files, partitioning=None)
+        return ds.map_batches(prep, batch_format="pandas")
+
+    def _session_rows(self, files: list[str], only_groups) \
+            -> pd.DataFrame:
+        """Per-(group, session) rows over the live rows of ``files``,
+        restricted to ``only_groups`` (None = all). One co-locating
+        shuffle of the scanned rows; per-group work is a vectorized
+        sort + diff + cumsum, never per-row Python."""
+        if not files:
+            return self._empty_view()
+        gcol, tcol, kcol, gap = (self.group_col, self.ts_col,
+                                 self.tie_col, self.gap_s)
+
+        def per_group(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values([tcol, kcol], kind="stable")
+            dt = g[tcol].diff()
+            gaps = dt.dt.total_seconds() if hasattr(dt, "dt") else dt
+            sid = ((gaps > gap) | gaps.isna()).cumsum()
+            agg = g.groupby(sid).agg(
+                session_start=(tcol, "min"), session_end=(tcol, "max"),
+                n_events=(tcol, "size")).reset_index(drop=True)
+            agg.insert(0, "session_id",
+                       np.arange(1, len(agg) + 1, dtype=np.int64))
+            agg.insert(0, gcol, g[gcol].iloc[0])
+            return agg
+
+        out = self._prep_ds(files, only_groups).groupby(gcol) \
+            .map_groups(per_group, batch_format="pandas").to_pandas()
+        return out if len(out) else self._empty_view()
+
+    def _affected_groups(self, new_files: list[str],
+                         old_files: list[str]) -> set:
+        """Groups whose (ts, tie) contribution MULTISET changed between
+        the commit's old and new sides. Each side folds per-group
+        signed partials — row count plus two independent wrapping
+        64-bit hash sums of the (ts, tie) rows — so groups identical
+        on both sides cancel EXACTLY (the ``MaterializedAgg``
+        cancellation argument applied to set membership): a COW
+        whole-partition diff rescans only the truly-changed groups,
+        not every group the partition happens to hold. A false cancel
+        would need a same-count 128-bit fingerprint collision."""
+        gcol, tcol, kcol = self.group_col, self.ts_col, self.tie_col
+
+        def fingerprint(df: pd.DataFrame) -> pd.DataFrame:
+            rows = df[[tcol, kcol]]
+            # int64 VIEW of the siphash so every later sum/reindex
+            # stays integer-exact (wrapping is fine; float64 would
+            # round 64-bit values and could false-cancel)
+            return pd.DataFrame({
+                gcol: df[gcol].values,
+                "n": np.int64(1),
+                "h1": pd.util.hash_pandas_object(rows, index=False)
+                .values.view("int64"),
+                "h2": pd.util.hash_pandas_object(
+                    rows, index=False,
+                    hash_key="chomper_ms_fpk2!").values.view("int64"),
+            }).groupby(gcol, dropna=False, sort=False) \
+                .sum().reset_index()
+
+        def side(files: list[str]) -> pd.DataFrame:
+            cols = {"n": "int64", "h1": "int64", "h2": "int64"}
+            if not files:
+                return pd.DataFrame(
+                    {c: pd.Series(dtype=d) for c, d in cols.items()})
+            parts = self._prep_ds(files, None).map_batches(
+                fingerprint, batch_format="pandas").to_pandas()
+            if not len(parts):
+                return pd.DataFrame(
+                    {c: pd.Series(dtype=d) for c, d in cols.items()})
+            return parts.groupby(gcol, dropna=False, sort=False) \
+                .sum()[list(cols)]
+
+        a, b = side(new_files), side(old_files)
+        idx = a.index.union(b.index)
+        # reindex with fill_value keeps int64 exact (an outer merge
+        # would coerce missing rows to float64 and round the sums)
+        a = a.reindex(idx, fill_value=0)
+        b = b.reindex(idx, fill_value=0)
+        changed = (a != b).any(axis=1)
+        return set(idx[changed.values].tolist())
+
+    def _files_at(self, cid: int) -> tuple[list[str], str | None]:
+        man = load_manifest(self.lake.root, cid)
+        if manifest_has_deltas(man):
+            scratch = tempfile.mkdtemp(prefix="chomper_ms_full_")
+            return materialize_mor_resolved(
+                self.lake.root, man, self.lake._mor_kwargs(),
+                scratch), scratch
+        return [str(self.lake.root / v["file"])
+                for _, v in sorted(man["partitions"].items())
+                if v.get("file")], None
+
+    # -- maintenance --------------------------------------------------------
+    def _full_recompute(self, cid: int) -> pd.DataFrame:
+        files, scratch = self._files_at(cid)
+        try:
+            return self._session_rows(files, None)
+        finally:
+            if scratch is not None:
+                shutil.rmtree(scratch, ignore_errors=True)
+
+    def refresh(self) -> pd.DataFrame:
+        """Apply every unapplied manifest commit in chain order;
+        idempotent. Appends (cid, rescanned-group count) to
+        ``last_rescans``."""
+        cids = committed_epochs(self.lake.root)
+        if not cids:
+            return self.view()
+        done = set(self.applied_commits())
+        root = self.lake.root
+        prev_cid = None
+        current = None
+        for cid in cids:
+            if cid in done:
+                prev_cid = cid
+                current = None
+                continue
+            man = load_manifest(root, cid)
+            if man.get("truncated") or not man["partitions"]:
+                new_view = self._empty_view()
+                self._write_view(cid, new_view)
+                current, prev_cid = new_view, cid
+                continue
+            prev_man = load_manifest(root, prev_cid) \
+                if prev_cid is not None else None
+            new_files, old_files, missing_old, scratch = plan_commit_diff(
+                self.lake, man, prev_man, prev_cid, cid,
+                scratch_prefix="chomper_ms_diff_")
+            try:
+                if missing_old:
+                    new_view = self._full_recompute(cid)
+                    self.last_rescans.append((cid, -1))  # full
+                else:
+                    if current is None:
+                        current = self.view(prev_cid) \
+                            if prev_cid is not None else self._empty_view()
+                    affected = self._affected_groups(new_files, old_files)
+                    self.last_rescans.append((cid, len(affected)))
+                    if not affected:
+                        new_view = current
+                    else:
+                        carried = current[
+                            ~current[self.group_col].isin(affected)]
+                        files, fscratch = self._files_at(cid)
+                        try:
+                            fresh = self._session_rows(files, affected)
+                        finally:
+                            if fscratch is not None:
+                                shutil.rmtree(fscratch,
+                                              ignore_errors=True)
+                        sides = [s for s in (carried, fresh) if len(s)]
+                        new_view = pd.concat(sides, ignore_index=True) \
+                            if sides else self._empty_view()
+            finally:
+                if scratch is not None:
+                    shutil.rmtree(scratch, ignore_errors=True)
+            self._write_view(cid, new_view)
+            current, prev_cid = new_view, cid
+        return self.view()
+
+
 class MaterializedExtrema:
     """Grouped MIN/MAX view over a LakeTable, maintained per commit —
     the NON-self-maintainable aggregate family ``MaterializedAgg``
