@@ -1,0 +1,418 @@
+"""Derived lake tables — lake→lake incremental CDC propagation.
+
+A ``DerivedLakeTable`` maintains a downstream :class:`LakeTable` as a
+row-level transform (map / filter / project) of an upstream lake — the
+medallion-chaining primitive (bronze pages → silver clean docs →
+gold rollups) the reference expresses as re-running a whole pipeline
+(reference ``contrib/sql/exporters.py`` re-feeds the full source; here
+each upstream COMMIT propagates as exactly one downstream commit whose
+cost is the upstream commit's write amplification, never table size).
+
+Per upstream manifest commit the maintenance step is:
+
+1. ``plan_commit_diff`` yields the commit's ± snapshot sides (uniform
+   across copy-on-write, merge-on-read and compaction commits — the
+   same plan every matview / index consumes).
+2. One signed ``read_parquet`` of both sides (explicit snapshot schema,
+   so upstream schema evolution null-fills old files in the scanner),
+   bucketed by key hash, then one ``groupby().map_groups`` resolve per
+   bucket: a key is CHANGED iff its (data columns, version, tombstone
+   flag) differ between sides or it appears on only one — untouched
+   keys co-located in a rewritten COW partition cancel exactly and emit
+   nothing, so downstream lineage stays proportional to what actually
+   changed.
+3. Changed live rows feed the user transform IN the resolve task;
+   output rows become ``upsert`` events (the upstream row's version and
+   ``_seq`` propagate, so downstream LWW tie-breaks mirror upstream
+   exactly), rows the transform drops and upstream tombstones become
+   ``delete`` events. The event set commits downstream via
+   ``commit_epoch(epoch=<upstream commit id>)`` — the downstream lake's
+   own exactly-once guard makes the whole chain crash-resumable, and
+   an epoch with zero changes commits empty to advance the cursor.
+
+Transform contract (validated in-task, loud
+:class:`TransformContractError` otherwise): ``transform(df) -> df``
+receives the upstream LIVE rows of the commit's changed keys with the
+upstream target schema (key + data columns, version included), and must
+return at most one row per input key, keys a subset of the input, key
+column present, and the SAME columns for an empty input (standard
+pandas discipline). Row-local determinism is assumed exactly as for
+:class:`~chomper_ray.state.backfill.LakeBackfill` transforms. The
+output data schema is declared up front (``out_schema``) so every
+resolve task emits identically-typed blocks regardless of how many
+upserts vs deletes it carries.
+
+Upstream ``truncate`` propagates as a downstream truncate; commits
+whose previous-version inputs were compacted away route to a full
+resync (transform of the full resolved upstream state plus anti-join
+deletes of downstream-only keys — the same full-recompute fallback the
+matviews use). Because a downstream truncate resets the downstream log
+cursor, the derived table keeps its own atomic cursor file recording
+the last applied upstream commit id; resume takes the max of the two,
+and ``commit_epoch``'s guard backstops any crash between commit and
+cursor write.
+
+Cascading is free by construction: the downstream table is a plain
+``LakeTable``, so matviews, maintained indexes, layouts — or another
+``DerivedLakeTable`` — hang off it unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+from pathlib import Path
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from chomper_ray.stages.merge import (BUCKET_COL, INTERNAL_DELETED,
+                                      INTERNAL_SEQ, stable_bucket)
+from chomper_ray.state import schema as schema_mod
+from chomper_ray.state.lake import (LakeTable, committed_epochs,
+                                    load_manifest,
+                                    materialize_mor_resolved,
+                                    plan_commit_diff)
+
+# seq for engine-synthesized delete events that must beat a stored row
+# carrying the same version (full-resync anti-join deletes): any real
+# propagated _seq is far below this.
+_SYNC_SEQ = 1 << 62
+
+_CURSOR = "_derived_cursor.json"
+
+
+class TransformContractError(ValueError):
+    """The user transform violated the row-local contract (duplicate
+    keys, invented keys, missing key column, or non-DataFrame)."""
+
+
+def _neq(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Null-safe per-row inequality (NaN == NaN)."""
+    both_na = a.isna() & b.isna()
+    na_flip = a.isna() ^ b.isna()
+    diff = (a != b)
+    if diff.dtype != bool:
+        diff = diff.fillna(False).astype(bool)
+    return (~both_na) & (na_flip | diff)
+
+
+def _events_table(frame: pd.DataFrame, ev: pa.Schema) -> pa.Table:
+    """Frame -> typed events table: column-wise ``Array.from_pandas``
+    with the declared type, so all-NA columns become typed nulls and
+    float-NaN artifacts of pandas merges land as NULL int64, never a
+    failed cast; columns the frame lacks null-fill."""
+    cols = []
+    for fld in ev:
+        if fld.name in frame.columns:
+            cols.append(pa.Array.from_pandas(frame[fld.name],
+                                             type=fld.type))
+        else:
+            cols.append(pa.nulls(len(frame), type=fld.type))
+    return pa.table(cols, schema=ev)
+
+
+def _validate_out(out, in_keys: pd.Series, key: str):
+    if not isinstance(out, pd.DataFrame):
+        raise TransformContractError(
+            f"transform must return a pandas DataFrame, got {type(out)}")
+    if key not in out.columns:
+        raise TransformContractError(
+            f"transform output lost the key column {key!r}")
+    if out[key].duplicated().any():
+        dups = out[key][out[key].duplicated()].head(3).tolist()
+        raise TransformContractError(
+            f"transform emitted duplicate keys (e.g. {dups}) — the "
+            "contract is at most one output row per input key")
+    extra = set(out[key]) - set(in_keys)
+    if extra:
+        raise TransformContractError(
+            f"transform invented keys not in its input (e.g. "
+            f"{sorted(extra)[:3]}) — derived rows must map 1:1 onto "
+            "upstream keys")
+
+
+class DerivedLakeTable:
+    """A downstream LakeTable maintained per upstream commit by a
+    row-level transform. See module docstring for the contract.
+
+    ``out_schema``: Arrow schema of the transform's output data columns
+    (must include the key; the upstream version column is appended
+    automatically if the transform does not carry it through).
+    ``lake_kwargs`` configure the downstream table (num_partitions,
+    merge_on_read, ...); key/version are pinned to the upstream's.
+    """
+
+    def __init__(self, upstream: LakeTable, root: str | Path,
+                 transform: Callable[[pd.DataFrame], pd.DataFrame],
+                 out_schema: pa.Schema, *,
+                 lake_kwargs: dict | None = None):
+        self.upstream = upstream
+        self.transform = transform
+        key = upstream.key
+        if key not in out_schema.names:
+            raise ValueError(
+                f"out_schema must include the key column {key!r}")
+        bad = {"op", "seq", BUCKET_COL} & set(out_schema.names)
+        if bad:
+            raise ValueError(
+                f"out_schema may not use envelope column names {sorted(bad)}")
+        self.out_schema = out_schema
+        self.version_col = upstream.version[0]
+        kw = dict(lake_kwargs or {})
+        kw.setdefault("collect_changes", False)
+        self.table = LakeTable(root, key=key,
+                               version=(self.version_col, "seq"), **kw)
+        self.root = Path(root)
+
+    # -- cursor -----------------------------------------------------------
+    def _applied(self) -> int | None:
+        vals = []
+        le = self.table.last_applied_log_epoch()
+        if le is not None:
+            vals.append(int(le))
+        p = self.root / _CURSOR
+        if p.exists():
+            vals.append(int(json.loads(p.read_text())["upstream_cid"]))
+        return max(vals) if vals else None
+
+    def _write_cursor(self, cid: int) -> None:
+        p = self.root / _CURSOR
+        tmp = p.with_suffix(f".{uuid.uuid4().hex[:8]}.tmp")
+        tmp.write_text(json.dumps({"upstream_cid": int(cid)}))
+        os.replace(tmp, p)
+
+    # -- event schema -----------------------------------------------------
+    def _version_type(self, target: pa.Schema) -> pa.DataType:
+        if self.version_col in target.names:
+            return target.field(self.version_col).type
+        return pa.timestamp("us")  # schema-less empty upstream epoch
+
+    def _events_schema(self, version_type: pa.DataType) -> pa.Schema:
+        fields = [pa.field("op", pa.string()), pa.field("seq", pa.int64())]
+        fields += list(self.out_schema)
+        if self.version_col not in self.out_schema.names:
+            fields.append(pa.field(self.version_col, version_type))
+        return pa.schema(fields)
+
+    # -- refresh ----------------------------------------------------------
+    def refresh(self) -> LakeTable:
+        """Apply every unapplied upstream commit in chain order.
+        Idempotent; crash-resumable at any point."""
+        root = self.upstream.root
+        cids = committed_epochs(root)
+        applied = self._applied()
+        prev_cid = None
+        for cid in cids:
+            if applied is not None and cid <= applied:
+                prev_cid = cid
+                continue
+            man = load_manifest(root, cid)
+            if man.get("truncated"):
+                self.table.truncate()
+                self._write_cursor(cid)
+                prev_cid = cid
+                continue
+            prev_man = load_manifest(root, prev_cid) \
+                if prev_cid is not None else None
+            new_files, old_files, missing_old, scratch = plan_commit_diff(
+                self.upstream, man, prev_man, prev_cid, cid,
+                scratch_prefix="chomper_dt_diff_")
+            try:
+                if missing_old:
+                    self._full_sync(cid, man)
+                else:
+                    self._apply_commit(cid, man, new_files, old_files)
+            finally:
+                if scratch is not None:
+                    shutil.rmtree(scratch, ignore_errors=True)
+            self._write_cursor(cid)
+            prev_cid = cid
+        return self.table
+
+    # -- one commit's delta -------------------------------------------------
+    def _apply_commit(self, cid: int, man: dict,
+                      new_files: list[str], old_files: list[str]) -> None:
+        import ray.data as rd
+
+        target = schema_mod.schema_from_json(man["schema"])
+        ev_schema = self._events_schema(self._version_type(target))
+        if not new_files and not old_files:
+            self._commit(cid, None, ev_schema)
+            return
+        read_schema = pa.schema(
+            list(target) + [pa.field(INTERNAL_SEQ, pa.int64()),
+                            pa.field(INTERNAL_DELETED, pa.bool_())])
+        assert not (set(new_files) & set(old_files))
+        signs = {f: 1 for f in new_files}
+        signs.update({f: -1 for f in old_files})
+        key = self.table.key
+        nb = int(man.get("num_partitions") or self.upstream.num_partitions)
+
+        def tag(t: pa.Table) -> pa.Table:
+            side = np.fromiter((signs[p] for p in t["path"].to_pylist()),
+                               dtype=np.int8, count=t.num_rows)
+            t = t.drop_columns(["path"]).append_column(
+                "_side", pa.array(side, type=pa.int8()))
+            b = stable_bucket(t[key], nb)
+            return t.append_column(BUCKET_COL,
+                                   pa.array(b, type=pa.int32()))
+
+        resolve = self._make_resolver(ev_schema, list(target.names))
+        ev = (rd.read_parquet(sorted(signs), schema=read_schema,
+                              include_paths=True)
+              .map_batches(tag, batch_format="pyarrow")
+              .groupby(BUCKET_COL)
+              .map_groups(resolve, batch_format="pandas"))
+        self._commit(cid, ev, ev_schema)
+
+    def _make_resolver(self, ev_schema: pa.Schema, target_names: list[str]):
+        key, vcol = self.table.key, self.version_col
+        transform = self.transform
+        ev_json = schema_mod.schema_to_json(ev_schema)
+        data_cols = [c for c in target_names if c != key]
+
+        def resolve(df: pd.DataFrame) -> pa.Table:
+            ev = schema_mod.schema_from_json(ev_json)
+            new = df[df["_side"] == 1]
+            old = df[df["_side"] == -1]
+            m = new.merge(old, on=key, how="outer",
+                          suffixes=("", "__o"), indicator=True)
+            changed = m["_merge"] != "both"
+            for c in data_cols + [INTERNAL_DELETED]:
+                both = m["_merge"] == "both"
+                changed |= both & _neq(m[c], m[f"{c}__o"])
+            m = m[changed]
+            events: list[pd.DataFrame] = []
+
+            def deletes(sub: pd.DataFrame, ver: pd.Series,
+                        seq: pd.Series) -> pd.DataFrame:
+                d = pd.DataFrame({key: sub[key].to_numpy()})
+                d["op"] = "delete"
+                d["seq"] = seq.to_numpy()
+                d[vcol] = ver.to_numpy()
+                return d
+
+            # old-only keys (tombstone purge / defensive): a live
+            # old row vanishing without a new-side row only happens via
+            # maintenance; emit a superseding delete, skip dead ones
+            only_old = m[m["_merge"] == "right_only"]
+            dead = only_old[INTERNAL_DELETED + "__o"].astype(bool)
+            oo = only_old[~dead]
+            if len(oo):
+                events.append(deletes(
+                    oo, oo[vcol + "__o"],
+                    oo[INTERNAL_SEQ + "__o"].astype("int64") + 1))
+            hasnew = m[m["_merge"] != "right_only"]
+            tomb = hasnew[INTERNAL_DELETED].astype(bool)
+            if tomb.any():
+                t = hasnew[tomb]
+                events.append(deletes(
+                    t, t[vcol], t[INTERNAL_SEQ].astype("int64")))
+            live = hasnew[~tomb]
+            # typed transform input even when empty — dtypes flow from
+            # the snapshot read, so output dtypes are task-invariant
+            inp = live[target_names].reset_index(drop=True)
+            out = transform(inp.copy())
+            _validate_out(out, inp[key], key)
+            meta = live[[key, vcol, INTERNAL_SEQ]].rename(
+                columns={vcol: "__ver", INTERNAL_SEQ: "__seq"})
+            ups = out.merge(meta, on=key, how="left")
+            ups["op"] = "upsert"
+            ups["seq"] = ups.pop("__seq").astype("int64")
+            if vcol not in out.columns:
+                ups[vcol] = ups["__ver"]
+            ups = ups.drop(columns=["__ver"], errors="ignore")
+            events.append(ups)
+            dropped = meta[~meta[key].isin(out[key])]
+            if len(dropped):
+                events.append(deletes(dropped, dropped["__ver"],
+                                      dropped["__seq"].astype("int64")))
+            tbls = [_events_table(f, ev) for f in events if len(f)]
+            return pa.concat_tables(tbls) if tbls else ev.empty_table()
+
+        return resolve
+
+    # -- fallbacks ----------------------------------------------------------
+    def _full_sync(self, cid: int, man: dict) -> None:
+        """Full resync at ``man`` (GC'd diff inputs): transform the full
+        resolved upstream state, anti-join deletes for downstream-only
+        keys. O(table) by necessity — the same fallback class as matview
+        full recomputes."""
+        import ray.data as rd
+
+        target = schema_mod.schema_from_json(man["schema"])
+        ev_schema = self._events_schema(self._version_type(target))
+        key, vcol = self.table.key, self.version_col
+        scratch = tempfile.mkdtemp(prefix="chomper_dt_full_")
+        try:
+            files = materialize_mor_resolved(
+                self.upstream.root, man, self.upstream._mor_kwargs(),
+                scratch)
+            ev_json = schema_mod.schema_to_json(ev_schema)
+            tnames = list(target.names)
+            transform = self.transform
+
+            def upserts(df: pd.DataFrame) -> pa.Table:
+                ev = schema_mod.schema_from_json(ev_json)
+                live = df[~df[INTERNAL_DELETED].astype(bool)]
+                inp = live[tnames].reset_index(drop=True)
+                out = transform(inp.copy())
+                _validate_out(out, inp[key], key)
+                meta = live[[key, vcol, INTERNAL_SEQ]].rename(
+                    columns={vcol: "__ver", INTERNAL_SEQ: "__seq"})
+                ups = out.merge(meta, on=key, how="left")
+                ups["op"] = "upsert"
+                ups["seq"] = ups.pop("__seq").astype("int64")
+                if vcol not in out.columns:
+                    ups[vcol] = ups["__ver"]
+                ups = ups.drop(columns=["__ver"], errors="ignore")
+                return _events_table(ups, ev)
+
+            if files:
+                read_schema = pa.schema(
+                    list(target) + [pa.field(INTERNAL_SEQ, pa.int64()),
+                                    pa.field(INTERNAL_DELETED, pa.bool_())])
+                ups_ds = rd.read_parquet(files, schema=read_schema) \
+                    .map_batches(upserts, batch_format="pandas") \
+                    .materialize()
+                up_keys = set(
+                    ups_ds.select_columns([key]).to_pandas()[key])
+            else:
+                ups_ds, up_keys = None, set()
+            # downstream-only live keys -> superseding deletes
+            if self.table.last_committed_epoch() is not None:
+                dk = self.table.read(columns=[key, vcol]).to_pandas()
+            else:
+                dk = pd.DataFrame(columns=[key, vcol])
+            gone = dk[~dk[key].isin(up_keys)]
+            parts = []
+            if ups_ds is not None:
+                parts.append(ups_ds)
+            if len(gone):
+                d = pd.DataFrame({key: gone[key].to_numpy()})
+                d["op"] = "delete"
+                d["seq"] = np.int64(_SYNC_SEQ)
+                d[vcol] = gone[vcol].to_numpy()
+                parts.append(rd.from_arrow(_events_table(d, ev_schema)))
+            ds = None
+            if len(parts) == 1:
+                ds = parts[0]
+            elif parts:
+                ds = parts[0].union(*parts[1:])
+            self._commit(cid, ds, ev_schema)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    # -- commit -------------------------------------------------------------
+    def _commit(self, cid: int, ev_ds, ev_schema: pa.Schema) -> None:
+        import ray.data as rd
+
+        if ev_ds is None:
+            ev_ds = rd.from_arrow(ev_schema.empty_table())
+        self.table.commit_epoch(ev_ds, cid, schema_hint=ev_schema)

@@ -846,6 +846,31 @@ def materialize_mor_commit_diff(root, man: dict, prev_man: dict | None,
     return ([f for f in stats["new"] if f], [f for f in stats["old"] if f])
 
 
+def _chain_start_self_contained(man: dict, cid: int) -> bool:
+    """With no previous manifest available, True iff every byte of
+    state at ``man`` was produced by commit ``cid`` itself — a genuine
+    chain-first ingest commit. False for a GC survivor with amputated
+    history: a maintenance commit (repartition / purge / backfill /
+    delta compaction — all rewrite PRE-EXISTING state), a partition
+    whose base file or delta chain predates this commit, or a base
+    file this commit's lineage didn't write. Derived consumers must
+    route False to their full-recompute fallback instead of folding
+    the commit's touched partitions as if they were the whole table."""
+    if man.get("truncated"):
+        return True  # empty state — nothing amputated
+    if any(k in man for k in ("repartitioned_from", "purged_tombstones",
+                              "compacted_delta_partitions", "backfill")):
+        return False
+    touched = {int(ln["partition_id"]) for ln in man.get("lineage", [])}
+    for p, v in man.get("partitions", {}).items():
+        deltas = v.get("deltas", [])
+        if any(d.get("commit_id") != cid for d in deltas):
+            return False
+        if v.get("file") and (int(p) not in touched or deltas):
+            return False
+    return True
+
+
 def plan_commit_diff(lake, man: dict, prev_man: dict | None,
                      prev_cid: int | None, cid: int,
                      scratch_prefix: str = "chomper_diff_"):
@@ -861,11 +886,17 @@ def plan_commit_diff(lake, man: dict, prev_man: dict | None,
     import tempfile
 
     root = lake.root
+    # no previous manifest: fine at a genuine chain start, a
+    # full-recompute trigger when earlier manifests were GC'd away
+    # (lake.compact removes old manifests, so the first RETAINED
+    # commit is not necessarily the first commit)
+    no_history = prev_man is None and (
+        prev_cid is not None or not _chain_start_self_contained(man, cid))
     if is_compaction_manifest(man):
-        return [], [], (prev_man is None and prev_cid is not None), None
+        return [], [], no_history, None
     mor_pids = mor_commit_delta_pids(man, cid)
     if mor_pids:
-        missing_old = (prev_man is None and prev_cid is not None) \
+        missing_old = no_history \
             or not mor_diff_inputs_exist(root, man, prev_man, cid)
         if missing_old:
             return [], [], True, None
@@ -879,7 +910,7 @@ def plan_commit_diff(lake, man: dict, prev_man: dict | None,
                  for p in touched
                  if man["partitions"].get(str(p), {}).get("file")]
     old_files = []
-    missing_old = prev_man is None and prev_cid is not None
+    missing_old = no_history
     if prev_man is not None:
         for p in touched:
             part = prev_man["partitions"].get(str(p))
