@@ -150,6 +150,21 @@ def main(argv=None):
                     help="fold all live segments into one full segment "
                          "after applying (restores the no-resolve scan)")
 
+    dv = sub.add_parser(
+        "derive",
+        help="maintain a downstream derived lake (filter+project of the "
+             "upstream lake), one exactly-once downstream commit per "
+             "unapplied upstream commit")
+    dv.add_argument("--lake-root", required=True, help="upstream lake")
+    dv.add_argument("--derived-root", required=True,
+                    help="downstream lake storage (plus cursor file)")
+    dv.add_argument("--transform", choices=["clean-docs"],
+                    default="clean-docs",
+                    help="clean-docs: keep fetch_status==200 rows, "
+                         "project url/lang/n_chars")
+    dv.add_argument("--num-partitions", type=int, default=None,
+                    help="downstream partition count (first run only)")
+
     bf = sub.add_parser(
         "backfill",
         help="chunked in-place reprocess of lake history through a "
@@ -469,6 +484,46 @@ def main(argv=None):
         res = LakeTable(args.lake_root).prune_change_events(
             args.before_epoch)
         print(json.dumps(res))
+        return 0
+
+    if args.cmd == "derive":
+        _ray_init()
+        import pandas as pd
+        import pyarrow as pa
+
+        from chomper_ray.state.derivedtable import DerivedLakeTable
+        from chomper_ray.state.lake import LakeTable, committed_epochs
+
+        def clean_docs(df: pd.DataFrame) -> pd.DataFrame:
+            keep = df[df["fetch_status"] == 200]
+            return pd.DataFrame({
+                "url": keep["url"],
+                "lang": keep["lang"],
+                "n_chars": keep["text"].fillna("")
+                .str.len().astype("int64"),
+            })
+
+        out_schema = pa.schema([("url", pa.string()),
+                                ("lang", pa.string()),
+                                ("n_chars", pa.int64())])
+        kw = {"num_partitions": args.num_partitions} \
+            if args.num_partitions else {}
+        dt = DerivedLakeTable(LakeTable(args.lake_root),
+                              args.derived_root, clean_docs, out_schema,
+                              lake_kwargs=kw)
+        before = set(committed_epochs(dt.table.root))
+        dt.refresh()
+        after = committed_epochs(dt.table.root)
+        live = dt.table.read_pandas(columns=["url"])
+        print(json.dumps({
+            "commits_applied": sorted(set(after) - before),
+            "derived_commits": len(after),
+            "upstream_cursor": dt._applied(),
+            "live_rows": int(len(live)),
+        }))
+        import ray
+
+        ray.shutdown()
         return 0
 
     if args.cmd == "backfill":
