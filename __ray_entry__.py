@@ -1727,6 +1727,56 @@ def _q_cdc_derived_docs(sf_dir: str):
                                        "warc_ts"])
 
 
+def _q_cdc_derived_chunks(sf_dir: str):
+    # 1→N lake→lake derivation (ExplodedLakeTable): a downstream CHUNK
+    # table (fixed 120-char windows, chunk_id = url#i) maintained per
+    # upstream commit with NO stored chunk-count state — stale chunks
+    # of shrunk/deleted/filtered-out pages are found by re-running the
+    # deterministic transform on the diff's old side (derivedtable.py).
+    # Hash-verified against the SQL LWW replay exploded via
+    # generate_series.
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.state.derivedtable import ExplodedLakeTable
+    from chomper_ray.state.lake import LakeTable
+
+    import numpy as np
+    import pyarrow as pa
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_ch_")
+    run_cdc(log, lake_root, num_partitions=8)
+    lake = LakeTable(lake_root, num_partitions=8)
+    W = 120
+
+    def chunker(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["fetch_status"] == 200]
+        text = keep["text"].fillna("")
+        lens = text.str.len().to_numpy()
+        mask = lens > 0
+        keep, text, lens = keep[mask], text[mask], lens[mask]
+        n = -(-lens // W)  # ceil
+        urls = np.repeat(keep["url"].to_numpy(), n)
+        idx = np.concatenate([np.arange(k) for k in n]) \
+            if len(n) else np.array([], dtype=np.int64)
+        texts = np.repeat(text.to_numpy(), n)
+        chunk = [t[i * W:(i + 1) * W] for t, i in zip(texts, idx)]
+        return pd.DataFrame({
+            "chunk_id": [f"{u}#{i}" for u, i in zip(urls, idx)],
+            "url": urls, "chunk_text": chunk,
+        })
+
+    out_schema = pa.schema([("chunk_id", pa.string()),
+                            ("url", pa.string()),
+                            ("chunk_text", pa.string())])
+    dt = ExplodedLakeTable(
+        lake, tempfile.mkdtemp(prefix="chomper_ray_chunks_"),
+        chunker, out_schema, derived_key="chunk_id",
+        lake_kwargs={"num_partitions": 5})
+    dt.refresh()
+    return dt.table.read(columns=["chunk_id", "url", "chunk_text",
+                                  "warc_ts"])
+
+
 def _q_cdc_matview_windows(sf_dir: str):
     # time-WINDOWED incremental view maintenance: the per-(domain,
     # 1-hour tumbling window) rollup maintained COMMIT BY COMMIT —
@@ -2938,6 +2988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # never driver-hash-checked, oracle-backed (window [0:50])
         "cdc_derived_docs": _q_cdc_derived_docs,
+        "cdc_derived_chunks": _q_cdc_derived_chunks,
         "chunk_windows": _q_chunk_windows,
         "profile_lineitem": _q_profile_lineitem,
         "outer_join": _q_outer_join,
@@ -3293,6 +3344,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, lang, "
             "CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars, "
             "warc_ts FROM st WHERE fetch_status = 200"
+        ),
+        "cdc_derived_chunks": (
+            # exploded derivation: the chunk lake must equal the LWW
+            # state chunked into 120-char windows (chunk_id = url#i)
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            f"sidecar AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/_oracle/*.parquet')), "
+            "docs AS (SELECT w.url, w.warc_ts, s.text FROM win w "
+            "JOIN sidecar s USING (seq) WHERE w.fetch_status = 200 "
+            "AND length(coalesce(s.text, '')) > 0), "
+            "ex AS (SELECT url, warc_ts, text, unnest(generate_series("
+            "0, CAST(ceil(length(text) / 120.0) AS BIGINT) - 1)) AS i "
+            "FROM docs) "
+            "SELECT url || '#' || CAST(i AS VARCHAR) AS chunk_id, url, "
+            "substr(text, CAST(i * 120 + 1 AS BIGINT), 120) "
+            "AS chunk_text, warc_ts FROM ex"
         ),
         "cdc_matview_domains": (
             f"WITH ev AS (SELECT * FROM read_parquet("

@@ -253,6 +253,7 @@ class LakeBackfill:
             "epoch": epoch, "key": lake.key,
             # maintenance: the binlog cursor passes through untouched
             "log_epoch": head.get("log_epoch", head.get("epoch")),
+            "prev_epoch": head.get("epoch"),
             "num_partitions": head.get("num_partitions",
                                        lake.num_partitions),
             "schema": target_json,

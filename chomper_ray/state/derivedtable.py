@@ -251,7 +251,7 @@ class DerivedLakeTable:
         assert not (set(new_files) & set(old_files))
         signs = {f: 1 for f in new_files}
         signs.update({f: -1 for f in old_files})
-        key = self.table.key
+        key = self.upstream.key  # diff is bucketed by the UPSTREAM key
         nb = int(man.get("num_partitions") or self.upstream.num_partitions)
 
         def tag(t: pa.Table) -> pa.Table:
@@ -272,71 +272,98 @@ class DerivedLakeTable:
         self._commit(cid, ev, ev_schema)
 
     def _make_resolver(self, ev_schema: pa.Schema, target_names: list[str]):
-        key, vcol = self.table.key, self.version_col
-        transform = self.transform
+        ukey = self.upstream.key
         ev_json = schema_mod.schema_to_json(ev_schema)
-        data_cols = [c for c in target_names if c != key]
+        data_cols = [c for c in target_names if c != ukey]
+        emit = self._emit_events  # bound method; self ships by value
 
         def resolve(df: pd.DataFrame) -> pa.Table:
             ev = schema_mod.schema_from_json(ev_json)
             new = df[df["_side"] == 1]
             old = df[df["_side"] == -1]
-            m = new.merge(old, on=key, how="outer",
+            m = new.merge(old, on=ukey, how="outer",
                           suffixes=("", "__o"), indicator=True)
             changed = m["_merge"] != "both"
             for c in data_cols + [INTERNAL_DELETED]:
                 both = m["_merge"] == "both"
                 changed |= both & _neq(m[c], m[f"{c}__o"])
             m = m[changed]
-            events: list[pd.DataFrame] = []
-
-            def deletes(sub: pd.DataFrame, ver: pd.Series,
-                        seq: pd.Series) -> pd.DataFrame:
-                d = pd.DataFrame({key: sub[key].to_numpy()})
-                d["op"] = "delete"
-                d["seq"] = seq.to_numpy()
-                d[vcol] = ver.to_numpy()
-                return d
-
             # old-only keys (tombstone purge / defensive): a live
             # old row vanishing without a new-side row only happens via
             # maintenance; emit a superseding delete, skip dead ones
             only_old = m[m["_merge"] == "right_only"]
-            dead = only_old[INTERNAL_DELETED + "__o"].astype(bool)
-            oo = only_old[~dead]
-            if len(oo):
-                events.append(deletes(
-                    oo, oo[vcol + "__o"],
-                    oo[INTERNAL_SEQ + "__o"].astype("int64") + 1))
+            oo = only_old[
+                ~only_old[INTERNAL_DELETED + "__o"].astype(bool)]
             hasnew = m[m["_merge"] != "right_only"]
-            tomb = hasnew[INTERNAL_DELETED].astype(bool)
-            if tomb.any():
-                t = hasnew[tomb]
-                events.append(deletes(
-                    t, t[vcol], t[INTERNAL_SEQ].astype("int64")))
-            live = hasnew[~tomb]
-            # typed transform input even when empty — dtypes flow from
-            # the snapshot read, so output dtypes are task-invariant
-            inp = live[target_names].reset_index(drop=True)
-            out = transform(inp.copy())
-            _validate_out(out, inp[key], key)
-            meta = live[[key, vcol, INTERNAL_SEQ]].rename(
-                columns={vcol: "__ver", INTERNAL_SEQ: "__seq"})
-            ups = out.merge(meta, on=key, how="left")
-            ups["op"] = "upsert"
-            ups["seq"] = ups.pop("__seq").astype("int64")
-            if vcol not in out.columns:
-                ups[vcol] = ups["__ver"]
-            ups = ups.drop(columns=["__ver"], errors="ignore")
-            events.append(ups)
-            dropped = meta[~meta[key].isin(out[key])]
-            if len(dropped):
-                events.append(deletes(dropped, dropped["__ver"],
-                                      dropped["__seq"].astype("int64")))
+            tomb_mask = hasnew[INTERNAL_DELETED].astype(bool)
+            tomb, live = hasnew[tomb_mask], hasnew[~tomb_mask]
+            events = emit(live, tomb, oo, target_names)
             tbls = [_events_table(f, ev) for f in events if len(f)]
             return pa.concat_tables(tbls) if tbls else ev.empty_table()
 
         return resolve
+
+    def _emit_events(self, live: pd.DataFrame, tomb: pd.DataFrame,
+                     oo: pd.DataFrame,
+                     target_names: list[str]) -> list[pd.DataFrame]:
+        """Build event frames from one bucket's changed keys:
+        ``live`` = new-side live rows, ``tomb`` = new-side tombstones,
+        ``oo`` = old-side-only live rows (all carrying the merged
+        ``__o`` columns). Subclasses override for other cardinalities."""
+        key, vcol = self.table.key, self.version_col
+        events: list[pd.DataFrame] = []
+
+        def deletes(sub: pd.DataFrame, ver: pd.Series,
+                    seq: pd.Series) -> pd.DataFrame:
+            d = pd.DataFrame({key: sub[key].to_numpy()})
+            d["op"] = "delete"
+            d["seq"] = seq.to_numpy()
+            d[vcol] = ver.to_numpy()
+            return d
+
+        if len(oo):
+            events.append(deletes(
+                oo, oo[vcol + "__o"],
+                oo[INTERNAL_SEQ + "__o"].astype("int64") + 1))
+        if len(tomb):
+            events.append(deletes(
+                tomb, tomb[vcol], tomb[INTERNAL_SEQ].astype("int64")))
+        # typed transform input even when empty — dtypes flow from
+        # the snapshot read, so output dtypes are task-invariant
+        inp = live[target_names].reset_index(drop=True)
+        out = self.transform(inp.copy())
+        _validate_out(out, inp[key], key)
+        meta = live[[key, vcol, INTERNAL_SEQ]].rename(
+            columns={vcol: "__ver", INTERNAL_SEQ: "__seq"})
+        ups = out.merge(meta, on=key, how="left")
+        ups["op"] = "upsert"
+        ups["seq"] = ups.pop("__seq").astype("int64")
+        if vcol not in out.columns:
+            ups[vcol] = ups["__ver"]
+        ups = ups.drop(columns=["__ver"], errors="ignore")
+        events.append(ups)
+        dropped = meta[~meta[key].isin(out[key])]
+        if len(dropped):
+            events.append(deletes(dropped, dropped["__ver"],
+                                  dropped["__seq"].astype("int64")))
+        return events
+
+    def _full_upserts_frame(self, live: pd.DataFrame,
+                            target_names: list[str]) -> pd.DataFrame:
+        """Upsert events for a batch of resolved live upstream rows —
+        the full-resync twin of ``_emit_events``'s live path."""
+        key, vcol = self.table.key, self.version_col
+        inp = live[target_names].reset_index(drop=True)
+        out = self.transform(inp.copy())
+        _validate_out(out, inp[key], key)
+        meta = live[[key, vcol, INTERNAL_SEQ]].rename(
+            columns={vcol: "__ver", INTERNAL_SEQ: "__seq"})
+        ups = out.merge(meta, on=key, how="left")
+        ups["op"] = "upsert"
+        ups["seq"] = ups.pop("__seq").astype("int64")
+        if vcol not in out.columns:
+            ups[vcol] = ups["__ver"]
+        return ups.drop(columns=["__ver"], errors="ignore")
 
     # -- fallbacks ----------------------------------------------------------
     def _full_sync(self, cid: int, man: dict) -> None:
@@ -356,23 +383,12 @@ class DerivedLakeTable:
                 scratch)
             ev_json = schema_mod.schema_to_json(ev_schema)
             tnames = list(target.names)
-            transform = self.transform
+            mk_ups = self._full_upserts_frame  # bound; self ships by value
 
             def upserts(df: pd.DataFrame) -> pa.Table:
                 ev = schema_mod.schema_from_json(ev_json)
                 live = df[~df[INTERNAL_DELETED].astype(bool)]
-                inp = live[tnames].reset_index(drop=True)
-                out = transform(inp.copy())
-                _validate_out(out, inp[key], key)
-                meta = live[[key, vcol, INTERNAL_SEQ]].rename(
-                    columns={vcol: "__ver", INTERNAL_SEQ: "__seq"})
-                ups = out.merge(meta, on=key, how="left")
-                ups["op"] = "upsert"
-                ups["seq"] = ups.pop("__seq").astype("int64")
-                if vcol not in out.columns:
-                    ups[vcol] = ups["__ver"]
-                ups = ups.drop(columns=["__ver"], errors="ignore")
-                return _events_table(ups, ev)
+                return _events_table(mk_ups(live, tnames), ev)
 
             if files:
                 read_schema = pa.schema(
@@ -416,3 +432,150 @@ class DerivedLakeTable:
         if ev_ds is None:
             ev_ds = rd.from_arrow(ev_schema.empty_table())
         self.table.commit_epoch(ev_ds, cid, schema_hint=ev_schema)
+
+
+def _validate_exploded(out, in_keys: pd.Series, ukey: str, dkey: str):
+    if not isinstance(out, pd.DataFrame):
+        raise TransformContractError(
+            f"transform must return a pandas DataFrame, got {type(out)}")
+    for c in (ukey, dkey):
+        if c not in out.columns:
+            raise TransformContractError(
+                f"exploded transform output must carry both the "
+                f"upstream key {ukey!r} and the derived key {dkey!r}; "
+                f"missing {c!r}")
+    if out[dkey].isna().any():
+        raise TransformContractError("derived key may not be null")
+    if out[dkey].duplicated().any():
+        dups = out[dkey][out[dkey].duplicated()].head(3).tolist()
+        raise TransformContractError(
+            f"duplicate derived keys (e.g. {dups}) — derived keys must "
+            "be unique (embed the upstream key, e.g. url + '#' + i)")
+    extra = set(out[ukey]) - set(in_keys)
+    if extra:
+        raise TransformContractError(
+            f"transform invented upstream keys (e.g. "
+            f"{sorted(extra)[:3]}) — derived rows must map onto "
+            "upstream keys")
+
+
+class ExplodedLakeTable(DerivedLakeTable):
+    """1→N derived lake: each upstream row explodes into ANY number of
+    downstream rows keyed by a DERIVED key — the chunk/passage-table
+    primitive (page → fixed-size text chunks for training/retrieval),
+    maintained per upstream commit like :class:`DerivedLakeTable`.
+
+    ``transform(df) -> df`` receives the changed upstream live rows and
+    returns any number of rows per input key; the output must carry
+    BOTH the upstream key (provenance + version mapping) and
+    ``derived_key`` (the downstream lake key — must embed the upstream
+    key so rows of different upstream keys can never collide, e.g.
+    ``url + '#' + chunk_index``). Deletes need no stored chunk-count
+    state: the deterministic transform is re-run on the diff's OLD live
+    rows, and old derived keys absent from the new output become
+    delete events (an upstream delete or shrink removes exactly its
+    stale chunks). Versions/_seq propagate from the upstream row to
+    every one of its derived rows.
+    """
+
+    def __init__(self, upstream: LakeTable, root: str | Path,
+                 transform: Callable[[pd.DataFrame], pd.DataFrame],
+                 out_schema: pa.Schema, *, derived_key: str,
+                 lake_kwargs: dict | None = None):
+        super().__init__(upstream, root, transform, out_schema,
+                         lake_kwargs=lake_kwargs)
+        if derived_key not in out_schema.names:
+            raise ValueError(
+                f"out_schema must include derived_key {derived_key!r}")
+        if derived_key == upstream.key:
+            raise ValueError(
+                "derived_key must differ from the upstream key — use "
+                "DerivedLakeTable for 1:1 derivation")
+        self.derived_key = derived_key
+        kw = dict(lake_kwargs or {})
+        kw.setdefault("collect_changes", False)
+        self.table = LakeTable(root, key=derived_key,
+                               version=(self.version_col, "seq"), **kw)
+
+    def _emit_events(self, live: pd.DataFrame, tomb: pd.DataFrame,
+                     oo: pd.DataFrame,
+                     target_names: list[str]) -> list[pd.DataFrame]:
+        ukey, vcol, dkey = self.upstream.key, self.version_col, \
+            self.derived_key
+        # new-side derived rows (changed live upstream rows only)
+        inp_new = live[target_names].reset_index(drop=True)
+        out_new = self.transform(inp_new.copy())
+        _validate_exploded(out_new, inp_new[ukey], ukey, dkey)
+        # old-side derived rows: re-run the deterministic transform on
+        # every changed key's previous LIVE row (from live updates,
+        # new tombstones, and old-only maintenance rows alike)
+        olds = []
+        for sub in (live, tomb):
+            if len(sub):
+                o = sub[sub["_merge"] == "both"]
+                o = o[~o[INTERNAL_DELETED + "__o"].astype(bool)]
+                if len(o):
+                    olds.append(o)
+        if len(oo):
+            olds.append(oo)
+        if olds:
+            old_all = pd.concat(olds, ignore_index=True, sort=False)
+        else:
+            old_all = live.head(0)
+        # the merge key carries no suffix; data columns live under __o
+        inp_old = pd.DataFrame({ukey: old_all[ukey].to_numpy()})
+        for c in target_names:
+            if c != ukey:
+                inp_old[c] = old_all[f"{c}__o"].to_numpy()
+        inp_old = inp_old[target_names].reset_index(drop=True)
+        out_old = self.transform(inp_old.copy())
+        _validate_exploded(out_old, inp_old[ukey], ukey, dkey)
+        # per-upstream-key (version, seq) at which this change happened
+        vmaps = []
+        for sub in (live, tomb):
+            if len(sub):
+                vmaps.append(pd.DataFrame({
+                    ukey: sub[ukey].to_numpy(),
+                    "__ver": sub[vcol].to_numpy(),
+                    "__seq": sub[INTERNAL_SEQ].astype("int64").to_numpy(),
+                }))
+        if len(oo):
+            vmaps.append(pd.DataFrame({
+                ukey: oo[ukey].to_numpy(),
+                "__ver": oo[vcol + "__o"].to_numpy(),
+                "__seq": oo[INTERNAL_SEQ + "__o"].astype("int64")
+                .to_numpy() + 1,
+            }))
+        vmap = pd.concat(vmaps, ignore_index=True) if vmaps else \
+            pd.DataFrame(columns=[ukey, "__ver", "__seq"])
+        events: list[pd.DataFrame] = []
+        ups = out_new.merge(vmap, on=ukey, how="left")
+        ups["op"] = "upsert"
+        ups["seq"] = ups.pop("__seq").astype("int64")
+        if vcol not in out_new.columns:
+            ups[vcol] = ups["__ver"]
+        events.append(ups.drop(columns=["__ver"], errors="ignore"))
+        stale = out_old[~out_old[dkey].isin(out_new[dkey])]
+        if len(stale):
+            d = stale[[dkey, ukey]].merge(vmap, on=ukey, how="left")
+            d["op"] = "delete"
+            d["seq"] = d.pop("__seq").astype("int64")
+            d[vcol] = d.pop("__ver")
+            events.append(d)
+        return events
+
+    def _full_upserts_frame(self, live: pd.DataFrame,
+                            target_names: list[str]) -> pd.DataFrame:
+        ukey, vcol, dkey = self.upstream.key, self.version_col, \
+            self.derived_key
+        inp = live[target_names].reset_index(drop=True)
+        out = self.transform(inp.copy())
+        _validate_exploded(out, inp[ukey], ukey, dkey)
+        meta = live[[ukey, vcol, INTERNAL_SEQ]].rename(
+            columns={vcol: "__ver", INTERNAL_SEQ: "__seq"})
+        ups = out.merge(meta, on=ukey, how="left")
+        ups["op"] = "upsert"
+        ups["seq"] = ups.pop("__seq").astype("int64")
+        if vcol not in out.columns:
+            ups[vcol] = ups["__ver"]
+        return ups.drop(columns=["__ver"], errors="ignore")

@@ -850,12 +850,20 @@ def _chain_start_self_contained(man: dict, cid: int) -> bool:
     """With no previous manifest available, True iff every byte of
     state at ``man`` was produced by commit ``cid`` itself — a genuine
     chain-first ingest commit. False for a GC survivor with amputated
-    history: a maintenance commit (repartition / purge / backfill /
-    delta compaction — all rewrite PRE-EXISTING state), a partition
-    whose base file or delta chain predates this commit, or a base
-    file this commit's lineage didn't write. Derived consumers must
-    route False to their full-recompute fallback instead of folding
-    the commit's touched partitions as if they were the whole table."""
+    history. Derived consumers must route False to their full-recompute
+    fallback instead of folding the commit's touched partitions as if
+    they were the whole table.
+
+    Manifests record their chain parent (``prev_epoch``, None at a
+    genuine start) — exact. Pre-``prev_epoch`` manifests fall back to a
+    metadata heuristic: a maintenance commit (repartition / purge /
+    backfill / delta compaction — all rewrite PRE-EXISTING state), a
+    partition whose base file or delta chain predates this commit, or
+    a base file this commit's lineage didn't write all prove amputated
+    history (the heuristic cannot catch an ingest commit that happened
+    to rewrite every live partition; ``prev_epoch`` can)."""
+    if "prev_epoch" in man:
+        return man["prev_epoch"] is None
     if man.get("truncated"):
         return True  # empty state — nothing amputated
     if any(k in man for k in ("repartitioned_from", "purged_tombstones",
@@ -1424,6 +1432,7 @@ class LakeTable:
             "log_epoch": epoch if log_epoch_override is None
             else log_epoch_override,
             "key": self.key,
+            "prev_epoch": (prev or {}).get("epoch"),
             "num_partitions": self.num_partitions,
             "schema": schema_json,
             "commit_ts_us": commit_ts_us,
@@ -1544,6 +1553,7 @@ class LakeTable:
 
         partitions = dict(prev_parts)
         delta_commits = dict((prev or {}).get("delta_commits") or {})
+        last_cid = (prev or {}).get("epoch")
         for e, target in plan:
             es = stats[stats["epoch"] == e] if len(stats) else stats
             lineage = []
@@ -1575,6 +1585,7 @@ class LakeTable:
                 "epoch": cids[e],
                 "log_epoch": e,
                 "key": self.key,
+                "prev_epoch": last_cid,
                 "num_partitions": self.num_partitions,
                 "schema": schema_mod.schema_to_json(target),
                 "commit_ts_us": ts(e),
@@ -1588,6 +1599,7 @@ class LakeTable:
                     "commit_ts_us": ts(e), "log_epoch": e}
                 manifest["merge_on_read"] = True
                 manifest["delta_commits"] = dict(delta_commits)
+            last_cid = cids[e]  # chain parent for the next manifest
             if not _commit_manifest_exclusive(
                     _manifest_path(self.root, cids[e]), manifest):
                 # lost the race to a concurrent runner: epoch already
@@ -2061,6 +2073,7 @@ class LakeTable:
             "epoch": epoch,
             "log_epoch": None,
             "key": self.key,
+            "prev_epoch": (prev or {}).get("epoch"),
             "num_partitions": (prev or {}).get("num_partitions",
                                                self.num_partitions),
             "schema": (prev or {}).get("schema", []),
@@ -2189,6 +2202,7 @@ class LakeTable:
             "epoch": epoch, "key": self.key,
             # the binlog cursor passes through maintenance untouched
             "log_epoch": prev.get("log_epoch", prev.get("epoch")),
+            "prev_epoch": prev.get("epoch"),
             "num_partitions": prev.get("num_partitions",
                                        self.num_partitions),
             "schema": prev["schema"],
@@ -2311,6 +2325,7 @@ class LakeTable:
             "epoch": epoch, "key": self.key,
             # the binlog cursor passes through maintenance untouched
             "log_epoch": prev.get("log_epoch", prev.get("epoch")),
+            "prev_epoch": prev.get("epoch"),
             # inherit the previous manifest's count (like truncate) — a
             # maintenance commit must never re-declare the layout
             "num_partitions": prev.get("num_partitions", self.num_partitions),
@@ -2575,6 +2590,7 @@ class LakeTable:
         manifest = {
             "epoch": epoch, "key": self.key,
             "log_epoch": prev.get("log_epoch", prev.get("epoch")),
+            "prev_epoch": prev.get("epoch"),
             "num_partitions": new_nb,
             "schema": prev["schema"],
             "commit_ts_us": 1_600_000_000_000_000 + epoch * 1_000_000,
