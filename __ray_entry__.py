@@ -1689,6 +1689,33 @@ def _q_cdc_matview_domains(sf_dir: str):
                                 "sum_n_chars": "total_chars"})
 
 
+def _q_cdc_outbound_roundtrip(sf_dir: str):
+    # outbound CDC: the lake's per-commit changes exported as Debezium
+    # envelopes (state/outbound.py — the exact wire format the engine's
+    # own envelope SOURCE ingests), then RE-INGESTED into a fresh lake
+    # via run_cdc(source=envelopes). The roundtrip lake must hash-equal
+    # the flagship LWW oracle — proving the export carries every
+    # change (ops, versions, seq tie-breaks, evolution epochs) and
+    # nothing else. Consume + produce on the same bus format closes
+    # the CDC loop.
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.sources import envelopes
+    from chomper_ray.state.lake import LakeTable
+    from chomper_ray.state.outbound import LakeChangeExporter
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_ob_")
+    run_cdc(log, lake_root, num_partitions=8)
+    lake = LakeTable(lake_root, num_partitions=8)
+    bus = tempfile.mkdtemp(prefix="chomper_ray_bus_")
+    LakeChangeExporter(lake, bus).export()
+    re_root = tempfile.mkdtemp(prefix="chomper_ray_lake_re_")
+    run_cdc(bus, re_root, num_partitions=8, source=envelopes)
+    return LakeTable(re_root, num_partitions=8).read(
+        columns=["url", "warc_ts", "lang", "fetch_status", "text",
+                 "extra_score"])
+
+
 def _q_cdc_derived_docs(sf_dir: str):
     # lake→lake incremental CDC propagation (medallion chaining): a
     # DerivedLakeTable maintains a downstream "clean docs" lake as a
@@ -2989,6 +3016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never driver-hash-checked, oracle-backed (window [0:50])
         "cdc_derived_docs": _q_cdc_derived_docs,
         "cdc_derived_chunks": _q_cdc_derived_chunks,
+        "cdc_outbound_roundtrip": _q_cdc_outbound_roundtrip,
         "chunk_windows": _q_chunk_windows,
         "profile_lineitem": _q_profile_lineitem,
         "outer_join": _q_outer_join,
@@ -3284,6 +3312,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM win w JOIN sidecar s USING (seq)"
         ),
         "cdc_upsert_pages": (
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            f"sidecar AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/_oracle/*.parquet')) "
+            "SELECT w.url, w.warc_ts, w.lang, "
+            "CAST(w.fetch_status AS BIGINT) AS fetch_status, "
+            "s.text AS text, w.extra_score "
+            "FROM win w JOIN sidecar s USING (seq)"
+        ),
+        # export → envelope bus → re-ingest must reproduce the LWW
+        # state: identical oracle to cdc_upsert_pages by design
+        "cdc_outbound_roundtrip": (
             f"WITH ev AS (SELECT * FROM read_parquet("
             f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
             "win AS (SELECT * FROM (SELECT *, row_number() OVER ("

@@ -150,6 +150,18 @@ def main(argv=None):
                     help="fold all live segments into one full segment "
                          "after applying (restores the no-resolve scan)")
 
+    ob = sub.add_parser(
+        "export-changes",
+        help="outbound CDC: export every unexported lake commit as "
+             "Debezium-style envelope epochs (the same wire format "
+             "run-cdc --source envelope ingests)")
+    ob.add_argument("--lake-root", required=True)
+    ob.add_argument("--out-dir", required=True,
+                    help="envelope bus directory (epoch=N/*.jsonl + "
+                         "_schema.json; plus the exporter cursor)")
+    ob.add_argument("--table", default="pages",
+                    help="source.table discriminator on the wire")
+
     dv = sub.add_parser(
         "derive",
         help="maintain a downstream derived lake (filter+project of the "
@@ -484,6 +496,19 @@ def main(argv=None):
         res = LakeTable(args.lake_root).prune_change_events(
             args.before_epoch)
         print(json.dumps(res))
+        return 0
+
+    if args.cmd == "export-changes":
+        _ray_init()
+        from chomper_ray.state.lake import LakeTable
+        from chomper_ray.state.outbound import LakeChangeExporter
+
+        ex = LakeChangeExporter(LakeTable(args.lake_root), args.out_dir,
+                                table_name=args.table)
+        print(json.dumps(ex.export()))
+        import ray
+
+        ray.shutdown()
         return 0
 
     if args.cmd == "derive":

@@ -50,6 +50,10 @@ class ExtractText:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from chomper_ray.functions.extract import binary_views
 
+        if self.html_col not in batch.column_names:
+            # pre-extracted feed (e.g. an outbound-exported envelope
+            # log carries text, never raw html) — nothing to extract
+            return batch
         # zero-copy views into the Arrow buffer instead of a to_pylist
         # copy of the whole html column (the kernel accepts bytes-like)
         texts = pa.array(

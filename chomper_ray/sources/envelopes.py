@@ -319,8 +319,19 @@ def read_epoch(log_dir: str | Path, epoch: int, columns=None):
 
     files = epoch_files(log_dir, epoch)
     if not files:
-        raise FileNotFoundError(f"no envelope files for epoch {epoch} "
-                                f"in {log_dir}")
+        # an epoch dir holding only its _schema.json sidecar is a
+        # legitimate EMPTY epoch (e.g. an outbound-exported compaction
+        # or no-change commit — cursor alignment); only a missing
+        # sidecar means the epoch doesn't exist
+        try:
+            target = epoch_schema(log_dir, epoch)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"no envelope files for epoch {epoch} in {log_dir}")
+        out = target.empty_table()
+        if columns is not None:
+            out = out.select(columns)
+        return rd.from_arrow(out)
     spec = schema_to_json(epoch_schema(log_dir, epoch))
 
     def normalize(batch: pa.Table) -> pa.Table:

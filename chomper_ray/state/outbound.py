@@ -1,0 +1,339 @@
+"""Outbound CDC — export a lake's per-commit changes as Debezium-style
+envelopes (the exact wire format ``sources/envelopes.py`` ingests).
+
+The engine already CONSUMES a CDC bus; ``LakeChangeExporter`` makes it
+PRODUCE one: every manifest commit becomes one envelope epoch directory
+(``epoch=<cid>/part-*.jsonl`` + the ``_schema.json`` registry sidecar),
+containing exactly the commit's changed keys — op ``c`` (no prior live
+row), ``u`` (prior live row), ``d`` (tombstone / vanished row, before
+image carried) with after/before images, versions and ``_seq``
+propagated. Change detection is the same signed-diff machinery the
+derived tables use (``plan_commit_diff`` sides, bucketed by key, null-
+safe compare — untouched keys co-located in a rewritten COW partition
+emit nothing), so export volume ∝ actual change, and the export is
+uniform across copy-on-write, merge-on-read and compaction commits
+(compaction exports an empty epoch: pure storage reorganization).
+
+Exactly-once: an epoch directory is complete when its ``_schema.json``
+lands (written last, tmp→rename); the exporter's atomic cursor file
+records the last exported commit id and re-export of a torn epoch
+simply rewrites it. A downstream consumer — including this engine's own
+``run_cdc(source=envelopes)`` — tails the directory with its own
+cursor. The roundtrip is the correctness oracle: re-ingesting an
+exported feed into a fresh lake reproduces the source lake's LWW live
+state exactly (hash-verified by ``cdc_outbound_roundtrip``).
+
+Truncate commits export as explicit ``d`` envelopes for every
+previously-live key (a bus has no "truncate" signal; consumers must see
+the deletes), read from the previous manifest's resolved state.
+
+GC'd diff inputs are an ERROR here, not a fallback: an exporter that
+skipped history would silently desynchronize every downstream consumer.
+Export before ``compact(keep_epochs=...)`` GCs the window (the cursor
+makes that a natural pipeline step), or re-bootstrap consumers from a
+snapshot read.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import shutil
+import uuid
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from chomper_ray.stages.merge import (BUCKET_COL, INTERNAL_DELETED,
+                                      INTERNAL_SEQ, stable_bucket)
+from chomper_ray.state import schema as schema_mod
+from chomper_ray.state.derivedtable import _neq
+from chomper_ray.state.lake import (LakeTable, committed_epochs,
+                                    load_manifest,
+                                    materialize_mor_resolved,
+                                    plan_commit_diff)
+
+_EPOCH_FMT = "epoch=%06d"
+_CURSOR = "_outbound_cursor.json"
+
+
+class ExportHistoryGone(RuntimeError):
+    """Diff inputs for an unexported commit were GC'd — the export can
+    no longer represent that commit's changes."""
+
+
+def _image(row: dict, schema_names: list[str]) -> dict:
+    """Row dict -> envelope image: warc_ts -> warc_ts_us epoch-us int,
+    binary -> *_b64, NaN -> None."""
+    out = {}
+    for c in schema_names:
+        v = row.get(c)
+        if v is None or (isinstance(v, float) and np.isnan(v)) \
+                or v is pd.NaT:
+            v = None
+        if c == "warc_ts":
+            out["warc_ts_us"] = None if v is None else \
+                int(pd.Timestamp(v).value // 1000)
+        elif isinstance(v, (bytes, bytearray)):
+            out[f"{c}_b64"] = base64.b64encode(v).decode("ascii")
+        elif v is not None and isinstance(v, (np.integer,)):
+            out[c] = int(v)
+        elif v is not None and isinstance(v, (np.floating,)):
+            out[c] = float(v)
+        elif v is not None and isinstance(v, np.bool_):
+            out[c] = bool(v)
+        else:
+            out[c] = v
+    return out
+
+
+class LakeChangeExporter:
+    """Export a LakeTable's commits as envelope epochs. ``export()``
+    walks every unexported commit in chain order; idempotent and
+    crash-resumable (torn epochs rewrite)."""
+
+    def __init__(self, lake: LakeTable, out_dir: str | Path,
+                 table_name: str = "pages"):
+        self.lake = lake
+        self.out = Path(out_dir)
+        self.table_name = table_name
+
+    # -- cursor -------------------------------------------------------------
+    def _applied(self) -> int | None:
+        p = self.out / _CURSOR
+        if p.exists():
+            return int(json.loads(p.read_text())["exported_cid"])
+        return None
+
+    def _write_cursor(self, cid: int) -> None:
+        self.out.mkdir(parents=True, exist_ok=True)
+        p = self.out / _CURSOR
+        tmp = p.with_suffix(f".{uuid.uuid4().hex[:8]}.tmp")
+        tmp.write_text(json.dumps({"exported_cid": int(cid)}))
+        os.replace(tmp, p)
+
+    # -- export ---------------------------------------------------------------
+    def export(self) -> dict:
+        root = self.lake.root
+        cids = committed_epochs(root)
+        applied = self._applied()
+        prev_cid = None
+        exported, lines_total = [], 0
+        for cid in cids:
+            if applied is not None and cid <= applied:
+                prev_cid = cid
+                continue
+            man = load_manifest(root, cid)
+            prev_man = load_manifest(root, prev_cid) \
+                if prev_cid is not None else None
+            if man.get("truncated"):
+                n = self._export_truncate(cid, prev_man)
+            else:
+                n = self._export_commit(cid, man, prev_man, prev_cid)
+            self._write_cursor(cid)
+            exported.append(cid)
+            lines_total += n
+            prev_cid = cid
+        return {"exported_epochs": exported, "events": lines_total,
+                "cursor": self._applied()}
+
+    def _epoch_dir(self, cid: int) -> Path:
+        d = self.out / (_EPOCH_FMT % cid)
+        if d.exists():  # torn previous attempt — rewrite whole epoch
+            shutil.rmtree(d)
+        d.mkdir(parents=True, exist_ok=True)
+        return d
+
+    def _sidecar(self, edir: Path, target: pa.Schema) -> None:
+        """The normalized-event schema the consumer restores (written
+        LAST — its presence marks the epoch complete)."""
+        norm = pa.schema(
+            [pa.field("op", pa.string()), pa.field("epoch", pa.int64()),
+             pa.field("seq", pa.int64())]
+            + [f for f in target if f.name not in ("op", "epoch", "seq")])
+        tmp = edir / f"._schema.{uuid.uuid4().hex[:8]}.tmp"
+        tmp.write_text(json.dumps(schema_mod.schema_to_json(norm)))
+        os.replace(tmp, edir / "_schema.json")
+
+    def _export_commit(self, cid: int, man: dict, prev_man,
+                       prev_cid) -> int:
+        import ray.data as rd
+
+        target = schema_mod.schema_from_json(man["schema"])
+        edir = self._epoch_dir(cid)
+        new_files, old_files, missing_old, scratch = plan_commit_diff(
+            self.lake, man, prev_man, prev_cid, cid,
+            scratch_prefix="chomper_ob_diff_")
+        try:
+            if missing_old:
+                raise ExportHistoryGone(
+                    f"commit {cid}: previous-version files were GC'd "
+                    "before export — export before compact(), or "
+                    "re-bootstrap consumers from a snapshot read")
+            if not new_files and not old_files:
+                self._sidecar(edir, target)
+                return 0
+            read_schema = pa.schema(
+                list(target) + [pa.field(INTERNAL_SEQ, pa.int64()),
+                                pa.field(INTERNAL_DELETED, pa.bool_())])
+            signs = {f: 1 for f in new_files}
+            signs.update({f: -1 for f in old_files})
+            key = self.lake.key
+            nb = int(man.get("num_partitions")
+                     or self.lake.num_partitions)
+
+            def tag(t: pa.Table) -> pa.Table:
+                side = np.fromiter(
+                    (signs[p] for p in t["path"].to_pylist()),
+                    dtype=np.int8, count=t.num_rows)
+                t = t.drop_columns(["path"]).append_column(
+                    "_side", pa.array(side, type=pa.int8()))
+                b = stable_bucket(t[key], nb)
+                return t.append_column(
+                    BUCKET_COL, pa.array(b, type=pa.int32()))
+
+            emit = _make_emitter(str(edir), cid, key,
+                                 list(target.names), self.table_name)
+            stats = (rd.read_parquet(sorted(signs), schema=read_schema,
+                                     include_paths=True)
+                     .map_batches(tag, batch_format="pyarrow")
+                     .groupby(BUCKET_COL)
+                     .map_groups(emit, batch_format="pandas")
+                     .to_pandas())
+            n = int(stats["n"].sum()) if len(stats) else 0
+            self._sidecar(edir, target)
+            return n
+        finally:
+            if scratch is not None:
+                shutil.rmtree(scratch, ignore_errors=True)
+
+    def _export_truncate(self, cid: int, prev_man) -> int:
+        """A bus has no truncate signal — emit a delete for every
+        previously-live key."""
+        import tempfile
+
+        import ray.data as rd
+
+        target = pa.schema([]) if prev_man is None else \
+            schema_mod.schema_from_json(prev_man["schema"])
+        edir = self._epoch_dir(cid)
+        if prev_man is None or not prev_man.get("partitions"):
+            self._sidecar(edir, target)
+            return 0
+        scratch = tempfile.mkdtemp(prefix="chomper_ob_trunc_")
+        try:
+            files = materialize_mor_resolved(
+                self.lake.root, prev_man, self.lake._mor_kwargs(),
+                scratch)
+            if not files:
+                self._sidecar(edir, target)
+                return 0
+            key = self.lake.key
+            vcol = self.lake.version[0]
+            read_schema = pa.schema(
+                [target.field(key), target.field(vcol),
+                 pa.field(INTERNAL_SEQ, pa.int64()),
+                 pa.field(INTERNAL_DELETED, pa.bool_())])
+            edirs, tname = str(edir), self.table_name
+
+            def emit(df: pd.DataFrame) -> pd.DataFrame:
+                live = df[~df[INTERNAL_DELETED].astype(bool)]
+                lines = []
+                for r in live.to_dict("records"):
+                    img = _image(r, [key, vcol])
+                    lines.append(json.dumps({
+                        "op": "d",
+                        "ts_ms": (img.get("warc_ts_us") or 0) // 1000,
+                        "source": {"table": tname, "epoch": cid,
+                                   "seq": int(r[INTERNAL_SEQ]) + 1},
+                        "before": img, "after": None,
+                    }, separators=(",", ":")))
+                _write_part(edirs, lines)
+                return pd.DataFrame({"n": [len(lines)]})
+
+            stats = rd.read_parquet(files, schema=read_schema) \
+                .map_batches(emit, batch_format="pandas").to_pandas()
+            n = int(stats["n"].sum()) if len(stats) else 0
+            self._sidecar(edir, target)
+            return n
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _write_part(edir: str, lines: list[str]) -> None:
+    if not lines:
+        return
+    name = f"part-{uuid.uuid4().hex[:12]}"
+    tmp = Path(edir) / f".{name}.{uuid.uuid4().hex[:8]}.jsonl.tmp"
+    tmp.write_text("\n".join(lines) + "\n")
+    os.replace(tmp, Path(edir) / f"{name}.jsonl")
+
+
+def _make_emitter(edir: str, cid: int, key: str,
+                  target_names: list[str], table_name: str):
+    data_cols = [c for c in target_names if c != key]
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        new = df[df["_side"] == 1]
+        old = df[df["_side"] == -1]
+        m = new.merge(old, on=key, how="outer",
+                      suffixes=("", "__o"), indicator=True)
+        changed = m["_merge"] != "both"
+        for c in data_cols + [INTERNAL_DELETED]:
+            both = m["_merge"] == "both"
+            changed |= both & _neq(m[c], m[f"{c}__o"])
+        m = m[changed]
+        lines: list[str] = []
+        recs = m.to_dict("records")
+        for r in recs:
+            merge_state = r["_merge"]
+            old_live = merge_state != "left_only" and \
+                not bool(r[INTERNAL_DELETED + "__o"])
+            if merge_state == "right_only":
+                if not old_live:
+                    continue  # tombstone purged — consumers saw the d
+                before = _image(
+                    {c: r.get(f"{c}__o") for c in data_cols}
+                    | {key: r[key]}, target_names)
+                env = {"op": "d",
+                       "ts_ms": (before.get("warc_ts_us") or 0) // 1000,
+                       "source": {"table": table_name, "epoch": cid,
+                                  "seq": int(r[INTERNAL_SEQ + "__o"]) + 1},
+                       "before": before, "after": None}
+            elif bool(r[INTERNAL_DELETED]):  # new-side tombstone
+                if old_live:
+                    before = _image(
+                        {c: r.get(f"{c}__o") for c in data_cols}
+                        | {key: r[key]}, target_names)
+                else:  # insert+delete within the epoch: key+version only
+                    before = _image({key: r[key],
+                                     "warc_ts": r.get("warc_ts")},
+                                    [key, "warc_ts"])
+                # the tombstone's OWN version must ride the wire (LWW
+                # anti-resurrection), not the before image's older one
+                tomb = _image({key: r[key]} | {
+                    c: r.get(c) for c in data_cols}, target_names)
+                before["warc_ts_us"] = tomb.get("warc_ts_us",
+                                                before.get("warc_ts_us"))
+                env = {"op": "d",
+                       "ts_ms": (before.get("warc_ts_us") or 0) // 1000,
+                       "source": {"table": table_name, "epoch": cid,
+                                  "seq": int(r[INTERNAL_SEQ])},
+                       "before": before, "after": None}
+            else:
+                after = _image(
+                    {key: r[key]} | {c: r.get(c) for c in data_cols},
+                    target_names)
+                env = {"op": "u" if old_live else "c",
+                       "ts_ms": (after.get("warc_ts_us") or 0) // 1000,
+                       "source": {"table": table_name, "epoch": cid,
+                                  "seq": int(r[INTERNAL_SEQ])},
+                       "before": None, "after": after}
+            lines.append(json.dumps(env, separators=(",", ":")))
+        _write_part(edir, lines)
+        return pd.DataFrame({"n": [len(lines)]})
+
+    return emit
