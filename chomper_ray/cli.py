@@ -150,6 +150,15 @@ def main(argv=None):
                     help="fold all live segments into one full segment "
                          "after applying (restores the no-resolve scan)")
 
+    bp = sub.add_parser(
+        "branch",
+        help="zero-copy fork: an independent lake at --dest with this "
+             "lake's state at --as-of-epoch (default head); data files "
+             "are hardlinked, O(metadata)")
+    bp.add_argument("--lake-root", required=True)
+    bp.add_argument("--dest", required=True)
+    bp.add_argument("--as-of-epoch", type=int, default=None)
+
     ob = sub.add_parser(
         "export-changes",
         help="outbound CDC: export every unexported lake commit as "
@@ -496,6 +505,19 @@ def main(argv=None):
         res = LakeTable(args.lake_root).prune_change_events(
             args.before_epoch)
         print(json.dumps(res))
+        return 0
+
+    if args.cmd == "branch":
+        from chomper_ray.state.lake import LakeTable, load_manifest
+
+        br = LakeTable(args.lake_root).branch(args.dest,
+                                              as_of_epoch=args.as_of_epoch)
+        m = load_manifest(br.root)
+        print(json.dumps({
+            "dest": str(br.root), "fork_epoch": int(m["epoch"]),
+            "log_cursor": m.get("log_epoch"),
+            "partitions": len(m.get("partitions", {})),
+        }))
         return 0
 
     if args.cmd == "export-changes":

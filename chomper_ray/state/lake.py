@@ -2707,6 +2707,61 @@ class LakeTable:
                 "missing_files": missing,
                 "skipped_mor": skipped}
 
+    def branch(self, dest: str | Path,
+               as_of_epoch: int | None = None) -> "LakeTable":
+        """Zero-copy fork: a fully independent lake at ``dest`` whose
+        state is this table at ``as_of_epoch`` (default: head) —
+        O(metadata), no data bytes copied. Every referenced snapshot /
+        delta file is HARDLINKED (safe because the engine never mutates
+        a data file in place: all writes are new-name tmp→rename, and
+        an exactly-once re-write of the same (pid, epoch) replaces the
+        link, not the shared inode); cross-device destinations fall
+        back to a real copy.
+
+        The branch carries exactly ONE manifest — the fork point — so
+        time travel below it is gone and its ``prev_epoch`` points at
+        a manifest the branch doesn't have: derived consumers
+        (matview / index / layout / derived-table first builds) see
+        amputated history and correctly route to their full-build path
+        (``_chain_start_self_contained``). The binlog cursor forks
+        with it, so replaying a different log suffix diverges the
+        branch while the source is untouched; GC on either side only
+        unlinks its own links. The change-events feed does not fork
+        (subscribe on the branch going forward)."""
+        m = load_manifest(self.root, as_of_epoch)
+        if not m:
+            raise ValueError(f"no committed manifest at {self.root}"
+                             + (f" epoch {as_of_epoch}"
+                                if as_of_epoch is not None else ""))
+        dest = Path(dest)
+        if committed_epochs(dest):
+            raise ValueError(f"{dest} already holds a lake")
+        dest.mkdir(parents=True, exist_ok=True)
+        rels: list[str] = []
+        for v in m["partitions"].values():
+            if v.get("file"):
+                rels.append(v["file"])
+            rels.extend(d["file"] for d in v.get("deltas", []))
+        linked = 0
+        for rel in rels:
+            src, dst = self.root / rel, dest / rel
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            if dst.exists():
+                continue
+            try:
+                os.link(src, dst)
+            except OSError:  # cross-device / fs without hardlinks
+                shutil.copy2(src, dst)
+            linked += 1
+        _atomic_write_json(_manifest_path(dest, int(m["epoch"])), m)
+        return LakeTable(
+            dest, key=self.key, version=self.version,
+            overwrite=self.overwrite, protected=self.protected,
+            managed_timestamps=self.managed_timestamps,
+            collect_changes=self.collect_changes,
+            insert_missing=self.insert_missing,
+            id_field=self.id_field, merge_on_read=self.merge_on_read)
+
     def compact(self, keep_epochs: int = 1) -> dict:
         """Garbage-collect snapshot files no manifest in the retained
         window references. Copy-on-write leaves one snapshot per
