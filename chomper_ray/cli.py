@@ -170,6 +170,10 @@ def main(argv=None):
                          "_schema.json; plus the exporter cursor)")
     ob.add_argument("--table", default="pages",
                     help="source.table discriminator on the wire")
+    ob.add_argument("--prune-before", type=int, default=None,
+                    help="after exporting, delete bus epochs below N "
+                         "and plant the retention horizon (lagging "
+                         "consumers then refuse loudly)")
 
     dv = sub.add_parser(
         "derive",
@@ -527,7 +531,10 @@ def main(argv=None):
 
         ex = LakeChangeExporter(LakeTable(args.lake_root), args.out_dir,
                                 table_name=args.table)
-        print(json.dumps(ex.export()))
+        out = ex.export()
+        if args.prune_before is not None:
+            out["prune"] = ex.prune(args.prune_before)
+        print(json.dumps(out))
         import ray
 
         ray.shutdown()

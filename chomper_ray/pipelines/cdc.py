@@ -146,6 +146,9 @@ def run_cdc(
     # the BINLOG cursor, not the manifest-chain head: maintenance commits
     # (purge/compact between polls) advance the chain but not the cursor
     last = lake.last_applied_log_epoch()
+    check = getattr(source, "check_resume", None)
+    if check is not None:  # pruned-bus guard: never skip a gap silently
+        check(log_dir, last)
     pending = [e for e in source.list_epochs(log_dir)
                if last is None or e > last]
     if max_epochs is not None:

@@ -100,6 +100,10 @@ def run_cdc_multi(
     results = {name: CdcRunResult() for name in tables}
     cursors = {name: lakes[name].last_applied_log_epoch()
                for name in tables}
+    check = getattr(source, "check_resume", None)
+    if check is not None:  # pruned-bus guard, per table cursor
+        for c in cursors.values():
+            check(log_dir, c)
     all_epochs = source.list_epochs(log_dir)
     pending = [e for e in all_epochs
                if any(c is None or e > c for c in cursors.values())]

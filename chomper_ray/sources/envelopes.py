@@ -205,6 +205,33 @@ def list_epochs(log_dir: str | Path) -> list[int]:
     return sorted(out)
 
 
+def retention_horizon(log_dir: str | Path) -> int | None:
+    """Bus retention marker (``LakeChangeExporter.prune`` writes it):
+    epochs below this were deleted."""
+    p = Path(log_dir) / "_horizon.json"
+    if p.exists():
+        return int(json.loads(p.read_text())["horizon"])
+    return None
+
+
+def check_resume(log_dir: str | Path, cursor: int | None) -> None:
+    """Refuse a resume that would silently skip pruned epochs: a
+    consumer at ``cursor`` reads epochs > cursor, so every epoch >=
+    horizon must still satisfy it (cursor + 1 >= horizon). Without this
+    check a lagging consumer would jump the gap and permanently
+    diverge. Re-bootstrap such a consumer from a snapshot read (or a
+    ``branch()``) instead."""
+    h = retention_horizon(log_dir)
+    if h is None:
+        return
+    nxt = 0 if cursor is None else cursor + 1
+    if nxt < h:
+        raise ValueError(
+            f"envelope bus at {log_dir} is pruned below epoch {h}; a "
+            f"consumer resuming at epoch {nxt} would silently skip "
+            f"changes — re-bootstrap it from a snapshot read / branch")
+
+
 def epoch_files(log_dir: str | Path, epoch: int) -> list[str]:
     edir = Path(log_dir) / (_EPOCH_FMT % epoch)
     return sorted(str(p) for p in edir.glob("part-*.jsonl"))

@@ -115,6 +115,29 @@ class LakeChangeExporter:
         tmp.write_text(json.dumps({"exported_cid": int(cid)}))
         os.replace(tmp, p)
 
+    # -- retention ----------------------------------------------------------
+    def prune(self, before_epoch: int) -> dict:
+        """Bus retention: delete exported epoch dirs < ``before_epoch``
+        and write the horizon marker (``_horizon.json``) that makes a
+        lagging consumer's resume refuse loudly (``envelopes.
+        check_resume``) instead of silently skipping the gap. Only
+        already-exported epochs can be pruned."""
+        cur = self._applied()
+        if cur is None or before_epoch > cur + 1:
+            raise ValueError(
+                f"cannot prune to {before_epoch}: exported cursor is "
+                f"{cur} — prune only what consumers could have read")
+        removed = []
+        for p in sorted(self.out.glob("epoch=*")):
+            e = int(p.name.split("=")[1])
+            if e < before_epoch:
+                shutil.rmtree(p)
+                removed.append(e)
+        tmp = self.out / f"._horizon.{uuid.uuid4().hex[:8]}.tmp"
+        tmp.write_text(json.dumps({"horizon": int(before_epoch)}))
+        os.replace(tmp, self.out / "_horizon.json")
+        return {"removed_epochs": removed, "horizon": int(before_epoch)}
+
     # -- export ---------------------------------------------------------------
     def export(self) -> dict:
         root = self.lake.root

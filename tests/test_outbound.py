@@ -170,3 +170,38 @@ def test_intra_epoch_insert_delete_stays_dead(tmp_path, ray_session):
              for ln in f.read_text().splitlines()]
     d = next(l for l in lines if l["op"] == "d")
     assert d["before"]["warc_ts_us"] == 20_000_000
+
+
+def test_bus_retention_refuses_gap_jump(tmp_path, ray_session):
+    """prune() deletes consumed epochs and plants the horizon marker;
+    a fresh/lagging consumer refuses loudly instead of silently
+    skipping the gap, while a caught-up consumer keeps tailing."""
+    from chomper_ray.pipelines.cdc import run_cdc
+
+    lake = LakeTable(tmp_path / "src", key="url", num_partitions=2,
+                     collect_changes=False)
+    commit(lake, [mk("insert", 0, "a", 10, "en", "x")], 0)
+    commit(lake, [mk("update", 1, "a", 20, "en", "y")], 1)
+    ex = LakeChangeExporter(lake, tmp_path / "bus")
+    ex.export()
+    # a consumer fully reads the bus BEFORE retention
+    run_cdc(tmp_path / "bus", tmp_path / "re", num_partitions=2,
+            source=envelopes)
+    with pytest.raises(ValueError):
+        ex.prune(5)  # beyond the exported cursor
+    res = ex.prune(2)
+    assert res["removed_epochs"] == [0, 1]
+    # caught-up consumer: resumes fine (nothing to read)
+    run_cdc(tmp_path / "bus", tmp_path / "re", num_partitions=2,
+            source=envelopes)
+    # new commit -> export -> the caught-up consumer tails past horizon
+    commit(lake, [mk("insert", 2, "b", 30, "de", "z")], 2)
+    ex.export()
+    run_cdc(tmp_path / "bus", tmp_path / "re", num_partitions=2,
+            source=envelopes)
+    got = LakeTable(tmp_path / "re", num_partitions=2).read_pandas()
+    assert sorted(got["url"]) == ["a", "b"]
+    # fresh/lagging consumer: loud refusal, never a silent skip
+    with pytest.raises(ValueError, match="pruned below"):
+        run_cdc(tmp_path / "bus", tmp_path / "re2", num_partitions=2,
+                source=envelopes)
