@@ -93,6 +93,11 @@ def main(argv=None):
                    help="write rejected events' provenance (key, "
                         "dup_of, sim, epoch) under DIR/epoch=N/ "
                         "(with --near-dup-index)")
+    r.add_argument("--export-bus", default=None, metavar="DIR",
+                   help="streaming outbound CDC: export each committed "
+                        "epoch as Debezium envelopes under DIR from the "
+                        "ingest loop (after_commit hook; composes with "
+                        "--tail)")
 
     rm = sub.add_parser(
         "run-cdc-multi",
@@ -288,6 +293,16 @@ def main(argv=None):
             p.error("--compact-min-chain requires --merge-on-read")
         if args.near_dup_rejects and not args.near_dup_index:
             p.error("--near-dup-rejects requires --near-dup-index")
+        if args.export_bus:
+            if args.near_dup_index:
+                p.error("--export-bus and --near-dup-index both own the "
+                        "after_commit hook; compose them in Python")
+            from chomper_ray.state.lake import LakeTable
+            from chomper_ray.state.outbound import LakeChangeExporter
+
+            exporter = LakeChangeExporter(
+                LakeTable(args.lake_root, **lake_kwargs), args.export_bus)
+            extra["after_commit"] = lambda _c: exporter.export()
         if args.near_dup_index:
             from chomper_ray.state.dupindex import run_cdc_admitted
 
