@@ -1689,6 +1689,33 @@ def _q_cdc_matview_domains(sf_dir: str):
                                 "sum_n_chars": "total_chars"})
 
 
+def _q_cdc_branch_resume(sf_dir: str):
+    # zero-copy branching under the gate: ingest HALF the binlog, fork
+    # the lake (hardlinks, one manifest, forked cursor —
+    # LakeTable.branch), then resume the SAME log on the BRANCH. The
+    # branch must land exactly where an unbroken replay lands
+    # (hash-equal to the flagship LWW oracle), proving the fork carries
+    # state + cursor + schema registry intact while the source stays
+    # frozen at the fork point.
+    from pathlib import Path
+
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.state.lake import LakeTable
+
+    log = _ensure_cdc_oracle_log()
+    src_root = tempfile.mkdtemp(prefix="chomper_ray_lake_br_src_")
+    run_cdc(log, src_root, num_partitions=8, max_epochs=2)
+    src = LakeTable(src_root, num_partitions=8)
+    fork_root = Path(tempfile.mkdtemp(prefix="chomper_ray_lake_br_")) \
+        / "fork"
+    br = src.branch(fork_root)
+    run_cdc(log, br.root, num_partitions=8)  # resumes epochs 2..N
+    assert src.last_applied_log_epoch() == 1  # source frozen
+    return LakeTable(br.root, num_partitions=8).read(
+        columns=["url", "warc_ts", "lang", "fetch_status", "text",
+                 "extra_score"])
+
+
 def _q_cdc_outbound_roundtrip(sf_dir: str):
     # outbound CDC: the lake's per-commit changes exported as Debezium
     # envelopes (state/outbound.py — the exact wire format the engine's
@@ -3017,6 +3044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_derived_docs": _q_cdc_derived_docs,
         "cdc_derived_chunks": _q_cdc_derived_chunks,
         "cdc_outbound_roundtrip": _q_cdc_outbound_roundtrip,
+        "cdc_branch_resume": _q_cdc_branch_resume,
         "chunk_windows": _q_chunk_windows,
         "profile_lineitem": _q_profile_lineitem,
         "outer_join": _q_outer_join,
@@ -3312,6 +3340,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM win w JOIN sidecar s USING (seq)"
         ),
         "cdc_upsert_pages": (
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            f"sidecar AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/_oracle/*.parquet')) "
+            "SELECT w.url, w.warc_ts, w.lang, "
+            "CAST(w.fetch_status AS BIGINT) AS fetch_status, "
+            "s.text AS text, w.extra_score "
+            "FROM win w JOIN sidecar s USING (seq)"
+        ),
+        # branch-at-epoch-1 + resumed replay must land exactly where an
+        # unbroken replay lands: identical oracle to cdc_upsert_pages
+        "cdc_branch_resume": (
             f"WITH ev AS (SELECT * FROM read_parquet("
             f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
             "win AS (SELECT * FROM (SELECT *, row_number() OVER ("

@@ -23,6 +23,12 @@ cursor. The roundtrip is the correctness oracle: re-ingesting an
 exported feed into a fresh lake reproduces the source lake's LWW live
 state exactly (hash-verified by ``cdc_outbound_roundtrip``).
 
+Emit tasks write part files with attempt-unique names, so a retried
+Ray task can leave duplicate envelopes (at-least-once) — harmless by
+construction: duplicates carry identical (key, version, seq) and any
+LWW consumer (including ``run_cdc``'s staging combiner) collapses
+them; exactly-once consumers should dedup on that triple.
+
 Truncate commits export as explicit ``d`` envelopes for every
 previously-live key (a bus has no "truncate" signal; consumers must see
 the deletes), read from the previous manifest's resolved state.
