@@ -3,10 +3,12 @@
 A ``DerivedLakeTable`` maintains a downstream :class:`LakeTable` as a
 row-level transform (map / filter / project) of an upstream lake — the
 medallion-chaining primitive (bronze pages → silver clean docs →
-gold rollups) the reference expresses as re-running a whole pipeline
-(reference ``contrib/sql/exporters.py`` re-feeds the full source; here
-each upstream COMMIT propagates as exactly one downstream commit whose
-cost is the upstream commit's write amplification, never table size).
+gold rollups). The reference expresses derived tables as a FULL
+re-feed: truncate the target (``PostgresTruncator``, reference
+contrib/postgres.py:262-292) and re-run the whole source pipeline
+through transform steps into another ``Upserter``. Here each upstream
+COMMIT propagates as exactly one downstream commit whose cost is the
+upstream commit's write amplification, never table size.
 
 Per upstream manifest commit the maintenance step is:
 

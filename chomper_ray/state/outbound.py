@@ -1,6 +1,13 @@
 """Outbound CDC — export a lake's per-commit changes as Debezium-style
 envelopes (the exact wire format ``sources/envelopes.py`` ingests).
 
+Ancestry: the reference notifies downstream code of upserts through
+in-process change listeners (``Upserter.on(event, field, fn)``,
+reference contrib/sql/exporters.py:231,250,271-285) — an API bound to
+one process and one run. At lake scale the same need (downstream
+consumers reacting to changes) becomes a durable, resumable change
+STREAM; this module is that listener surface re-expressed as data.
+
 The engine already CONSUMES a CDC bus; ``LakeChangeExporter`` makes it
 PRODUCE one: every manifest commit becomes one envelope epoch directory
 (``epoch=<cid>/part-*.jsonl`` + the ``_schema.json`` registry sidecar),
