@@ -1781,6 +1781,48 @@ def _q_cdc_derived_docs(sf_dir: str):
                                        "warc_ts"])
 
 
+def _q_cdc_gold_on_silver(sf_dir: str):
+    # the cascade under the gate: gold = MaterializedAgg maintained
+    # COMMIT BY COMMIT on the SILVER derived lake, which is itself
+    # maintained commit by commit off bronze — two incremental hops,
+    # hash-verified against one SQL pass (filter + GROUP BY over the
+    # LWW replay). Downstream lineage stays ∝ change at both hops.
+    import pyarrow as pa
+
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.state.derivedtable import DerivedLakeTable
+    from chomper_ray.state.lake import LakeTable
+    from chomper_ray.state.matview import MaterializedAgg
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_gs_")
+    run_cdc(log, lake_root, num_partitions=8)
+    lake = LakeTable(lake_root, num_partitions=8)
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["fetch_status"] == 200]
+        return pd.DataFrame({
+            "url": keep["url"],
+            "lang": keep["lang"],
+            "n_chars": keep["text"].fillna("").str.len().astype("int64"),
+        })
+
+    silver = DerivedLakeTable(
+        lake, tempfile.mkdtemp(prefix="chomper_ray_silver_"), clean,
+        pa.schema([("url", pa.string()), ("lang", pa.string()),
+                   ("n_chars", pa.int64())]),
+        lake_kwargs={"num_partitions": 5})
+    silver.refresh()
+    gold = MaterializedAgg(
+        silver.table, tempfile.mkdtemp(prefix="chomper_ray_gold_"),
+        lambda df: df[["lang", "n_chars"]].copy(),
+        group_cols=["lang"], value_cols=["n_chars"],
+        read_columns=["lang", "n_chars"])
+    view = gold.refresh()
+    return view.rename(columns={"n_live": "n_docs",
+                                "sum_n_chars": "total_chars"})
+
+
 def _q_cdc_derived_chunks(sf_dir: str):
     # 1→N lake→lake derivation (ExplodedLakeTable): a downstream CHUNK
     # table (fixed 120-char windows, chunk_id = url#i) maintained per
@@ -3043,6 +3085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # never driver-hash-checked, oracle-backed (window [0:50])
         "cdc_derived_docs": _q_cdc_derived_docs,
         "cdc_derived_chunks": _q_cdc_derived_chunks,
+        "cdc_gold_on_silver": _q_cdc_gold_on_silver,
         "cdc_outbound_roundtrip": _q_cdc_outbound_roundtrip,
         "cdc_branch_resume": _q_cdc_branch_resume,
         "chunk_windows": _q_chunk_windows,
@@ -3430,6 +3473,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, lang, "
             "CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars, "
             "warc_ts FROM st WHERE fetch_status = 200"
+        ),
+        "cdc_gold_on_silver": (
+            # two incremental hops (bronze→silver derived lake →
+            # gold matview) vs ONE SQL pass over the LWW replay
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            f"sidecar AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/_oracle/*.parquet')), "
+            "st AS (SELECT w.url, w.lang, s.text FROM win w "
+            "JOIN sidecar s USING (seq) WHERE w.fetch_status = 200) "
+            "SELECT lang, CAST(sum(length(coalesce(text, ''))) "
+            "AS BIGINT) AS total_chars, count(*) AS n_docs "
+            "FROM st GROUP BY 1"
         ),
         "cdc_derived_chunks": (
             # exploded derivation: the chunk lake must equal the LWW
