@@ -282,6 +282,9 @@ def _raw_wire_type(field: pa.Field) -> tuple[str, pa.DataType]:
     if field.name == "html":
         return "html_b64", pa.string()
     t = field.type
+    if pa.types.is_timestamp(t):
+        # generic timestamps ride as epoch-us ints under their own name
+        return field.name, pa.int64()
     if pa.types.is_integer(t):
         return field.name, pa.int64()
     if pa.types.is_floating(t):

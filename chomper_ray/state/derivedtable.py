@@ -436,6 +436,97 @@ class DerivedLakeTable:
         self.table.commit_epoch(ev_ds, cid, schema_hint=ev_schema)
 
 
+class AggregateLakeTable:
+    """A gold LAKE maintained from a :class:`MaterializedAgg` — makes
+    aggregates non-terminal: the rollup becomes a real LakeTable, so
+    everything downstream composes at any depth (another derived
+    table, an outbound bus of AGGREGATE changes, branches, indexes).
+
+    Per upstream commit the matview refreshes as usual (cost ∝ the
+    commit's write amplification), then the NEW view is diffed against
+    the previously committed view — both bounded by group cardinality,
+    the matview's own scale contract — and only groups whose values
+    changed become upsert events (vanished groups become deletes),
+    committed exactly-once at the upstream commit id. Versions are
+    synthesized from the commit id (monotone by construction), so the
+    gold lake's LWW replays deterministically and its change stream
+    (``LakeChangeExporter``) carries exactly the rollup's deltas.
+
+    ``group_col`` must be a single column (a lake key is one column);
+    compose multi-column groups into one key in the matview's contrib.
+    """
+
+    def __init__(self, agg, root: str | Path,
+                 lake_kwargs: dict | None = None):
+        if len(agg.group_cols) != 1:
+            raise ValueError(
+                "AggregateLakeTable needs a single group column — "
+                "compose multi-column groups into one key in the "
+                "matview contrib")
+        self.agg = agg
+        self.key = agg.group_cols[0]
+        self.version_col = "updated_ts"
+        kw = dict(lake_kwargs or {})
+        kw.setdefault("collect_changes", False)
+        self.table = LakeTable(root, key=self.key,
+                               version=(self.version_col, "seq"), **kw)
+
+    @staticmethod
+    def _ts(cid: int) -> pd.Timestamp:
+        return pd.Timestamp(1_600_000_000_000_000 + cid * 1_000_000,
+                            unit="us")
+
+    def refresh(self) -> LakeTable:
+        import ray.data as rd
+
+        self.agg.refresh()
+        applied = self.table.last_applied_log_epoch()
+        cids = [c for c in self.agg.applied_commits()
+                if applied is None or c > applied]
+        prev_cid = max((c for c in self.agg.applied_commits()
+                        if applied is not None and c <= applied),
+                       default=None)
+        for cid in sorted(cids):
+            new = self.agg.view(cid)
+            old = self.agg.view(prev_cid) if prev_cid is not None \
+                else new.head(0)
+            key = self.key
+            m = new.merge(old, on=key, how="outer",
+                          suffixes=("", "__o"), indicator=True)
+            vals = [c for c in new.columns if c != key]
+            changed = m["_merge"] != "both"
+            for c in vals:
+                changed |= (m["_merge"] == "both") \
+                    & _neq(m[c], m[f"{c}__o"])
+            m = m[changed]
+            ups = m[m["_merge"] != "right_only"]
+            gone = m[m["_merge"] == "right_only"]
+            ev_schema = pa.schema(
+                [pa.field("op", pa.string()), pa.field("seq", pa.int64()),
+                 pa.field(self.version_col, pa.timestamp("us"))]
+                + [pa.Schema.from_pandas(new).field(c)
+                   for c in [key] + vals])
+            frames = []
+            if len(ups):
+                u = ups[[key] + vals].copy()
+                u["op"] = "upsert"
+                frames.append(u)
+            if len(gone):
+                d = gone[[key]].copy()
+                d["op"] = "delete"
+                frames.append(d)
+            events = []
+            for f in frames:
+                f["seq"] = np.arange(len(f), dtype=np.int64)
+                f[self.version_col] = self._ts(cid)
+                events.append(_events_table(f, ev_schema))
+            ds = rd.from_arrow(pa.concat_tables(events)) if events \
+                else rd.from_arrow(ev_schema.empty_table())
+            self.table.commit_epoch(ds, cid, schema_hint=ev_schema)
+            prev_cid = cid
+        return self.table
+
+
 def _validate_exploded(out, in_keys: pd.Series, ukey: str, dkey: str):
     if not isinstance(out, pd.DataFrame):
         raise TransformContractError(

@@ -90,6 +90,11 @@ def _image(row: dict, schema_names: list[str]) -> dict:
         if c == "warc_ts":
             out["warc_ts_us"] = None if v is None else \
                 int(pd.Timestamp(v).value // 1000)
+        elif isinstance(v, pd.Timestamp):
+            # generic timestamp columns ride as epoch-us ints under
+            # their own name; the reader restores timestamp[us] from
+            # the registry sidecar (envelopes._raw_wire_type)
+            out[c] = int(v.value // 1000)
         elif isinstance(v, (bytes, bytearray)):
             out[f"{c}_b64"] = base64.b64encode(v).decode("ascii")
         elif v is not None and isinstance(v, (np.integer,)):
