@@ -1823,6 +1823,41 @@ def _q_cdc_gold_on_silver(sf_dir: str):
                                 "sum_n_chars": "total_chars"})
 
 
+def _q_cdc_gold_lake(sf_dir: str):
+    # the matview PROMOTED to a lake (AggregateLakeTable): per bronze
+    # commit only changed groups ride as events into a real LakeTable
+    # — hash-verified against the same full-scan SQL rollup, proving
+    # the view-diff event stream reconstructs the aggregate exactly.
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.state.derivedtable import AggregateLakeTable
+    from chomper_ray.state.lake import LakeTable
+    from chomper_ray.state.matview import MaterializedAgg
+    from chomper_ray.stages.text import url_parts
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_gl_")
+    run_cdc(log, lake_root, num_partitions=8)
+    lake = LakeTable(lake_root, num_partitions=8)
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        d = url_parts(df)
+        return pd.DataFrame({
+            "domain": d["domain"],
+            "n_chars": d["text"].fillna("").str.len().astype("int64"),
+        })
+
+    agg = MaterializedAgg(lake, tempfile.mkdtemp(prefix="chomper_gl_mv_"),
+                          contrib, group_cols=["domain"],
+                          value_cols=["n_chars"],
+                          read_columns=["url", "text"])
+    gold = AggregateLakeTable(agg, tempfile.mkdtemp(prefix="chomper_gl_"),
+                              lake_kwargs={"num_partitions": 3})
+    gold.refresh()
+    out = gold.table.read_pandas()[["domain", "sum_n_chars", "n_live"]]
+    return out.rename(columns={"sum_n_chars": "total_chars",
+                               "n_live": "n_pages"})
+
+
 def _q_cdc_derived_chunks(sf_dir: str):
     # 1→N lake→lake derivation (ExplodedLakeTable): a downstream CHUNK
     # table (fixed 120-char windows, chunk_id = url#i) maintained per
@@ -3086,6 +3121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_derived_docs": _q_cdc_derived_docs,
         "cdc_derived_chunks": _q_cdc_derived_chunks,
         "cdc_gold_on_silver": _q_cdc_gold_on_silver,
+        "cdc_gold_lake": _q_cdc_gold_lake,
         "cdc_outbound_roundtrip": _q_cdc_outbound_roundtrip,
         "cdc_branch_resume": _q_cdc_branch_resume,
         "chunk_windows": _q_chunk_windows,
@@ -3473,6 +3509,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, lang, "
             "CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars, "
             "warc_ts FROM st WHERE fetch_status = 200"
+        ),
+        "cdc_gold_lake": (
+            # the gold LAKE (view-diff event stream) must equal the
+            # same full-scan rollup as cdc_matview_domains
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            f"sidecar AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/_oracle/*.parquet')), "
+            "st AS (SELECT w.url, s.text FROM win w "
+            "JOIN sidecar s USING (seq)) "
+            f"SELECT {sql_url_exprs('url')['domain']} AS domain, "
+            "count(*) AS n_pages, "
+            "CAST(sum(length(coalesce(text, ''))) AS BIGINT) "
+            "AS total_chars FROM st GROUP BY 1"
         ),
         "cdc_gold_on_silver": (
             # two incremental hops (bronze→silver derived lake →
