@@ -176,3 +176,19 @@ def test_explode_contract_violations(tmp_path, ray_session):
     with pytest.raises(ValueError):
         ExplodedLakeTable(up, tmp_path / "d2", chunker, OUT_SCHEMA,
                           derived_key="url")
+
+
+def test_explode_schema_evolution(tmp_path, ray_session):
+    """An upstream commit adding a column null-fills old files in the
+    signed read; old-side transform re-runs see the same nulls the
+    historical rows actually have."""
+    up, dt = make(tmp_path)
+    commit(up, [mk("insert", 0, "a", 10, 200, "abcdefgh")], 0)
+    dt.refresh()
+    rows = [dict(mk("update", 1, "a", 20, 200, "abc"), extra=1.5),
+            dict(mk("insert", 2, "b", 20, 200, "wxyz"), extra=2.5)]
+    commit(up, rows, 1)
+    dt.refresh()
+    assert_synced(dt, up)
+    assert sorted(dt.table.read_pandas()["chunk_id"]) == \
+        ["a#0", "b#0"]
