@@ -261,6 +261,77 @@ def epoch_rows(files: list[str]) -> int:
     return n
 
 
+class BusConsumer:
+    """Cursor discipline for an EXTERNAL consumer of an outbound bus
+    (``state/outbound.LakeChangeExporter`` output) — the engine's own
+    ``run_cdc(source=envelopes)`` keeps its cursor in the lake
+    manifest; anything else (a feature pipeline, a cache invalidator,
+    a notifier) uses this: ``read()`` returns the normalized change
+    events of every unacked epoch as one streaming Dataset, ``ack()``
+    advances the durable per-consumer cursor (atomic file under the
+    bus dir, one per consumer name), and a resume below the bus's
+    retention horizon refuses loudly (``check_resume``) instead of
+    silently skipping pruned epochs. At-least-once: re-reading before
+    ack re-delivers; dedup on (key, version, seq) for exactly-once."""
+
+    def __init__(self, bus_dir: str | Path, name: str):
+        if not name or "/" in name:
+            raise ValueError("consumer name must be a plain label")
+        self.bus = Path(bus_dir)
+        self.name = name
+
+    @property
+    def _cursor_path(self) -> Path:
+        return self.bus / f"_consumer_{self.name}.json"
+
+    def cursor(self) -> int | None:
+        p = self._cursor_path
+        if p.exists():
+            return int(json.loads(p.read_text())["acked_epoch"])
+        return None
+
+    def pending(self) -> list[int]:
+        cur = self.cursor()
+        check_resume(self.bus, cur)
+        return [e for e in list_epochs(self.bus)
+                if cur is None or e > cur]
+
+    def read(self, columns=None):
+        """One streaming Dataset over every unacked epoch's events
+        (an ``epoch`` column is appended for per-epoch handling);
+        None when nothing is pending."""
+        import ray.data as rd
+
+        eps = self.pending()
+        parts = []
+        for e in eps:
+            ds = read_epoch(self.bus, e, columns=columns)
+
+            def add_epoch(t: pa.Table, _e=e) -> pa.Table:
+                if "epoch" in t.column_names:
+                    t = t.drop_columns(["epoch"])
+                return t.append_column(
+                    "epoch", pa.array([_e] * t.num_rows, pa.int64()))
+
+            parts.append(ds.map_batches(add_epoch,
+                                        batch_format="pyarrow"))
+        if not parts:
+            return None, []
+        ds = parts[0]
+        if len(parts) > 1:
+            ds = ds.union(*parts[1:])
+        return ds, eps
+
+    def ack(self, through_epoch: int) -> None:
+        cur = self.cursor()
+        if cur is not None and through_epoch < cur:
+            raise ValueError(f"ack({through_epoch}) below cursor {cur}")
+        tmp = self._cursor_path.with_suffix(
+            f".{uuid.uuid4().hex[:8]}.tmp")
+        tmp.write_text(json.dumps({"acked_epoch": int(through_epoch)}))
+        os.replace(tmp, self._cursor_path)
+
+
 def _image_field(col: pa.ChunkedArray | pa.Array, name: str, n: int,
                  raw_type: pa.DataType) -> pa.Array:
     """``struct_field`` that tolerates an all-null image column (pyarrow

@@ -205,3 +205,43 @@ def test_bus_retention_refuses_gap_jump(tmp_path, ray_session):
     with pytest.raises(ValueError, match="pruned below"):
         run_cdc(tmp_path / "bus", tmp_path / "re2", num_partitions=2,
                 source=envelopes)
+
+
+def test_bus_consumer_cursor_discipline(tmp_path, ray_session):
+    """BusConsumer: read-ack loop with a durable per-consumer cursor,
+    at-least-once redelivery before ack, independent consumers, and
+    loud refusal when retention pruned past an unacked epoch."""
+    from chomper_ray.sources.envelopes import BusConsumer
+
+    lake = LakeTable(tmp_path / "src", key="url", num_partitions=2,
+                     collect_changes=False)
+    commit(lake, [mk("insert", 0, "a", 10, "en", "x"),
+                  mk("insert", 1, "b", 10, "de", "y")], 0)
+    ex = LakeChangeExporter(lake, tmp_path / "bus")
+    ex.export()
+    c1 = BusConsumer(tmp_path / "bus", "feature-pipe")
+    ds, eps = c1.read()
+    assert eps == [0]
+    df = ds.to_pandas()
+    assert sorted(df["url"]) == ["a", "b"]
+    assert set(df["epoch"]) == {0}
+    # re-read before ack redelivers (at-least-once)
+    ds2, eps2 = c1.read()
+    assert eps2 == [0] and len(ds2.to_pandas()) == 2
+    c1.ack(0)
+    assert c1.read() == (None, [])
+    # second consumer has its own cursor
+    c2 = BusConsumer(tmp_path / "bus", "notifier")
+    _, eps3 = c2.read()
+    assert eps3 == [0]
+    # new epoch: only deltas arrive
+    commit(lake, [mk("update", 10, "a", 20, "en", "x2")], 1)
+    ex.export()
+    ds4, eps4 = c1.read()
+    assert eps4 == [1] and list(ds4.to_pandas()["url"]) == ["a"]
+    c1.ack(1)
+    # retention past c2's cursor -> c2 refuses loudly; c1 sails on
+    ex.prune(1)
+    with pytest.raises(ValueError, match="pruned below"):
+        c2.pending()
+    assert c1.read() == (None, [])
