@@ -155,6 +155,19 @@ def main(argv=None):
                     help="fold all live segments into one full segment "
                          "after applying (restores the no-resolve scan)")
 
+    obm = sub.add_parser(
+        "export-changes-multi",
+        help="outbound CDC for several lakes ingested from a SHARED "
+             "log: one envelope WAL per log epoch, source.table "
+             "discriminated (run-cdc-multi --source envelope replays)")
+    obm.add_argument("--root", required=True,
+                     help="directory holding one lake per table "
+                          "(run-cdc-multi layout: <root>/<name>)")
+    obm.add_argument("--tables", required=True,
+                     help="comma list of name:key pairs, e.g. "
+                          "pages:url,links:link_id")
+    obm.add_argument("--out-dir", required=True)
+
     bp = sub.add_parser(
         "branch",
         help="zero-copy fork: an independent lake at --dest with this "
@@ -524,6 +537,23 @@ def main(argv=None):
         res = LakeTable(args.lake_root).prune_change_events(
             args.before_epoch)
         print(json.dumps(res))
+        return 0
+
+    if args.cmd == "export-changes-multi":
+        _ray_init()
+        from pathlib import Path as _P
+
+        from chomper_ray.state.lake import LakeTable
+        from chomper_ray.state.outbound import export_changes_multi
+
+        lakes = {}
+        for pair in args.tables.split(","):
+            name, key = pair.split(":")
+            lakes[name] = LakeTable(_P(args.root) / name, key=key)
+        print(json.dumps(export_changes_multi(lakes, args.out_dir)))
+        import ray
+
+        ray.shutdown()
         return 0
 
     if args.cmd == "branch":

@@ -201,10 +201,23 @@ class LakeChangeExporter:
 
     def _export_commit(self, cid: int, man: dict, prev_man,
                        prev_cid) -> int:
+        target = schema_mod.schema_from_json(man["schema"])
+        edir = self._epoch_dir(cid)
+        n = self._emit_commit(cid, man, prev_man, prev_cid, edir,
+                              wire_epoch=cid)
+        self._sidecar(edir, target)
+        return n
+
+    def _emit_commit(self, cid: int, man: dict, prev_man, prev_cid,
+                     edir: Path, wire_epoch: int) -> int:
+        """One commit's changed keys as envelope part files under
+        ``edir`` (no sidecar, no dir lifecycle — callers own those;
+        ``wire_epoch`` is what rides the envelopes' source.epoch, the
+        commit id for single-table buses, the shared LOG epoch for a
+        multi-table WAL)."""
         import ray.data as rd
 
         target = schema_mod.schema_from_json(man["schema"])
-        edir = self._epoch_dir(cid)
         new_files, old_files, missing_old, scratch = plan_commit_diff(
             self.lake, man, prev_man, prev_cid, cid,
             scratch_prefix="chomper_ob_diff_")
@@ -215,7 +228,6 @@ class LakeChangeExporter:
                     "before export — export before compact(), or "
                     "re-bootstrap consumers from a snapshot read")
             if not new_files and not old_files:
-                self._sidecar(edir, target)
                 return 0
             read_schema = pa.schema(
                 list(target) + [pa.field(INTERNAL_SEQ, pa.int64()),
@@ -236,17 +248,16 @@ class LakeChangeExporter:
                 return t.append_column(
                     BUCKET_COL, pa.array(b, type=pa.int32()))
 
-            emit = _make_emitter(str(edir), cid, key,
-                                 list(target.names), self.table_name)
+            emit = _make_emitter(str(edir), wire_epoch, key,
+                                 list(target.names), self.table_name,
+                                 self.lake.version[0])
             stats = (rd.read_parquet(sorted(signs), schema=read_schema,
                                      include_paths=True)
                      .map_batches(tag, batch_format="pyarrow")
                      .groupby(BUCKET_COL)
                      .map_groups(emit, batch_format="pandas")
                      .to_pandas())
-            n = int(stats["n"].sum()) if len(stats) else 0
-            self._sidecar(edir, target)
-            return n
+            return int(stats["n"].sum()) if len(stats) else 0
         finally:
             if scratch is not None:
                 shutil.rmtree(scratch, ignore_errors=True)
@@ -287,7 +298,7 @@ class LakeChangeExporter:
                     img = _image(r, [key, vcol])
                     lines.append(json.dumps({
                         "op": "d",
-                        "ts_ms": (img.get("warc_ts_us") or 0) // 1000,
+                        "ts_ms": _ts_ms(img, vcol),
                         "source": {"table": tname, "epoch": cid,
                                    "seq": int(r[INTERNAL_SEQ]) + 1},
                         "before": img, "after": None,
@@ -304,6 +315,96 @@ class LakeChangeExporter:
             shutil.rmtree(scratch, ignore_errors=True)
 
 
+def export_changes_multi(lakes: dict[str, "LakeTable"],
+                         out_dir: str | Path) -> dict:
+    """One WAL bus for several lakes ingested from a SHARED log
+    (``run_cdc_multi``): per LOG epoch, every table's commit at that
+    epoch emits its changed keys into the same ``epoch=<log>/`` dir,
+    tagged by ``source.table``, under a UNION-schema sidecar (+``tbl``
+    discriminator) and a mirrored ``_tables.json`` catalog — exactly
+    the multi-envelope wire ``run_cdc_multi(source=envelopes)``
+    replays, so the roundtrip reproduces every table.
+
+    Epoch numbering must be shared, so this supports PURE ingest
+    chains: a maintenance commit (backfill/delete_where/repartition)
+    has no log epoch of its own and raises — export such tables with
+    the single-table exporter (per-table buses), or export before
+    maintenance. ``run_cdc_multi``'s empty-epoch cursor alignment
+    means every table has a commit at every log epoch; tables created
+    later simply skip earlier epochs."""
+    out = Path(out_dir)
+    steps: dict[str, dict[int, tuple]] = {}
+    for name, lake in lakes.items():
+        per: dict[int, tuple] = {}
+        prev_man, prev_cid, prev_log = None, None, None
+        for cid in committed_epochs(lake.root):
+            man = load_manifest(lake.root, cid)
+            le = man.get("log_epoch")
+            if man.get("truncated") or le is None:
+                raise ValueError(
+                    f"{name}: commit {cid} is a truncate — multi "
+                    "export supports pure ingest chains; use the "
+                    "single-table exporter per lake")
+            if prev_log is not None and int(le) <= int(prev_log):
+                raise ValueError(
+                    f"{name}: commit {cid} is a maintenance commit "
+                    "(no log epoch of its own) — run the single-table "
+                    "exporter per lake, or export before maintenance")
+            per[int(le)] = (cid, prev_cid, man, prev_man)
+            prev_man, prev_cid, prev_log = man, cid, le
+        steps[name] = per
+
+    cursor_p = out / _CURSOR
+    cursor = int(json.loads(cursor_p.read_text())["exported_cid"]) \
+        if cursor_p.exists() else None
+    all_eps = sorted(set().union(*[set(p) for p in steps.values()]) or [])
+    pending = [e for e in all_eps if cursor is None or e > cursor]
+    exported, total = [], 0
+    for e in pending:
+        edir = out / (_EPOCH_FMT % e)
+        if edir.exists():
+            shutil.rmtree(edir)  # torn attempt — rewrite
+        edir.mkdir(parents=True, exist_ok=True)
+        union: pa.Schema | None = None
+        for name, lake in lakes.items():
+            tup = steps[name].get(e)
+            if tup is None:
+                continue
+            cid, prev_cid, man, prev_man = tup
+            exp = LakeChangeExporter(lake, out, table_name=name)
+            total += exp._emit_commit(cid, man, prev_man, prev_cid,
+                                      edir, wire_epoch=e)
+            t = schema_mod.schema_from_json(man["schema"])
+            union = t if union is None else schema_mod.reconcile(union, t)
+        norm = pa.schema(
+            [pa.field("op", pa.string()), pa.field("epoch", pa.int64()),
+             pa.field("seq", pa.int64()), pa.field("tbl", pa.string())]
+            + [f for f in (union or pa.schema([]))
+               if f.name not in ("op", "epoch", "seq", "tbl")])
+        tmp = edir / f"._schema.{uuid.uuid4().hex[:8]}.tmp"
+        tmp.write_text(json.dumps(schema_mod.schema_to_json(norm)))
+        os.replace(tmp, edir / "_schema.json")
+        tmp = out / f"._cursor.{uuid.uuid4().hex[:8]}.tmp"
+        tmp.write_text(json.dumps({"exported_cid": int(e)}))
+        os.replace(tmp, cursor_p)
+        exported.append(e)
+    catalog = {}
+    for name, lake in lakes.items():
+        sch = lake.current_schema()
+        catalog[name] = {"key": lake.key,
+                         "columns": list(sch.names) if sch else []}
+    tmp = out / f"._tables.{uuid.uuid4().hex[:8]}.tmp"
+    tmp.write_text(json.dumps(catalog))
+    os.replace(tmp, out / "_tables.json")
+    return {"exported_epochs": exported, "events": total,
+            "cursor": cursor if not exported else exported[-1]}
+
+
+def _ts_ms(image: dict, vcol: str) -> int:
+    v = image.get("warc_ts_us" if vcol == "warc_ts" else vcol) or 0
+    return int(v) // 1000
+
+
 def _write_part(edir: str, lines: list[str]) -> None:
     if not lines:
         return
@@ -314,7 +415,8 @@ def _write_part(edir: str, lines: list[str]) -> None:
 
 
 def _make_emitter(edir: str, cid: int, key: str,
-                  target_names: list[str], table_name: str):
+                  target_names: list[str], table_name: str,
+                  vcol: str = "warc_ts"):
     data_cols = [c for c in target_names if c != key]
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
@@ -336,31 +438,24 @@ def _make_emitter(edir: str, cid: int, key: str,
             if merge_state == "right_only":
                 if not old_live:
                     continue  # tombstone purged — consumers saw the d
-                before = _image(
-                    {c: r.get(f"{c}__o") for c in data_cols}
-                    | {key: r[key]}, target_names)
+                before = _image({key: r[key],
+                                 vcol: r.get(f"{vcol}__o")},
+                                [key, vcol])
                 env = {"op": "d",
-                       "ts_ms": (before.get("warc_ts_us") or 0) // 1000,
+                       "ts_ms": _ts_ms(before, vcol),
                        "source": {"table": table_name, "epoch": cid,
                                   "seq": int(r[INTERNAL_SEQ + "__o"]) + 1},
                        "before": before, "after": None}
             elif bool(r[INTERNAL_DELETED]):  # new-side tombstone
-                if old_live:
-                    before = _image(
-                        {c: r.get(f"{c}__o") for c in data_cols}
-                        | {key: r[key]}, target_names)
-                else:  # insert+delete within the epoch: key+version only
-                    before = _image({key: r[key],
-                                     "warc_ts": r.get("warc_ts")},
-                                    [key, "warc_ts"])
-                # the tombstone's OWN version must ride the wire (LWW
-                # anti-resurrection), not the before image's older one
-                tomb = _image({key: r[key]} | {
-                    c: r.get(c) for c in data_cols}, target_names)
-                before["warc_ts_us"] = tomb.get("warc_ts_us",
-                                                before.get("warc_ts_us"))
+                # the before image IS the stored tombstone row — its
+                # version (LWW anti-resurrection) and whatever payload
+                # the delete event carried (often null), so a replayed
+                # tombstone is byte-identical to the source's
+                before = _image(
+                    {key: r[key]} | {c: r.get(c) for c in data_cols},
+                    target_names)
                 env = {"op": "d",
-                       "ts_ms": (before.get("warc_ts_us") or 0) // 1000,
+                       "ts_ms": _ts_ms(before, vcol),
                        "source": {"table": table_name, "epoch": cid,
                                   "seq": int(r[INTERNAL_SEQ])},
                        "before": before, "after": None}
@@ -369,7 +464,7 @@ def _make_emitter(edir: str, cid: int, key: str,
                     {key: r[key]} | {c: r.get(c) for c in data_cols},
                     target_names)
                 env = {"op": "u" if old_live else "c",
-                       "ts_ms": (after.get("warc_ts_us") or 0) // 1000,
+                       "ts_ms": _ts_ms(after, vcol),
                        "source": {"table": table_name, "epoch": cid,
                                   "seq": int(r[INTERNAL_SEQ])},
                        "before": None, "after": after}

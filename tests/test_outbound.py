@@ -245,3 +245,40 @@ def test_bus_consumer_cursor_discipline(tmp_path, ray_session):
     with pytest.raises(ValueError, match="pruned below"):
         c2.pending()
     assert c1.read() == (None, [])
+
+
+def test_multi_table_wal_roundtrip(tmp_path, ray_session):
+    """export_changes_multi: N lakes ingested from one WAL export back
+    into ONE envelope WAL that run_cdc_multi replays — per-table
+    snapshot hashes must match the originals; incremental re-export is
+    a no-op; maintenance interleaving refuses."""
+    from chomper_ray.pipelines.multi import run_cdc_multi
+    from chomper_ray.sources import envelopes
+    from chomper_ray.sources.events import generate_multi_stream
+    from chomper_ray.state.outbound import export_changes_multi
+
+    log = generate_multi_stream(tmp_path / "wal", n_events=2000,
+                                n_urls=300, n_links=400, n_epochs=3,
+                                seed=11)
+    run_cdc_multi(log, tmp_path / "lakes", num_partitions=4)
+    lakes = {
+        name: LakeTable(tmp_path / "lakes" / name, key=key,
+                        num_partitions=4)
+        for name, key in [("pages", "url"), ("links", "link_id")]}
+    res = export_changes_multi(lakes, tmp_path / "bus")
+    assert res["exported_epochs"] == [0, 1, 2] and res["events"] > 0
+    # incremental: rerun no-op
+    res2 = export_changes_multi(lakes, tmp_path / "bus")
+    assert res2["exported_epochs"] == []
+    # replay through run_cdc_multi's envelope source
+    run_cdc_multi(tmp_path / "bus", tmp_path / "replica",
+                  num_partitions=4, source=envelopes)
+    for name, key in [("pages", "url"), ("links", "link_id")]:
+        a = lakes[name].snapshot_hash()
+        b = LakeTable(tmp_path / "replica" / name, key=key,
+                      num_partitions=4).snapshot_hash()
+        assert a == b, name
+    # maintenance interleaving refuses loudly
+    lakes["pages"].repartition_table(7)
+    with pytest.raises(ValueError, match="maintenance"):
+        export_changes_multi(lakes, tmp_path / "bus2")
