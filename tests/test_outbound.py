@@ -282,3 +282,34 @@ def test_multi_table_wal_roundtrip(tmp_path, ray_session):
     lakes["pages"].repartition_table(7)
     with pytest.raises(ValueError, match="maintenance"):
         export_changes_multi(lakes, tmp_path / "bus2")
+
+
+def test_bus_consumer_on_multi_wal(tmp_path, ray_session):
+    """BusConsumer over a multi-table WAL: events arrive with the tbl
+    discriminator, consumable per table."""
+    from chomper_ray.pipelines.multi import run_cdc_multi
+    from chomper_ray.sources.envelopes import BusConsumer
+    from chomper_ray.sources.events import generate_multi_stream
+    from chomper_ray.state.outbound import export_changes_multi
+
+    log = generate_multi_stream(tmp_path / "wal", n_events=800,
+                                n_urls=150, n_links=200, n_epochs=2,
+                                seed=3)
+    run_cdc_multi(log, tmp_path / "lakes", num_partitions=3)
+    lakes = {n: LakeTable(tmp_path / "lakes" / n, key=k,
+                          num_partitions=3)
+             for n, k in [("pages", "url"), ("links", "link_id")]}
+    export_changes_multi(lakes, tmp_path / "bus")
+    c = BusConsumer(tmp_path / "bus", "audit")
+    ds, eps = c.read()
+    df = ds.to_pandas()
+    assert eps == [0, 1]
+    assert set(df["tbl"]) == {"pages", "links"}
+    # per-table slices carry only their own columns non-null
+    pages = df[df["tbl"] == "pages"]
+    links = df[df["tbl"] == "links"]
+    assert pages["url"].notna().all()
+    assert links["link_id"].notna().all()
+    assert links["url"].isna().all()  # cross-table column stays null
+    c.ack(1)
+    assert c.read() == (None, [])
