@@ -155,6 +155,14 @@ def main(argv=None):
                     help="fold all live segments into one full segment "
                          "after applying (restores the no-resolve scan)")
 
+    hi = sub.add_parser(
+        "history",
+        help="manifest-chain summary: one JSON line per commit (kind, "
+             "log epoch, partitions touched, events in, rows, wall)")
+    hi.add_argument("--lake-root", required=True)
+    hi.add_argument("--last", type=int, default=None,
+                    help="only the newest N commits")
+
     obm = sub.add_parser(
         "export-changes-multi",
         help="outbound CDC for several lakes ingested from a SHARED "
@@ -537,6 +545,41 @@ def main(argv=None):
         res = LakeTable(args.lake_root).prune_change_events(
             args.before_epoch)
         print(json.dumps(res))
+        return 0
+
+    if args.cmd == "history":
+        from chomper_ray.state.lake import committed_epochs, load_manifest
+
+        eps = committed_epochs(args.lake_root)
+        if args.last:
+            eps = eps[-args.last:]
+        for e in eps:
+            m = load_manifest(args.lake_root, e)
+            if m.get("truncated"):
+                kind = "truncate"
+            elif "repartitioned_from" in m:
+                kind = f"repartition<-{m['repartitioned_from']}"
+            elif "purged_tombstones" in m:
+                kind = "purge"
+            elif "compacted_delta_partitions" in m:
+                kind = "compact-deltas"
+            elif "backfill" in m:
+                kind = f"backfill:{m['backfill']['id']}"
+            else:
+                kind = "ingest"
+            lin = m.get("lineage", [])
+            print(json.dumps({
+                "commit": int(m["epoch"]),
+                "prev": m.get("prev_epoch"),
+                "log_epoch": m.get("log_epoch"),
+                "kind": kind,
+                "partitions_touched": len(lin),
+                "events_in": sum(int(r.get("events_in", 0) or 0)
+                                 for r in lin),
+                "rows": sum(int(r.get("rows", 0) or 0) for r in lin),
+                "mor_deltas": bool(m.get("delta_commits")),
+                "wall_s": m.get("wall_s"),
+            }))
         return 0
 
     if args.cmd == "export-changes-multi":
