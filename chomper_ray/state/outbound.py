@@ -163,6 +163,7 @@ class LakeChangeExporter:
         applied = self._applied()
         prev_cid = None
         exported, lines_total = [], 0
+        fresh_bus = applied is None
         for cid in cids:
             if applied is not None and cid <= applied:
                 prev_cid = cid
@@ -173,13 +174,73 @@ class LakeChangeExporter:
             if man.get("truncated"):
                 n = self._export_truncate(cid, prev_man)
             else:
-                n = self._export_commit(cid, man, prev_man, prev_cid)
+                try:
+                    n = self._export_commit(cid, man, prev_man, prev_cid)
+                except ExportHistoryGone:
+                    if not (fresh_bus and not exported):
+                        raise
+                    # Debezium-style initial snapshot: a BRAND-NEW bus
+                    # on a lake with amputated history (GC'd early
+                    # manifests, or a branch() fork) bootstraps from
+                    # the full resolved state as 'r' envelopes — no
+                    # consumer exists yet, so nothing can be skipped.
+                    # Mid-stream gaps (cursor exists) still refuse.
+                    n = self._export_snapshot(cid, man)
             self._write_cursor(cid)
             exported.append(cid)
             lines_total += n
             prev_cid = cid
         return {"exported_epochs": exported, "events": lines_total,
                 "cursor": self._applied()}
+
+    def _export_snapshot(self, cid: int, man: dict) -> int:
+        """Initial-snapshot phase: every live row at ``man`` as an 'r'
+        envelope (Debezium snapshot-read op, normalized to insert by
+        the reader) — full images, real versions and _seq."""
+        import tempfile
+
+        import ray.data as rd
+
+        target = schema_mod.schema_from_json(man["schema"])
+        edir = self._epoch_dir(cid)
+        scratch = tempfile.mkdtemp(prefix="chomper_ob_snap_")
+        try:
+            files = materialize_mor_resolved(
+                self.lake.root, man, self.lake._mor_kwargs(), scratch)
+            if not files:
+                self._sidecar(edir, target)
+                return 0
+            read_schema = pa.schema(
+                list(target) + [pa.field(INTERNAL_SEQ, pa.int64()),
+                                pa.field(INTERNAL_DELETED, pa.bool_())])
+            key, vcol = self.lake.key, self.lake.version[0]
+            tnames, tname = list(target.names), self.table_name
+            edirs = str(edir)
+            data_cols = [c for c in tnames if c != key]
+
+            def emit(df: pd.DataFrame) -> pd.DataFrame:
+                live = df[~df[INTERNAL_DELETED].astype(bool)]
+                lines = []
+                for r in live.to_dict("records"):
+                    after = _image(
+                        {key: r[key]} | {c: r.get(c) for c in data_cols},
+                        tnames)
+                    lines.append(json.dumps({
+                        "op": "r", "ts_ms": _ts_ms(after, vcol),
+                        "source": {"table": tname, "epoch": cid,
+                                   "seq": int(r[INTERNAL_SEQ])},
+                        "before": None, "after": after,
+                    }, separators=(",", ":")))
+                _write_part(edirs, lines)
+                return pd.DataFrame({"n": [len(lines)]})
+
+            stats = rd.read_parquet(files, schema=read_schema) \
+                .map_batches(emit, batch_format="pandas").to_pandas()
+            n = int(stats["n"].sum()) if len(stats) else 0
+            self._sidecar(edir, target)
+            return n
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
 
     def _epoch_dir(self, cid: int) -> Path:
         d = self.out / (_EPOCH_FMT % cid)

@@ -142,15 +142,61 @@ def test_mor_source_exports(tmp_path, ray_session):
     assert_roundtrip(lake, tmp_path / "bus", tmp_path, name="re2")
 
 
-def test_gc_before_export_refuses(tmp_path, ray_session):
+def test_fresh_bus_on_gc_lake_snapshot_bootstraps(tmp_path, ray_session):
+    """A BRAND-NEW bus on a lake with amputated history bootstraps via
+    a Debezium-style 'r' snapshot phase (no consumer can be skipped),
+    then continues incrementally."""
+    lake = LakeTable(tmp_path / "src", key="url", num_partitions=2,
+                     collect_changes=False)
+    commit(lake, [mk("insert", 0, "a", 10, "en", "x"),
+                  mk("insert", 1, "b", 10, "de", "y")], 0)
+    commit(lake, [mk("update", 2, "a", 20, "en", "y"),
+                  mk("delete", 3, "b", 20, None, None)], 1)
+    lake.compact(keep_epochs=1)
+    ex = LakeChangeExporter(lake, tmp_path / "bus")
+    res = ex.export()
+    assert res["exported_epochs"] == [1]
+    lines = [json.loads(ln)
+             for f in (tmp_path / "bus/epoch=000001").glob("*.jsonl")
+             for ln in f.read_text().splitlines()]
+    assert [l["op"] for l in lines] == ["r"]  # live rows only
+    assert_roundtrip(lake, tmp_path / "bus", tmp_path)
+    # and it continues incrementally afterwards
+    commit(lake, [mk("insert", 4, "c", 30, "fr", "z")], 2)
+    assert ex.export()["events"] == 1
+    assert_roundtrip(lake, tmp_path / "bus", tmp_path, name="re2")
+
+
+def test_mid_stream_gc_gap_still_refuses(tmp_path, ray_session):
+    """An EXISTING bus whose next commits' diff inputs were GC'd must
+    refuse — consumers would silently skip the gap otherwise."""
     lake = LakeTable(tmp_path / "src", key="url", num_partitions=2,
                      collect_changes=False)
     commit(lake, [mk("insert", 0, "a", 10, "en", "x")], 0)
-    commit(lake, [mk("update", 1, "a", 20, "en", "y")], 1)
-    lake.compact(keep_epochs=1)
     ex = LakeChangeExporter(lake, tmp_path / "bus")
+    ex.export()  # cursor = 0
+    commit(lake, [mk("update", 1, "a", 20, "en", "y")], 1)
+    commit(lake, [mk("update", 2, "a", 30, "en", "z")], 2)
+    lake.compact(keep_epochs=1)  # commit-1/2 diff inputs gone
     with pytest.raises(ExportHistoryGone):
         ex.export()
+
+
+def test_fresh_bus_on_branch_bootstraps(tmp_path, ray_session):
+    """A bus started on a branch() fork snapshots the fork state and
+    then streams the branch's own divergence."""
+    lake = LakeTable(tmp_path / "src", key="url", num_partitions=2,
+                     collect_changes=False)
+    commit(lake, [mk("insert", 0, "a", 10, "en", "x"),
+                  mk("insert", 1, "b", 10, "de", "y")], 0)
+    br = lake.branch(tmp_path / "fork")
+    ex = LakeChangeExporter(br, tmp_path / "bus")
+    assert ex.export()["events"] == 2  # snapshot phase
+    commit(br, [mk("delete", 10, "a", 20, None, None)], 1)
+    assert ex.export()["events"] == 1
+    assert_roundtrip(br, tmp_path / "bus", tmp_path)
+    got = reingest(tmp_path / "bus", tmp_path, "re3").read_pandas()
+    assert sorted(got["url"]) == ["b"]
 
 
 def test_intra_epoch_insert_delete_stays_dead(tmp_path, ray_session):
