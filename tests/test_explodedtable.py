@@ -192,3 +192,41 @@ def test_explode_schema_evolution(tmp_path, ray_session):
     assert_synced(dt, up)
     assert sorted(dt.table.read_pandas()["chunk_id"]) == \
         ["a#0", "b#0"]
+
+
+def test_text_index_on_chunk_lake(tmp_path, ray_session):
+    """The RAG stack end to end: bronze pages → chunk lake
+    (ExplodedLakeTable) → LakeTextIndex ON THE CHUNKS — chunk-level
+    search stays fresh as upstream pages change, maintained per commit
+    at both hops, and always equals a from-scratch rebuild."""
+    from chomper_ray.state.index import LakeTextIndex
+
+    up, dt = make(tmp_path)
+    idx = LakeTextIndex(dt.table, tmp_path / "cidx", col="chunk_text",
+                        num_partitions=4)
+
+    def sync():
+        dt.refresh()
+        idx.refresh()
+        fresh = LakeTextIndex(dt.table, tmp_path / f"cidx{len(committed_epochs(dt.table.root))}",
+                              col="chunk_text", num_partitions=4)
+        fresh.refresh()
+        for tok in ["alpha", "beta"]:
+            a = idx.postings(tok).reset_index(drop=True)
+            b = fresh.postings(tok).reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b)
+
+    # chunk boundary splits tokens deterministically (CHUNK=5); use
+    # short tokens that survive chunking intact
+    commit(up, [mk("insert", 0, "a", 10, 200, "alpha beta"),
+                mk("insert", 1, "b", 10, 200, "beta")], 0)
+    sync()
+    assert len(idx.postings("beta")) >= 1
+    # update a: alpha disappears from its chunks
+    commit(up, [mk("update", 10, "a", 20, 200, "gamma")], 1)
+    sync()
+    assert len(idx.postings("alpha")) == 0
+    # delete b: its chunk's postings go
+    commit(up, [mk("delete", 20, "b", 30, None, None)], 2)
+    sync()
+    assert len(idx.postings("beta")) == 0
