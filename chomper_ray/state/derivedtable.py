@@ -94,8 +94,26 @@ class TransformContractError(ValueError):
     keys, invented keys, missing key column, or non-DataFrame)."""
 
 
+def _is_arraylike_col(s: pd.Series) -> bool:
+    if s.dtype != object:
+        return False
+    for v in s.head(20):
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            continue
+        return isinstance(v, (np.ndarray, list, tuple))
+    return False
+
+
 def _neq(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Null-safe per-row inequality (NaN == NaN)."""
+    """Null-safe per-row inequality (NaN == NaN). Array-valued cells
+    (embedding columns read back as ndarrays/lists) compare by content
+    — a plain ``!=`` would yield per-row arrays and ambiguous truth."""
+    if _is_arraylike_col(a) or _is_arraylike_col(b):
+        def norm(s: pd.Series) -> pd.Series:
+            return s.map(lambda v: tuple(np.asarray(v).tolist())
+                         if isinstance(v, (np.ndarray, list, tuple))
+                         else v)
+        a, b = norm(a), norm(b)
     both_na = a.isna() & b.isna()
     na_flip = a.isna() ^ b.isna()
     diff = (a != b)

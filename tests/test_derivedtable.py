@@ -321,3 +321,49 @@ def test_repartition_upstream_is_content_neutral(tmp_path, ray_session):
     commit(up, [mk("update", 100, "u5", 20, 200, "after repart")], 2)
     dv.refresh()
     assert_synced(dv, up)
+
+
+def test_derived_over_embedding_upstream(tmp_path, ray_session):
+    """Embedding (list<float>) columns flow through the signed diff:
+    change detection compares array CONTENT (a plain != would be
+    ambiguous), and an embedding-only update propagates exactly."""
+    import numpy as np
+
+    up = LakeTable(tmp_path / "up", key="url", num_partitions=2,
+                   collect_changes=False)
+
+    def ev(op, seq, url, ts, status, emb):
+        return {"op": op, "seq": seq, "url": url,
+                "warc_ts": pd.Timestamp(ts, unit="s"),
+                "fetch_status": status, "emb": emb}
+
+    commit(up, [ev("insert", 0, "a", 10, 200, [1.0, 0.0]),
+                ev("insert", 1, "b", 10, 200, [0.0, 1.0]),
+                ev("insert", 2, "c", 10, 404, [0.5, 0.5])], 0)
+
+    def keep_vecs():
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            k = df[df["fetch_status"].fillna(0).astype("int64") == 200]
+            return pd.DataFrame({"url": k["url"], "emb": k["emb"]})
+        return f
+
+    out_schema = pa.schema([
+        ("url", pa.string()), ("emb", pa.list_(pa.float64()))])
+    dt = DerivedLakeTable(up, tmp_path / "vecs", keep_vecs(),
+                          out_schema, lake_kwargs={"num_partitions": 2})
+    dt.refresh()
+    got = dt.table.read_pandas().set_index("url")["emb"]
+    assert sorted(got.index) == ["a", "b"]
+    assert np.allclose(np.asarray(got["a"]), [1.0, 0.0])
+    # embedding-only update (same status) must be DETECTED and ship
+    commit(up, [ev("update", 10, "a", 20, 200, [0.9, 0.1])], 1)
+    dt.refresh()
+    man = load_manifest(dt.table.root)
+    assert sum(int(ln["events_in"]) for ln in man["lineage"]) == 1
+    got = dt.table.read_pandas().set_index("url")["emb"]
+    assert np.allclose(np.asarray(got["a"]), [0.9, 0.1])
+    # identical-content rewrite cancels (array compare by content)
+    commit(up, [ev("update", 11, "b", 20, 200, [0.0, 1.0])], 2)
+    dt.refresh()
+    assert_synced_rows = dt.table.read_pandas()
+    assert len(assert_synced_rows) == 2
