@@ -266,10 +266,22 @@ def _diff_events(old_live, new, key, data_cols, ch) -> pd.DataFrame:
         # insert: every present (non-null) column fires change.<field>
         frames.append(change_frame(live_new.loc[ins, cols].notna()))
     if len(upd) and cols:
-        nv = live_new.loc[upd, cols]
-        ov = old_live.reindex(index=upd, columns=cols) \
-            if len(getattr(old_live, "columns", [])) else \
-            pd.DataFrame(None, index=upd, columns=cols, dtype=object)
+        nv = live_new.loc[upd, cols].copy()
+        ov = (old_live.reindex(index=upd, columns=cols)
+              if len(getattr(old_live, "columns", [])) else
+              pd.DataFrame(None, index=upd, columns=cols,
+                           dtype=object)).copy()
+        for c in cols:
+            # array-valued cells (embedding columns) compare by
+            # content — elementwise eq would be ambiguous
+            for df in (nv, ov):
+                if df[c].dtype == object and any(
+                        isinstance(v, (np.ndarray, list, tuple))
+                        for v in df[c].head(20) if v is not None):
+                    df[c] = df[c].map(
+                        lambda v: tuple(np.asarray(v).tolist())
+                        if isinstance(v, (np.ndarray, list, tuple))
+                        else v)
         neq = ~((ov.isna() & nv.isna()) | ov.eq(nv).fillna(False))
         frames.append(change_frame(neq))
     out = pd.concat(frames, ignore_index=True)

@@ -97,6 +97,10 @@ def _image(row: dict, schema_names: list[str]) -> dict:
             out[c] = int(v.value // 1000)
         elif isinstance(v, (bytes, bytearray)):
             out[f"{c}_b64"] = base64.b64encode(v).decode("ascii")
+        elif isinstance(v, (np.ndarray, list, tuple)):
+            # embedding / list columns ride as plain JSON arrays; the
+            # reader casts back to the sidecar's list type
+            out[c] = np.asarray(v).tolist()
         elif v is not None and isinstance(v, (np.integer,)):
             out[c] = int(v)
         elif v is not None and isinstance(v, (np.floating,)):

@@ -359,3 +359,35 @@ def test_bus_consumer_on_multi_wal(tmp_path, ray_session):
     assert links["url"].isna().all()  # cross-table column stays null
     c.ack(1)
     assert c.read() == (None, [])
+
+
+def test_embedding_lake_roundtrip(tmp_path, ray_session):
+    """list<float> embedding columns ride the envelope wire as JSON
+    arrays and replay exactly."""
+    import numpy as np
+
+    lake = LakeTable(tmp_path / "src", key="url", num_partitions=2,
+                     collect_changes=False)
+
+    def ev(op, seq, url, ts, emb):
+        return {"op": op, "seq": seq, "url": url,
+                "warc_ts": pd.Timestamp(ts, unit="s"), "emb": emb}
+
+    lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(
+        [ev("insert", 0, "a", 10, [0.25, -1.5]),
+         ev("insert", 1, "b", 10, [3.0, 4.0])],
+        schema=pa.schema([("op", pa.string()), ("seq", pa.int64()),
+                          ("url", pa.string()),
+                          ("warc_ts", pa.timestamp("us")),
+                          ("emb", pa.list_(pa.float64()))]))), 0)
+    lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(
+        [ev("update", 10, "a", 20, [0.5, 0.5])],
+        schema=pa.schema([("op", pa.string()), ("seq", pa.int64()),
+                          ("url", pa.string()),
+                          ("warc_ts", pa.timestamp("us")),
+                          ("emb", pa.list_(pa.float64()))]))), 1)
+    LakeChangeExporter(lake, tmp_path / "bus").export()
+    got = reingest(tmp_path / "bus", tmp_path).read_pandas() \
+        .set_index("url")["emb"]
+    assert np.allclose(np.asarray(got["a"]), [0.5, 0.5])
+    assert np.allclose(np.asarray(got["b"]), [3.0, 4.0])
