@@ -1743,6 +1743,31 @@ def _q_cdc_outbound_roundtrip(sf_dir: str):
                  "extra_score"])
 
 
+def _q_cdc_shuffled_export(sf_dir: str):
+    # CDC-maintained deterministic corpus shuffle (state/clustered.py
+    # LakeShuffledExport): the pre-training "shuffle the corpus once"
+    # step kept in sync with lake commits as md5-routed signed-row
+    # segments — shard = md5_32(url) % n, in-shard order = (md5_32(url),
+    # url) over LIVE rows only, so the global order is a pure function
+    # of the live key set (ingest history, partitioning and compaction
+    # never leak in). Maintenance cost ∝ each commit's write
+    # amplification. Hash-verified against ONE SQL window function over
+    # the LWW replay (DuckDB md5 == the engine's per-row hash by
+    # construction; parity pinned by test_shuffled_export).
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.state.clustered import LakeShuffledExport
+    from chomper_ray.state.lake import LakeTable
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_shx_")
+    run_cdc(log, lake_root, num_partitions=8)
+    lake = LakeTable(lake_root, num_partitions=8)
+    exp = LakeShuffledExport(lake, tempfile.mkdtemp(prefix="chomper_shx_"),
+                             columns=["lang"], n_shards=16)
+    exp.refresh()  # full segment + 3 delta segments, resolved at read
+    return exp.read_live()
+
+
 def _q_cdc_derived_docs(sf_dir: str):
     # lake→lake incremental CDC propagation (medallion chaining): a
     # DerivedLakeTable maintains a downstream "clean docs" lake as a
@@ -3118,6 +3143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (round-3 verdict item 1); previously driver-verified entries follow.
     return {
         # never driver-hash-checked, oracle-backed (window [0:50])
+        "cdc_shuffled_export": _q_cdc_shuffled_export,
         "cdc_derived_docs": _q_cdc_derived_docs,
         "cdc_derived_chunks": _q_cdc_derived_chunks,
         "cdc_gold_on_silver": _q_cdc_gold_on_silver,
@@ -3491,6 +3517,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(length(coalesce(text, ''))) AS BIGINT) "
             "AS total_chars, "
             "max(warc_ts) AS latest_ts FROM st GROUP BY 1"
+        ),
+        "cdc_shuffled_export": (
+            # the maintained corpus shuffle must equal ONE window
+            # function over the LWW replay: shard = md5-32(url) % 16,
+            # pos = rank of (md5-32(url), url) within the shard
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            "h AS (SELECT url, lang, "
+            "('0x' || substr(md5(url), 1, 8))::UBIGINT AS hv FROM win) "
+            "SELECT url, lang, CAST(hv % 16 AS BIGINT) AS shard, "
+            "CAST(row_number() OVER (PARTITION BY hv % 16 "
+            "ORDER BY hv, url) - 1 AS BIGINT) AS pos FROM h"
         ),
         "cdc_derived_docs": (
             # the derived "clean docs" lake must equal filter+project of

@@ -958,3 +958,188 @@ def join_live(left: LakeKeyedBucketLayout, right: LakeKeyedBucketLayout,
           .repartition(len(pids))
           .map_batches(join_pid, batch_format="pyarrow"))
     return ds, len(pids), n_total
+
+
+def _md5_32(vals) -> np.ndarray:
+    """SQL-replayable 32-bit hash of each value: the first 8 hex chars
+    of ``md5(str(v))`` as an integer — exactly DuckDB's
+    ``('0x' || substr(md5(v), 1, 8))::UBIGINT``, so an oracle can
+    replay shard routing and in-shard order with one window function.
+    A per-row loop, deliberately: there is no vectorized md5 kernel in
+    Arrow/numpy, and every call site is bounded by a commit's rows or
+    one shard's rows inside a distributed task, never the corpus on the
+    driver (~0.5 µs/row)."""
+    import hashlib
+
+    md5 = hashlib.md5
+    out = np.fromiter(
+        (int.from_bytes(md5(str(v).encode("utf-8")).digest()[:4], "big")
+         for v in vals),
+        dtype=np.int64, count=len(vals))
+    return out
+
+
+class LakeShuffledExport(_LakeClusteredLayout):
+    """CDC-maintained deterministic global pseudo-shuffle of the live
+    lake state — ``output.shuffled_export`` (the "shuffle the corpus
+    once before training" step) kept in sync with lake commits instead
+    of rebuilt per epoch.
+
+    Routing: shard = ``_md5_32(key) % n_shards`` of the lake's OWN key
+    column, so a row's shard never changes for the life of the key —
+    an update's −1 always lands in the same shard file chain as the +1
+    it cancels (no cross-shard moves, unlike value-routed layouts).
+    Maintenance cost ∝ the commit's write amplification (signed rows of
+    the diff only), never the corpus: at 100 TB a small commit touches
+    a few shard-delta files, not the export.
+
+    Read contract (``read_live``): every row carries ``shard`` and
+    ``pos`` columns — ``pos`` = rank of ``(h, key)`` within the shard
+    over LIVE rows — and the global shuffled order IS ``(shard, pos)``
+    ascending; like ``read_shuffled``, the order contract is pinned to
+    the columns, never to Ray block arrival order. The order is a pure
+    function of the live key set: independent of ingest history,
+    partitioning, cluster size, merge-on-read vs copy-on-write, and
+    compaction (``compact()`` only restores the single-full-segment
+    fast path; hash-verified + pinned by pytest).
+
+    Chomper ancestry: the reference has no export/shuffle machinery at
+    all (its exporter is a per-row SQL loop, chomper/exporters.py:4-20);
+    this exists for the training-data regime the engine targets, and is
+    hash-verified against one SQL window function over the LWW replay
+    (driver query ``cdc_shuffled_export``).
+    """
+
+    PART = "s"
+
+    def __init__(self, lake, root, columns=None, n_shards: int = 64):
+        super().__init__(lake, root, columns=columns,
+                         num_partitions=n_shards)
+        # fail at construction, not first write: an already-persisted
+        # export pins its shard count for life (re-routing would strand
+        # rows in the wrong shard files)
+        b = self.bounds()
+        if b is not None and b["n_shards"] != self.num_partitions:
+            raise ValueError(
+                f"{self.root} already holds a {b['n_shards']}-shard "
+                f"export — n_shards={self.num_partitions} would "
+                "mis-route rows; use a fresh root or the original "
+                "count")
+
+    # -- routing ---------------------------------------------------------------
+    def _route_cols(self) -> list[str]:
+        return [self.key_col]
+
+    def _ensure_bounds(self, files: list[str]) -> dict:
+        # md5 routing needs no fitted bounds — persist the shard count
+        # so the export stays self-describing (and immutable: resuming
+        # with a different n_shards would mis-route rows)
+        b = self.bounds()
+        if b is not None:
+            if b["n_shards"] != self.num_partitions:
+                raise ValueError(
+                    f"{self.root} already holds a {b['n_shards']}-shard "
+                    f"export — n_shards={self.num_partitions} would "
+                    "mis-route rows; use a fresh root or the original "
+                    "count")
+            return b
+        b = {"key": self.key_col, "n_shards": self.num_partitions}
+        tmp = self.root / f"._BOUNDS.{uuid.uuid4().hex[:8]}.tmp"
+        tmp.write_text(json.dumps(b))
+        os.replace(tmp, self._bounds_path())
+        return b
+
+    def _fit(self, sample):  # pragma: no cover - _ensure_bounds bypasses
+        raise AssertionError("hash layout fits no bounds")
+
+    def _route(self, df: pd.DataFrame, bounds: dict) -> np.ndarray:
+        h = _md5_32(df[self.key_col].to_numpy())
+        return (h % bounds["n_shards"]).astype(np.int32)
+
+    def _sort_frame(self, g: pd.DataFrame) -> pd.DataFrame:
+        # segment files are stored in shard order so the compacted
+        # fast path can assign pos with one arange; h is recomputed at
+        # read time (cheaper than widening every file by 8 bytes/row)
+        h = _md5_32(g[self.key_col].to_numpy())
+        return (g.assign(_h=h)
+                .sort_values(["_h", self.key_col], kind="stable")
+                .drop(columns=["_h"]))
+
+    def _stats_of(self, g: pd.DataFrame) -> dict:
+        return {}
+
+    def _overlaps(self, fmeta: dict, query) -> bool:
+        return query is None or int(fmeta["pid"]) in query
+
+    def _residual(self, df: pd.DataFrame, query) -> pd.DataFrame:
+        return df
+
+    # -- reads ----------------------------------------------------------------
+    def read_live(self, columns=None, start_shard: int = 0):
+        """The maintained shuffled corpus as a Dataset with ``shard``
+        and ``pos`` attached — global order = ``(shard, pos)`` asc,
+        pinned to the columns (Ray does not preserve block order).
+        ``start_shard`` skips finished shards for mid-epoch training
+        resume, exactly like ``output.read_shuffled``. One resolve task
+        per shard; a compacted export skips resolution (files are
+        already live rows in ``(h, key)`` order)."""
+        import ray.data as rd
+
+        live = self._live_segments()
+        lcols = self._layout_cols()
+        out_cols = list(columns) if columns is not None else lcols
+        unknown = [c for c in out_cols if c not in lcols]
+        if unknown:
+            raise ValueError(f"columns {unknown} not in layout columns "
+                             f"{lcols}")
+        target = pa.schema(
+            list(self._target_schema(out_cols))
+            + [pa.field("shard", pa.int64()), pa.field("pos", pa.int64())])
+        plan: dict[int, list[tuple[int, str]]] = {}
+        for rank, seg in enumerate(live):
+            for f in seg.get("files", []):
+                pid = int(f["pid"])
+                if pid < start_shard:
+                    continue
+                plan.setdefault(pid, []).append(
+                    (rank, str(Path(seg["dir"])
+                               / f"{self.PART}={pid:05d}"
+                               / "part.parquet")))
+        if not plan:
+            return rd.from_arrow(target.empty_table())
+        key = self.key_col
+        fast = len(live) == 1 and live[0].get("full")
+
+        def emit(pid: int, g: pd.DataFrame) -> pa.Table:
+            if not fast:
+                h = _md5_32(g[key].to_numpy())
+                g = (g.assign(_h=h)
+                     .sort_values(["_h", key], kind="stable")
+                     .drop(columns=["_h"]))
+            g = g[out_cols].copy()
+            g["shard"] = np.int64(pid)
+            g["pos"] = np.arange(len(g), dtype=np.int64)
+            return schema_mod.conform(
+                pa.Table.from_pandas(g, preserve_index=False), target)
+
+        def resolve(batch: pa.Table) -> pa.Table:
+            outs = []
+            for pid in batch["pid"].to_pylist():
+                frames = []
+                for rank, f in plan[int(pid)]:
+                    t = pq.read_table(f).to_pandas()
+                    if len(t):
+                        frames.append(t.assign(_r=rank))
+                if not frames:
+                    continue
+                g = (frames[0].drop(columns=["_r", "op"]) if fast
+                     else _resolve_frames(frames, key))
+                if len(g):
+                    outs.append(emit(int(pid), g))
+            return pa.concat_tables(outs) if outs else target.empty_table()
+
+        pids = sorted(plan)
+        return (rd.from_arrow(pa.table({"pid": pa.array(pids,
+                                                        type=pa.int32())}))
+                .repartition(len(pids))
+                .map_batches(resolve, batch_format="pyarrow"))
