@@ -1768,6 +1768,29 @@ def _q_cdc_shuffled_export(sf_dir: str):
     return exp.read_live()
 
 
+def _q_cdc_packed_stream(sf_dir: str):
+    # per-shard tokenize-and-pack over the CDC-maintained shuffle
+    # (LakeShuffledExport.read_packed): each shard is an independent
+    # fixed-length example stream in shuffled (md5, url) order over
+    # LIVE rows — a commit perturbs only its own shards' examples
+    # (shards_touched_since names the re-reads; pinned by pytest). The
+    # span arithmetic is stages/text.py pack_sequences verbatim;
+    # hash-verified against SUM() OVER (PARTITION BY shard ORDER BY
+    # md5, url) + generate_series over the LWW replay.
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.state.clustered import LakeShuffledExport
+    from chomper_ray.state.lake import LakeTable
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_pkx_")
+    run_cdc(log, lake_root, num_partitions=8)
+    lake = LakeTable(lake_root, num_partitions=8)
+    exp = LakeShuffledExport(lake, tempfile.mkdtemp(prefix="chomper_pkx_"),
+                             columns=["text"], n_shards=16)
+    exp.refresh()
+    return exp.read_packed(64)
+
+
 def _q_cdc_derived_docs(sf_dir: str):
     # lake→lake incremental CDC propagation (medallion chaining): a
     # DerivedLakeTable maintains a downstream "clean docs" lake as a
@@ -3144,6 +3167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # never driver-hash-checked, oracle-backed (window [0:50])
         "cdc_shuffled_export": _q_cdc_shuffled_export,
+        "cdc_packed_stream": _q_cdc_packed_stream,
         "cdc_derived_docs": _q_cdc_derived_docs,
         "cdc_derived_chunks": _q_cdc_derived_chunks,
         "cdc_gold_on_silver": _q_cdc_gold_on_silver,
@@ -3532,6 +3556,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, lang, CAST(hv % 16 AS BIGINT) AS shard, "
             "CAST(row_number() OVER (PARTITION BY hv % 16 "
             "ORDER BY hv, url) - 1 AS BIGINT) AS pos FROM h"
+        ),
+        "cdc_packed_stream": (
+            # per-shard packing over the maintained shuffle == per-shard
+            # prefix sums + generate_series over the LWW replay
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            f"sidecar AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/_oracle/*.parquet')), "
+            "t AS (SELECT w.url, "
+            "('0x' || substr(md5(w.url), 1, 8))::UBIGINT AS hv, "
+            "len(regexp_extract_all(coalesce(s.text, ''), '\\S+'))::BIGINT "
+            "AS n FROM win w JOIN sidecar s USING (seq)), "
+            "c AS (SELECT url, hv, CAST(hv % 16 AS BIGINT) AS shard, n, "
+            "SUM(n) OVER (PARTITION BY hv % 16 ORDER BY hv, url) AS ce "
+            "FROM t), "
+            "s AS (SELECT url, shard, n, (ce - n)::BIGINT AS cs, "
+            "ce::BIGINT AS ce FROM c WHERE n > 0) "
+            "SELECT s.url, s.shard, g.eid::BIGINT AS example_id, "
+            "GREATEST(0, g.eid*64 - s.cs)::BIGINT AS tok_lo, "
+            "LEAST(s.n, (g.eid+1)*64 - s.cs)::BIGINT AS tok_hi, "
+            "s.n AS n_tokens "
+            "FROM s, LATERAL (SELECT unnest(generate_series("
+            "s.cs // 64, (s.ce - 1) // 64)) AS eid) g"
         ),
         "cdc_derived_docs": (
             # the derived "clean docs" lake must equal filter+project of

@@ -99,6 +99,58 @@ def _check_no_nulls(s: pd.Series, col: str, what: str) -> None:
             "drop or fill nulls upstream (same contract as write_sorted)")
 
 
+def _col_eq(a: pd.Series, b: pd.Series) -> np.ndarray:
+    """Elementwise equality with SQL-style null handling (null == null
+    counts as equal here — we are testing 'content identical', not
+    three-valued logic). Columns whose values don't support vectorized
+    comparison (e.g. object cells holding arrays) conservatively
+    compare unequal — cancellation is an optimization, never required
+    for correctness."""
+    try:
+        eq = a.to_numpy() == b.to_numpy()
+        if getattr(eq, "dtype", None) != np.dtype(bool):
+            raise TypeError
+    except Exception:
+        return np.zeros(len(a), dtype=bool)
+    an, bn = a.isna().to_numpy(), b.isna().to_numpy()
+    return (eq & ~(an | bn)) | (an & bn)
+
+
+def _cancel_unchanged(g: pd.DataFrame, key: str) -> pd.DataFrame:
+    """Drop +1/−1 pairs whose projected content is identical — the
+    copy-on-write noise filter (the derived-table family's 'events ∝
+    actual change' discipline, state/derivedtable.py): a COW ingest
+    commit rewrites whole lake partitions, so its signed diff carries
+    every co-located UNTOUCHED row as a content-equal −1/+1 pair.
+    Resolution-neutral by construction: dropping the pair leaves the
+    key's older chain entry live, which is content-equal to the new
+    +1 on every layout column. Keeps segment rows (and the set of
+    touched buckets a consumer must re-read) proportional to the
+    commit's real changes, not its write amplification."""
+    ops = g["op"].to_numpy()
+    if (ops == 1).all() or (ops == -1).all():
+        return g
+    plus = g[ops == 1]
+    minus = g[ops == -1]
+    if not (plus[key].is_unique and minus[key].is_unique):
+        return g  # snapshot invariant violated — don't guess
+    p = plus.set_index(key)
+    m = minus.set_index(key)
+    common = p.index.intersection(m.index)
+    if not len(common):
+        return g
+    p, m = p.loc[common], m.loc[common]
+    eq = np.ones(len(common), dtype=bool)
+    for c in g.columns:
+        if c in (key, "op"):
+            continue
+        eq &= _col_eq(p[c], m[c])
+    cancel = set(common[eq])
+    if not cancel:
+        return g
+    return g[~g[key].isin(cancel)]
+
+
 def _resolve_frames(frames: list[pd.DataFrame], key: str) -> pd.DataFrame:
     """Per-bucket last-op-wins by key across segments in chain order
     (``_r`` = segment rank; within a segment -1 sorts before +1, so an
@@ -277,9 +329,12 @@ class _LakeClusteredLayout(_LsmSegmentIndex):
                 + [pa.field("op", pa.int8()), pa.field("_pb", pa.int32())])
             stats_of, sort_frame = self._stats_of, self._sort_frame
 
+            key_col = self.key_col
+
             def write_part(g: pd.DataFrame) -> pd.DataFrame:
                 pid = int(g["_pb"].iloc[0])
-                g = sort_frame(g.drop(columns=["_pb"]))
+                g = sort_frame(_cancel_unchanged(g.drop(columns=["_pb"]),
+                                                 key_col))
                 d = Path(segs) / f"{part}={pid:05d}"
                 d.mkdir(parents=True, exist_ok=True)
                 tmp = d / f".part.{uuid.uuid4().hex[:8]}.parquet.tmp"
@@ -300,6 +355,14 @@ class _LakeClusteredLayout(_LsmSegmentIndex):
             meta = ds.groupby("_pb").map_groups(
                 write_part, batch_format="pandas").to_pandas()
             for _, r in meta.iterrows():
+                if int(r["rows"]) == 0:
+                    # every row of this bucket was a content-equal
+                    # COW pair — nothing changed here; drop the empty
+                    # file so readers (and shards_touched_since) never
+                    # see the bucket as touched
+                    shutil.rmtree(Path(segs) / f"{part}={int(r['pid']):05d}",
+                                  ignore_errors=True)
+                    continue
                 fm = {k: (int(r[k]) if k in ("pid", "rows", "delta")
                           else _norm_scalar(r[k])) for k in meta.columns}
                 files_meta.append(fm)
@@ -528,6 +591,11 @@ class LakeSortedLayout(_LakeClusteredLayout):
         return g.sort_values(self.order_col, kind="stable")
 
     def _stats_of(self, g: pd.DataFrame) -> dict:
+        if not len(g):
+            # fully-canceled COW bucket: the meta row is dropped (and
+            # its file deleted) driver-side, but the task must still
+            # emit the stats columns so every group shares one schema
+            return {"min": float("nan"), "max": float("nan")}
         v = _norm_array(g[self.order_col])
         return {"min": _norm_scalar(v.min()), "max": _norm_scalar(v.max())}
 
@@ -632,6 +700,9 @@ class LakeZorderLayout(_LakeClusteredLayout):
         return g.iloc[order]
 
     def _stats_of(self, g: pd.DataFrame) -> dict:
+        if not len(g):
+            return {k: float("nan") for c in self.cols
+                    for k in (f"min_{c}", f"max_{c}")}
         out = {}
         for c in self.cols:
             v = _norm_array(g[c])
@@ -1136,6 +1207,125 @@ class LakeShuffledExport(_LakeClusteredLayout):
                      else _resolve_frames(frames, key))
                 if len(g):
                     outs.append(emit(int(pid), g))
+            return pa.concat_tables(outs) if outs else target.empty_table()
+
+        pids = sorted(plan)
+        return (rd.from_arrow(pa.table({"pid": pa.array(pids,
+                                                        type=pa.int32())}))
+                .repartition(len(pids))
+                .map_batches(resolve, batch_format="pyarrow"))
+
+    def shards_touched_since(self, cid: int) -> set[int]:
+        """Shard ids whose segment chain gained rows from any applied
+        lake commit with id > ``cid`` — the incremental-consumer
+        contract: a downstream shard reader (training loop, packed
+        export) re-reads ONLY these shards and keeps every other
+        shard's bytes/examples verbatim. A full segment at cid' > cid
+        (compaction or first build) reports every shard it holds —
+        compaction rewrites files even though content is invariant, so
+        a byte-level consumer must be told."""
+        touched: set[int] = set()
+        for seg in self._live_segments():
+            if int(seg["cid"]) > cid:
+                touched.update(int(f["pid"]) for f in seg.get("files", []))
+        return touched
+
+    def read_packed(self, seq_len: int, col: str = "text",
+                    start_shard: int = 0):
+        """Per-shard tokenize-and-pack over the maintained shuffle —
+        the packing step of the training pipeline (stages/text.py
+        ``pack_sequences``) running on CDC-fresh data: each shard is an
+        INDEPENDENT fixed-``seq_len`` example stream whose document
+        order is the shard's shuffled ``(h, key)`` order. Emits one row
+        per (document x example) overlap — ``key, shard, example_id,
+        tok_lo, tok_hi, n_tokens`` with ``example_id`` dense per shard
+        (identical span arithmetic to ``pack_sequences``; whitespace
+        tokens).
+
+        Per-shard (not global) example streams are the point: a commit
+        perturbs only its own shards' examples — everything else is
+        byte-stable (``shards_touched_since`` names the re-reads) —
+        whereas one global stream would shift every example after the
+        first touched document. SQL parity: ``SUM(n) OVER (PARTITION BY
+        shard ORDER BY h, key)`` + ``generate_series`` (driver query
+        ``cdc_packed_stream``)."""
+        import ray.data as rd
+
+        L = int(seq_len)
+        if L <= 0:
+            raise ValueError("seq_len must be positive")
+        if col not in self._layout_cols():
+            raise ValueError(f"column {col!r} not in layout columns "
+                             f"{self._layout_cols()} — pass it via "
+                             "columns= at construction")
+        live = self._live_segments()
+        key = self.key_col
+        key_dtype = self._target_schema([key]).field(key).type
+        target = pa.schema([
+            pa.field(key, key_dtype), pa.field("shard", pa.int64()),
+            pa.field("example_id", pa.int64()),
+            pa.field("tok_lo", pa.int64()), pa.field("tok_hi", pa.int64()),
+            pa.field("n_tokens", pa.int64())])
+        plan: dict[int, list[tuple[int, str]]] = {}
+        for rank, seg in enumerate(live):
+            for f in seg.get("files", []):
+                pid = int(f["pid"])
+                if pid < start_shard:
+                    continue
+                plan.setdefault(pid, []).append(
+                    (rank, str(Path(seg["dir"])
+                               / f"{self.PART}={pid:05d}"
+                               / "part.parquet")))
+        if not plan:
+            return rd.from_arrow(target.empty_table())
+        fast = len(live) == 1 and live[0].get("full")
+
+        def pack(pid: int, g: pd.DataFrame) -> pa.Table:
+            if not fast:
+                h = _md5_32(g[key].to_numpy())
+                g = (g.assign(_h=h)
+                     .sort_values(["_h", key], kind="stable")
+                     .drop(columns=["_h"]))
+            k = g[key].to_numpy()
+            n = g[col].fillna("").str.count(r"\S+").to_numpy(np.int64)
+            ce = np.cumsum(n)
+            cs = ce - n
+            m = n > 0
+            k, n, cs, ce = k[m], n[m], cs[m], ce[m]
+            if not len(k):
+                return target.empty_table()
+            # span expansion — the pack_sequences arithmetic verbatim
+            e0 = cs // L
+            cnt = ((ce - 1) // L - e0 + 1).astype(np.int64)
+            rep = np.repeat(np.arange(len(k)), cnt)
+            ri = np.arange(int(cnt.sum())) \
+                - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            eid = e0[rep] + ri
+            return schema_mod.conform(pa.Table.from_pandas(pd.DataFrame({
+                key: k[rep],
+                "shard": np.int64(pid),
+                "example_id": eid.astype("int64"),
+                "tok_lo": np.maximum(0, eid * L - cs[rep])
+                .astype("int64"),
+                "tok_hi": np.minimum(n[rep], (eid + 1) * L - cs[rep])
+                .astype("int64"),
+                "n_tokens": n[rep].astype("int64"),
+            }), preserve_index=False), target)
+
+        def resolve(batch: pa.Table) -> pa.Table:
+            outs = []
+            for pid in batch["pid"].to_pylist():
+                frames = []
+                for rank, f in plan[int(pid)]:
+                    t = pq.read_table(f).to_pandas()
+                    if len(t):
+                        frames.append(t.assign(_r=rank))
+                if not frames:
+                    continue
+                g = (frames[0].drop(columns=["_r", "op"]) if fast
+                     else _resolve_frames(frames, key))
+                if len(g):
+                    outs.append(pack(int(pid), g))
             return pa.concat_tables(outs) if outs else target.empty_table()
 
         pids = sorted(plan)

@@ -197,3 +197,115 @@ def test_guards(tmp_path, ray_session):
         exp.read_live(columns=["html"])
     got = read_live(exp, columns=["url"])
     assert list(got.columns) == ["url", "shard", "pos"]
+
+
+# ---------------------------------------------------------------------------
+# read_packed: per-shard tokenize-and-pack over the maintained shuffle
+
+
+def mk_doc(op, seq, url, ts, text):
+    return {"op": op, "seq": seq, "url": url,
+            "warc_ts": pd.Timestamp(ts, unit="s"), "text": text}
+
+
+def seed_docs(tmp_path):
+    lake = LakeTable(tmp_path / "lake", key="url", num_partitions=4,
+                     collect_changes=False)
+    rows = [mk_doc("insert", i, f"u{i:03d}", 100 + i,
+                   " ".join(f"w{j}" for j in range((i * 7) % 11)))
+            for i in range(80)]  # token counts 0..10 incl. empty docs
+    commit(lake, rows, 0)
+    exp = LakeShuffledExport(lake, tmp_path / "shuf",
+                             columns=["text"], n_shards=NSH)
+    exp.refresh()
+    return lake, exp
+
+
+def ref_packed(lake, L, n_shards=NSH):
+    """Row-at-a-time reference: shard + order like ref_shuffle, then
+    cut each shard's token stream into L-token examples."""
+    df = lake.read_pandas()
+    h = np.array([int(hashlib.md5(u.encode()).hexdigest()[:8], 16)
+                  for u in df["url"]], dtype=np.int64)
+    df = df.assign(_h=h, shard=(h % n_shards).astype(np.int64))
+    df = df.sort_values(["shard", "_h", "url"], kind="stable")
+    out = []
+    for sid, g in df.groupby("shard", sort=True):
+        off = 0
+        for _, r in g.iterrows():
+            n = len(str(r["text"]).split()) if pd.notna(r["text"]) else 0
+            if n == 0:
+                continue
+            cs, ce = off, off + n
+            for eid in range(cs // L, (ce - 1) // L + 1):
+                out.append({
+                    "url": r["url"], "shard": int(sid),
+                    "example_id": eid,
+                    "tok_lo": max(0, eid * L - cs),
+                    "tok_hi": min(n, (eid + 1) * L - cs),
+                    "n_tokens": n})
+            off = ce
+    cols = ["url", "shard", "example_id", "tok_lo", "tok_hi", "n_tokens"]
+    return pd.DataFrame(out, columns=cols).astype(
+        {c: "int64" for c in cols[1:]})
+
+
+def read_packed(exp, L, **kw):
+    df = exp.read_packed(L, **kw).to_pandas()
+    return df.sort_values(["shard", "example_id", "tok_lo", "url"],
+                          kind="stable").reset_index(drop=True)
+
+
+def test_read_packed_matches_reference(tmp_path, ray_session):
+    lake, exp = seed_docs(tmp_path)
+    got = read_packed(exp, 16)
+    want = ref_packed(lake, 16).sort_values(
+        ["shard", "example_id", "tok_lo", "url"],
+        kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # delta-bearing head (update grows a doc, delete removes one)
+    commit(lake, [mk_doc("update", 100, "u001", 900, "a b c d e f g"),
+                  mk_doc("delete", 101, "u002", 901, None)], 1)
+    exp.refresh()
+    got = read_packed(exp, 16)
+    want = ref_packed(lake, 16).sort_values(
+        ["shard", "example_id", "tok_lo", "url"],
+        kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # compaction invariance
+    exp.compact()
+    pd.testing.assert_frame_equal(read_packed(exp, 16), want)
+
+
+def test_commit_perturbs_only_its_shards(tmp_path, ray_session):
+    lake, exp = seed_docs(tmp_path)
+    before = read_packed(exp, 16)
+    head = max(s["cid"] for s in exp._live_segments())
+    commit(lake, [mk_doc("update", 200, "u005", 900, "x y z")], 1)
+    exp.refresh()
+    touched = exp.shards_touched_since(head)
+    # EXACTLY the changed key's shard — even under copy-on-write,
+    # where the lake rewrote a whole partition: the segment writer
+    # cancels content-equal -1/+1 pairs of co-located untouched keys
+    sid = int(_md5_32(np.array(["u005"], dtype=object))[0] % NSH)
+    assert touched == {sid}
+    after = read_packed(exp, 16)
+    # every untouched shard's example stream is IDENTICAL — the
+    # incremental-consumer contract
+    keep = ~before["shard"].isin(touched)
+    pd.testing.assert_frame_equal(
+        before[keep].reset_index(drop=True),
+        after[~after["shard"].isin(touched)].reset_index(drop=True))
+    # and compaction reports every held shard (files rewritten)
+    exp.compact()
+    assert exp.shards_touched_since(head) == set(
+        after["shard"].unique().tolist()) | touched
+
+
+def test_read_packed_guards(tmp_path, ray_session):
+    lake, exp = seed(tmp_path)  # columns=["lang"], no text
+    with pytest.raises(ValueError, match="not in layout columns"):
+        exp.read_packed(16)
+    lake2, exp2 = seed_docs(tmp_path / "d")
+    with pytest.raises(ValueError, match="seq_len"):
+        exp2.read_packed(0)
