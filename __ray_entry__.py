@@ -1791,6 +1791,69 @@ def _q_cdc_packed_stream(sf_dir: str):
     return exp.read_packed(64)
 
 
+def _q_cdc_hybrid_search(sf_dir: str):
+    # hybrid retrieval (state/retrieval.py hybrid_rrf): reciprocal-rank
+    # fusion of the two CDC-maintained index families — BM25 over
+    # LakeTextIndex postings + exact cosine over LakeANNIndex probed at
+    # all cells — over ONE lake carrying text AND embedding columns,
+    # committed in three epochs (three LSM delta segments per index, so
+    # chain-walk resolution is on the query path). Ranks are computed
+    # on 6-digit-rounded scores with doc tie-break in BOTH engines, so
+    # rank parity follows from the proven score parity (bm25_topk /
+    # cdc_ann_vectors); rrf = Σ 1/(60+rank) is identical float64
+    # arithmetic on both sides. Update/delete maintenance parity is
+    # pinned by tests/test_retrieval.py.
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from chomper_ray.state.annindex import LakeANNIndex
+    from chomper_ray.state.index import LakeTextIndex
+    from chomper_ray.state.lake import LakeTable
+    from chomper_ray.state.retrieval import hybrid_rrf
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    embs = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    # align by key (Arrow join rejects list payloads) keeping the
+    # view's float32 list type — the lake must store the same bytes
+    # the SQL oracle casts to DOUBLE[]
+    docs = docs.take(pc.sort_indices(docs["doc_id"]))
+    embs = embs.take(pc.sort_indices(embs["vec_id"]))
+    assert docs["doc_id"].to_pylist() == embs["vec_id"].to_pylist()
+    t = docs.append_column("embedding", embs["embedding"])
+    n = t.num_rows
+    t = t.append_column("op", pa.array(["insert"] * n))
+    t = t.append_column("seq", t["doc_id"])
+    t = t.append_column("warc_ts", pa.array(
+        [pd.Timestamp(10, unit="s")] * n,
+        type=pa.timestamp("us")))
+    lake = LakeTable(tempfile.mkdtemp(prefix="chomper_ray_lake_hyb_"),
+                     key="doc_id", num_partitions=4,
+                     collect_changes=False)
+    for e in range(3):
+        part = t.filter(pc.equal(
+            pc.subtract(t["doc_id"],
+                        pc.multiply(pc.divide(t["doc_id"], 3),
+                                    pa.scalar(3, pa.int64()))),
+            pa.scalar(e, pa.int64())))
+        lake.commit_epoch(rd.from_arrow(part), e)
+    tidx = LakeTextIndex(lake, tempfile.mkdtemp(prefix="chomper_hyb_t_"),
+                         key_col="doc_id", num_partitions=16)
+    aidx = LakeANNIndex(lake, tempfile.mkdtemp(prefix="chomper_hyb_a_"),
+                        n_cells=8)
+    tidx.refresh()
+    aidx.refresh()
+    qvec = embs.filter(pc.equal(embs["vec_id"], 7))["embedding"][0] \
+        .as_py()
+    out = hybrid_rrf(tidx, aidx, ["spark", "merge"], qvec,
+                     k=15, fetch_k=50)
+    out = out.rename(columns={"doc": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
 def _q_cdc_derived_docs(sf_dir: str):
     # lake→lake incremental CDC propagation (medallion chaining): a
     # DerivedLakeTable maintains a downstream "clean docs" lake as a
@@ -3166,6 +3229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (round-3 verdict item 1); previously driver-verified entries follow.
     return {
         # never driver-hash-checked, oracle-backed (window [0:50])
+        "cdc_hybrid_search": _q_cdc_hybrid_search,
         "cdc_shuffled_export": _q_cdc_shuffled_export,
         "cdc_packed_stream": _q_cdc_packed_stream,
         "cdc_derived_docs": _q_cdc_derived_docs,
@@ -3541,6 +3605,44 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(length(coalesce(text, ''))) AS BIGINT) "
             "AS total_chars, "
             "max(warc_ts) AS latest_ts FROM st GROUP BY 1"
+        ),
+        "cdc_hybrid_search": (
+            # RRF fusion of the two maintained indexes: bm25_topk's
+            # formula ranked on round(s,6) + list_cosine_similarity
+            # ranked on round(cs,6) (query = doc 7's embedding), ranks
+            # cut at 50, rrf = Σ 1/(60+rank); insert-only commits mean
+            # the lake state IS the views' join
+            "WITH l AS (SELECT doc_id, string_split(coalesce(text, ''), "
+            "' ') AS ls FROM documents), "
+            "d AS (SELECT doc_id, len(ls)::DOUBLE AS dl FROM l), "
+            "st AS (SELECT count(*)::DOUBLE AS nn, avg(dl) AS avgdl "
+            "FROM d), "
+            "tok AS (SELECT doc_id, unnest(ls) AS w FROM l), "
+            "tf AS (SELECT doc_id, w, count(*)::DOUBLE AS tf FROM tok "
+            "WHERE w IN ('spark', 'merge') GROUP BY 1, 2), "
+            "dfq AS (SELECT w, count(*)::DOUBLE AS df FROM tf GROUP BY 1), "
+            "sb AS (SELECT tf.doc_id, round(sum("
+            "ln((st.nn - dfq.df + 0.5)/(dfq.df + 0.5) + 1.0) "
+            "* tf.tf * (1.2 + 1.0) "
+            "/ (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / st.avgdl))"
+            "), 6) AS s FROM tf JOIN dfq USING (w) JOIN d USING (doc_id) "
+            "CROSS JOIN st GROUP BY 1), "
+            "rb AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, "
+            "doc_id) AS r FROM sb QUALIFY r <= 50), "
+            "sc AS (SELECT e.vec_id AS doc_id, "
+            "round(list_cosine_similarity(e.embedding::DOUBLE[], "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 7)"
+            "::DOUBLE[]), 6) AS cs FROM embeddings e), "
+            "rc AS (SELECT doc_id, row_number() OVER (ORDER BY cs DESC, "
+            "doc_id) AS r FROM sc QUALIFY r <= 50), "
+            "f AS (SELECT coalesce(rb.doc_id, rc.doc_id) AS doc_id, "
+            "coalesce(rb.r, 0)::BIGINT AS r_bm25, "
+            "coalesce(rc.r, 0)::BIGINT AS r_cos, "
+            "coalesce(1.0/(60 + rb.r), 0.0) "
+            "+ coalesce(1.0/(60 + rc.r), 0.0) AS rrf "
+            "FROM rb FULL OUTER JOIN rc ON rb.doc_id = rc.doc_id) "
+            "SELECT doc_id, r_bm25, r_cos, round(rrf, 9) AS rrf FROM f "
+            "ORDER BY rrf DESC, doc_id LIMIT 15"
         ),
         "cdc_shuffled_export": (
             # the maintained corpus shuffle must equal ONE window

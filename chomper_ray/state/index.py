@@ -698,10 +698,13 @@ class LakeTextIndex(_LsmSegmentIndex):
             return np.unique(np.concatenate(sets))
         raise ValueError(f"mode must be 'all' or 'any', got {mode!r}")
 
-    def bm25(self, tokens, k: int = 10, k1: float = 1.2, b: float = 0.75,
-             ndigits: int = 6) -> pd.DataFrame:
+    def bm25(self, tokens, k: int | None = 10, k1: float = 1.2,
+             b: float = 0.75, ndigits: int = 6) -> pd.DataFrame:
         """BM25 top-k over the maintained index (same formula as
-        ``bm25_search``); ties break by ascending doc key."""
+        ``bm25_search``); ties break by ascending doc key. ``k=None``
+        returns the FULL ranking of every doc containing ≥ 1 token —
+        the postings walk already scores them all, so this costs no
+        extra I/O (used by ``retrieval.hybrid_rrf`` for exact ranks)."""
         st = self.stats()
         n_docs, avgdl = float(st["n_docs"]), float(st["avgdl"])
         ids_all, score_all = [], []

@@ -1,0 +1,152 @@
+"""Hybrid RRF retrieval (state/retrieval.py) over the two maintained
+indexes: the fused ranking must equal a plain-Python recompute (BM25 +
+cosine + reciprocal-rank fusion, ranks on 6-digit-rounded scores with
+key tie-break) over the live LWW lake state — across inserts, text+
+vector rewrites, deletes and index compaction — and absent-side docs
+must report rank 0 while still fusing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from chomper_ray.state.annindex import LakeANNIndex
+from chomper_ray.state.index import LakeTextIndex
+from chomper_ray.state.lake import LakeTable
+from chomper_ray.state.retrieval import hybrid_rrf
+
+DIM = 8
+WORDS = ["spark", "merge", "row", "scan", "agg", "delta", "batch"]
+
+
+def mk(op, seq, key, ts, text, vec):
+    return {"op": op, "seq": seq, "url": key,
+            "warc_ts": pd.Timestamp(ts, unit="s"), "text": text,
+            "embedding": None if vec is None else list(map(float, vec))}
+
+
+def commit(lake, rows, epoch):
+    lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(rows)), epoch)
+
+
+def text_for(rng):
+    n = int(rng.integers(3, 12))
+    return " ".join(rng.choice(WORDS, size=n))
+
+
+def brute_hybrid(lake, tokens, qvec, *, k, fetch_k, k0=60, nd=6):
+    """The oracle: BM25 (LakeTextIndex's formula/tokenizer) + cosine
+    over the live state, rank on rounded scores, RRF-fuse."""
+    live = lake.read_pandas()
+    keys = live["url"].to_numpy()
+    toks = [(t if isinstance(t, str) else "").split(" ")
+            for t in live["text"]]
+    dl = np.array([len(t) for t in toks], dtype=np.float64)
+    n, avgdl = float(len(live)), dl.mean()
+    k1, b = 1.2, 0.75
+    score = {}
+    for w in dict.fromkeys(tokens):
+        hit = [(i, t.count(w)) for i, t in enumerate(toks) if w in t]
+        if not hit:
+            continue
+        df_ = float(len(hit))
+        idf = np.log((n - df_ + 0.5) / (df_ + 0.5) + 1.0)
+        for i, tf in hit:
+            s = idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * dl[i] / avgdl))
+            score[keys[i]] = score.get(keys[i], 0.0) + s
+    bm = sorted(((round(v, nd), dk) for dk, v in score.items()),
+                key=lambda t: (-t[0], t[1]))
+    rb = {dk: r + 1 for r, (_, dk) in enumerate(bm) if r < fetch_k}
+
+    m = np.stack(live["embedding"].to_numpy()).astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    q = np.asarray(qvec, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    cs = m @ q
+    co = sorted(((round(float(cs[i]), nd), keys[i])
+                 for i in range(len(keys))), key=lambda t: (-t[0], t[1]))
+    rc = {dk: r + 1 for r, (_, dk) in enumerate(co) if r < fetch_k}
+
+    rows = []
+    for dk in set(rb) | set(rc):
+        r1, r2 = rb.get(dk, 0), rc.get(dk, 0)
+        rrf = (1.0 / (k0 + r1) if r1 else 0.0) + \
+              (1.0 / (k0 + r2) if r2 else 0.0)
+        rows.append((dk, r1, r2, rrf))
+    rows.sort(key=lambda t: (-t[3], t[0]))
+    return [(dk, r1, r2, round(rrf, 9)) for dk, r1, r2, rrf in rows[:k]]
+
+
+def got(tidx, aidx, tokens, qvec, **kw):
+    out = hybrid_rrf(tidx, aidx, tokens, qvec, **kw)
+    return [(r.doc, int(r.r_bm25), int(r.r_cos), float(r.rrf))
+            for r in out.itertuples(index=False)]
+
+
+def build(tmp_path, rng, n0=40):
+    lake = LakeTable(tmp_path / "lake", key="url", num_partitions=4,
+                     collect_changes=False)
+    tidx = LakeTextIndex(lake, tmp_path / "tix", num_partitions=8)
+    aidx = LakeANNIndex(lake, tmp_path / "aix", n_cells=4)
+    e0 = [mk("insert", i, f"u{i:03d}", 10, text_for(rng),
+             rng.normal(size=DIM)) for i in range(n0)]
+    commit(lake, e0, 0)
+    return lake, tidx, aidx
+
+
+def test_hybrid_matches_brute_across_commits(tmp_path, ray_session):
+    rng = np.random.default_rng(31)
+    lake, tidx, aidx = build(tmp_path, rng)
+    qvec = rng.normal(size=DIM)
+    tokens = ["spark", "merge"]
+    tidx.refresh(), aidx.refresh()
+    assert got(tidx, aidx, tokens, qvec, k=10, fetch_k=15) == \
+        brute_hybrid(lake, tokens, qvec, k=10, fetch_k=15)
+
+    # full rewrites (text AND vector), deletes, fresh inserts
+    e1 = [mk("update", 100 + i, f"u{i:03d}", 20, text_for(rng),
+             rng.normal(size=DIM)) for i in range(12)]
+    e1 += [mk("delete", 200 + i, f"u{20 + i:03d}", 20, None, None)
+           for i in range(6)]
+    e1 += [mk("insert", 300 + i, f"u{60 + i:03d}", 20, text_for(rng),
+              rng.normal(size=DIM)) for i in range(8)]
+    commit(lake, e1, 1)
+    tidx.refresh(), aidx.refresh()
+    assert got(tidx, aidx, tokens, qvec, k=10, fetch_k=15) == \
+        brute_hybrid(lake, tokens, qvec, k=10, fetch_k=15)
+
+    # compaction of either index must not change the fused answer
+    before = got(tidx, aidx, tokens, qvec, k=10, fetch_k=15)
+    tidx.compact(), aidx.compact()
+    assert got(tidx, aidx, tokens, qvec, k=10, fetch_k=15) == before
+
+
+def test_hybrid_absent_side_rank_zero(tmp_path, ray_session):
+    rng = np.random.default_rng(7)
+    lake, tidx, aidx = build(tmp_path, rng, n0=25)
+    # one doc with NO query tokens: cosine can rank it, bm25 cannot
+    commit(lake, [mk("insert", 900, "u900", 20, "delta batch row",
+                     rng.normal(size=DIM))], 1)
+    tidx.refresh(), aidx.refresh()
+    out = hybrid_rrf(tidx, aidx, ["spark", "merge"], rng.normal(size=DIM),
+                     k=100, fetch_k=100)
+    mine = out[out["doc"] == "u900"]
+    assert len(mine) == 1 and int(mine["r_bm25"].iloc[0]) == 0
+    assert int(mine["r_cos"].iloc[0]) > 0
+    exp = brute_hybrid(lake, ["spark", "merge"],
+                       np.zeros(DIM), k=1, fetch_k=100)  # shape only
+    assert set(out.columns) == {"doc", "r_bm25", "r_cos", "rrf"} and exp
+
+
+def test_hybrid_fetch_k_cut(tmp_path, ray_session):
+    rng = np.random.default_rng(13)
+    lake, tidx, aidx = build(tmp_path, rng)
+    tidx.refresh(), aidx.refresh()
+    qvec = rng.normal(size=DIM)
+    out = hybrid_rrf(tidx, aidx, ["spark"], qvec, k=200, fetch_k=5)
+    assert out["r_bm25"].max() <= 5 and out["r_cos"].max() <= 5
+    # every returned doc ranked in at least one system
+    assert ((out["r_bm25"] > 0) | (out["r_cos"] > 0)).all()
+    assert got(tidx, aidx, ["spark"], qvec, k=200, fetch_k=5) == \
+        brute_hybrid(lake, ["spark"], qvec, k=200, fetch_k=5)
