@@ -1854,6 +1854,37 @@ def _q_cdc_hybrid_search(sf_dir: str):
     return out
 
 
+def _q_cdc_decontaminated(sf_dir: str):
+    # decontamination-at-ingest (stages/dedup.py decontamination_gate):
+    # events sharing any token 20-gram with the benchmark set (the
+    # sidecar texts of seq % 2500 == 0) are dropped at the lake door
+    # via run_cdc's epoch_transform hook. The gate is stateless per
+    # event, so its effect is exactly SQL-replayable: LWW over the
+    # surviving events — a contaminated UPDATE leaves the older clean
+    # version live, deletes carry no text and always apply. Broadcast =
+    # the benchmark's distinct n-gram hashes (bounded by the eval set,
+    # never the corpus); probe = vectorized searchsorted per task.
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.stages.dedup import decontamination_gate
+    from chomper_ray.state.lake import LakeTable
+
+    log = _ensure_cdc_oracle_log()
+    side = pq.read_table(f"{log}/_oracle")
+    bench = side.filter(pc.equal(
+        pc.subtract(side["seq"], pc.multiply(
+            pc.divide(side["seq"], 2500), pa.scalar(2500, pa.int64()))),
+        pa.scalar(0, pa.int64())))
+    gate = decontamination_gate(rd.from_arrow(bench), n=20)
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_dcg_")
+    run_cdc(log, lake_root, num_partitions=8,
+            epoch_transform=lambda _e: gate)
+    return LakeTable(lake_root, num_partitions=8).read()
+
+
 def _q_cdc_derived_docs(sf_dir: str):
     # lake→lake incremental CDC propagation (medallion chaining): a
     # DerivedLakeTable maintains a downstream "clean docs" lake as a
@@ -3230,6 +3261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # never driver-hash-checked, oracle-backed (window [0:50])
         "cdc_hybrid_search": _q_cdc_hybrid_search,
+        "cdc_decontaminated": _q_cdc_decontaminated,
         "cdc_shuffled_export": _q_cdc_shuffled_export,
         "cdc_packed_stream": _q_cdc_packed_stream,
         "cdc_derived_docs": _q_cdc_derived_docs,
@@ -3643,6 +3675,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM rb FULL OUTER JOIN rc ON rb.doc_id = rc.doc_id) "
             "SELECT doc_id, r_bm25, r_cos, round(rrf, 9) AS rrf FROM f "
             "ORDER BY rrf DESC, doc_id LIMIT 15"
+        ),
+        "cdc_decontaminated": (
+            # ingest-time decontamination gate: LWW over only the
+            # events NOT sharing a token 20-gram with the benchmark
+            # (sidecar texts at seq % 2500 == 0); a dropped update
+            # resurfaces the older clean version, deletes always apply
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            f"sidecar AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/_oracle/*.parquet')), "
+            "et AS (SELECT ev.*, s.text AS xt FROM ev "
+            "LEFT JOIN sidecar s USING (seq)), "
+            "tg AS (SELECT seq, string_split(xt, ' ') AS l FROM et), "
+            "g AS (SELECT seq, list_transform(generate_series(1, "
+            "greatest(len(l) - 19, 0)), "
+            "i -> array_to_string(l[i:i+19], ' ')) AS ngs FROM tg), "
+            "b AS (SELECT list(DISTINCT ng) AS bl FROM "
+            "(SELECT unnest(ngs) AS ng FROM g WHERE seq % 2500 = 0)), "
+            "keep AS (SELECT et.* FROM et JOIN g USING (seq), b "
+            "WHERE NOT coalesce(array_has_any(g.ngs, b.bl), false)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM keep) WHERE rn = 1 AND op <> 'delete') "
+            "SELECT w.url, w.warc_ts, w.lang, "
+            "CAST(w.fetch_status AS BIGINT) AS fetch_status, "
+            "w.xt AS text, w.extra_score FROM win w"
         ),
         "cdc_shuffled_export": (
             # the maintained corpus shuffle must equal ONE window

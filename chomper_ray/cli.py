@@ -93,6 +93,13 @@ def main(argv=None):
                    help="write rejected events' provenance (key, "
                         "dup_of, sim, epoch) under DIR/epoch=N/ "
                         "(with --near-dup-index)")
+    r.add_argument("--decontaminate", default=None, metavar="BENCH",
+                   help="parquet file/dir of benchmark texts: drop "
+                        "events sharing any token n-gram with it "
+                        "(eval-set leakage rejected at the lake door)")
+    r.add_argument("--decontaminate-ngram", type=int, default=5,
+                   metavar="N", help="n-gram width for --decontaminate "
+                                     "(default 5)")
     r.add_argument("--export-bus", default=None, metavar="DIR",
                    help="streaming outbound CDC: export each committed "
                         "epoch as Debezium envelopes under DIR from the "
@@ -314,6 +321,18 @@ def main(argv=None):
             p.error("--compact-min-chain requires --merge-on-read")
         if args.near_dup_rejects and not args.near_dup_index:
             p.error("--near-dup-rejects requires --near-dup-index")
+        if args.decontaminate:
+            if args.near_dup_index:
+                p.error("--decontaminate and --near-dup-index both own "
+                        "the epoch gate; compose them in Python")
+            import ray.data as rd
+
+            from chomper_ray.stages.dedup import decontamination_gate
+
+            gate = decontamination_gate(
+                rd.read_parquet(args.decontaminate),
+                n=args.decontaminate_ngram)
+            extra["epoch_transform"] = lambda _e: gate
         if args.export_bus:
             if args.near_dup_index:
                 p.error("--export-bus and --near-dup-index both own the "

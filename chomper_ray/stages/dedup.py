@@ -1110,6 +1110,68 @@ def remove_duplicate_spans(ds, col: str = "text", id_col: str = "doc_id",
                                             batch_format="pandas")
 
 
+def _bench_ngram_hashes(bench, col: str, n: int) -> np.ndarray:
+    """Sorted distinct n-gram hashes of the benchmark set, built
+    distributed (map_batches → per-block dedup → global distinct) and
+    small enough to broadcast: bounded by the BENCHMARK's size (eval
+    sets are MBs; a 10^6-n-gram benchmark is an 8 MB uint64 array)."""
+    from chomper_ray.pipelines.relational import distinct
+
+    def bench_hashes(t: pa.Table) -> pa.Table:
+        _, h = _token_ngram_hashes(t[col].to_pandas(), n)
+        return pa.table({"h": pa.array(np.unique(h), type=pa.uint64())})
+
+    bench_distinct = distinct(
+        bench.map_batches(bench_hashes, batch_format="pyarrow"),
+        ["h"], num_partitions=8)
+    return np.sort(np.concatenate(
+        [b["h"].to_numpy(zero_copy_only=False)
+         for b in bench_distinct.iter_batches(batch_format="pyarrow")]
+        or [np.empty(0, dtype=np.uint64)]))
+
+
+def decontamination_gate(bench, col: str = "text", n: int = 5):
+    """Ingest-time benchmark decontamination: a pyarrow-batch callable
+    for ``run_cdc(epoch_transform=lambda e: gate)`` that DROPS events
+    whose ``col`` shares any token n-gram with the benchmark set —
+    eval-set leakage is rejected at the lake door instead of scrubbed
+    later. The filter is stateless per event (the benchmark is fixed),
+    so unlike the near-dup admission gate its effect is exactly
+    SQL-replayable: LWW over the surviving events (a contaminated
+    UPDATE leaves the older clean version live; deletes carry no text
+    → never contaminated → always apply).
+
+    The benchmark's distinct n-gram hashes are built once, broadcast
+    via ``ray.put`` and probed with vectorized ``searchsorted`` inside
+    every extraction task — no shuffle, no per-epoch rebuild.
+
+    Reference ancestry: composes the hash-verified ``decontaminate``
+    kernel (this file) with the ``epoch_transform`` ingest hook
+    (pipelines/cdc.py), the same pattern as dedup-at-ingest
+    (state/dupindex.run_cdc_admitted)."""
+    import ray
+
+    hs = _bench_ngram_hashes(bench, col, n)
+    ref = ray.put(hs)
+
+    def gate(batch: pa.Table, ref=ref) -> pa.Table:
+        if col not in batch.schema.names or batch.num_rows == 0:
+            return batch
+        bench_h = ray.get(ref)
+        if not len(bench_h):
+            return batch
+        rows, h = _token_ngram_hashes(batch[col].to_pandas(), n)
+        hit = np.zeros(batch.num_rows, dtype=bool)
+        if len(h):
+            idx = np.searchsorted(bench_h, h)
+            idx[idx == len(bench_h)] = 0
+            m = bench_h[idx] == h
+            hit[np.unique(rows[m])] = True
+        return batch.filter(pa.array(~hit))
+
+    return gate
+
+
 def decontaminate(ds, bench, col: str = "text", id_col: str = "doc_id",
                   n: int = 5, out: str = "contaminated",
                   drop: bool = False):
@@ -1130,20 +1192,7 @@ def decontaminate(ds, bench, col: str = "text", id_col: str = "doc_id",
     """
     import ray
 
-    from chomper_ray.pipelines.relational import distinct
-
-    def bench_hashes(t: pa.Table) -> pa.Table:
-        _, h = _token_ngram_hashes(t[col].to_pandas(), n)
-        return pa.table({"h": pa.array(np.unique(h), type=pa.uint64())})
-
-    bench_distinct = distinct(
-        bench.map_batches(bench_hashes, batch_format="pyarrow"),
-        ["h"], num_partitions=8)
-    hs = np.sort(np.concatenate(
-        [b["h"].to_numpy(zero_copy_only=False)
-         for b in bench_distinct.iter_batches(batch_format="pyarrow")]
-        or [np.empty(0, dtype=np.uint64)]))
-    ref = ray.put(hs)
+    ref = ray.put(_bench_ngram_hashes(bench, col, n))
 
     def flag(batch: pd.DataFrame, ref=ref) -> pd.DataFrame:
         bench_h = ray.get(ref)
