@@ -3737,6 +3737,7 @@ def oracle_sql() -> dict[str, str]:
             "s AS (SELECT url, shard, n, (ce - n)::BIGINT AS cs, "
             "ce::BIGINT AS ce FROM c WHERE n > 0) "
             "SELECT s.url, s.shard, g.eid::BIGINT AS example_id, "
+            "(GREATEST(s.cs, g.eid*64) - g.eid*64)::BIGINT AS ex_off, "
             "GREATEST(0, g.eid*64 - s.cs)::BIGINT AS tok_lo, "
             "LEAST(s.n, (g.eid+1)*64 - s.cs)::BIGINT AS tok_hi, "
             "s.n AS n_tokens "

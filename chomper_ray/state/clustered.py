@@ -1146,14 +1146,17 @@ class LakeShuffledExport(_LakeClusteredLayout):
         return df
 
     # -- reads ----------------------------------------------------------------
-    def read_live(self, columns=None, start_shard: int = 0):
+    def read_live(self, columns=None, start_shard: int = 0,
+                  shards=None):
         """The maintained shuffled corpus as a Dataset with ``shard``
         and ``pos`` attached — global order = ``(shard, pos)`` asc,
         pinned to the columns (Ray does not preserve block order).
         ``start_shard`` skips finished shards for mid-epoch training
-        resume, exactly like ``output.read_shuffled``. One resolve task
-        per shard; a compacted export skips resolution (files are
-        already live rows in ``(h, key)`` order)."""
+        resume, exactly like ``output.read_shuffled``; ``shards`` (a
+        collection of shard ids) restricts the read to an explicit
+        subset — the per-shard pull a checkpointing consumer makes.
+        One resolve task per shard; a compacted export skips resolution
+        (files are already live rows in ``(h, key)`` order)."""
         import ray.data as rd
 
         live = self._live_segments()
@@ -1163,6 +1166,7 @@ class LakeShuffledExport(_LakeClusteredLayout):
         if unknown:
             raise ValueError(f"columns {unknown} not in layout columns "
                              f"{lcols}")
+        want = None if shards is None else {int(s) for s in shards}
         target = pa.schema(
             list(self._target_schema(out_cols))
             + [pa.field("shard", pa.int64()), pa.field("pos", pa.int64())])
@@ -1170,7 +1174,8 @@ class LakeShuffledExport(_LakeClusteredLayout):
         for rank, seg in enumerate(live):
             for f in seg.get("files", []):
                 pid = int(f["pid"])
-                if pid < start_shard:
+                if pid < start_shard or (want is not None
+                                         and pid not in want):
                     continue
                 plan.setdefault(pid, []).append(
                     (rank, str(Path(seg["dir"])
@@ -1231,7 +1236,7 @@ class LakeShuffledExport(_LakeClusteredLayout):
         return touched
 
     def read_packed(self, seq_len: int, col: str = "text",
-                    start_shard: int = 0):
+                    start_shard: int = 0, shards=None):
         """Per-shard tokenize-and-pack over the maintained shuffle —
         the packing step of the training pipeline (stages/text.py
         ``pack_sequences``) running on CDC-fresh data: each shard is an
@@ -1261,16 +1266,19 @@ class LakeShuffledExport(_LakeClusteredLayout):
         live = self._live_segments()
         key = self.key_col
         key_dtype = self._target_schema([key]).field(key).type
+        want = None if shards is None else {int(s) for s in shards}
         target = pa.schema([
             pa.field(key, key_dtype), pa.field("shard", pa.int64()),
             pa.field("example_id", pa.int64()),
+            pa.field("ex_off", pa.int64()),
             pa.field("tok_lo", pa.int64()), pa.field("tok_hi", pa.int64()),
             pa.field("n_tokens", pa.int64())])
         plan: dict[int, list[tuple[int, str]]] = {}
         for rank, seg in enumerate(live):
             for f in seg.get("files", []):
                 pid = int(f["pid"])
-                if pid < start_shard:
+                if pid < start_shard or (want is not None
+                                         and pid not in want):
                     continue
                 plan.setdefault(pid, []).append(
                     (rank, str(Path(seg["dir"])
@@ -1305,6 +1313,11 @@ class LakeShuffledExport(_LakeClusteredLayout):
                 key: k[rep],
                 "shard": np.int64(pid),
                 "example_id": eid.astype("int64"),
+                # where this doc's slice starts WITHIN the example —
+                # sorting a shard by (example_id, ex_off) reconstructs
+                # the exact token stream (the consumer's read order)
+                "ex_off": (np.maximum(cs[rep], eid * L) - eid * L)
+                .astype("int64"),
                 "tok_lo": np.maximum(0, eid * L - cs[rep])
                 .astype("int64"),
                 "tok_hi": np.minimum(n[rep], (eid + 1) * L - cs[rep])
@@ -1333,3 +1346,117 @@ class LakeShuffledExport(_LakeClusteredLayout):
                                                         type=pa.int32())}))
                 .repartition(len(pids))
                 .map_batches(resolve, batch_format="pyarrow"))
+
+
+class StreamDrift(RuntimeError):
+    """The export's content moved under a mid-epoch training resume:
+    a lake commit touched shards the consumer has not read yet, so the
+    remaining stream would mix two corpus states. Re-enter with
+    ``allow_drift=True`` to accept the newer content, or finish the
+    epoch from a ``branch()`` of the lake pinned at the old head."""
+
+
+class PackedStreamConsumer:
+    """Durable checkpointed consumption of the packed training stream
+    (``LakeShuffledExport.read_packed``) — the trainer-side cursor
+    discipline, the ``BusConsumer`` pattern applied to example streams.
+
+    One shard at a time: ``batches()`` yields ``(shard, frame)`` with
+    the frame in exact stream order (``example_id, ex_off``), pulling
+    only that shard's segment chain (bounded work per step, no full-
+    export read). The cursor (atomic JSON next to nothing else — pass
+    any path) advances when the NEXT shard is requested, so a crash
+    mid-shard re-delivers that shard: at-least-once, the standard
+    trainer contract (a step that already consumed example N simply
+    skips it on replay).
+
+    Epoch freshness: the first ``batches()`` call pins the export's
+    applied head commit. If the lake commits DURING the epoch and the
+    export refreshes, resuming checks ``shards_touched_since(pinned)``
+    against the shards still pending — touched-but-unread shards raise
+    ``StreamDrift`` (the remaining stream would mix corpus states);
+    commits that only touched already-consumed shards are harmless and
+    re-pin silently. ``finish_epoch()`` resets the cursor and re-pins
+    at the current head — the next data epoch trains on fresh content.
+    ``compact()`` never drifts (same content, same head commit).
+    """
+
+    def __init__(self, export: LakeShuffledExport, cursor_path,
+                 seq_len: int, col: str = "text"):
+        self.export = export
+        self.path = Path(cursor_path)
+        self.seq_len = int(seq_len)
+        self.col = col
+
+    # -- cursor ----------------------------------------------------------
+    def state(self) -> dict | None:
+        if self.path.exists():
+            return json.loads(self.path.read_text())
+        return None
+
+    def _write(self, st: dict) -> None:
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = self.path.with_suffix(f".{uuid.uuid4().hex[:8]}.tmp")
+        tmp.write_text(json.dumps(st))
+        os.replace(tmp, self.path)
+
+    def _head_cid(self) -> int:
+        ap = self.export.applied_commits()
+        return max(ap) if ap else -1
+
+    # -- consumption -----------------------------------------------------
+    def batches(self, allow_drift: bool = False):
+        """Generator of ``(shard, pandas frame)`` from the cursor to
+        the last shard, checkpointing between shards."""
+        n_shards = self.export.num_partitions
+        st = self.state()
+        if st is None:
+            st = {"seq_len": self.seq_len, "col": self.col,
+                  "n_shards": n_shards, "epoch_cid": self._head_cid(),
+                  "next_shard": 0, "data_epochs_done": 0}
+            self._write(st)
+        for k, mine in (("seq_len", self.seq_len), ("col", self.col),
+                        ("n_shards", n_shards)):
+            if st[k] != mine:
+                raise ValueError(
+                    f"cursor {self.path} pins {k}={st[k]!r}, consumer "
+                    f"was built with {mine!r} — examples would not "
+                    "line up; use a fresh cursor")
+        head = self._head_cid()
+        if head != st["epoch_cid"]:
+            pending = set(range(int(st["next_shard"]), n_shards))
+            hit = self.export.shards_touched_since(
+                int(st["epoch_cid"])) & pending
+            if hit and not allow_drift:
+                raise StreamDrift(
+                    f"commits after the pinned head {st['epoch_cid']} "
+                    f"touched {len(hit)} unread shard(s) "
+                    f"(e.g. {sorted(hit)[:5]}); pass allow_drift=True "
+                    "to continue on the newer content")
+            st["epoch_cid"] = head
+            self._write(st)
+        for s in range(int(st["next_shard"]), n_shards):
+            frame = (self.export
+                     .read_packed(self.seq_len, self.col, shards=[s])
+                     .to_pandas()
+                     .sort_values(["example_id", "ex_off"], kind="stable")
+                     .reset_index(drop=True))
+            yield s, frame
+            st["next_shard"] = s + 1
+            self._write(st)
+
+    def finish_epoch(self) -> dict:
+        """Close a fully-consumed epoch: reset to shard 0, re-pin at
+        the current export head. Refuses mid-epoch."""
+        st = self.state()
+        if st is None:
+            raise ValueError("no cursor yet — consume batches() first")
+        if int(st["next_shard"]) < int(st["n_shards"]):
+            raise ValueError(
+                f"epoch not finished: next_shard={st['next_shard']} of "
+                f"{st['n_shards']} — drain batches() first")
+        st["epoch_cid"] = self._head_cid()
+        st["next_shard"] = 0
+        st["data_epochs_done"] = int(st["data_epochs_done"]) + 1
+        self._write(st)
+        return st

@@ -1,0 +1,153 @@
+"""PackedStreamConsumer (state/clustered.py): durable checkpointed
+consumption of the packed training stream — shard-at-a-time delivery in
+exact stream order, at-least-once resume from the cursor file, drift
+detection when the lake commits under a mid-epoch resume, and epoch
+close/re-pin semantics."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from chomper_ray.state.clustered import (LakeShuffledExport,
+                                         PackedStreamConsumer,
+                                         StreamDrift, _md5_32)
+from chomper_ray.state.lake import LakeTable
+
+NSH = 6
+L = 8
+
+
+def mk(op, seq, url, ts, text):
+    return {"op": op, "seq": seq, "url": url,
+            "warc_ts": pd.Timestamp(ts, unit="s"), "text": text}
+
+
+def commit(lake, rows, epoch):
+    lake.commit_epoch(rd.from_arrow(pa.Table.from_pylist(rows)), epoch)
+
+
+def shard_of(url):
+    return int(_md5_32(np.array([url], dtype=object))[0] % NSH)
+
+
+def seed(tmp_path):
+    lake = LakeTable(tmp_path / "lake", key="url", num_partitions=3,
+                     collect_changes=False)
+    rows = [mk("insert", i, f"u{i:03d}", 100 + i,
+               " ".join(f"w{j}" for j in range(1 + (i * 5) % 13)))
+            for i in range(60)]
+    commit(lake, rows, 0)
+    exp = LakeShuffledExport(lake, tmp_path / "shuf",
+                             columns=["text"], n_shards=NSH)
+    exp.refresh()
+    return lake, exp
+
+
+def full_stream(exp):
+    return (exp.read_packed(L).to_pandas()
+            .sort_values(["shard", "example_id", "ex_off"], kind="stable")
+            .reset_index(drop=True))
+
+
+def test_consumes_everything_in_order(tmp_path, ray_session):
+    _, exp = seed(tmp_path)
+    c = PackedStreamConsumer(exp, tmp_path / "cur.json", L)
+    got = []
+    for s, frame in c.batches():
+        assert (frame["shard"] == s).all()
+        # in-stream order: example_id asc, ex_off asc within example
+        assert (frame[["example_id", "ex_off"]].values ==
+                frame[["example_id", "ex_off"]]
+                .sort_values(["example_id", "ex_off"]).values).all()
+        got.append(frame)
+    got = pd.concat(got, ignore_index=True)
+    pd.testing.assert_frame_equal(got, full_stream(exp))
+    st = c.finish_epoch()
+    assert st["data_epochs_done"] == 1 and st["next_shard"] == 0
+    # second epoch replays the same (unchanged) content from shard 0
+    again = pd.concat([f for _, f in c.batches()], ignore_index=True)
+    pd.testing.assert_frame_equal(again, got)
+
+
+def test_resume_is_at_least_once(tmp_path, ray_session):
+    _, exp = seed(tmp_path)
+    c = PackedStreamConsumer(exp, tmp_path / "cur.json", L)
+    it = c.batches()
+    seen = [next(it)[0] for _ in range(3)]     # delivered 0,1,2
+    del it                                      # crash mid-shard 2
+    assert seen == [0, 1, 2]
+    assert c.state()["next_shard"] == 2         # 2 not yet acked
+    c2 = PackedStreamConsumer(exp, tmp_path / "cur.json", L)
+    rest = [s for s, _ in c2.batches()]
+    assert rest == [2, 3, 4, 5]                 # shard 2 re-delivered
+
+
+def test_drift_detection(tmp_path, ray_session):
+    lake, exp = seed(tmp_path)
+    c = PackedStreamConsumer(exp, tmp_path / "cur.json", L)
+    it = c.batches()
+    consumed = [next(it)[0] for _ in range(2)]  # 0, 1 delivered
+    next(it)                                    # acks shard 1 → next 2
+    del it
+    # a commit touching an UNREAD shard (pick a url routed >= 2)
+    url = next(f"u{i:03d}" for i in range(60) if shard_of(f"u{i:03d}") >= 3)
+    commit(lake, [mk("update", 900, url, 900, "fresh text body")], 1)
+    exp.refresh()
+    c2 = PackedStreamConsumer(exp, tmp_path / "cur.json", L)
+    with pytest.raises(StreamDrift):
+        next(c2.batches())
+    # allow_drift accepts the newer content and finishes the epoch
+    rest = [s for s, _ in c2.batches(allow_drift=True)]
+    assert rest[0] == 2 and rest[-1] == NSH - 1
+    assert consumed == [0, 1]
+
+
+def test_consumed_shard_commit_is_harmless(tmp_path, ray_session):
+    lake, exp = seed(tmp_path)
+    c = PackedStreamConsumer(exp, tmp_path / "cur.json", L)
+    it = c.batches()
+    first, _ = next(it)                         # delivered shard 0
+    next(it)                                    # acks 0, delivers 1
+    next(it)                                    # acks 1, delivers 2
+    del it
+    # commit touching ONLY an already-consumed shard (0 or 1)
+    url = next(f"u{i:03d}" for i in range(60)
+               if shard_of(f"u{i:03d}") in (0, 1))
+    commit(lake, [mk("update", 901, url, 901, "already consumed")], 1)
+    exp.refresh()
+    rest = [s for s, _ in
+            PackedStreamConsumer(exp, tmp_path / "cur.json", L).batches()]
+    assert rest == [2, 3, 4, 5] and first == 0
+
+
+def test_compaction_never_drifts(tmp_path, ray_session):
+    lake, exp = seed(tmp_path)
+    commit(lake, [mk("update", 950, "u001", 950, "one more version")], 1)
+    exp.refresh()
+    c = PackedStreamConsumer(exp, tmp_path / "cur.json", L)
+    it = c.batches()
+    next(it), next(it)
+    del it
+    exp.compact()
+    rest = [s for s, _ in
+            PackedStreamConsumer(exp, tmp_path / "cur.json", L).batches()]
+    assert rest and rest[0] == 1
+
+
+def test_cursor_guards(tmp_path, ray_session):
+    _, exp = seed(tmp_path)
+    c = PackedStreamConsumer(exp, tmp_path / "cur.json", L)
+    with pytest.raises(ValueError, match="no cursor yet"):
+        c.finish_epoch()
+    it = c.batches()
+    next(it)
+    del it
+    with pytest.raises(ValueError, match="not finished"):
+        c.finish_epoch()
+    list(c.batches())
+    c.finish_epoch()
+    with pytest.raises(ValueError, match="would not line up"):
+        next(PackedStreamConsumer(exp, tmp_path / "cur.json",
+                                  L + 1).batches())

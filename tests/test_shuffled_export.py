@@ -241,11 +241,13 @@ def ref_packed(lake, L, n_shards=NSH):
                 out.append({
                     "url": r["url"], "shard": int(sid),
                     "example_id": eid,
+                    "ex_off": max(cs, eid * L) - eid * L,
                     "tok_lo": max(0, eid * L - cs),
                     "tok_hi": min(n, (eid + 1) * L - cs),
                     "n_tokens": n})
             off = ce
-    cols = ["url", "shard", "example_id", "tok_lo", "tok_hi", "n_tokens"]
+    cols = ["url", "shard", "example_id", "ex_off", "tok_lo", "tok_hi",
+            "n_tokens"]
     return pd.DataFrame(out, columns=cols).astype(
         {c: "int64" for c in cols[1:]})
 
