@@ -93,6 +93,14 @@ def main(argv=None):
                    help="write rejected events' provenance (key, "
                         "dup_of, sim, epoch) under DIR/epoch=N/ "
                         "(with --near-dup-index)")
+    r.add_argument("--refresh", action="append", default=None,
+                   metavar="KIND:DIR",
+                   help="maintain a derived structure per commit from "
+                        "inside the ingest loop (repeatable): "
+                        "text-index:DIR | ann-index:DIR | "
+                        "domain-matview:DIR | sorted-layout:DIR "
+                        "(canned configs matching the standalone "
+                        "matview-refresh / layout-refresh commands)")
     r.add_argument("--decontaminate", default=None, metavar="BENCH",
                    help="parquet file/dir of benchmark texts: drop "
                         "events sharing any token n-gram with it "
@@ -343,6 +351,63 @@ def main(argv=None):
             exporter = LakeChangeExporter(
                 LakeTable(args.lake_root, **lake_kwargs), args.export_bus)
             extra["after_commit"] = lambda _c: exporter.export()
+        refresh_targets: list[tuple[str, object]] = []
+        if args.refresh:
+            from chomper_ray.state.lake import LakeTable
+
+            rlake = LakeTable(args.lake_root, **lake_kwargs)
+            for spec in args.refresh:
+                kind, _, dest = spec.partition(":")
+                if not dest:
+                    p.error(f"--refresh wants KIND:DIR, got {spec!r}")
+                if kind == "text-index":
+                    from chomper_ray.state.index import LakeTextIndex
+
+                    tgt = LakeTextIndex(rlake, dest, num_partitions=16)
+                elif kind == "ann-index":
+                    from chomper_ray.state.annindex import LakeANNIndex
+
+                    tgt = LakeANNIndex(rlake, dest)
+                elif kind == "domain-matview":
+                    import pandas as pd
+
+                    from chomper_ray.stages.text import url_parts
+                    from chomper_ray.state.matview import MaterializedAgg
+
+                    def contrib(df: "pd.DataFrame") -> "pd.DataFrame":
+                        d = url_parts(df)
+                        return pd.DataFrame({
+                            "domain": d["domain"],
+                            "n_chars": d["text"].fillna("").str.len()
+                            .astype("int64")})
+
+                    tgt = MaterializedAgg(rlake, dest, contrib,
+                                          group_cols=["domain"],
+                                          value_cols=["n_chars"],
+                                          read_columns=["url", "text"])
+                elif kind == "sorted-layout":
+                    from chomper_ray.state.clustered import \
+                        LakeSortedLayout
+
+                    tgt = LakeSortedLayout(rlake, dest,
+                                           order_col="warc_ts",
+                                           columns=["lang"])
+                else:
+                    p.error(f"--refresh: unknown kind {kind!r} (want "
+                            "text-index | ann-index | domain-matview "
+                            "| sorted-layout)")
+                refresh_targets.append((spec, tgt))
+            prev_hook = extra.get("after_commit")
+
+            def refresh_hook(commit, _prev=prev_hook):
+                if _prev is not None:
+                    _prev(commit)
+                for _, t in refresh_targets:
+                    t.refresh()
+
+            extra["after_commit"] = refresh_hook
+        refresh_before = {spec: set(t.applied_commits())
+                          for spec, t in refresh_targets}
         if args.near_dup_index:
             from chomper_ray.state.dupindex import run_cdc_admitted
 
@@ -364,6 +429,11 @@ def main(argv=None):
             "events_applied": res.events_applied,
             "wall_s": round(res.wall_s, 2),
         }
+        if refresh_targets:
+            out["refreshed"] = {
+                spec: sorted(set(t.applied_commits())
+                             - refresh_before[spec])
+                for spec, t in refresh_targets}
         if args.compact_min_chain is not None:
             from chomper_ray.state.lake import LakeTable
 
