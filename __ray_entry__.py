@@ -1796,8 +1796,10 @@ def _q_cdc_hybrid_search(sf_dir: str):
     # fusion of the two CDC-maintained index families — BM25 over
     # LakeTextIndex postings + exact cosine over LakeANNIndex probed at
     # all cells — over ONE lake carrying text AND embedding columns,
-    # committed in three epochs (three LSM delta segments per index, so
-    # chain-walk resolution is on the query path). Ranks are computed
+    # committed in three insert epochs + one UPDATE epoch (four LSM
+    # segments per index; the update rewrites every 10th doc's token
+    # set, so signed-posting cancellation and the ANN same-cell -1/+1
+    # path are on the hash-verified query path). Ranks are computed
     # on 6-digit-rounded scores with doc tie-break in BOTH engines, so
     # rank parity follows from the proven score parity (bm25_topk /
     # cdc_ann_vectors); rrf = Σ 1/(60+rank) is identical float64
@@ -1839,6 +1841,23 @@ def _q_cdc_hybrid_search(sf_dir: str):
                                     pa.scalar(3, pa.int64()))),
             pa.scalar(e, pa.int64())))
         lake.commit_epoch(rd.from_arrow(part), e)
+    # epoch 3: UPDATE every 10th doc to upper-cased text (lowercase
+    # query tokens vanish from them — full token-set rewrites resolve
+    # as signed postings under the driver hash; vectors re-sent
+    # unchanged exercise the ANN -1/+1 same-cell path)
+    upd = t.filter(pc.equal(
+        pc.subtract(t["doc_id"],
+                    pc.multiply(pc.divide(t["doc_id"], 10),
+                                pa.scalar(10, pa.int64()))),
+        pa.scalar(0, pa.int64())))
+    upd = upd.set_column(upd.schema.get_field_index("text"), "text",
+                         pc.utf8_upper(upd["text"]))
+    upd = upd.set_column(upd.schema.get_field_index("op"), "op",
+                         pa.array(["update"] * upd.num_rows))
+    upd = upd.set_column(upd.schema.get_field_index("warc_ts"), "warc_ts",
+                         pa.array([pd.Timestamp(20, unit="s")]
+                                  * upd.num_rows, type=pa.timestamp("us")))
+    lake.commit_epoch(rd.from_arrow(upd), 3)
     tidx = LakeTextIndex(lake, tempfile.mkdtemp(prefix="chomper_hyb_t_"),
                          key_col="doc_id", num_partitions=16)
     aidx = LakeANNIndex(lake, tempfile.mkdtemp(prefix="chomper_hyb_a_"),
@@ -3642,10 +3661,11 @@ def oracle_sql() -> dict[str, str]:
             # RRF fusion of the two maintained indexes: bm25_topk's
             # formula ranked on round(s,6) + list_cosine_similarity
             # ranked on round(cs,6) (query = doc 7's embedding), ranks
-            # cut at 50, rrf = Σ 1/(60+rank); insert-only commits mean
-            # the lake state IS the views' join
-            "WITH l AS (SELECT doc_id, string_split(coalesce(text, ''), "
-            "' ') AS ls FROM documents), "
+            # cut at 50, rrf = Σ 1/(60+rank); the LWW state after the
+            # update epoch = views with every 10th doc's text uppered
+            "WITH l AS (SELECT doc_id, string_split(coalesce("
+            "CASE WHEN doc_id % 10 = 0 THEN upper(text) ELSE text END, "
+            "''), ' ') AS ls FROM documents), "
             "d AS (SELECT doc_id, len(ls)::DOUBLE AS dl FROM l), "
             "st AS (SELECT count(*)::DOUBLE AS nn, avg(dl) AS avgdl "
             "FROM d), "

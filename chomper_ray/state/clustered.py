@@ -1405,6 +1405,45 @@ class PackedStreamConsumer:
         return max(ap) if ap else -1
 
     # -- consumption -----------------------------------------------------
+    def examples(self, allow_drift: bool = False):
+        """Like ``batches()`` but MATERIALIZED: yields ``(shard,
+        frame)`` with one row per training example — ``example_id``,
+        ``text`` (exactly ``seq_len`` whitespace tokens except a
+        shard's final example), ``n_tokens`` — by joining the span
+        table to the shard's live rows and slicing. Same cursor, same
+        at-least-once contract; per-shard work is one bounded join +
+        vectorized token slicing."""
+        for s, spans in self.batches(allow_drift=allow_drift):
+            key = self.export.key_col
+            cols = [key] + ([self.col] if self.col != key else [])
+            live = (self.export
+                    .read_live(columns=cols, shards=[s])
+                    .to_pandas())
+            toks = {k: (t if isinstance(t, str) else "").split(" ")
+                    for k, t in zip(live[key], live[self.col])}
+            # a commit landing BETWEEN the span read and this live read
+            # would silently mis-slice — catch it instead
+            for k, n in zip(spans[key], spans["n_tokens"]):
+                if len(toks.get(k, ())) != int(n):
+                    raise StreamDrift(
+                        f"shard {s} changed between span and text reads "
+                        f"(doc {k!r}: {n} tokens expected); re-enter "
+                        "examples() to re-deliver the shard")
+            parts: dict[int, list[str]] = {}
+            ntok: dict[int, int] = {}
+            for r in spans.itertuples(index=False):
+                seg = toks[getattr(r, key)][r.tok_lo:r.tok_hi]
+                parts.setdefault(int(r.example_id), []).append(
+                    " ".join(seg))
+                ntok[int(r.example_id)] = \
+                    ntok.get(int(r.example_id), 0) + len(seg)
+            eids = sorted(parts)
+            yield s, pd.DataFrame({
+                "example_id": pd.array(eids, dtype="int64"),
+                "text": [" ".join(parts[e]) for e in eids],
+                "n_tokens": pd.array([ntok[e] for e in eids],
+                                     dtype="int64")})
+
     def batches(self, allow_drift: bool = False):
         """Generator of ``(shard, pandas frame)`` from the cursor to
         the last shard, checkpointing between shards."""

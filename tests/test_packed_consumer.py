@@ -151,3 +151,23 @@ def test_cursor_guards(tmp_path, ray_session):
     with pytest.raises(ValueError, match="would not line up"):
         next(PackedStreamConsumer(exp, tmp_path / "cur.json",
                                   L + 1).batches())
+
+
+def test_examples_materialize_exact_token_stream(tmp_path, ray_session):
+    _, exp = seed(tmp_path)
+    c = PackedStreamConsumer(exp, tmp_path / "cur.json", L)
+    live = (exp.read_live(columns=["text"])
+            .to_pandas()
+            .sort_values(["shard", "pos"], kind="stable"))
+    for s, ex in c.examples():
+        # every example is exactly L tokens except the shard's last
+        assert (ex["n_tokens"].iloc[:-1] == L).all()
+        assert 0 < ex["n_tokens"].iloc[-1] <= L
+        assert (ex["text"].str.split(" ").str.len()
+                == ex["n_tokens"]).all()
+        # concatenating the examples reproduces the shard's live
+        # token stream in shuffled (shard, pos) order
+        stream = " ".join(t for t in live[live["shard"] == s]["text"]
+                          if t)
+        assert " ".join(ex["text"]) == stream
+    assert c.state()["next_shard"] == NSH  # same cursor as batches()
