@@ -45,6 +45,10 @@ _QUERY_NAMES = [
     # oracle lake, so their wall doesn't scale with sf and only adds
     # constant noise to queries_total (they're timed by the gate runs).
     "pack_sequences", "shuffled_shards",
+    # session 15: unlike the fixed-size cdc_* oracle-lake queries,
+    # cdc_hybrid_search builds from the sf documents+embeddings tables
+    # (lake + BOTH maintained indexes + fused search scale with sf)
+    "cdc_hybrid_search",
 ]
 
 
