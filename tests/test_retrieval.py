@@ -150,3 +150,66 @@ def test_hybrid_fetch_k_cut(tmp_path, ray_session):
     assert ((out["r_bm25"] > 0) | (out["r_cos"] > 0)).all()
     assert got(tidx, aidx, ["spark"], qvec, k=200, fetch_k=5) == \
         brute_hybrid(lake, ["spark"], qvec, k=200, fetch_k=5)
+
+
+# -- hypothesis property: random corpora + random op sequences ----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_DOC = st.tuples(st.integers(0, 39),                       # key id
+                 st.lists(st.sampled_from(WORDS), min_size=1,
+                          max_size=9),                     # tokens
+                 st.integers(0, 2**31 - 1))                # vec seed
+
+
+@st.composite
+def _ops(draw):
+    base = draw(st.lists(_DOC, min_size=5, max_size=15,
+                         unique_by=lambda d: d[0]))
+    extra = draw(st.lists(
+        st.tuples(st.sampled_from(["update", "delete"]), _DOC),
+        min_size=0, max_size=6))
+    toks = draw(st.lists(st.sampled_from(WORDS), min_size=1,
+                         max_size=3, unique=True))
+    return base, extra, toks
+
+
+@given(_ops())
+@settings(max_examples=6, deadline=None)
+def test_hybrid_property_random_ops(tmp_path_factory, ray_session, ops):
+    base, extra, tokens = ops
+    tmp = tmp_path_factory.mktemp("hyb_prop")
+    lake = LakeTable(tmp / "lake", key="url", num_partitions=2,
+                     collect_changes=False)
+    tidx = LakeTextIndex(lake, tmp / "tix", num_partitions=4)
+    aidx = LakeANNIndex(lake, tmp / "aix", n_cells=2)
+
+    def vec(seed):
+        return np.random.default_rng(seed).normal(size=DIM)
+
+    rows = [mk("insert", i, f"u{kid:03d}", 10, " ".join(toks), vec(sd))
+            for i, (kid, toks, sd) in enumerate(base)]
+    commit(lake, rows, 0)
+    if extra:
+        rows = []
+        for j, (op, (kid, toks, sd)) in enumerate(extra):
+            if op == "delete":
+                rows.append(mk("delete", 100 + j, f"u{kid:03d}", 20,
+                               None, None))
+            else:
+                rows.append(mk("update", 100 + j, f"u{kid:03d}", 20,
+                               " ".join(toks), vec(sd)))
+        # LWW needs unique (key, ts, seq) — dedup keys inside the epoch
+        seen, uniq = set(), []
+        for r in reversed(rows):
+            if r["url"] not in seen:
+                seen.add(r["url"])
+                uniq.append(r)
+        commit(lake, uniq, 1)
+    tidx.refresh(), aidx.refresh()
+    if not len(lake.read_pandas()):
+        return  # everything deleted — nothing to rank
+    qvec = vec(7)
+    assert got(tidx, aidx, tokens, qvec, k=8, fetch_k=10) == \
+        brute_hybrid(lake, tokens, qvec, k=8, fetch_k=10)
