@@ -3034,6 +3034,22 @@ def _q_cdc_lineage(sf_dir: str):
     return out.sort_values(["epoch", "partition_id"]).reset_index(drop=True)
 
 
+def _q_bpe_tokenize(sf_dir: str):
+    # real BPE (stages/bpe.py): merges learned from the corpus's
+    # distributed word-frequency table (shuffle = distinct words;
+    # bounded driver fit — the NB/kmeans discipline), applied as a
+    # broadcast-ranks map with per-block distinct-word memoization.
+    # Rows-only: greedy merge application is not SQL-expressible; the
+    # trainer is pinned by an incremental-equals-naive hypothesis
+    # property and the Sennrich toy example (tests/test_bpe.py).
+    from chomper_ray.stages.bpe import bpe_encode, bpe_train
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    model = bpe_train(ds, n_merges=150, max_words=50_000)
+    out = bpe_encode(ds, model, counts_only=True)
+    return out.select_columns(["doc_id", "n_bpe_tokens"])
+
+
 def _q_cdc_neardup_pairs(sf_dir: str):
     # CDC-maintained near-dup index (state/dupindex.py LakeMinHashIndex):
     # signed MinHash band rows appended per lake commit (cost ∝ the
@@ -3390,6 +3406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_matview_windows": _q_cdc_matview_windows,
         "cdc_matview_hopping": _q_cdc_matview_hopping,
         "cdc_matview_quantiles": _q_cdc_matview_quantiles,
+        "bpe_tokenize": _q_bpe_tokenize,
         # oracle-backed, mimic-verified (deferred past the window for round-4 slots)
         "word_count": _q_word_count,
         "token_count": _q_token_count,
