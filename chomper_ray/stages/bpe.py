@@ -105,6 +105,8 @@ def learn_merges(word_counts: dict[str, int], n_merges: int) \
     inverted index, so each merge re-scans ONLY the words containing
     the merged pair. Deterministic: ties break (count DESC, pair ASC).
     """
+    import heapq
+
     words = [list(_symbols(w)) for w in word_counts]
     freqs = list(word_counts.values())
     pair_counts: dict[tuple[str, str], int] = {}
@@ -114,25 +116,30 @@ def learn_merges(word_counts: dict[str, int], n_merges: int) \
         for a, b in zip(syms, syms[1:]):
             pair_counts[(a, b)] = pair_counts.get((a, b), 0) + f
             pair_words.setdefault((a, b), set()).add(wi)
+    # lazy max-heap for argmax: stale entries (count changed since
+    # push) are skipped on pop; (-count, pair) ordering IS the
+    # (count DESC, pair ASC) tie-break
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        best = None
-        for p, c in pair_counts.items():
-            if c <= 0:
-                continue
-            if best is None or c > best[0] or (c == best[0]
-                                               and p < best[1]):
-                best = (c, p)
-        if best is None:
+        pair = None
+        while heap:
+            nc, p = heapq.heappop(heap)
+            if -nc > 0 and pair_counts.get(p, 0) == -nc:
+                pair = p
+                break
+        if pair is None:
             break
-        pair = best[1]
         merges.append(pair)
         merged = pair[0] + pair[1]
+        touched: set[tuple[str, str]] = set()
         for wi in list(pair_words.get(pair, ())):
             syms, f = words[wi], freqs[wi]
             # subtract this word's old pairs, rewrite, add new pairs
             for a, b in zip(syms, syms[1:]):
                 pair_counts[(a, b)] -= f
+                touched.add((a, b))
                 s = pair_words.get((a, b))
                 if s is not None:
                     s.discard(wi)
@@ -147,7 +154,12 @@ def learn_merges(word_counts: dict[str, int], n_merges: int) \
             words[wi] = out
             for a, b in zip(out, out[1:]):
                 pair_counts[(a, b)] = pair_counts.get((a, b), 0) + f
+                touched.add((a, b))
                 pair_words.setdefault((a, b), set()).add(wi)
+        for p in touched:
+            c = pair_counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p))
     return merges
 
 
