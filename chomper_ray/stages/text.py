@@ -610,7 +610,8 @@ def sql_chunk_query(size: int, stride: int, col: str = "text",
 
 def pack_sequences(ds, seq_len: int, key: str = "doc_id",
                    col: str = "text", num_partitions: int = 32,
-                   sample_per_block: int = 200):
+                   sample_per_block: int = 200,
+                   n_col: str | None = None):
     """Tokenize-and-pack: concatenate every document's whitespace
     tokens in GLOBAL ``key`` order and cut the stream into fixed
     ``seq_len``-token training examples — the packing step of an LLM
@@ -640,10 +641,13 @@ def pack_sequences(ds, seq_len: int, key: str = "doc_id",
         raise ValueError("seq_len must be positive")
 
     def counts(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            key: batch[key],
-            "n_tokens": batch[col].str.count(_TOKEN_RE)
-            .fillna(0).astype("int64")})
+        if n_col is not None:
+            # precomputed counts (e.g. bpe_encode(counts_only=True)):
+            # pack by a REAL tokenizer's budget instead of whitespace
+            n = batch[n_col].fillna(0).astype("int64")
+        else:
+            n = batch[col].str.count(_TOKEN_RE).fillna(0).astype("int64")
+        return pd.DataFrame({key: batch[key], "n_tokens": n})
 
     # (key, n) pairs only — tiny vs the corpus; materialized so the
     # totals pass and the expand pass don't re-tokenize the text

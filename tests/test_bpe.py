@@ -118,3 +118,37 @@ def test_max_words_cap(ray_session):
     ds = rd.from_arrow(pa.table({"text": texts}))
     wc = corpus_word_counts(ds, max_words=2)
     assert set(wc) == {"aa", "bb"}  # top-2 by count, tie-broken by word
+
+
+def test_pack_by_bpe_counts(ray_session):
+    # BPE counts -> pack_sequences(n_col=...): example boundaries are
+    # the prefix sums of n_bpe_tokens in key order, not whitespace
+    from chomper_ray.stages.text import pack_sequences
+
+    texts = ["aa bb aa bb", "cc dd", "aa aa aa", "ee", "aa bb cc dd ee"]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))),
+                                 "text": texts}))
+    model = bpe_train(ds, n_merges=4)
+    enc = bpe_encode(ds, model, counts_only=True)
+    packed = (pack_sequences(enc, 5, n_col="n_bpe_tokens")
+              .to_pandas().sort_values(["example_id", "doc_id"])
+              .reset_index(drop=True))
+    # reference arithmetic over the same counts
+    cnt = (enc.to_pandas().sort_values("doc_id")
+           .set_index("doc_id")["n_bpe_tokens"])
+    off, want = 0, []
+    for did, n in cnt.items():
+        if n == 0:
+            continue
+        cs, ce = off, off + n
+        for eid in range(cs // 5, (ce - 1) // 5 + 1):
+            want.append((did, eid, max(0, eid * 5 - cs),
+                         min(n, (eid + 1) * 5 - cs), n))
+        off = ce
+    got = [(r.doc_id, r.example_id, r.tok_lo, r.tok_hi, r.n_tokens)
+           for r in packed.itertuples(index=False)]
+    assert sorted(got) == sorted(want)
+    # every example except the last is exactly full
+    sums = packed.groupby("example_id").apply(
+        lambda g: (g["tok_hi"] - g["tok_lo"]).sum())
+    assert (sums.iloc[:-1] == 5).all() and 0 < sums.iloc[-1] <= 5
