@@ -1236,7 +1236,7 @@ class LakeShuffledExport(_LakeClusteredLayout):
         return touched
 
     def read_packed(self, seq_len: int, col: str = "text",
-                    start_shard: int = 0, shards=None):
+                    start_shard: int = 0, shards=None, model=None):
         """Per-shard tokenize-and-pack over the maintained shuffle —
         the packing step of the training pipeline (stages/text.py
         ``pack_sequences``) running on CDC-fresh data: each shard is an
@@ -1253,7 +1253,13 @@ class LakeShuffledExport(_LakeClusteredLayout):
         whereas one global stream would shift every example after the
         first touched document. SQL parity: ``SUM(n) OVER (PARTITION BY
         shard ORDER BY h, key)`` + ``generate_series`` (driver query
-        ``cdc_packed_stream``)."""
+        ``cdc_packed_stream``).
+
+        ``model`` (a ``stages.bpe.BpeModel``) switches the token
+        budget from whitespace counts to REAL BPE token counts — the
+        rank table is broadcast once and each shard task encodes its
+        docs' distinct words through a memo (pytest-pinned; no SQL
+        oracle for this path — the apply loop isn't expressible)."""
         import ray.data as rd
 
         L = int(seq_len)
@@ -1287,6 +1293,11 @@ class LakeShuffledExport(_LakeClusteredLayout):
         if not plan:
             return rd.from_arrow(target.empty_table())
         fast = len(live) == 1 and live[0].get("full")
+        mref = None
+        if model is not None:
+            import ray
+
+            mref = ray.put((model.ranks(), model.pattern))
 
         def pack(pid: int, g: pd.DataFrame) -> pa.Table:
             if not fast:
@@ -1295,7 +1306,23 @@ class LakeShuffledExport(_LakeClusteredLayout):
                      .sort_values(["_h", key], kind="stable")
                      .drop(columns=["_h"]))
             k = g[key].to_numpy()
-            n = g[col].fillna("").str.count(r"\S+").to_numpy(np.int64)
+            if mref is None:
+                n = g[col].fillna("").str.count(r"\S+") \
+                    .to_numpy(np.int64)
+            else:
+                import re
+
+                import ray
+
+                from chomper_ray.stages.bpe import encode_word
+
+                ranks, pat = ray.get(mref)
+                rx, cache = re.compile(pat), {}
+                n = np.array(
+                    [sum(len(encode_word(w, ranks, cache))
+                         for w in rx.findall(t))
+                     for t in g[col].fillna("").astype(str)],
+                    dtype=np.int64)
             ce = np.cumsum(n)
             cs = ce - n
             m = n > 0
@@ -1382,11 +1409,38 @@ class PackedStreamConsumer:
     """
 
     def __init__(self, export: LakeShuffledExport, cursor_path,
-                 seq_len: int, col: str = "text"):
+                 seq_len: int, col: str = "text", model=None):
         self.export = export
         self.path = Path(cursor_path)
         self.seq_len = int(seq_len)
         self.col = col
+        self.model = model
+
+    def _tok_fp(self) -> str:
+        """Tokenizer fingerprint pinned by the cursor: a different
+        merge table moves every example boundary."""
+        if self.model is None:
+            return "whitespace"
+        import hashlib
+
+        blob = json.dumps({"p": self.model.pattern,
+                           "m": [list(m) for m in self.model.merges]})
+        return "bpe:" + hashlib.md5(blob.encode()).hexdigest()[:16]
+
+    def _doc_tokens(self, text) -> list[str]:
+        t = text if isinstance(text, str) else ""
+        if self.model is None:
+            return t.split(" ")
+        import re
+
+        from chomper_ray.stages.bpe import encode_word
+
+        if not hasattr(self, "_enc"):
+            self._enc = (self.model.ranks(),
+                         re.compile(self.model.pattern), {})
+        ranks, rx, cache = self._enc
+        return [tok for w in rx.findall(t)
+                for tok in encode_word(w, ranks, cache)]
 
     # -- cursor ----------------------------------------------------------
     def state(self) -> dict | None:
@@ -1419,7 +1473,7 @@ class PackedStreamConsumer:
             live = (self.export
                     .read_live(columns=cols, shards=[s])
                     .to_pandas())
-            toks = {k: (t if isinstance(t, str) else "").split(" ")
+            toks = {k: self._doc_tokens(t)
                     for k, t in zip(live[key], live[self.col])}
             # a commit landing BETWEEN the span read and this live read
             # would silently mis-slice — catch it instead
@@ -1451,12 +1505,14 @@ class PackedStreamConsumer:
         st = self.state()
         if st is None:
             st = {"seq_len": self.seq_len, "col": self.col,
-                  "n_shards": n_shards, "epoch_cid": self._head_cid(),
+                  "n_shards": n_shards, "tokenizer": self._tok_fp(),
+                  "epoch_cid": self._head_cid(),
                   "next_shard": 0, "data_epochs_done": 0}
             self._write(st)
         for k, mine in (("seq_len", self.seq_len), ("col", self.col),
-                        ("n_shards", n_shards)):
-            if st[k] != mine:
+                        ("n_shards", n_shards),
+                        ("tokenizer", self._tok_fp())):
+            if st.get(k, mine) != mine:
                 raise ValueError(
                     f"cursor {self.path} pins {k}={st[k]!r}, consumer "
                     f"was built with {mine!r} — examples would not "
@@ -1476,7 +1532,8 @@ class PackedStreamConsumer:
             self._write(st)
         for s in range(int(st["next_shard"]), n_shards):
             frame = (self.export
-                     .read_packed(self.seq_len, self.col, shards=[s])
+                     .read_packed(self.seq_len, self.col, shards=[s],
+                                  model=self.model)
                      .to_pandas()
                      .sort_values(["example_id", "ex_off"], kind="stable")
                      .reset_index(drop=True))

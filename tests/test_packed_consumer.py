@@ -171,3 +171,35 @@ def test_examples_materialize_exact_token_stream(tmp_path, ray_session):
                           if t)
         assert " ".join(ex["text"]) == stream
     assert c.state()["next_shard"] == NSH  # same cursor as batches()
+
+
+def test_bpe_budgeted_stream(tmp_path, ray_session):
+    # read_packed(model=...) budgets in REAL BPE tokens; the consumer
+    # pins the merge table in its cursor and materializes encoded
+    # streams that concatenate back to the shard's encoded corpus
+    from chomper_ray.stages.bpe import BpeModel, bpe_train
+
+    lake, exp = seed(tmp_path)
+    ds = lake.read()
+    model = bpe_train(ds, col="text", n_merges=6)
+    c = PackedStreamConsumer(exp, tmp_path / "cur.json", L, model=model)
+    total = 0
+    for s, ex in c.examples():
+        assert (ex["n_tokens"].iloc[:-1] == L).all()
+        # encoded-stream identity per shard
+        live = (exp.read_live(columns=["url", "text"], shards=[s])
+                .to_pandas().sort_values("pos"))
+        stream = [tok for t in live["text"]
+                  for tok in c._doc_tokens(t)]
+        assert " ".join(ex["text"]).split(" ") == stream
+        total += int(ex["n_tokens"].sum())
+    assert total > 0
+    # a consumer with a DIFFERENT merge table refuses the cursor
+    other = BpeModel(merges=model.merges[:-1])
+    with pytest.raises(ValueError, match="would not line up"):
+        next(PackedStreamConsumer(exp, tmp_path / "cur.json", L,
+                                  model=other).batches())
+    # and a whitespace consumer refuses it too
+    with pytest.raises(ValueError, match="would not line up"):
+        next(PackedStreamConsumer(exp, tmp_path / "cur.json",
+                                  L).batches())
