@@ -98,9 +98,9 @@ def main(argv=None):
                    help="maintain a derived structure per commit from "
                         "inside the ingest loop (repeatable): "
                         "text-index:DIR | ann-index:DIR | "
-                        "domain-matview:DIR | sorted-layout:DIR "
-                        "(canned configs matching the standalone "
-                        "matview-refresh / layout-refresh commands)")
+                        "domain-matview:DIR | sorted-layout:DIR | "
+                        "shuffled-export:DIR (canned configs matching "
+                        "the standalone refresh commands)")
     r.add_argument("--decontaminate", default=None, metavar="BENCH",
                    help="parquet file/dir of benchmark texts: drop "
                         "events sharing any token n-gram with it "
@@ -392,10 +392,17 @@ def main(argv=None):
                     tgt = LakeSortedLayout(rlake, dest,
                                            order_col="warc_ts",
                                            columns=["lang"])
+                elif kind == "shuffled-export":
+                    from chomper_ray.state.clustered import \
+                        LakeShuffledExport
+
+                    tgt = LakeShuffledExport(rlake, dest,
+                                             columns=["text"],
+                                             n_shards=16)
                 else:
                     p.error(f"--refresh: unknown kind {kind!r} (want "
                             "text-index | ann-index | domain-matview "
-                            "| sorted-layout)")
+                            "| sorted-layout | shuffled-export)")
                 refresh_targets.append((spec, tgt))
             prev_hook = extra.get("after_commit")
 

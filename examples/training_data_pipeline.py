@@ -126,6 +126,20 @@ def main():
         lambda df: df[["example_id"]], batch_format="pandas") \
         .max("example_id")
 
+    # 5b. the same packing budgeted in REAL BPE tokens: merges trained
+    # on the curated mix (distributed word counts — shuffle volume is
+    # the vocabulary — bounded driver fit), counts encoded distributed,
+    # spans computed from n_col instead of whitespace
+    from chomper_ray.stages.bpe import bpe_encode, bpe_train
+
+    model = bpe_train(mixed, n_merges=200, max_words=50_000)
+    bspans = pack_sequences(
+        bpe_encode(mixed, model, counts_only=True), seq_len=256,
+        n_col="n_bpe_tokens", num_partitions=8)
+    n_bpe_examples = 1 + bspans.map_batches(
+        lambda df: df[["example_id"]], batch_format="pandas") \
+        .max("example_id")
+
     # 6. deterministic global pseudo-shuffle (no random state; retries
     # byte-identical) + resumable partitioned shards of the doc payload
     from chomper_ray.state.output import read_shuffled, shuffled_export
@@ -141,6 +155,8 @@ def main():
         "near_dup_dropped": n_near_dropped,
         "after_decontamination": n_decontaminated,
         "packed_examples_256tok": int(n_examples),
+        "packed_examples_256bpe": int(n_bpe_examples),
+        "bpe_merges": len(model.merges),
         "shuffled_rows": read_shuffled(f"{out_dir}/shuffled").count(),
         "shard_partitions": stats["written"],
         "output_docs": back.count(),
