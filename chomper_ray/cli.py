@@ -399,10 +399,16 @@ def main(argv=None):
                     tgt = LakeShuffledExport(rlake, dest,
                                              columns=["text"],
                                              n_shards=16)
+                elif kind == "minhash-index":
+                    from chomper_ray.state.dupindex import \
+                        LakeMinHashIndex
+
+                    tgt = LakeMinHashIndex(rlake, dest)
                 else:
                     p.error(f"--refresh: unknown kind {kind!r} (want "
                             "text-index | ann-index | domain-matview "
-                            "| sorted-layout | shuffled-export)")
+                            "| sorted-layout | shuffled-export "
+                            "| minhash-index)")
                 refresh_targets.append((spec, tgt))
             prev_hook = extra.get("after_commit")
 

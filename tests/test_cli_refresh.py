@@ -26,19 +26,19 @@ def test_run_cdc_refresh_composition(tmp_path):
     specs = [f"text-index:{tmp_path / 'tix'}",
              f"domain-matview:{tmp_path / 'mv'}",
              f"sorted-layout:{tmp_path / 'srt'}",
-             f"shuffled-export:{tmp_path / 'shx'}"]
+             f"shuffled-export:{tmp_path / 'shx'}",
+             f"minhash-index:{tmp_path / 'mh'}"]
+    args = []
+    for sp in specs:
+        args += ["--refresh", sp]
     r = cli("run-cdc", "--log-dir", log, "--lake-root", lake,
-            "--num-partitions", "3",
-            "--refresh", specs[0], "--refresh", specs[1],
-            "--refresh", specs[2], "--refresh", specs[3])
+            "--num-partitions", "3", *args)
     assert r["epochs_run"] == [0, 1]
     # every structure folded both commits from inside the loop
     assert all(r["refreshed"][s] == [0, 1] for s in specs)
 
     # rerun: ingest is a no-op and so is every refresh
-    r2 = cli("run-cdc", "--log-dir", log, "--lake-root", lake,
-             "--refresh", specs[0], "--refresh", specs[1],
-             "--refresh", specs[2], "--refresh", specs[3])
+    r2 = cli("run-cdc", "--log-dir", log, "--lake-root", lake, *args)
     assert r2["epochs_run"] == [] and \
         all(r2["refreshed"][s] == [] for s in specs)
 
