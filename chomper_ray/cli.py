@@ -99,8 +99,9 @@ def main(argv=None):
                         "inside the ingest loop (repeatable): "
                         "text-index:DIR | ann-index:DIR | "
                         "domain-matview:DIR | sorted-layout:DIR | "
-                        "shuffled-export:DIR (canned configs matching "
-                        "the standalone refresh commands)")
+                        "shuffled-export:DIR | minhash-index:DIR "
+                        "(canned configs matching the standalone "
+                        "refresh commands)")
     r.add_argument("--decontaminate", default=None, metavar="BENCH",
                    help="parquet file/dir of benchmark texts: drop "
                         "events sharing any token n-gram with it "

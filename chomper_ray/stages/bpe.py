@@ -98,6 +98,17 @@ def encode_word(word: str, ranks: dict, cache: dict | None = None) \
     return out
 
 
+def encode_text(text, ranks: dict, rx, cache: dict) -> list[str]:
+    """One doc's BPE token stream: words via the compiled pattern,
+    each encoded through the shared memo. THE single definition of
+    'text → tokens' — `bpe_encode`, `read_packed(model=)` and
+    `PackedStreamConsumer` all call this, so their counts and slices
+    can never drift apart."""
+    t = text if isinstance(text, str) else ""
+    return [tok for w in rx.findall(t)
+            for tok in encode_word(w, ranks, cache)]
+
+
 def learn_merges(word_counts: dict[str, int], n_merges: int) \
         -> list[tuple[str, str]]:
     """Driver-side merge learning over a word-frequency table — the
@@ -164,11 +175,13 @@ def learn_merges(word_counts: dict[str, int], n_merges: int) \
 
 
 def corpus_word_counts(ds, col: str = "text", pattern: str = _WORD_RE,
-                       max_words: int = 200_000,
-                       num_partitions: int = 32) -> dict[str, int]:
+                       max_words: int = 200_000) -> dict[str, int]:
     """Distributed word-frequency table, capped to the ``max_words``
     most frequent (ties by word ASC): per-block combiner → one
-    distinct-word groupby → bounded top-k to the driver."""
+    distinct-word groupby → bounded top-k to the driver. The per-batch
+    cut uses the SAME (n DESC, w ASC) total order as the global one,
+    so each grouped batch ships at most ``max_words`` rows and the
+    global head is still exact (a word lives in exactly one group)."""
     rx = pattern
 
     def block_counts(df: pd.DataFrame) -> pd.DataFrame:
@@ -179,13 +192,12 @@ def corpus_word_counts(ds, col: str = "text", pattern: str = _WORD_RE,
 
     counts = (ds.map_batches(block_counts, batch_format="pandas")
               .groupby("w").sum("n"))
-    # bounded driver collect: per-block top (handled by the sort) —
-    # the distinct-word table is vocabulary-sized, and max_words caps
-    # what actually lands on the driver
     frames = []
     for b in counts.iter_batches(batch_format="pandas"):
         b = b.rename(columns={"sum(n)": "n"})
-        frames.append(b.nlargest(max_words, "n", keep="all"))
+        frames.append(b.sort_values(["n", "w"],
+                                    ascending=[False, True],
+                                    kind="stable").head(max_words))
     allw = pd.concat(frames, ignore_index=True) if frames else \
         pd.DataFrame({"w": [], "n": []})
     allw = allw.sort_values(["n", "w"], ascending=[False, True],
@@ -213,14 +225,9 @@ def bpe_encode(ds, model: BpeModel, col: str = "text",
     def enc(batch: pa.Table) -> pa.Table:
         ranks, pat = ray.get(ref)
         rx = re.compile(pat)
-        texts = batch[col].to_pandas().fillna("").astype(str)
+        texts = batch[col].to_pandas()
         cache: dict[str, tuple[str, ...]] = {}
-        toks_per_row: list[list[str]] = []
-        for t in texts:
-            row: list[str] = []
-            for w in rx.findall(t):
-                row.extend(encode_word(w, ranks, cache))
-            toks_per_row.append(row)
+        toks_per_row = [encode_text(t, ranks, rx, cache) for t in texts]
         if counts_only:
             arr = pa.array([len(r) for r in toks_per_row],
                            type=pa.int64())

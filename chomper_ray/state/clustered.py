@@ -1314,15 +1314,12 @@ class LakeShuffledExport(_LakeClusteredLayout):
 
                 import ray
 
-                from chomper_ray.stages.bpe import encode_word
+                from chomper_ray.stages.bpe import encode_text
 
                 ranks, pat = ray.get(mref)
                 rx, cache = re.compile(pat), {}
-                n = np.array(
-                    [sum(len(encode_word(w, ranks, cache))
-                         for w in rx.findall(t))
-                     for t in g[col].fillna("").astype(str)],
-                    dtype=np.int64)
+                n = np.array([len(encode_text(t, ranks, rx, cache))
+                              for t in g[col]], dtype=np.int64)
             ce = np.cumsum(n)
             cs = ce - n
             m = n > 0
@@ -1428,19 +1425,21 @@ class PackedStreamConsumer:
         return "bpe:" + hashlib.md5(blob.encode()).hexdigest()[:16]
 
     def _doc_tokens(self, text) -> list[str]:
-        t = text if isinstance(text, str) else ""
-        if self.model is None:
-            return t.split(" ")
         import re
 
-        from chomper_ray.stages.bpe import encode_word
+        t = text if isinstance(text, str) else ""
+        if self.model is None:
+            # MUST mirror read_packed's whitespace budget (str.count of
+            # r"\S+") — a plain split(" ") would miscount newlines /
+            # tabs / repeated spaces, which real extracted text has
+            return re.findall(r"\S+", t)
+        from chomper_ray.stages.bpe import encode_text
 
         if not hasattr(self, "_enc"):
             self._enc = (self.model.ranks(),
                          re.compile(self.model.pattern), {})
         ranks, rx, cache = self._enc
-        return [tok for w in rx.findall(t)
-                for tok in encode_word(w, ranks, cache)]
+        return encode_text(t, ranks, rx, cache)
 
     # -- cursor ----------------------------------------------------------
     def state(self) -> dict | None:
@@ -1468,6 +1467,12 @@ class PackedStreamConsumer:
         at-least-once contract; per-shard work is one bounded join +
         vectorized token slicing."""
         for s, spans in self.batches(allow_drift=allow_drift):
+            if not len(spans):
+                yield s, pd.DataFrame({
+                    "example_id": pd.array([], dtype="int64"),
+                    "text": pd.Series([], dtype="object"),
+                    "n_tokens": pd.array([], dtype="int64")})
+                continue
             key = self.export.key_col
             cols = [key] + ([self.col] if self.col != key else [])
             live = (self.export
@@ -1517,9 +1522,14 @@ class PackedStreamConsumer:
                     f"cursor {self.path} pins {k}={st[k]!r}, consumer "
                     f"was built with {mine!r} — examples would not "
                     "line up; use a fresh cursor")
-        head = self._head_cid()
-        if head != st["epoch_cid"]:
-            pending = set(range(int(st["next_shard"]), n_shards))
+        def check_drift(next_shard: int) -> None:
+            # re-checked before EVERY shard read, not just at entry: a
+            # refresh() landing while the generator is live would
+            # otherwise silently mix two corpus states mid-epoch
+            head = self._head_cid()
+            if head == st["epoch_cid"]:
+                return
+            pending = set(range(next_shard, n_shards))
             hit = self.export.shards_touched_since(
                 int(st["epoch_cid"])) & pending
             if hit and not allow_drift:
@@ -1530,12 +1540,20 @@ class PackedStreamConsumer:
                     "to continue on the newer content")
             st["epoch_cid"] = head
             self._write(st)
+
+        span_cols = [self.export.key_col, "shard", "example_id",
+                     "ex_off", "tok_lo", "tok_hi", "n_tokens"]
         for s in range(int(st["next_shard"]), n_shards):
-            frame = (self.export
-                     .read_packed(self.seq_len, self.col, shards=[s],
-                                  model=self.model)
-                     .to_pandas()
-                     .sort_values(["example_id", "ex_off"], kind="stable")
+            check_drift(s)
+            raw = (self.export
+                   .read_packed(self.seq_len, self.col, shards=[s],
+                                model=self.model)
+                   .to_pandas())
+            if not len(raw.columns):
+                # Ray drops the schema of a 0-row dataset on to_pandas
+                raw = pd.DataFrame({c: [] for c in span_cols})
+            frame = (raw.sort_values(["example_id", "ex_off"],
+                                     kind="stable")
                      .reset_index(drop=True))
             yield s, frame
             st["next_shard"] = s + 1

@@ -203,3 +203,47 @@ def test_bpe_budgeted_stream(tmp_path, ray_session):
     with pytest.raises(ValueError, match="would not line up"):
         next(PackedStreamConsumer(exp, tmp_path / "cur.json",
                                   L).batches())
+
+
+def test_mid_generator_drift_detected(tmp_path, ray_session):
+    # a refresh landing while the generator is LIVE must be caught at
+    # the next shard pull, not only at generator entry
+    lake, exp = seed(tmp_path)
+    c = PackedStreamConsumer(exp, tmp_path / "cur.json", L)
+    it = c.batches()
+    next(it)                                     # delivered shard 0
+    url = next(f"u{i:03d}" for i in range(60)
+               if shard_of(f"u{i:03d}") >= 3)
+    commit(lake, [mk("update", 970, url, 970, "live drift body")], 1)
+    exp.refresh()
+    with pytest.raises(StreamDrift):
+        next(it)                                 # detected mid-stream
+    # allow_drift generator sails through the same situation
+    c2 = PackedStreamConsumer(exp, tmp_path / "cur2.json", L)
+    it2 = c2.batches(allow_drift=True)
+    next(it2)
+    commit(lake, [mk("update", 980, url, 980, "more drift")], 2)
+    exp.refresh()
+    assert [s for s, _ in it2] == list(range(1, NSH))
+
+
+def test_whitespace_tokens_match_budget(tmp_path, ray_session):
+    # newline/tab/multi-space text: examples() must slice the same
+    # \S+ tokens read_packed budgeted (a plain split(' ') miscounts)
+    lake = LakeTable(tmp_path / "lake", key="url", num_partitions=2,
+                     collect_changes=False)
+    rows = [mk("insert", 0, "u0", 10, "hello\nworld and\tmore  here"),
+            mk("insert", 1, "u1", 10, " lead trail "),
+            mk("insert", 2, "u2", 10, "a\nb  c")]
+    commit(lake, rows, 0)
+    exp = LakeShuffledExport(lake, tmp_path / "shuf",
+                             columns=["text"], n_shards=NSH)
+    exp.refresh()
+    c = PackedStreamConsumer(exp, tmp_path / "cur.json", 4)
+    toks = []
+    for _, ex in c.examples():
+        assert (ex["text"].str.split(" ").str.len()
+                == ex["n_tokens"]).all()
+        toks += [t for x in ex["text"] for t in x.split(" ")]
+    assert sorted(toks) == sorted(
+        "hello world and more here lead trail a b c".split())
