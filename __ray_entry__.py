@@ -1818,9 +1818,15 @@ def _q_cdc_hybrid_search(sf_dir: str):
                          columns=["doc_id", "text"])
     embs = pq.read_table(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    # align by key (Arrow join rejects list payloads) keeping the
-    # view's float32 list type — the lake must store the same bytes
-    # the SQL oracle casts to DOUBLE[]
+    # the lake is the INNER JOIN of the two views (at sf0.1 only 2 of
+    # 5 docs carry embeddings); align by key manually — Arrow join
+    # rejects list payloads — keeping the view's float32 list type so
+    # the lake stores the same bytes the SQL oracle casts to DOUBLE[]
+    common = pc.is_in(docs["doc_id"],
+                      value_set=embs["vec_id"].combine_chunks())
+    docs = docs.filter(common)
+    embs = embs.filter(pc.is_in(
+        embs["vec_id"], value_set=docs["doc_id"].combine_chunks()))
     docs = docs.take(pc.sort_indices(docs["doc_id"]))
     embs = embs.take(pc.sort_indices(embs["vec_id"]))
     assert docs["doc_id"].to_pylist() == embs["vec_id"].to_pylist()
@@ -3680,9 +3686,12 @@ def oracle_sql() -> dict[str, str]:
             # ranked on round(cs,6) (query = doc 7's embedding), ranks
             # cut at 50, rrf = Σ 1/(60+rank); the LWW state after the
             # update epoch = views with every 10th doc's text uppered
+            # the lake holds the documents⋈embeddings INNER join, so
+            # both rankings restrict to ids present in BOTH views
             "WITH l AS (SELECT doc_id, string_split(coalesce("
             "CASE WHEN doc_id % 10 = 0 THEN upper(text) ELSE text END, "
-            "''), ' ') AS ls FROM documents), "
+            "''), ' ') AS ls FROM documents "
+            "WHERE doc_id IN (SELECT vec_id FROM embeddings)), "
             "d AS (SELECT doc_id, len(ls)::DOUBLE AS dl FROM l), "
             "st AS (SELECT count(*)::DOUBLE AS nn, avg(dl) AS avgdl "
             "FROM d), "
@@ -3701,7 +3710,8 @@ def oracle_sql() -> dict[str, str]:
             "sc AS (SELECT e.vec_id AS doc_id, "
             "round(list_cosine_similarity(e.embedding::DOUBLE[], "
             "(SELECT embedding FROM embeddings WHERE vec_id = 7)"
-            "::DOUBLE[]), 6) AS cs FROM embeddings e), "
+            "::DOUBLE[]), 6) AS cs FROM embeddings e "
+            "WHERE e.vec_id IN (SELECT doc_id FROM documents)), "
             "rc AS (SELECT doc_id, row_number() OVER (ORDER BY cs DESC, "
             "doc_id) AS r FROM sc QUALIFY r <= 50), "
             "f AS (SELECT coalesce(rb.doc_id, rc.doc_id) AS doc_id, "
