@@ -400,11 +400,14 @@ def _q_profile_lineitem(sf_dir: str):
     from chomper_ray.pipelines.relational import profile_columns
 
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    # ndigits=4: the avg comes from a sum whose block order differs
-    # from DuckDB's — at 6 digits the l_tax mean straddles a rounding
-    # boundary (observed .0399315|.0399325)
+    # exact_decimals=2: the lineitem money columns are decimal(12,2)
+    # stored as doubles; accumulating the sum as int64 cents makes the
+    # mean EXACT and block-order-independent, so the value hash matches
+    # the oracle (which computes the identical exact quantity) instead
+    # of straddling a rounding boundary when the float partial-sum order
+    # differs from DuckDB's (round-4 verdict item 2).
     return profile_columns(_read(sf_dir, "lineitem", columns=cols), cols,
-                           ndigits=4)
+                           ndigits=4, exact_decimals=2)
 
 
 def _q_value_histogram(sf_dir: str):
@@ -1818,6 +1821,12 @@ def _q_cdc_hybrid_search(sf_dir: str):
                          columns=["doc_id", "text"])
     embs = pq.read_table(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
+    # qvec comes from the UNFILTERED embeddings table — the oracle's
+    # subquery reads it before any join, so the engine must too (if
+    # vec_id 7 ever lacked a documents row at some scale factor, the
+    # filtered table would raise while the oracle still ranks)
+    qvec = embs.filter(pc.equal(embs["vec_id"], 7))["embedding"][0] \
+        .as_py()
     # the lake is the INNER JOIN of the two views (at sf0.1 only 2 of
     # 5 docs carry embeddings); align by key manually — Arrow join
     # rejects list payloads — keeping the view's float32 list type so
@@ -1870,8 +1879,6 @@ def _q_cdc_hybrid_search(sf_dir: str):
                         n_cells=8)
     tidx.refresh()
     aidx.refresh()
-    qvec = embs.filter(pc.equal(embs["vec_id"], 7))["embedding"][0] \
-        .as_py()
     out = hybrid_rrf(tidx, aidx, ["spark", "merge"], qvec,
                      k=15, fetch_k=50)
     out = out.rename(columns={"doc": "doc_id"})
@@ -3297,10 +3304,57 @@ def _q_char_entropy(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Order matters: the driver's oracle gate hash-checks only the FIRST
-    # 50 entries, so queries that have never had a driver hash-check lead
-    # (round-3 verdict item 1); previously driver-verified entries follow.
+    # 50 entries. Round-5 rotation (round-4 verdict item 1): the 38
+    # oracle-backed entries never yet hash-checked by any driver round
+    # lead, followed by the fixed profile_lineitem (red in r4), followed
+    # by queries newly promoted/added this round — after this window every
+    # oracle-backed entry in the registry has a driver hash row.
     return {
         # never driver-hash-checked, oracle-backed (window [0:50])
+        "range_pruned_scan": _q_range_pruned_scan,
+        "zorder_box_scan": _q_zorder_box_scan,
+        "bucket_point_lookup": _q_bucket_point_lookup,
+        "inverted_index_search": _q_inverted_index,
+        "bm25_topk": _q_bm25,
+        "phrase_search": _q_phrase_search,
+        "lm_bigram_score": _q_lm_score,
+        "jsonl_sink_roundtrip": _q_jsonl_roundtrip,
+        "cdc_index_tokens": _q_cdc_index_tokens,
+        "cdc_layout_tokens": _q_cdc_layout_tokens,
+        "cdc_mor_matview_domains": _q_cdc_mor_matview_domains,
+        "cdc_mor_index_tokens": _q_cdc_mor_index_tokens,
+        "cdc_matview_extrema": _q_cdc_matview_extrema,
+        "cdc_matview_sessions": _q_cdc_matview_sessions,
+        "cdc_topk_pages": _q_cdc_topk_pages,
+        "cdc_matview_distinct": _q_cdc_matview_distinct,
+        "cdc_join_live": _q_cdc_join_live,
+        "cdc_domain_stats": _q_cdc_domain_stats,
+        "cdc_ann_vectors": _q_cdc_ann_vectors,
+        "cdc_sorted_scan": _q_cdc_sorted_scan,
+        "cdc_zorder_box": _q_cdc_zorder_box,
+        "pack_sequences": _q_pack_sequences,
+        "pack_by_source": _q_pack_by_source,
+        "shuffled_shards": _q_shuffled_shards,
+        "cdc_time_travel": _q_cdc_time_travel,
+        "cdc_envelope_pages": _q_cdc_envelope_pages,
+        "cdc_backfill_tokens": _q_cdc_backfill_tokens,
+        "cdc_multi_pages": _q_cdc_multi_pages,
+        "cdc_multi_links": _q_cdc_multi_links,
+        "cdc_repartition_pages": _q_cdc_repartition_pages,
+        "cdc_filtered_scan": _q_cdc_filtered_scan,
+        "cdc_delete_where": _q_cdc_delete_where,
+        "cdc_secondary_lookup": _q_cdc_secondary_lookup,
+        "cdc_bucket_join_live": _q_cdc_bucket_join_live,
+        "cdc_vec_dedup_ingest": _q_cdc_vec_dedup_ingest,
+        "cdc_matview_windows": _q_cdc_matview_windows,
+        "cdc_matview_hopping": _q_cdc_matview_hopping,
+        "cdc_matview_quantiles": _q_cdc_matview_quantiles,
+        # red in r4 (order-dependent float mean) — fixed via exact
+        # int64-cents accumulation; re-verify
+        "profile_lineitem": _q_profile_lineitem,
+        # round-5 additions / rows-only → oracle-backed promotions
+        # (inserted here as they land, keeping the window at 50)
+        # --- end of driver hash window [0:50] (plus round-5 inserts) ---
         "cdc_hybrid_search": _q_cdc_hybrid_search,
         "cdc_decontaminated": _q_cdc_decontaminated,
         "cdc_shuffled_export": _q_cdc_shuffled_export,
@@ -3312,7 +3366,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_outbound_roundtrip": _q_cdc_outbound_roundtrip,
         "cdc_branch_resume": _q_cdc_branch_resume,
         "chunk_windows": _q_chunk_windows,
-        "profile_lineitem": _q_profile_lineitem,
         "outer_join": _q_outer_join,
         "grouped_nunique": _q_grouped_nunique,
         "cross_join": _q_cross_join,
@@ -3351,43 +3404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_features": _q_vector_features,
         "bucket_join_elision": _q_bucket_join,
         "bucket_agg_elision": _q_bucket_agg,
-        "range_pruned_scan": _q_range_pruned_scan,
-        "zorder_box_scan": _q_zorder_box_scan,
-        "bucket_point_lookup": _q_bucket_point_lookup,
-        "inverted_index_search": _q_inverted_index,
-        "bm25_topk": _q_bm25,
-        "phrase_search": _q_phrase_search,
-        "lm_bigram_score": _q_lm_score,
-        "jsonl_sink_roundtrip": _q_jsonl_roundtrip,
         "cdc_upsert_pages": _q_cdc_upsert_pages,
-        "cdc_index_tokens": _q_cdc_index_tokens,
-        "cdc_layout_tokens": _q_cdc_layout_tokens,
-        # driver-window overflow: same oracle family as the windowed
-        # cdc_matview_domains; mimic-verified (scripts/check_oracle.py)
-        "cdc_mor_matview_domains": _q_cdc_mor_matview_domains,
-        "cdc_mor_index_tokens": _q_cdc_mor_index_tokens,
-        "cdc_matview_extrema": _q_cdc_matview_extrema,
-        "cdc_matview_sessions": _q_cdc_matview_sessions,
-        "cdc_topk_pages": _q_cdc_topk_pages,
-        "cdc_matview_distinct": _q_cdc_matview_distinct,
-        "cdc_join_live": _q_cdc_join_live,
-        "cdc_domain_stats": _q_cdc_domain_stats,
-        "cdc_ann_vectors": _q_cdc_ann_vectors,
-        "cdc_sorted_scan": _q_cdc_sorted_scan,
-        "cdc_zorder_box": _q_cdc_zorder_box,
-        "pack_sequences": _q_pack_sequences,
-        "pack_by_source": _q_pack_by_source,
-        "shuffled_shards": _q_shuffled_shards,
-        "cdc_time_travel": _q_cdc_time_travel,
-        "cdc_envelope_pages": _q_cdc_envelope_pages,
-        "cdc_backfill_tokens": _q_cdc_backfill_tokens,
-        "cdc_multi_pages": _q_cdc_multi_pages,
-        "cdc_multi_links": _q_cdc_multi_links,
-        "cdc_repartition_pages": _q_cdc_repartition_pages,
-        "cdc_filtered_scan": _q_cdc_filtered_scan,
-        "cdc_delete_where": _q_cdc_delete_where,
-        "cdc_secondary_lookup": _q_cdc_secondary_lookup,
-        "cdc_bucket_join_live": _q_cdc_bucket_join_live,
         # rows-only by design (no SQL oracle)
         "pca_project": _q_pca_project,
         "kmeans_clusters": _q_kmeans_clusters,
@@ -3408,12 +3425,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lineage": _q_cdc_lineage,
         "cdc_neardup_pairs": _q_cdc_neardup_pairs,
         "cdc_dedup_ingest": _q_cdc_dedup_ingest,
-        "cdc_vec_dedup_ingest": _q_cdc_vec_dedup_ingest,
-        "cdc_matview_windows": _q_cdc_matview_windows,
-        "cdc_matview_hopping": _q_cdc_matview_hopping,
-        "cdc_matview_quantiles": _q_cdc_matview_quantiles,
         "bpe_tokenize": _q_bpe_tokenize,
-        # oracle-backed, mimic-verified (deferred past the window for round-4 slots)
+        # oracle-backed, driver-verified in earlier rounds
         "word_count": _q_word_count,
         "token_count": _q_token_count,
         "union_keys": _q_union_keys,
@@ -4331,11 +4344,17 @@ def oracle_sql() -> dict[str, str]:
             "FULL JOIN orders ON c_custkey = o_custkey"
         ),
         "profile_lineitem": (
+            # the avg is computed from an EXACT int64-cents sum on both
+            # sides ((sum_cents / 100.0) / n, identical IEEE op order) so
+            # the value is block-order-independent — a plain sum(double)
+            # differs from the engine's partial-sum order at the ULP
+            # level and straddles round() boundaries (round-4 verdict)
             " UNION ALL ".join(
                 f"SELECT '{c}' AS col, count({c}) AS n, "
                 f"count(*) - count({c}) AS n_null, "
                 f"round(min({c}), 4) AS min, round(max({c}), 4) AS max, "
-                f"round(sum({c}) / count({c}), 4) AS avg FROM lineitem"
+                f"round((sum(CAST(round({c} * 100, 0) AS BIGINT)) / 100.0)"
+                f" / count({c}), 4) AS avg FROM lineitem"
                 for c in ("l_quantity", "l_extendedprice", "l_discount",
                           "l_tax"))
         ),

@@ -357,7 +357,15 @@ def main(argv=None):
             from chomper_ray.state.lake import LakeTable
 
             rlake = LakeTable(args.lake_root, **lake_kwargs)
+            # dedupe up front: a repeated KIND:DIR would refresh the
+            # same structure twice per commit while collapsing into one
+            # refresh_before key / one 'refreshed' output entry —
+            # harmless (refresh is idempotent) but silently misreported
+            seen_specs: set[str] = set()
             for spec in args.refresh:
+                if spec in seen_specs:
+                    p.error(f"--refresh: duplicate spec {spec!r}")
+                seen_specs.add(spec)
                 kind, _, dest = spec.partition(":")
                 if not dest:
                     p.error(f"--refresh wants KIND:DIR, got {spec!r}")

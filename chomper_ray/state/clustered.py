@@ -1478,10 +1478,23 @@ class PackedStreamConsumer:
             live = (self.export
                     .read_live(columns=cols, shards=[s])
                     .to_pandas())
+            # a commit landing BETWEEN the span read and this live read
+            # would silently mis-slice. Two guards: (a) head-commit
+            # re-check — a rewrite that PRESERVES a doc's token count
+            # (e.g. same-length text swap) passes the count check below
+            # but still mixes corpus states; (b) per-doc token-count
+            # check for the remaining races inside a commit window.
+            head = self._head_cid()
+            span_head = getattr(self, "_span_head", head)
+            if head != span_head and not allow_drift:
+                if s in self.export.shards_touched_since(int(span_head)):
+                    raise StreamDrift(
+                        f"shard {s}: commits landed between the span "
+                        f"read (head {span_head}) and the text read "
+                        f"(head {head}); re-enter examples() to "
+                        "re-deliver the shard")
             toks = {k: self._doc_tokens(t)
                     for k, t in zip(live[key], live[self.col])}
-            # a commit landing BETWEEN the span read and this live read
-            # would silently mis-slice — catch it instead
             for k, n in zip(spans[key], spans["n_tokens"]):
                 if len(toks.get(k, ())) != int(n):
                     raise StreamDrift(
@@ -1545,6 +1558,9 @@ class PackedStreamConsumer:
                      "ex_off", "tok_lo", "tok_hi", "n_tokens"]
         for s in range(int(st["next_shard"]), n_shards):
             check_drift(s)
+            # pin the head the spans are read under — examples() uses
+            # it to detect a commit racing its later text read
+            self._span_head = int(st["epoch_cid"])
             raw = (self.export
                    .read_packed(self.seq_len, self.col, shards=[s],
                                 model=self.model)

@@ -71,7 +71,24 @@ def hybrid_rrf(text_idx, ann_idx, tokens, query_vec, *, k: int = 10,
     rb = _ranked(bm, "doc", "score", fetch_k, ndigits)
 
     q = np.asarray(query_vec, dtype=np.float64).reshape(1, -1)
-    ann = ann_idx.search(q, k=int(fetch_k) + RANK_SLACK, nprobe=nprobe)
+    # The ANN side fetches by UNROUNDED score but ranks on ROUNDED
+    # scores: a rounded-score tie cluster straddling the fetch_k cut
+    # could otherwise pull in docs (tie-broken by doc ASC) that the
+    # fixed +RANK_SLACK fetch never saw. Detect the hazard — the
+    # deepest fetched candidate's rounded score still equals the
+    # rounded score at rank fetch_k — and refetch deeper until the tie
+    # cluster is fully inside the candidate set (or the index is
+    # exhausted, which yields the complete ranking).
+    slack = RANK_SLACK
+    while True:
+        want = int(fetch_k) + slack
+        ann = ann_idx.search(q, k=want, nprobe=nprobe)
+        if len(ann) < want or len(ann) <= int(fetch_k):
+            break  # index exhausted or no cut: ranking is complete
+        rs = np.sort(ann["score"].round(ndigits).to_numpy())[::-1]
+        if rs[-1] < rs[int(fetch_k) - 1]:
+            break  # tail strictly below the cut score: cut is safe
+        slack *= 4
     ann = ann.rename(columns={"key": "doc"})
     rc = _ranked(ann, "doc", "score", fetch_k, ndigits)
 

@@ -80,8 +80,22 @@ def main():
                 assert gc.dtype.kind == xc.dtype.kind, \
                     f"column {c} dtype {gc.dtype} != oracle {xc.dtype}"
                 if gc.dtype.kind == "f" or xc.dtype.kind == "f":
-                    ok = np.allclose(gc.astype(float).fillna(-1e30),
-                                     xc.astype(float).fillna(-1e30), atol=1e-9)
+                    # the driver hashes exact VALUES, so floats must be
+                    # bit-identical — an allclose tolerance here hid the
+                    # profile_lineitem ULP straddle for four rounds
+                    # (round-4 verdict item 2). Exact-after-round is the
+                    # contract: engine and oracle must compute the SAME
+                    # double before any round().
+                    gv = gc.astype(float).fillna(-1e30).to_numpy()
+                    xv = xc.astype(float).fillna(-1e30).to_numpy()
+                    ok = bool(np.array_equal(gv, xv))
+                    if not ok:
+                        bad = np.flatnonzero(gv != xv)
+                        detail = ", ".join(
+                            f"[{i}] {gv[i]!r} != {xv[i]!r}"
+                            for i in bad[:5])
+                        assert ok, (f"column {c}: {len(bad)} float values "
+                                    f"not bit-identical: {detail}")
                 else:
                     ok = (gc.astype(str).fillna("") == xc.astype(str).fillna("")).all()
                 assert ok, f"column {c} mismatch\n{gc.head()}\nvs\n{xc.head()}"

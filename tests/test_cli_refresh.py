@@ -57,3 +57,8 @@ def test_run_cdc_refresh_composition(tmp_path):
     err = cli("run-cdc", "--log-dir", log, "--lake-root", lake,
               "--refresh", f"bogus:{tmp_path / 'x'}", expect_rc=2)
     assert "unknown kind" in err
+    # a repeated KIND:DIR would double-refresh while silently collapsing
+    # into one reported entry — rejected up front (round-4 ADVICE 4)
+    err = cli("run-cdc", "--log-dir", log, "--lake-root", lake,
+              "--refresh", specs[0], "--refresh", specs[0], expect_rc=2)
+    assert "duplicate spec" in err

@@ -247,3 +247,42 @@ def test_whitespace_tokens_match_budget(tmp_path, ray_session):
         toks += [t for x in ex["text"] for t in x.split(" ")]
     assert sorted(toks) == sorted(
         "hello world and more here lead trail a b c".split())
+
+
+def test_same_count_rewrite_between_span_and_text_reads(tmp_path,
+                                                        ray_session):
+    """A commit that rewrites a doc's text WITHOUT changing its token
+    count, landing between examples()'s span read and its text read,
+    must raise StreamDrift — the per-doc count guard alone would slice
+    a silently mixed corpus state (round-4 ADVICE item 3)."""
+    lake, exp = seed(tmp_path)
+    c = PackedStreamConsumer(exp, tmp_path / "cur.json", L)
+    # pick a doc in shard 0 and build a SAME-token-count replacement
+    url = next(f"u{i:03d}" for i in range(60)
+               if shard_of(f"u{i:03d}") == 0)
+    i = int(url[1:])
+    n_tok = 1 + (i * 5) % 13
+    swap = " ".join(f"X{j}" for j in range(n_tok))
+
+    # inject the racing commit at the guard's own head re-check — the
+    # first _head_cid() call made AFTER a span read pinned _span_head
+    # is examples()'s post-text-read check, i.e. inside the hazard
+    # window. (Patching exp.read_live would attach a test-module
+    # closure to the export, which Ray pickles to workers.)
+    orig_head = c._head_cid
+    fired = {"done": False}
+
+    def head_hook():
+        if getattr(c, "_span_head", None) is not None \
+                and not fired["done"]:
+            fired["done"] = True
+            commit(lake, [mk("update", 970, url, 970, swap)], 1)
+            exp.refresh()
+        return orig_head()
+
+    c._head_cid = head_hook
+    with pytest.raises(StreamDrift, match="between the span read"):
+        next(c.examples())
+    # allow_drift consumes the newer same-count content without raising
+    c2 = PackedStreamConsumer(exp, tmp_path / "cur2.json", L)
+    assert sum(len(ex) for _, ex in c2.examples(allow_drift=True)) > 0

@@ -213,3 +213,30 @@ def test_hybrid_property_random_ops(tmp_path_factory, ray_session, ops):
     qvec = vec(7)
     assert got(tidx, aidx, tokens, qvec, k=8, fetch_k=10) == \
         brute_hybrid(lake, tokens, qvec, k=8, fetch_k=10)
+
+
+def test_hybrid_tie_cluster_beyond_slack(tmp_path, ray_session):
+    """A rounded-score tie cluster LARGER than fetch_k + RANK_SLACK
+    straddling the fetch_k cut: the ANN side must refetch deeper so
+    the doc-ASC tie-break sees the WHOLE cluster, not whichever
+    members the first fixed-size fetch happened to return (round-4
+    ADVICE item 1)."""
+    from chomper_ray.state.retrieval import RANK_SLACK
+
+    rng = np.random.default_rng(41)
+    shared = rng.normal(size=DIM)
+    n_tied = 5 + RANK_SLACK + 25  # cluster > fetch_k + RANK_SLACK
+    lake = LakeTable(tmp_path / "lake", key="url", num_partitions=4,
+                     collect_changes=False)
+    tidx = LakeTextIndex(lake, tmp_path / "tix", num_partitions=8)
+    aidx = LakeANNIndex(lake, tmp_path / "aix", n_cells=1)
+    rows = [mk("insert", i, f"u{i:03d}", 10, text_for(rng), shared)
+            for i in range(n_tied)]
+    rows += [mk("insert", 500 + i, f"z{i:03d}", 10, text_for(rng),
+                -shared + rng.normal(scale=0.1, size=DIM))
+             for i in range(10)]
+    commit(lake, rows, 0)
+    tidx.refresh(), aidx.refresh()
+    # query along the shared vector: all n_tied docs tie at cosine 1.0
+    assert got(tidx, aidx, ["spark"], shared, k=20, fetch_k=5) == \
+        brute_hybrid(lake, ["spark"], shared, k=20, fetch_k=5)
