@@ -1294,6 +1294,19 @@ def _q_fingerprint(sf_dir: str):
                      batch_format="pandas")
 
 
+def _q_fingerprint_md5(sf_dir: str):
+    # promoted fingerprint family member (round 5): same 1-perm
+    # winnowing shape as `fingerprint` but with an md5 window hash the
+    # DuckDB oracle replays bit-for-bit (the siphash variant stays
+    # rows-only — pandas' key is not SQL-reproducible)
+    from chomper_ray.stages.text import add_fingerprint_md5
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(add_fingerprint_md5, batch_format="pandas") \
+        .map_batches(lambda df: df[["doc_id", "fingerprint"]],
+                     batch_format="pandas")
+
+
 def _q_ivf_ann(sf_dir: str):
     from chomper_ray.stages.similarity import (
         ivf_build_index, ivf_search, train_ivf_centroids)
@@ -3047,6 +3060,37 @@ def _q_cdc_lineage(sf_dir: str):
     return out.sort_values(["epoch", "partition_id"]).reset_index(drop=True)
 
 
+def _q_cdc_lineage_rollup(sf_dir: str):
+    # promoted metadata-vs-data consistency check (round 5): the
+    # per-epoch GLOBAL state totals derived purely from the lineage
+    # METADATA — per partition, carry the latest commit ≤ epoch forward
+    # (untouched partitions keep their counters), then sum — must equal
+    # a DuckDB replay of the DATA (LWW winners per epoch boundary over
+    # the same binlog). Guards the counters the operator dashboards
+    # read. partition_id / events_in stay rows-only in `cdc_lineage`
+    # (siphash routing + combiner-layout dependence, documented there).
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.state.lake import LakeTable
+
+    log = _ensure_cdc_oracle_log()
+    lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_linr_")
+    run_cdc(log, lake_root, num_partitions=8)
+    lin = LakeTable(lake_root, num_partitions=8).lineage()
+    eps = sorted(lin["epoch"].unique())
+    state_cols = ["rows", "live_rows", "deleted_rows"]
+    # latest-commit-≤-epoch carry-forward per partition, then sum
+    wide = {c: lin.pivot_table(index="epoch", columns="partition_id",
+                               values=c, aggfunc="last")
+            .reindex(eps).ffill().fillna(0).sum(axis=1).astype("int64")
+            for c in state_cols}
+    out = pd.DataFrame({"epoch": pd.array(eps, dtype="int64"),
+                        **{c: wide[c].to_numpy() for c in state_cols}})
+    ch = lin.groupby("epoch")["change_events"].sum().reindex(eps) \
+        .fillna(0).astype("int64")
+    out["change_events"] = ch.to_numpy()
+    return out
+
+
 def _q_bpe_tokenize(sf_dir: str):
     # real BPE (stages/bpe.py): merges learned from the corpus's
     # distributed word-frequency table (shuffle = distinct words;
@@ -3116,22 +3160,30 @@ def _q_cdc_dedup_ingest(sf_dir: str):
 
 
 def _q_change_listeners(sf_dir: str):
+    # promoted rows-only → oracle-backed (round 5): the full listener
+    # matrix — per-epoch insert/update/delete row events plus
+    # change.<field> events (null-safe old-vs-new state diff, silent
+    # unchanged columns) — counted per (epoch, event, field) and
+    # hash-verified against a DuckDB replay that reconstructs the
+    # epoch-boundary LWW winners over the same shared binlog.
     from chomper_ray.pipelines.cdc import run_cdc
-    from chomper_ray.sources.events import generate_change_stream
     from chomper_ray.state.lake import LakeTable
 
-    log = generate_change_stream("/tmp/chomper_ray_log_listeners",
-                                 n_events=3000, n_urls=400, n_epochs=3, seed=7)
+    log = _ensure_cdc_oracle_log()
     lake_root = tempfile.mkdtemp(prefix="chomper_ray_lake_listen_")
-    run_cdc(log, lake_root, num_partitions=4)
+    run_cdc(log, lake_root, num_partitions=8)
     # streaming change-log read (downstream-subscription path) + grouped
     # count — no driver-side concat of change files
     from chomper_ray.pipelines.relational import grouped_agg
 
-    ev = LakeTable(lake_root, num_partitions=4).change_events_ds()
-    out = grouped_agg(ev.map_batches(lambda t: t.select(["event"]),
-                                     batch_format="pyarrow"),
-                      keys=["event"], counts=True)
+    ev = LakeTable(lake_root, num_partitions=8).change_events_ds()
+    prep = ev.map_batches(
+        lambda df: pd.DataFrame({
+            "epoch": df["epoch"].astype("int64"),
+            "event": df["event"],
+            "field": df["field"].fillna("(row)")}),
+        batch_format="pandas")
+    out = grouped_agg(prep, keys=["epoch", "event", "field"], counts=True)
     return out.map_batches(lambda df: df.rename(columns={"n_rows": "n"}),
                            batch_format="pandas")
 
@@ -3354,6 +3406,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_lineitem": _q_profile_lineitem,
         # round-5 additions / rows-only → oracle-backed promotions
         # (inserted here as they land, keeping the window at 50)
+        "langid": _q_langid,
+        "change_listeners": _q_change_listeners,
+        "cdc_lineage_rollup": _q_cdc_lineage_rollup,
+        "fingerprint_md5": _q_fingerprint_md5,
         # --- end of driver hash window [0:50] (plus round-5 inserts) ---
         "cdc_hybrid_search": _q_cdc_hybrid_search,
         "cdc_decontaminated": _q_cdc_decontaminated,
@@ -3414,14 +3470,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dedup": _q_ngram_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "embedding_dedup": _q_embedding_dedup,
-        "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "ivf_ann": _q_ivf_ann,
         "pq_ann": _q_pq_ann,
         "ivfpq_ann": _q_ivfpq_ann,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_audio_frames": _q_multimodal_audio_frames,
-        "change_listeners": _q_change_listeners,
         "cdc_lineage": _q_cdc_lineage,
         "cdc_neardup_pairs": _q_cdc_neardup_pairs,
         "cdc_dedup_ingest": _q_cdc_dedup_ingest,
@@ -3483,6 +3537,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_lineitem": _q_unpivot,
     }
 
+# Shared DuckDB replay of the listener matrix (change_listeners /
+# cdc_lineage_rollup): per log epoch, the LWW winner per key at the
+# epoch boundary (new = epoch <= e, old = epoch < e, (warc_ts, seq)
+# DESC, tombstones kept), insert/update/delete row events for touched
+# keys, and null-safe change.<field> events. The hive epoch partition
+# comes back VARCHAR — cast before the <= joins (lexicographic compare
+# breaks at epoch 10). Text values join from the extraction sidecar
+# exactly as in cdc_upsert_pages.
+_LISTENER_REPLAY_CTES = (
+    "WITH ev AS (SELECT * REPLACE (CAST(epoch AS BIGINT) AS epoch) "
+    "FROM read_parquet('{log}/epoch=*/part-*.parquet', "
+    "union_by_name=true)), "
+    "sidecar AS (SELECT seq, text FROM read_parquet("
+    "'{log}/_oracle/*.parquet')), "
+    "evt AS (SELECT e.*, s.text AS x_text FROM ev e "
+    "LEFT JOIN sidecar s USING (seq)), "
+    "eps AS (SELECT DISTINCT epoch FROM ev), "
+    "new_w AS (SELECT * FROM (SELECT p.epoch AS ep, e.*, "
+    "row_number() OVER (PARTITION BY p.epoch, e.url "
+    "ORDER BY e.warc_ts DESC, e.seq DESC) AS rn "
+    "FROM eps p JOIN evt e ON e.epoch <= p.epoch) WHERE rn = 1), "
+    "old_w AS (SELECT * FROM (SELECT p.epoch AS ep, e.*, "
+    "row_number() OVER (PARTITION BY p.epoch, e.url "
+    "ORDER BY e.warc_ts DESC, e.seq DESC) AS rn "
+    "FROM eps p JOIN evt e ON e.epoch < p.epoch) WHERE rn = 1), "
+    "touched AS (SELECT DISTINCT epoch AS ep, url FROM ev), "
+    "j AS (SELECT t.ep, t.url, "
+    "(n.op <> 'delete') AS n_live, "
+    "(o.url IS NOT NULL AND o.op <> 'delete') AS o_live, "
+    "n.warc_ts AS n_warc_ts, o.warc_ts AS o_warc_ts, "
+    "n.lang AS n_lang, o.lang AS o_lang, "
+    "n.fetch_status AS n_fs, o.fetch_status AS o_fs, "
+    "n.x_text AS n_text, o.x_text AS o_text, "
+    "n.extra_score AS n_es, o.extra_score AS o_es "
+    "FROM touched t JOIN new_w n ON n.ep = t.ep AND n.url = t.url "
+    "LEFT JOIN old_w o ON o.ep = t.ep AND o.url = t.url), "
+    "rowev AS (SELECT ep, CASE "
+    "WHEN n_live AND NOT o_live THEN 'insert' "
+    "WHEN n_live AND o_live THEN 'update' "
+    "WHEN NOT n_live AND o_live THEN 'delete' END AS event, "
+    "'(row)' AS field FROM j WHERE n_live OR o_live), "
+    "chg AS ("
+    "SELECT ep, 'warc_ts' AS field FROM j WHERE (n_live AND NOT "
+    "o_live AND n_warc_ts IS NOT NULL) OR (n_live AND o_live AND "
+    "n_warc_ts IS DISTINCT FROM o_warc_ts) "
+    "UNION ALL SELECT ep, 'lang' FROM j WHERE (n_live AND NOT "
+    "o_live AND n_lang IS NOT NULL) OR (n_live AND o_live AND "
+    "n_lang IS DISTINCT FROM o_lang) "
+    "UNION ALL SELECT ep, 'fetch_status' FROM j WHERE (n_live AND "
+    "NOT o_live AND n_fs IS NOT NULL) OR (n_live AND o_live AND "
+    "n_fs IS DISTINCT FROM o_fs) "
+    "UNION ALL SELECT ep, 'text' FROM j WHERE (n_live AND NOT "
+    "o_live AND n_text IS NOT NULL) OR (n_live AND o_live AND "
+    "n_text IS DISTINCT FROM o_text) "
+    "UNION ALL SELECT ep, 'extra_score' FROM j WHERE (n_live AND "
+    "NOT o_live AND n_es IS NOT NULL) OR (n_live AND o_live AND "
+    "n_es IS DISTINCT FROM o_es)) "
+)
+
+
 def oracle_sql() -> dict[str, str]:
     from chomper_ray.stages.text import (sql_normalize_expr, sql_pii_exprs,
                                          sql_quality_exprs,
@@ -3491,7 +3605,9 @@ def oracle_sql() -> dict[str, str]:
     from chomper_ray.stages.text import sql_chunk_query as _sql_chunk_query
     from chomper_ray.stages.text import sql_pack_by_query as _sql_pack_by
     from chomper_ray.stages.text import sql_pack_query as _sql_pack_query
-    from chomper_ray.stages.text import (sql_entropy_query, sql_regex_exprs,
+    from chomper_ray.stages.text import (sql_entropy_query,
+                                         sql_fingerprint_md5_sql,
+                                         sql_langid_sql, sql_regex_exprs,
                                          sql_string_exprs)
 
     _sf = sql_string_exprs("text")
@@ -4908,5 +5024,40 @@ def oracle_sql() -> dict[str, str]:
             "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY "
             "list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) "
             "DESC, e.vec_id) <= 10"
+        ),
+        # rows-only → oracle-backed promotions (round 5)
+        "langid": sql_langid_sql(),
+        "fingerprint_md5": sql_fingerprint_md5_sql(),
+        # full listener-matrix replay: per log epoch, reconstruct the
+        # LWW winner per key at the epoch boundary (new = epoch <= e,
+        # old = epoch < e, both (warc_ts, seq) DESC with tombstones),
+        # emit insert/update/delete row events for touched keys and
+        # change.<field> events (insert: non-null new fields; update:
+        # IS DISTINCT FROM — null-safe, unchanged columns silent),
+        # then count per (epoch, event, field). Text values come from
+        # the extraction sidecar exactly as in cdc_upsert_pages.
+        "change_listeners": (
+            _LISTENER_REPLAY_CTES.format(log=cdc_log)
+            + "SELECT epoch, event, field, count(*) AS n FROM ("
+            "SELECT ep AS epoch, event, field FROM rowev "
+            "UNION ALL SELECT ep, 'change', field FROM chg) "
+            "GROUP BY epoch, event, field"
+        ),
+        # metadata-vs-data: the engine sums lineage counters (latest
+        # commit ≤ epoch per partition, carried forward); the replay
+        # recomputes the same global totals from the raw binlog
+        "cdc_lineage_rollup": (
+            _LISTENER_REPLAY_CTES.format(log=cdc_log)
+            + ", state AS (SELECT ep, count(*) AS rows, "
+            "CAST(sum(CASE WHEN op <> 'delete' THEN 1 ELSE 0 END) AS "
+            "BIGINT) AS live_rows, "
+            "CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS "
+            "BIGINT) AS deleted_rows FROM new_w GROUP BY ep), "
+            "chn AS (SELECT epoch, count(*) AS change_events FROM ("
+            "SELECT ep AS epoch FROM rowev "
+            "UNION ALL SELECT ep FROM chg) GROUP BY epoch) "
+            "SELECT s.ep AS epoch, s.rows, s.live_rows, s.deleted_rows, "
+            "coalesce(c.change_events, 0) AS change_events "
+            "FROM state s LEFT JOIN chn c ON c.epoch = s.ep"
         ),
     }

@@ -295,6 +295,92 @@ def add_fingerprint(batch: pd.DataFrame, col: str = "text",
     return batch
 
 
+def fingerprint_md5_column(texts, *, window: int = 8) -> np.ndarray:
+    """SQL-replayable sibling of ``fingerprint_column``: min over
+    md5-hashes of token windows (the same 1-perm winnowing shape, but
+    the window hash is the first 16 hex chars of md5 of the
+    space-joined window — exactly DuckDB's
+    ``('0x' || substr(md5(s), 1, 16))::UBIGINT`` — instead of the
+    pandas siphash rolling hash, so an oracle can verify it
+    bit-for-bit). Stable under whitespace layout like the original;
+    ~2 µs/window, bounded per distributed batch."""
+    import hashlib
+    import re as _re
+
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        toks = _re.findall(r"\S+", t or "")
+        if not toks:
+            out[i] = 0
+            continue
+        n = max(len(toks) - window + 1, 1)
+        out[i] = min(
+            int(hashlib.md5(" ".join(toks[j:j + window]).encode())
+                .hexdigest()[:16], 16)
+            for j in range(n))
+    return out
+
+
+def add_fingerprint_md5(batch: pd.DataFrame, col: str = "text",
+                        out: str = "fingerprint") -> pd.DataFrame:
+    batch[out] = fingerprint_md5_column(batch[col].tolist()) \
+        .astype("uint64")
+    return batch
+
+
+def sql_fingerprint_md5_sql(table: str = "documents",
+                            key: str = "doc_id", window: int = 8) -> str:
+    """DuckDB rendering of ``fingerprint_md5_column`` (for oracle_sql):
+    unnest one window start per position, slice the token list, md5 the
+    space-joined window, min per document."""
+    w = int(window)
+    return (
+        f"WITH t AS (SELECT {key}, regexp_extract_all("
+        f"coalesce(text, ''), '\\S+') AS toks FROM {table}), "
+        f"wins AS (SELECT {key}, unnest(range(1, greatest(len(toks) - "
+        f"{w - 1}, 1) + 1)) AS i, toks FROM t WHERE len(toks) > 0), "
+        f"h AS (SELECT {key}, ('0x' || substr(md5(array_to_string("
+        f"list_slice(toks, i, i + {w - 1}), ' ')), 1, 16))::UBIGINT "
+        f"AS hv FROM wins), "
+        f"agg AS (SELECT {key}, min(hv) AS fingerprint FROM h "
+        f"GROUP BY {key}) "
+        f"SELECT d.{key}, CAST(coalesce(a.fingerprint, 0) AS UBIGINT) "
+        f"AS fingerprint FROM {table} d LEFT JOIN agg a USING ({key})")
+
+
+def sql_langid_sql(table: str = "documents", key: str = "doc_id") -> str:
+    """DuckDB rendering of ``LanguageId`` (for oracle_sql): the stage's
+    boundary-regex count of profile words equals the count of maximal
+    ``[a-z']`` runs exactly in the profile set (the lookbehind/lookahead
+    pair forces a match to cover a whole run), which RE2-based DuckDB —
+    no lookaround — expresses as tokenize + list_filter. argmax ties
+    break to the FIRST language in profile order (np.argmax), rendered
+    as a >=-chain CASE; confidence is the same exact-int division
+    rounded half-to-even (round_even) like np.round."""
+    langs = list(_LANG_PROFILES)
+    score = {}
+    for lang in langs:
+        words = ", ".join("'" + w.replace("'", "''") + "'"
+                          for w in _LANG_PROFILES[lang].split())
+        score[lang] = (
+            "len(list_filter(regexp_extract_all(lower(coalesce(text, "
+            f"'')), '[a-z'']+'), w -> w IN ({words})))")
+    sel = ", ".join(f"{score[lang]} AS s_{lang}" for lang in langs)
+    tot = " + ".join(f"s_{lang}" for lang in langs)
+    arms = []
+    for i, lang in enumerate(langs[:-1]):
+        cond = " AND ".join(f"s_{lang} >= s_{o}" for o in langs[i + 1:])
+        arms.append(f"WHEN {cond} THEN 's_{lang}'")
+    pred = (f"CASE WHEN {tot} = 0 THEN NULL "
+            + " ".join(arms) + f" ELSE 's_{langs[-1]}' END")
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    conf = (f"CASE WHEN {tot} = 0 THEN 0.0 ELSE "
+            f"round_even({best} * 1.0 / ({tot}), 6) END")
+    return (f"WITH s AS (SELECT {key}, {sel} FROM {table}) "
+            f"SELECT {key}, substr({pred}, 3) AS lang_pred, "
+            f"{conf} AS lang_conf FROM s")
+
+
 def sql_quality_exprs(stop_words=None) -> dict[str, str]:
     """DuckDB renderings of the QualityScorer components (for oracle_sql)."""
     stops = ", ".join(f"'{w}'" for w in (stop_words or _STOPWORDS))
