@@ -1807,20 +1807,17 @@ def _q_cdc_packed_stream(sf_dir: str):
     return exp.read_packed(64)
 
 
-def _q_cdc_hybrid_search(sf_dir: str):
-    # hybrid retrieval (state/retrieval.py hybrid_rrf): reciprocal-rank
-    # fusion of the two CDC-maintained index families — BM25 over
-    # LakeTextIndex postings + exact cosine over LakeANNIndex probed at
-    # all cells — over ONE lake carrying text AND embedding columns,
-    # committed in three insert epochs + one UPDATE epoch (four LSM
-    # segments per index; the update rewrites every 10th doc's token
-    # set, so signed-posting cancellation and the ANN same-cell -1/+1
-    # path are on the hash-verified query path). Ranks are computed
-    # on 6-digit-rounded scores with doc tie-break in BOTH engines, so
-    # rank parity follows from the proven score parity (bm25_topk /
-    # cdc_ann_vectors); rrf = Σ 1/(60+rank) is identical float64
-    # arithmetic on both sides. Update/delete maintenance parity is
-    # pinned by tests/test_retrieval.py.
+def _build_hybrid_fixture(sf_dir: str):
+    """Shared lake + maintained-index fixture for the hybrid retrieval
+    gate queries: one lake carrying text AND embedding columns (the
+    INNER JOIN of the two views — at sf0.1 only 2 of 5 docs carry
+    embeddings), committed in three insert epochs + one UPDATE epoch
+    (four LSM segments per index; the update uppercases every 10th
+    doc's text, so signed-posting cancellation and the ANN -1/+1
+    same-cell path sit on the hash-verified query path). Returns
+    (tidx, aidx, embs) with ``embs`` the UNFILTERED embeddings table —
+    query vectors come from it before any join, matching the oracle's
+    subquery."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
@@ -1828,31 +1825,23 @@ def _q_cdc_hybrid_search(sf_dir: str):
     from chomper_ray.state.annindex import LakeANNIndex
     from chomper_ray.state.index import LakeTextIndex
     from chomper_ray.state.lake import LakeTable
-    from chomper_ray.state.retrieval import hybrid_rrf
 
     docs = pq.read_table(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     embs = pq.read_table(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    # qvec comes from the UNFILTERED embeddings table — the oracle's
-    # subquery reads it before any join, so the engine must too (if
-    # vec_id 7 ever lacked a documents row at some scale factor, the
-    # filtered table would raise while the oracle still ranks)
-    qvec = embs.filter(pc.equal(embs["vec_id"], 7))["embedding"][0] \
-        .as_py()
-    # the lake is the INNER JOIN of the two views (at sf0.1 only 2 of
-    # 5 docs carry embeddings); align by key manually — Arrow join
-    # rejects list payloads — keeping the view's float32 list type so
-    # the lake stores the same bytes the SQL oracle casts to DOUBLE[]
+    # align by key manually — Arrow join rejects list payloads —
+    # keeping the view's float32 list type so the lake stores the same
+    # bytes the SQL oracle casts to DOUBLE[]
     common = pc.is_in(docs["doc_id"],
                       value_set=embs["vec_id"].combine_chunks())
     docs = docs.filter(common)
-    embs = embs.filter(pc.is_in(
+    joined = embs.filter(pc.is_in(
         embs["vec_id"], value_set=docs["doc_id"].combine_chunks()))
     docs = docs.take(pc.sort_indices(docs["doc_id"]))
-    embs = embs.take(pc.sort_indices(embs["vec_id"]))
-    assert docs["doc_id"].to_pylist() == embs["vec_id"].to_pylist()
-    t = docs.append_column("embedding", embs["embedding"])
+    joined = joined.take(pc.sort_indices(joined["vec_id"]))
+    assert docs["doc_id"].to_pylist() == joined["vec_id"].to_pylist()
+    t = docs.append_column("embedding", joined["embedding"])
     n = t.num_rows
     t = t.append_column("op", pa.array(["insert"] * n))
     t = t.append_column("seq", t["doc_id"])
@@ -1892,8 +1881,119 @@ def _q_cdc_hybrid_search(sf_dir: str):
                         n_cells=8)
     tidx.refresh()
     aidx.refresh()
+    return tidx, aidx, embs
+
+
+#: (qid, query-vector vec_id, tokens) for the batched hybrid gate —
+#: shared between the engine query and the generated SQL oracle
+_HYBRID_BATCH_SPECS = [
+    (0, 7, ["spark", "merge"]),
+    (1, 42, ["filter", "batch", "scan"]),
+    (2, 123, ["stream"]),
+    (3, 3, ["join", "hash"]),
+]
+
+
+def _q_cdc_hybrid_search(sf_dir: str):
+    # hybrid retrieval (state/retrieval.py hybrid_rrf): reciprocal-rank
+    # fusion of the two CDC-maintained index families — BM25 over
+    # LakeTextIndex postings + exact cosine over LakeANNIndex probed at
+    # all cells. Ranks are computed on 6-digit-rounded scores with doc
+    # tie-break in BOTH engines, so rank parity follows from the proven
+    # score parity (bm25_topk / cdc_ann_vectors); rrf = Σ 1/(60+rank)
+    # is identical float64 arithmetic on both sides. Update/delete
+    # maintenance parity is pinned by tests/test_retrieval.py.
+    import pyarrow.compute as pc
+
+    from chomper_ray.state.retrieval import hybrid_rrf
+
+    tidx, aidx, embs = _build_hybrid_fixture(sf_dir)
+    qvec = embs.filter(pc.equal(embs["vec_id"], 7))["embedding"][0] \
+        .as_py()
     out = hybrid_rrf(tidx, aidx, ["spark", "merge"], qvec,
                      k=15, fetch_k=50)
+    out = out.rename(columns={"doc": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out
+
+
+def _hybrid_batch_sql() -> str:
+    """Generated multi-query SQL replay of ``hybrid_rrf_batch`` over
+    the shared hybrid fixture: the single-query cdc_hybrid_search CTEs
+    with a qs VALUES table, per-token tf/df computed once (exactly the
+    batch path's distinct-token discipline) and every ranking windowed
+    PARTITION BY qid."""
+    vals = ", ".join(
+        "({}, {}, [{}])".format(q, v, ", ".join(f"'{t}'" for t in toks))
+        for q, v, toks in _HYBRID_BATCH_SPECS)
+    all_toks = sorted({t for _, _, toks in _HYBRID_BATCH_SPECS
+                       for t in toks})
+    in_list = ", ".join(f"'{t}'" for t in all_toks)
+    return (
+        f"WITH qs AS (SELECT * FROM (VALUES {vals}) "
+        "t(qid, qvid, qtoks)), "
+        "l AS (SELECT doc_id, string_split(coalesce("
+        "CASE WHEN doc_id % 10 = 0 THEN upper(text) ELSE text END, "
+        "''), ' ') AS ls FROM documents "
+        "WHERE doc_id IN (SELECT vec_id FROM embeddings)), "
+        "d AS (SELECT doc_id, len(ls)::DOUBLE AS dl FROM l), "
+        "st AS (SELECT count(*)::DOUBLE AS nn, avg(dl) AS avgdl "
+        "FROM d), "
+        "tok AS (SELECT doc_id, unnest(ls) AS w FROM l), "
+        f"tf AS (SELECT doc_id, w, count(*)::DOUBLE AS tf FROM tok "
+        f"WHERE w IN ({in_list}) GROUP BY 1, 2), "
+        "dfq AS (SELECT w, count(*)::DOUBLE AS df FROM tf GROUP BY 1), "
+        "sb AS (SELECT q.qid, tf.doc_id, round(sum("
+        "ln((st.nn - dfq.df + 0.5)/(dfq.df + 0.5) + 1.0) "
+        "* tf.tf * (1.2 + 1.0) "
+        "/ (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / st.avgdl))"
+        "), 6) AS s FROM qs q JOIN tf ON list_contains(q.qtoks, tf.w) "
+        "JOIN dfq ON dfq.w = tf.w JOIN d ON d.doc_id = tf.doc_id "
+        "CROSS JOIN st GROUP BY 1, 2), "
+        "rb AS (SELECT qid, doc_id, row_number() OVER ("
+        "PARTITION BY qid ORDER BY s DESC, doc_id) AS r FROM sb "
+        "QUALIFY r <= 50), "
+        "sc AS (SELECT q.qid, e.vec_id AS doc_id, "
+        "round(list_cosine_similarity(e.embedding::DOUBLE[], "
+        "qe.embedding::DOUBLE[]), 6) AS cs FROM qs q "
+        "JOIN embeddings qe ON qe.vec_id = q.qvid "
+        "CROSS JOIN embeddings e "
+        "WHERE e.vec_id IN (SELECT doc_id FROM documents)), "
+        "rc AS (SELECT qid, doc_id, row_number() OVER ("
+        "PARTITION BY qid ORDER BY cs DESC, doc_id) AS r FROM sc "
+        "QUALIFY r <= 50), "
+        "f AS (SELECT coalesce(rb.qid, rc.qid) AS qid, "
+        "coalesce(rb.doc_id, rc.doc_id) AS doc_id, "
+        "coalesce(rb.r, 0)::BIGINT AS r_bm25, "
+        "coalesce(rc.r, 0)::BIGINT AS r_cos, "
+        "coalesce(1.0/(60 + rb.r), 0.0) "
+        "+ coalesce(1.0/(60 + rc.r), 0.0) AS rrf "
+        "FROM rb FULL OUTER JOIN rc "
+        "ON rb.qid = rc.qid AND rb.doc_id = rc.doc_id) "
+        "SELECT CAST(qid AS BIGINT) AS qid, doc_id, r_bm25, r_cos, "
+        "round(rrf, 9) AS rrf FROM f "
+        "QUALIFY row_number() OVER (PARTITION BY qid "
+        "ORDER BY rrf DESC, doc_id) <= 15")
+
+
+def _q_cdc_hybrid_batch(sf_dir: str):
+    # the dataset-native BATCH path (state/retrieval.py
+    # hybrid_rrf_batch): four queries in ONE pass — distinct tokens
+    # scored once in map_batches, one stacked ANN search, per-qid exact
+    # rankings in groupby(qid).map_groups — hash-verified against a
+    # generated multi-query SQL replay. Per-qid equality with the
+    # per-query path is pinned by tests/test_retrieval.py.
+    import pyarrow.compute as pc
+
+    from chomper_ray.state.retrieval import hybrid_rrf_batch
+
+    tidx, aidx, embs = _build_hybrid_fixture(sf_dir)
+    qdf = pd.DataFrame({
+        "qid": [q for q, _, _ in _HYBRID_BATCH_SPECS],
+        "tokens": [t for _, _, t in _HYBRID_BATCH_SPECS],
+        "vec": [embs.filter(pc.equal(embs["vec_id"], v))["embedding"][0]
+                .as_py() for _, v, _ in _HYBRID_BATCH_SPECS]})
+    out = hybrid_rrf_batch(tidx, aidx, qdf, k=15, fetch_k=50)
     out = out.rename(columns={"doc": "doc_id"})
     out["doc_id"] = out["doc_id"].astype("int64")
     return out
@@ -3410,6 +3510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "change_listeners": _q_change_listeners,
         "cdc_lineage_rollup": _q_cdc_lineage_rollup,
         "fingerprint_md5": _q_fingerprint_md5,
+        "cdc_hybrid_batch": _q_cdc_hybrid_batch,
         # --- end of driver hash window [0:50] (plus round-5 inserts) ---
         "cdc_hybrid_search": _q_cdc_hybrid_search,
         "cdc_decontaminated": _q_cdc_decontaminated,
@@ -5028,6 +5129,7 @@ def oracle_sql() -> dict[str, str]:
         # rows-only → oracle-backed promotions (round 5)
         "langid": sql_langid_sql(),
         "fingerprint_md5": sql_fingerprint_md5_sql(),
+        "cdc_hybrid_batch": _hybrid_batch_sql(),
         # full listener-matrix replay: per log epoch, reconstruct the
         # LWW winner per key at the epoch boundary (new = epoch <= e,
         # old = epoch < e, both (warc_ts, seq) DESC with tombstones),

@@ -417,14 +417,22 @@ class LakeANNIndex(_LsmSegmentIndex):
             .reset_index(drop=True)
 
     def search(self, queries: np.ndarray, k: int = 10,
-               nprobe: int | None = None) -> pd.DataFrame:
+               nprobe: int | None = None,
+               per_query_probe: bool = False) -> pd.DataFrame:
         """Cosine top-k per query over the maintained index. Probes the
         ``nprobe`` nearest cells (union across queries, the same
         candidate contract as ``ivf_search``); one Ray task per probed
         cell resolves its live vectors and returns local top-k, the
         driver folds cells×queries×k rows. ``nprobe=None`` probes every
         cell — exhaustive, exactly brute-force over the live state.
-        Scores are float64 for SQL-oracle parity."""
+        Scores are float64 for SQL-oracle parity.
+
+        ``per_query_probe=True`` restricts each query's candidates to
+        its OWN ``nprobe`` nearest cells (a cell task scores only the
+        queries that probed it) — what a BATCH caller needs for
+        per-query parity with N single-query calls; the default union
+        semantics would hand every query the whole batch's cells and
+        silently improve its recall. No-op when ``nprobe=None``."""
         import ray
         import ray.data as rd
 
@@ -436,20 +444,27 @@ class LakeANNIndex(_LsmSegmentIndex):
         q = np.asarray(queries, dtype=np.float64)
         qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True),
                             1e-12)
+        cell_qids = None  # cell -> array of qids probing it (or None=all)
         if nprobe is None or nprobe >= len(cent):
             cells = np.arange(len(cent))
         else:
             probe = np.argsort(-(qn.astype(np.float32) @ cent.T),
                                axis=1)[:, :nprobe]
             cells = np.unique(probe)
+            if per_query_probe:
+                cell_qids = {int(c): np.flatnonzero(
+                                 (probe == c).any(axis=1))
+                             for c in cells}
         live = self._live_segments()
         seg_dirs = [s["dir"] for s in live]
         qref = ray.put(qn)
+        cq_ref = ray.put(cell_qids)
         kk = int(k)
 
         def score_cell(batch: pa.Table) -> pa.Table:
             out_q, out_key, out_s = [], [], []
             qm = ray.get(qref)
+            cq = ray.get(cq_ref)
             for cell in batch["cell"].to_pylist():
                 parts = []
                 for rank, d in enumerate(seg_dirs):
@@ -466,13 +481,17 @@ class LakeANNIndex(_LsmSegmentIndex):
                 m = m.astype(np.float64)
                 m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
                                 1e-12)
-                sc = qm @ m.T                      # (nq, n_cell_vecs)
+                qids = np.arange(qm.shape[0]) if cq is None \
+                    else cq[int(cell)]
+                if not len(qids):
+                    continue
+                sc = qm[qids] @ m.T               # (nq_cell, n_cell_vecs)
                 top = min(kk, sc.shape[1])
                 idx = np.argpartition(-sc, top - 1, axis=1)[:, :top]
-                for qi in range(sc.shape[0]):
-                    out_q.extend([qi] * top)
-                    out_key.extend(keys[idx[qi]])
-                    out_s.extend(sc[qi, idx[qi]])
+                for row, qi in enumerate(qids):
+                    out_q.extend([int(qi)] * top)
+                    out_key.extend(keys[idx[row]])
+                    out_s.extend(sc[row, idx[row]])
             return pa.table({
                 "qid": pa.array(out_q, type=pa.int64()),
                 "key": pa.array(out_key),

@@ -127,6 +127,34 @@ def _token_postings(root: Path, n: int, token: str,
             t["dl"].to_numpy()[lo:hi].astype(np.int64))
 
 
+def resolve_token_bucket(seg_dirs, pid: int, token: str | None = None):
+    """Live postings of one token bucket resolved over ``seg_dirs``
+    (LSM chain order): per-(token, doc) last op wins; -1 sorts before
+    +1 inside a segment so an in-place doc update resolves to its new
+    row. Module-level (ships to Ray tasks as a list of paths, no index
+    object pickled) — the batched retrieval path scores each distinct
+    token's bucket inside ``map_batches``."""
+    parts = []
+    for rank, sdir in enumerate(seg_dirs):
+        d = Path(sdir) / f"t={pid:05d}"
+        if not (d / "_SUCCESS").exists():
+            continue
+        t = pq.read_table(d / "part.parquet").to_pandas()
+        if token is not None:
+            toks = t["token"].to_numpy()
+            lo = np.searchsorted(toks, token, side="left")
+            hi = np.searchsorted(toks, token, side="right")
+            t = t.iloc[lo:hi]
+        if len(t):
+            parts.append(t.assign(_r=rank))
+    if not parts:
+        return None
+    cat = pd.concat(parts, ignore_index=True)
+    cat = cat.sort_values(["token", "doc", "_r", "op"], kind="stable")
+    cat = cat.drop_duplicates(subset=["token", "doc"], keep="last")
+    return cat[cat["op"] == 1][["token", "doc", "tf", "dl"]]
+
+
 def search_index(root: str | Path, tokens, mode: str = "all") -> np.ndarray:
     """Doc ids whose text contains ``all`` (AND) or ``any`` (OR) of the
     query tokens. Reads at most one bucket file per distinct token
@@ -645,28 +673,8 @@ class LakeTextIndex(_LsmSegmentIndex):
 
     # -- reads ----------------------------------------------------------------
     def _resolved_bucket(self, pid: int, token: str | None = None):
-        """Live postings of one token bucket: per-(token, doc) last op
-        wins across segments in chain order; -1 sorts before +1 inside
-        a segment so an in-place doc update resolves to its new row."""
-        parts = []
-        for rank, seg in enumerate(self._live_segments()):
-            d = Path(seg["dir"]) / f"t={pid:05d}"
-            if not (d / "_SUCCESS").exists():
-                continue
-            t = pq.read_table(d / "part.parquet").to_pandas()
-            if token is not None:
-                toks = t["token"].to_numpy()
-                lo = np.searchsorted(toks, token, side="left")
-                hi = np.searchsorted(toks, token, side="right")
-                t = t.iloc[lo:hi]
-            if len(t):
-                parts.append(t.assign(_r=rank))
-        if not parts:
-            return None
-        cat = pd.concat(parts, ignore_index=True)
-        cat = cat.sort_values(["token", "doc", "_r", "op"], kind="stable")
-        cat = cat.drop_duplicates(subset=["token", "doc"], keep="last")
-        return cat[cat["op"] == 1][["token", "doc", "tf", "dl"]]
+        return resolve_token_bucket(
+            [s["dir"] for s in self._live_segments()], pid, token)
 
     def _token_pid(self, token: str) -> int:
         return int(stable_bucket(np.array([token], dtype=object),

@@ -240,3 +240,64 @@ def test_hybrid_tie_cluster_beyond_slack(tmp_path, ray_session):
     # query along the shared vector: all n_tied docs tie at cosine 1.0
     assert got(tidx, aidx, ["spark"], shared, k=20, fetch_k=5) == \
         brute_hybrid(lake, ["spark"], shared, k=20, fetch_k=5)
+
+
+def test_hybrid_batch_matches_per_query(tmp_path, ray_session):
+    """hybrid_rrf_batch over N queries must equal N hybrid_rrf calls
+    exactly — same ranks, same rrf — across inserts, rewrites and
+    deletes, including queries with absent tokens and empty token
+    lists; non-contiguous caller qids map through."""
+    from chomper_ray.state.retrieval import hybrid_rrf_batch
+
+    rng = np.random.default_rng(23)
+    lake, tidx, aidx = build(tmp_path, rng, n0=50)
+    e1 = [mk("update", 100 + i, f"u{i:03d}", 20, text_for(rng),
+             rng.normal(size=DIM)) for i in range(10)]
+    e1 += [mk("delete", 200 + i, f"u{30 + i:03d}", 20, None, None)
+           for i in range(5)]
+    commit(lake, e1, 1)
+    tidx.refresh(), aidx.refresh()
+
+    specs = [(7, ["spark", "merge"]), (13, ["delta"]),
+             (21, ["nosuchtoken"]), (34, []),
+             (55, ["row", "scan", "agg"])]
+    qdf = pd.DataFrame({
+        "qid": [s[0] for s in specs],
+        "tokens": [s[1] for s in specs],
+        "vec": [list(np.random.default_rng(100 + i).normal(size=DIM))
+                for i in range(len(specs))]})
+    batch = hybrid_rrf_batch(tidx, aidx, qdf, k=8, fetch_k=12)
+    for i, (qid, tokens) in enumerate(specs):
+        single = hybrid_rrf(tidx, aidx, tokens, qdf["vec"].iloc[i],
+                            k=8, fetch_k=12)
+        mine = batch[batch["qid"] == qid].drop(columns=["qid"]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(mine, single)
+
+
+def test_hybrid_batch_tie_cluster_refetch(tmp_path, ray_session):
+    """The batched ANN side must ALSO refetch per-qid when a rounded
+    tie cluster straddles the fetch_k cut."""
+    from chomper_ray.state.retrieval import RANK_SLACK, hybrid_rrf_batch
+
+    rng = np.random.default_rng(77)
+    shared = rng.normal(size=DIM)
+    n_tied = 5 + RANK_SLACK + 20
+    lake = LakeTable(tmp_path / "lake", key="url", num_partitions=4,
+                     collect_changes=False)
+    tidx = LakeTextIndex(lake, tmp_path / "tix", num_partitions=8)
+    aidx = LakeANNIndex(lake, tmp_path / "aix", n_cells=1)
+    rows = [mk("insert", i, f"u{i:03d}", 10, text_for(rng), shared)
+            for i in range(n_tied)]
+    commit(lake, rows, 0)
+    tidx.refresh(), aidx.refresh()
+    qdf = pd.DataFrame({"qid": [0, 1],
+                        "tokens": [["spark"], ["merge"]],
+                        "vec": [list(shared), list(rng.normal(size=DIM))]})
+    batch = hybrid_rrf_batch(tidx, aidx, qdf, k=20, fetch_k=5)
+    for i in range(2):
+        single = hybrid_rrf(tidx, aidx, qdf["tokens"].iloc[i],
+                            qdf["vec"].iloc[i], k=20, fetch_k=5)
+        mine = batch[batch["qid"] == i].drop(columns=["qid"]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(mine, single)
