@@ -1618,6 +1618,27 @@ def _q_cdc_upsert_pages(sf_dir: str):
     return LakeTable(lake_root, num_partitions=8).read()
 
 
+def _q_cdc_objectstore_pages(sf_dir: str):
+    # the flagship LWW upsert with the lake root on an OBJECT STORE
+    # (state/fs.py object_store_test_fs: a pyarrow filesystem whose
+    # handler RAISES on rename/append — the primitives S3/GCS lack).
+    # Identical oracle to cdc_upsert_pages: the commit protocol
+    # (staging puts, snapshot publish, manifest put-if-absent) must
+    # produce the same bytes whether the root is POSIX or a store
+    # (round-4 verdict item 3).
+    import tempfile as _tf
+
+    from chomper_ray.pipelines.cdc import run_cdc
+    from chomper_ray.state.fs import FsPath, object_store_test_fs
+    from chomper_ray.state.lake import LakeTable
+
+    log = _ensure_cdc_oracle_log()
+    fs = object_store_test_fs(_tf.mkdtemp(prefix="chomper_ray_objstore_"))
+    root = FsPath(fs, "lake")
+    run_cdc(log, root, num_partitions=8)
+    return LakeTable(root, num_partitions=8).read()
+
+
 def _q_cdc_mor_pages(sf_dir: str):
     # merge-on-read ingest: the same binlog tail committed as permanent
     # per-partition LWW delta files (state/lake.py _MorDeltaWriter —
@@ -3511,6 +3532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lineage_rollup": _q_cdc_lineage_rollup,
         "fingerprint_md5": _q_fingerprint_md5,
         "cdc_hybrid_batch": _q_cdc_hybrid_batch,
+        "cdc_objectstore_pages": _q_cdc_objectstore_pages,
         # --- end of driver hash window [0:50] (plus round-5 inserts) ---
         "cdc_hybrid_search": _q_cdc_hybrid_search,
         "cdc_decontaminated": _q_cdc_decontaminated,
@@ -3837,6 +3859,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM win w JOIN sidecar s USING (seq)"
         ),
         "cdc_upsert_pages": (
+            f"WITH ev AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
+            "win AS (SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY url ORDER BY warc_ts DESC, seq DESC) AS rn "
+            "FROM ev) WHERE rn = 1 AND op <> 'delete'), "
+            f"sidecar AS (SELECT * FROM read_parquet("
+            f"'{cdc_log}/_oracle/*.parquet')) "
+            "SELECT w.url, w.warc_ts, w.lang, "
+            "CAST(w.fetch_status AS BIGINT) AS fetch_status, "
+            "s.text AS text, w.extra_score "
+            "FROM win w JOIN sidecar s USING (seq)"
+        ),
+        # the same flagship semantics with the lake root on the
+        # rename-less object-store mock: identical oracle — storage
+        # protocol must not change one byte of table state
+        "cdc_objectstore_pages": (
             f"WITH ev AS (SELECT * FROM read_parquet("
             f"'{cdc_log}/epoch=*/part-*.parquet', union_by_name=true)), "
             "win AS (SELECT * FROM (SELECT *, row_number() OVER ("

@@ -46,6 +46,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from chomper_ray.state import schema as schema_mod
+from chomper_ray.state.fs import fs_publish_table, fs_read_table
 from chomper_ray.state.lake import (
     _DATA_DIR,
     CommitResult,
@@ -167,7 +168,7 @@ class LakeBackfill:
             return CommitResult(epoch=epoch, skipped=True)
 
         cur, target = self._resolve(head)
-        root = str(lake.root)
+        root = lake.root
         key, ver = lake.key, lake.version[0]
         managed, id_field = lake.managed_timestamps, lake.id_field
         transform = self.transform
@@ -182,7 +183,7 @@ class LakeBackfill:
             for pid in batch["pid"].to_pylist():
                 pid = int(pid)
                 rel = prev_parts[str(pid)]["file"]
-                tbl = pq.read_table(Path(root) / rel)
+                tbl = fs_read_table(root / rel)
                 # present the rows exactly as read() would (conform to
                 # the manifest schema first: old snapshots may predate
                 # the latest ingest evolution)
@@ -208,11 +209,7 @@ class LakeBackfill:
                 merged = _conform_snapshot(merged, tgt_s, managed,
                                            id_field)
                 new_rel = f"{_DATA_DIR}/p={pid:05d}/snap-{epoch:06d}b.parquet"
-                tmp = (Path(root) / f"{_DATA_DIR}/p={pid:05d}/"
-                       f".snap-{epoch:06d}b.{uuid.uuid4().hex[:8]}"
-                       ".parquet.tmp")
-                pq.write_table(merged, tmp)
-                os.replace(tmp, Path(root) / new_rel)
+                fs_publish_table(merged, root / new_rel)
                 h = snapshot_content_hash(merged.to_pandas(), key)
                 live = int(pa.compute.sum(pa.compute.invert(
                     merged[INTERNAL_DELETED])).as_py() or 0)

@@ -46,6 +46,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from chomper_ray.state.fs import fs_read_table
 from chomper_ray.state.lake import (LakeTable, _resolve_mor_pid,
                                     load_manifest)
 from chomper_ray.state.output import _write_layout
@@ -146,7 +147,7 @@ class LakeBucketLayout:
                 changed = [p for p in changed if p in content_changed]
 
         key = self.lake.key
-        lake_root = str(self.lake.root)
+        lake_root = self.lake.root
         out_root = str(self.root)
         transform = self.transform
         columns = self.columns
@@ -169,7 +170,7 @@ class LakeBucketLayout:
                         columns=(None if columns is None
                                  else [key, *columns]), **mor_kw)
                 else:
-                    t = pq.read_table(Path(lake_root) / part["file"],
+                    t = fs_read_table(lake_root / part["file"],
                                       columns=read_cols)
                 df = t.to_pandas()
                 df = df[~df[INTERNAL_DELETED].astype(bool)]

@@ -30,8 +30,6 @@ partitions) metadata only, no data moves through the driver.
 from __future__ import annotations
 
 import json
-import os
-import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -51,6 +49,27 @@ from chomper_ray.stages.merge import (
     stable_bucket,
 )
 from chomper_ray.state import schema as schema_mod
+from chomper_ray.state.fs import (
+    FsPath,
+    fs_copy_file,
+    fs_exists,
+    fs_glob,
+    fs_is_dir,
+    fs_mkdirs,
+    fs_parquet_writer,
+    fs_publish_bytes,
+    fs_publish_json,
+    fs_publish_table,
+    fs_put_json_if_absent,
+    fs_read_schema,
+    fs_rglob,
+    fs_read_table,
+    fs_read_text,
+    fs_rmtree,
+    fs_unlink,
+    fs_write_text_atomic,
+    resolve_root,
+)
 
 def pc_unique_int(col) -> list[int]:
     import pyarrow.compute as _pc
@@ -203,52 +222,54 @@ def suggest_partitions(volumes: dict[int, int], current: int, *,
     return current * k
 
 
-def _manifest_path(root: Path, epoch: int) -> Path:
+def _manifest_path(root, epoch: int):
     return root / _MANIFEST_DIR / f"manifest-{epoch:06d}.json"
 
 
-def _atomic_write_json(path: Path, obj) -> None:
-    path.parent.mkdir(parents=True, exist_ok=True)
-    tmp = path.with_name("." + path.name + f".{uuid.uuid4().hex[:8]}.tmp")
-    tmp.write_text(json.dumps(obj, indent=1, sort_keys=True))
-    os.replace(tmp, path)
+def _atomic_write_json(path, obj) -> None:
+    # atomic publish: tmp+rename on POSIX, single-object put on an
+    # object store (state/fs.py) — readers never see a partial manifest
+    fs_publish_json(path, obj)
 
 
-def _commit_manifest_exclusive(path: Path, obj) -> bool:
+def _commit_manifest_exclusive(path, obj) -> bool:
     """FIRST-WRITER-WINS manifest creation: two racing runners may both
-    reach the commit point for the same epoch; ``os.link`` (create-
-    exclusive) lets exactly one land its manifest, the loser returns
-    False and treats the epoch as already committed. (A plain rename
-    would let the LOSER overwrite the winner — and the loser's merge may
-    have read staging the winner already cleaned.)"""
-    path.parent.mkdir(parents=True, exist_ok=True)
-    tmp = path.with_name("." + path.name + f".{uuid.uuid4().hex[:8]}.tmp")
-    tmp.write_text(json.dumps(obj, indent=1, sort_keys=True))
-    try:
-        os.link(tmp, path)
-        return True
-    except FileExistsError:
-        return False
-    finally:
-        tmp.unlink(missing_ok=True)
+    reach the commit point for the same epoch; put-if-absent (``os.link``
+    create-exclusive on POSIX, conditional put on an object store —
+    state/fs.py) lets exactly one land its manifest, the loser returns
+    False and treats the epoch as already committed. (A plain
+    rename/overwrite would let the LOSER clobber the winner — and the
+    loser's merge may have read staging the winner already cleaned.)"""
+    return fs_put_json_if_absent(path, obj)
 
 
-def committed_epochs(root: str | Path) -> list[int]:
-    d = Path(root) / _MANIFEST_DIR
-    if not d.is_dir():
+def _as_root(root):
+    """Coerce a caller-supplied root: FsPath passes through, a URI
+    string resolves to its filesystem (``resolve_root``), any other
+    str/Path stays a local ``pathlib.Path`` (the fast-path)."""
+    if isinstance(root, FsPath):
+        return root
+    if "://" in str(root):
+        return resolve_root(root)
+    return Path(root)
+
+
+def committed_epochs(root) -> list[int]:
+    d = _as_root(root) / _MANIFEST_DIR
+    if not fs_is_dir(d):
         return []
     return sorted(
-        int(p.stem.split("-")[1]) for p in d.glob("manifest-*.json")
+        int(p.stem.split("-")[1]) for p in fs_glob(d, "manifest-*.json")
     )
 
 
-def load_manifest(root: str | Path, epoch: int | None = None) -> dict | None:
+def load_manifest(root, epoch: int | None = None) -> dict | None:
     eps = committed_epochs(root)
     if not eps:
         return None
     if epoch is None:
         epoch = eps[-1]
-    return json.loads(_manifest_path(Path(root), epoch).read_text())
+    return json.loads(fs_read_text(_manifest_path(_as_root(root), epoch)))
 
 
 class _PartitionMerger:
@@ -326,22 +347,21 @@ class _PartitionMerger:
 
     def _read_staged(self, pid: int, epoch: int) -> pa.Table:
         rid = pid // _staging_range_size(self.num_partitions)
-        staged = sorted(
-            (Path(self.staging_root) / f"epoch={epoch:06d}"
-             / f"r={rid:05d}").glob("*.parquet"))
+        staged = fs_glob(_as_root(self.staging_root) / f"epoch={epoch:06d}"
+                         / f"r={rid:05d}", "*.parquet")
         # row-group pruning on _bucket stats: only this bucket's rows load
         changes = pa.concat_tables(
-            [pq.read_table(f, filters=[(BUCKET_COL, "=", pid)])
+            [fs_read_table(f, filters=[(BUCKET_COL, "=", pid)])
              for f in staged], promote_options="default")
         if BUCKET_COL in changes.column_names:
             changes = changes.drop_columns([BUCKET_COL])
         return changes
 
     def _load_base(self, pid: int, target: pa.Schema) -> pa.Table:
-        root = Path(self.root)
+        root = _as_root(self.root)
         prev = self.prev_files.get(pid)
         if prev:
-            return pq.read_table(root / prev)
+            return fs_read_table(root / prev)
         base_fields = list(target) + [
             pa.field(INTERNAL_SEQ, pa.int64()),
             pa.field(INTERNAL_DELETED, pa.bool_()),
@@ -368,7 +388,7 @@ class _PartitionMerger:
         t0 = time.perf_counter()
         cid = epoch if commit_id is None else commit_id
         target = schema_mod.schema_from_json(schema_json)
-        root = Path(self.root)
+        root = _as_root(self.root)
         # widen an older snapshot to the evolved schema
         base_tbl = _conform_snapshot(base_tbl, target, self.managed_timestamps,
                                      id_field=self.id_field)
@@ -414,31 +434,24 @@ class _PartitionMerger:
             preserve_index=False,
         )
 
-        pdir = root / _DATA_DIR / f"p={pid:05d}"
-        pdir.mkdir(parents=True, exist_ok=True)
         rel = f"{_DATA_DIR}/p={pid:05d}/snap-{cid:06d}.parquet"
-        # attempt-isolated tmp name: two concurrent drain attempts may
-        # race to write the SAME final path (identical content,
-        # first-writer-wins manifest); a shared deterministic tmp lets
-        # the loser's os.replace hit FileNotFoundError after the
-        # winner's rename consumed it
-        tmp = pdir / f".snap-{cid:06d}.{uuid.uuid4().hex[:8]}.parquet.tmp"
-        pq.write_table(out_tbl, tmp)
-        os.replace(tmp, root / rel)
+        # attempt-isolated publish (fs_publish_table: uuid tmp + rename
+        # on POSIX, one whole-object put on an object store): two
+        # concurrent drain attempts may race to write the SAME final
+        # path — identical content, first-writer-wins manifest — and
+        # either ordering leaves the winner's bytes intact
+        fs_publish_table(out_tbl, root / rel)
 
         ch_rel = None
         n_events = 0
         if events is not None and len(events):
-            cdir = root / _CHANGES_DIR / f"p={pid:05d}"
-            cdir.mkdir(parents=True, exist_ok=True)
             # log epoch first (the user-facing change-event epoch), commit
             # id second (uniqueness across truncate-refeed chains)
             ch_rel = (f"{_CHANGES_DIR}/p={pid:05d}/"
                       f"epoch-{epoch:06d}-c{cid:06d}.parquet")
-            ctmp = (cdir / f".epoch-{epoch:06d}-c{cid:06d}"
-                    f".{uuid.uuid4().hex[:8]}.parquet.tmp")
-            pq.write_table(pa.Table.from_pandas(events, preserve_index=False), ctmp)
-            os.replace(ctmp, root / ch_rel)
+            fs_publish_table(
+                pa.Table.from_pandas(events, preserve_index=False),
+                root / ch_rel)
             n_events = len(events)
 
         live = int((~new[INTERNAL_DELETED]).sum())
@@ -542,13 +555,9 @@ class _MorDeltaWriter(_PartitionMerger):
         # copy-on-write merge gets the same invariance from apply_changes)
         changes = lww_dedup_table(changes, self.key,
                                   (self.version_ts, "seq"))
-        root = Path(self.root)
-        pdir = root / _DATA_DIR / f"p={pid:05d}"
-        pdir.mkdir(parents=True, exist_ok=True)
+        root = _as_root(self.root)
         rel = f"{_DATA_DIR}/p={pid:05d}/delta-c{cid:06d}.parquet"
-        tmp = pdir / f".delta-c{cid:06d}.{uuid.uuid4().hex[:8]}.parquet.tmp"
-        pq.write_table(changes, tmp)
-        os.replace(tmp, root / rel)
+        fs_publish_table(changes, root / rel)
         n_del = int(pc.sum(pc.equal(changes["op"], "delete")).as_py() or 0)
         return pa.table({
             "partition_id": [pid],
@@ -615,7 +624,7 @@ def _resolve_mor_pid(root: str | Path, part: dict, delta_commits: dict,
     manifest) and is the carried base hash when no deltas are pending."""
     import pyarrow.compute as pc
 
-    root = Path(root)
+    root = _as_root(root)
     deltas = sorted(part.get("deltas", []), key=lambda d: d["commit_id"])
     targets = {d["commit_id"]:
                schema_mod.schema_from_json(
@@ -647,7 +656,7 @@ def _resolve_mor_pid(root: str | Path, part: dict, delta_commits: dict,
     if base_file:
         base_cols = None
         if needed is not None:
-            avail = set(pq.read_schema(root / base_file).names)
+            avail = set(fs_read_schema(root / base_file).names)
             base_cols = [c for c in [*sorted(needed),
                                      INTERNAL_SEQ, INTERNAL_DELETED,
                                      *(('created_at', 'updated_at')
@@ -664,7 +673,7 @@ def _resolve_mor_pid(root: str | Path, part: dict, delta_commits: dict,
                     else [key_filter])
             if len(vals) <= 10_000:
                 base_filters = [(key, "in", vals)]
-        base_tbl = pq.read_table(root / base_file, columns=base_cols,
+        base_tbl = fs_read_table(root / base_file, columns=base_cols,
                                  filters=base_filters)
     elif deltas:
         base_tbl = _snapshot_schema(prune(targets[deltas[0]["commit_id"]]),
@@ -680,10 +689,10 @@ def _resolve_mor_pid(root: str | Path, part: dict, delta_commits: dict,
         target = prune(targets[cid])
         ch_cols = None
         if needed is not None:
-            avail = set(pq.read_schema(root / d["file"]).names)
+            avail = set(fs_read_schema(root / d["file"]).names)
             ch_cols = [c for c in ["op", "seq", *sorted(needed)]
                        if c in avail]
-        changes = pq.read_table(root / d["file"], columns=ch_cols)
+        changes = fs_read_table(root / d["file"], columns=ch_cols)
         if key_filter is not None:
             changes = changes.filter(key_mask(changes[key]))
         base_tbl, content_hash = _replay_step(
@@ -747,7 +756,7 @@ def mor_diff_inputs_exist(root, man: dict, prev_man: dict | None,
     GC'd input) routes derived maintenance to its full-recompute
     fallback, the same contract as the copy-on-write missing-old
     path."""
-    root = Path(root)
+    root = _as_root(root)
     prev_parts = (prev_man or {}).get("partitions", {})
     for p in mor_commit_delta_pids(man, cid):
         ent = man["partitions"][str(p)]
@@ -805,7 +814,7 @@ def materialize_mor_commit_diff(root, man: dict, prev_man: dict | None,
     prev_dc = (prev_man or {}).get("delta_commits", {})
     kw = dict(mor_kwargs)
     key, managed = kw["key"], kw["managed"]
-    roots, scratchs = str(root), str(scratch)
+    roots, scratchs = _as_root(root), str(scratch)
 
     def diff(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -815,7 +824,7 @@ def materialize_mor_commit_diff(root, man: dict, prev_man: dict | None,
         for pid in batch["pid"].to_pylist():
             pid = int(pid)
             d = touched[str(pid)]
-            changes = pq.read_table(Path(roots) / d["file"])
+            changes = fs_read_table(_as_root(roots) / d["file"])
             keys = pc.unique(changes[key])
             old_tbl, _ = _resolve_mor_pid(
                 roots, prev_parts.get(str(pid)) or {}, prev_dc,
@@ -954,7 +963,7 @@ def materialize_mor_resolved(root, man: dict, mor_kwargs: dict,
     scratch.mkdir(parents=True, exist_ok=True)
     dc = man.get("delta_commits", {})
     kw = dict(mor_kwargs)
-    roots, scratchs = str(root), str(scratch)
+    roots, scratchs = _as_root(root), str(scratch)
 
     def resolve(batch: pa.Table) -> pa.Table:
         out = []
@@ -1002,7 +1011,8 @@ class LakeTable:
                  insert_missing: bool = True,
                  staging_root: str | Path | None = None,
                  id_field: str | None = None,
-                 merge_on_read: bool = False):
+                 merge_on_read: bool = False,
+                 filesystem=None):
         if merge_on_read:
             # MOR defers the merge to read()/compact_deltas(); anything
             # that needs the BASE state at commit time is unavailable.
@@ -1016,7 +1026,10 @@ class LakeTable:
                     "id_field assigns surrogate ids against the base "
                     "state at commit time; unsupported with merge_on_read")
         self.merge_on_read = merge_on_read
-        self.root = Path(root)
+        # local str/Path roots stay pathlib.Path (the proven POSIX
+        # fast-path); ``filesystem=`` or a URI root becomes an FsPath
+        # running the object-store-safe protocol (state/fs.py)
+        self.root = resolve_root(root, filesystem)
         # staging is transient shuffle data: on a cluster it lives on the
         # shared lake filesystem (or local NVMe shuffle dirs); single-node
         # callers may point it at tmpfs — correctness only needs it to
@@ -1024,7 +1037,8 @@ class LakeTable:
         # instance stages under its own attempt=<id> subdir so two racing
         # runners never read/wipe each other's staging (their merges stay
         # deterministic-identical; manifests are first-writer-wins).
-        self.staging_root = Path(staging_root) if staging_root else self.root
+        self.staging_root = resolve_root(staging_root) if staging_root \
+            else self.root
         self._attempt = uuid.uuid4().hex[:10]
         self.key = key
         self.version = version
@@ -1114,7 +1128,7 @@ class LakeTable:
                  if v.get("deltas")}
         if not parts:
             return {}
-        root = str(self.root)
+        root = _as_root(self.root)
         dc = m.get("delta_commits", {})
         kw = self._mor_kwargs()
 
@@ -1229,8 +1243,7 @@ class LakeTable:
                         if writer is not None:
                             writer.close()
                         d = staging_base / f"epoch={e:06d}" / f"r={rid:05d}"
-                        d.mkdir(parents=True, exist_ok=True)
-                        writer = pq.ParquetWriter(
+                        writer = fs_parquet_writer(
                             d / f"{tid}.parquet", te.schema,
                             compression="none")
                         cur_rid = rid
@@ -1255,8 +1268,8 @@ class LakeTable:
 
     def wipe_staging(self, epoch: int) -> None:
         stage_root = self._staging_base / f"epoch={epoch:06d}"
-        if stage_root.exists():
-            shutil.rmtree(stage_root)
+        if fs_exists(stage_root):
+            fs_rmtree(stage_root)
 
     def stage_epoch(self, changes_ds, epoch: int, target: pa.Schema):
         """Phase A alone: returns (touched_pids, stage_seconds)."""
@@ -1283,7 +1296,7 @@ class LakeTable:
         and turns them into dense id offsets."""
         import ray.data as rd
 
-        root, staging_root = str(self.root), str(self._staging_base)
+        root, staging_root = _as_root(self.root), self._staging_base
         key, nb = self.key, self.num_partitions
         rng = _staging_range_size(nb)
 
@@ -1291,17 +1304,16 @@ class LakeTable:
             out_pid, out_n = [], []
             for pid in batch["pid"].to_pylist():
                 pid = int(pid)
-                files = sorted((Path(staging_root)
-                                / f"epoch={epoch:06d}"
-                                / f"r={pid // rng:05d}").glob("*.parquet"))
+                files = fs_glob(staging_root / f"epoch={epoch:06d}"
+                                / f"r={pid // rng:05d}", "*.parquet")
                 keys: set = set()
                 for f in files:
-                    t = pq.read_table(f, columns=[key],
-                                      filters=[(BUCKET_COL, "=", pid)])
+                    t = fs_read_table(f, columns=[key],
+                                        filters=[(BUCKET_COL, "=", pid)])
                     keys.update(t[key].to_pylist())
                 prev_rel = prev_files.get(pid)
                 if prev_rel:
-                    bt = pq.read_table(Path(root) / prev_rel, columns=[key])
+                    bt = fs_read_table(root / prev_rel, columns=[key])
                     keys.difference_update(bt[key].to_pylist())
                 out_pid.append(pid)
                 out_n.append(len(keys))
@@ -1372,10 +1384,10 @@ class LakeTable:
 
         merger_cls = _MorDeltaWriter if self.merge_on_read else _PartitionMerger
         merger = merger_cls(
-            str(self.root), epoch, prev_files, schema_json, self.key,
+            _as_root(self.root), epoch, prev_files, schema_json, self.key,
             self.overwrite, self.protected, self.managed_timestamps,
             commit_ts_us, self.collect_changes, self.insert_missing,
-            str(self._staging_base), version_ts=self.version[0],
+            self._staging_base, version_ts=self.version[0],
             num_partitions=self.num_partitions,
             id_field=self.id_field, id_starts=id_starts,
             commit_id=cid,
@@ -1520,11 +1532,11 @@ class LakeTable:
 
         merger_cls = _MorDeltaWriter if self.merge_on_read else _PartitionMerger
         merger = merger_cls(
-            str(self.root), plan[0][0], prev_files,
+            _as_root(self.root), plan[0][0], prev_files,
             schema_mod.schema_to_json(plan[0][1]), self.key,
             self.overwrite, self.protected, self.managed_timestamps,
             ts(plan[0][0]), self.collect_changes, self.insert_missing,
-            str(self._staging_base), version_ts=self.version[0],
+            self._staging_base, version_ts=self.version[0],
             num_partitions=self.num_partitions,
             commit_id=cids[plan[0][0]],
         )
@@ -1660,6 +1672,26 @@ class LakeTable:
         return [str(self.root / v["file"])
                 for _, v in sorted(m["partitions"].items()) if v.get("file")]
 
+    def _file_paths(self, as_of_epoch: int | None = None) -> list:
+        """``files()`` as path OBJECTS (Path or FsPath) — internal read
+        paths use these so an object-store root keeps its filesystem."""
+        m = load_manifest(self.root, as_of_epoch)
+        if not m:
+            return []
+        return [self.root / v["file"]
+                for _, v in sorted(m["partitions"].items()) if v.get("file")]
+
+    def _rd_read_parquet(self, paths: list, **kw):
+        """``ray.data.read_parquet`` over lake paths, routing through
+        the lake filesystem when the root is an FsPath."""
+        import ray.data as rd
+
+        if isinstance(self.root, FsPath):
+            return rd.read_parquet([p.key if isinstance(p, FsPath) else p
+                                    for p in paths],
+                                   filesystem=self.root.fs, **kw)
+        return rd.read_parquet([str(p) for p in paths], **kw)
+
     def _read_resolved(self, m: dict, columns, include_deleted: bool,
                        include_internal: bool):
         """Merge-on-read Dataset read: one resolve task per partition
@@ -1671,7 +1703,7 @@ class LakeTable:
 
         parts = {p: v for p, v in m["partitions"].items()
                  if v.get("file") or v.get("deltas")}
-        root = str(self.root)
+        root = _as_root(self.root)
         dc = m.get("delta_commits", {})
         kw = self._mor_kwargs()
         target = schema_mod.schema_from_json(m["schema"])
@@ -1771,13 +1803,13 @@ class LakeTable:
             f = where.to_arrow_dataset()
             if not include_deleted:
                 f = f & (pds.field(INTERNAL_DELETED) == False)  # noqa: E712
-            files = self.files(as_of_epoch)
+            files = self._file_paths(as_of_epoch)
             if columns is not None:
-                ds = rd.read_parquet(files,
-                                     columns=list(dict.fromkeys(columns)),
-                                     filter=f)
+                ds = self._rd_read_parquet(
+                    files, columns=list(dict.fromkeys(columns)), filter=f)
             else:
-                ds = rd.read_parquet(files, partitioning=None, filter=f)
+                ds = self._rd_read_parquet(files, partitioning=None,
+                                           filter=f)
                 if not include_internal:
                     drop = list(INTERNAL_COLS)
                     ds = ds.map_batches(
@@ -1838,13 +1870,14 @@ class LakeTable:
         if manifest_has_deltas(m):
             return self._read_resolved(m, columns, include_deleted,
                                        include_internal)
-        files = self.files(as_of_epoch)
+        files = self._file_paths(as_of_epoch)
         if not files:
             raise FileNotFoundError(f"lake at {self.root} has no committed data")
         if columns is None:
             # partitioning=None: the p=NNNNN layout must not be
             # hive-inferred into a spurious column
-            ds = rd.read_parquet(files, columns=None, partitioning=None)
+            ds = self._rd_read_parquet(files, columns=None,
+                                       partitioning=None)
         else:
             # the tombstone filter needs _deleted even when pruned out —
             # read it alongside, drop after filtering (same as lookup()).
@@ -1852,7 +1885,7 @@ class LakeTable:
             # (UnboundLocalError); with an explicit column list the hive
             # column is pruned anyway, so partitioning is left default.
             read_cols = list(dict.fromkeys([*columns, INTERNAL_DELETED]))
-            ds = rd.read_parquet(files, columns=read_cols)
+            ds = self._rd_read_parquet(files, columns=read_cols)
         if not include_deleted:
             ds = ds.map_batches(
                 lambda t: t.filter(pa.compute.invert(t[INTERNAL_DELETED])),
@@ -1898,7 +1931,7 @@ class LakeTable:
             read_cols = columns
             if read_cols is not None:
                 read_cols = list({*read_cols, self.key, INTERNAL_DELETED})
-            tbl = pq.read_table(self.root / part["file"], columns=read_cols)
+            tbl = fs_read_table(self.root / part["file"], columns=read_cols)
             tbl = tbl.filter(pc.equal(tbl[self.key], key_value))
         df = tbl.to_pandas()
         df = df[~df[INTERNAL_DELETED]]
@@ -1921,7 +1954,7 @@ class LakeTable:
                                           key=lambda kv: int(kv[0])))
                       if t is not None]
         else:
-            tables = [pq.read_table(f) for f in self.files()]
+            tables = [fs_read_table(f) for f in self._file_paths()]
         if not tables:
             return pd.DataFrame()
         tbl = pa.concat_tables(tables, promote_options="default")
@@ -1944,7 +1977,7 @@ class LakeTable:
         """LOG epochs strictly below this have had their change files
         pruned (``prune_change_events``). None = nothing pruned."""
         p = self.root / _CHANGES_DIR / "_HORIZON"
-        return int(p.read_text()) if p.exists() else None
+        return int(fs_read_text(p)) if fs_exists(p) else None
 
     def prune_change_events(self, before_epoch: int) -> dict:
         """Retention for the change-listener log: delete change files of
@@ -1957,15 +1990,12 @@ class LakeTable:
         O(files) unlinks, no data read."""
         cur = self._changes_horizon()
         horizon = max(before_epoch, cur or 0)
-        hdir = self.root / _CHANGES_DIR
-        hdir.mkdir(parents=True, exist_ok=True)
-        tmp = hdir / f"._HORIZON.{uuid.uuid4().hex[:8]}.tmp"
-        tmp.write_text(str(horizon))
-        os.replace(tmp, hdir / "_HORIZON")
+        fs_write_text_atomic(self.root / _CHANGES_DIR / "_HORIZON",
+                             str(horizon))
         removed = 0
         for e, f in self._change_files(_ignore_horizon=True):
-            if e < horizon and Path(f).exists():
-                Path(f).unlink()
+            if e < horizon and fs_exists(f):
+                fs_unlink(f)
                 removed += 1
         return {"removed_files": removed, "horizon": horizon}
 
@@ -1982,7 +2012,7 @@ class LakeTable:
                     le = int(ln.get("epoch", e))
                     if horizon is not None and le < horizon:
                         continue  # pruned by retention
-                    out.append((le, str(self.root / ln["changes_file"])))
+                    out.append((le, self.root / ln["changes_file"]))
         return out
 
     def change_events_ds(self, since_epoch: int | None = None):
@@ -2017,8 +2047,13 @@ class LakeTable:
                  pa.field("field", pa.string()),
                  pa.field("event", pa.string()),
                  pa.field("epoch", pa.int64())]).empty_table())
-        ds = rd.read_parquet([f for _, f in files], partitioning=None,
-                             include_paths=True)
+        if isinstance(self.root, FsPath):
+            ds = rd.read_parquet([f.key for _, f in files],
+                                 filesystem=self.root.fs,
+                                 partitioning=None, include_paths=True)
+        else:
+            ds = rd.read_parquet([str(f) for _, f in files],
+                                 partitioning=None, include_paths=True)
 
         def add_epoch(t: pa.Table) -> pa.Table:
             import re
@@ -2044,7 +2079,7 @@ class LakeTable:
             return pd.DataFrame(columns=[self.key, "field", "event", "epoch"])
         frames = []
         for e, f in files:
-            df = pq.read_table(f).to_pandas()
+            df = fs_read_table(f).to_pandas()
             df["epoch"] = e
             frames.append(df)
         return pd.concat(frames, ignore_index=True)
@@ -2147,7 +2182,7 @@ class LakeTable:
                 if len(v.get("deltas", [])) >= max(1, min_chain)}
         if not pend:
             return CommitResult(epoch=epoch, skipped=True)
-        root = str(self.root)
+        root = _as_root(self.root)
         dc = prev.get("delta_commits", {})
         kw = self._mor_kwargs()
         key = self.key
@@ -2158,12 +2193,7 @@ class LakeTable:
                 pid = int(pid)
                 tbl, h = _resolve_mor_pid(root, pend[str(pid)], dc, **kw)
                 rel = f"{_DATA_DIR}/p={pid:05d}/snap-{epoch:06d}m.parquet"
-                tmp = (Path(root) / f"{_DATA_DIR}/p={pid:05d}/"
-                       f".snap-{epoch:06d}m.{uuid.uuid4().hex[:8]}"
-                       ".parquet.tmp")
-                tmp.parent.mkdir(parents=True, exist_ok=True)
-                pq.write_table(tbl, tmp)
-                os.replace(tmp, Path(root) / rel)
+                fs_publish_table(tbl, _as_root(root) / rel)
                 live = int(pa.compute.sum(pa.compute.invert(
                     tbl[INTERNAL_DELETED])).as_py() or 0)
                 out.append((pid, rel, tbl.num_rows, live, h))
@@ -2274,7 +2304,7 @@ class LakeTable:
                 "purge_tombstones rewrites base snapshots only — run "
                 "compact_deltas() first")
         prev_parts = prev["partitions"]
-        root = str(self.root)
+        root = _as_root(self.root)
         key = self.key
         ver_col = self.version[0]
 
@@ -2284,7 +2314,7 @@ class LakeTable:
             out = []
             for pid, rel in zip(batch["pid"].to_pylist(),
                                 batch["file"].to_pylist()):
-                tbl = pq.read_table(Path(root) / rel)
+                tbl = fs_read_table(_as_root(root) / rel)
                 drop = pc.and_(
                     tbl[INTERNAL_DELETED],
                     pc.less(tbl[ver_col],
@@ -2295,10 +2325,7 @@ class LakeTable:
                 # snapshot path with a racing ingest merge at the same
                 # chain id (different content, first-writer-wins manifests)
                 new_rel = f"{_DATA_DIR}/p={pid:05d}/snap-{epoch:06d}m.parquet"
-                tmp = (Path(root) / f"{_DATA_DIR}/p={pid:05d}/"
-                       f".snap-{epoch:06d}m.{uuid.uuid4().hex[:8]}.parquet.tmp")
-                pq.write_table(kept, tmp)
-                os.replace(tmp, Path(root) / new_rel)
+                fs_publish_table(kept, _as_root(root) / new_rel)
                 h = snapshot_content_hash(kept.to_pandas(), key)
                 live = int(pa.compute.sum(
                     pa.compute.invert(kept[INTERNAL_DELETED])).as_py() or 0)
@@ -2476,12 +2503,12 @@ class LakeTable:
         if new_nb == old_nb:
             return CommitResult(epoch=epoch, skipped=True)
         prev_parts = prev["partitions"]
-        root = str(self.root)
+        root = _as_root(self.root)
         key = self.key
         split_root = self._staging_base / f"repart={epoch:06d}"
-        if split_root.exists():
-            shutil.rmtree(split_root)  # crashed attempt leftovers
-        split_base = str(split_root)
+        if fs_exists(split_root):
+            fs_rmtree(split_root)  # crashed attempt leftovers
+        split_base = split_root
         rng = _staging_range_size(new_nb)
 
         def split(batch: pa.Table) -> pa.Table:
@@ -2490,7 +2517,7 @@ class LakeTable:
                 rel = prev_parts[str(int(old_pid))].get("file")
                 if not rel:
                     continue
-                tbl = pq.read_table(Path(root) / rel)
+                tbl = fs_read_table(_as_root(root) / rel)
                 if tbl.num_rows == 0:
                     continue
                 b = stable_bucket(tbl[key], new_nb)
@@ -2510,9 +2537,8 @@ class LakeTable:
                     if rid != cur_rid:
                         if writer is not None:
                             writer.close()
-                        d = Path(split_base) / f"r={rid:05d}"
-                        d.mkdir(parents=True, exist_ok=True)
-                        writer = pq.ParquetWriter(
+                        d = _as_root(split_base) / f"r={rid:05d}"
+                        writer = fs_parquet_writer(
                             d / f"{tid}.parquet", tbl.schema,
                             compression="none")
                         cur_rid = rid
@@ -2539,9 +2565,9 @@ class LakeTable:
             out = []
             for pid in batch["pid"].to_pylist():
                 pid = int(pid)
-                d = Path(split_base) / f"r={pid // rng:05d}"
-                files = sorted(d.glob("*.parquet"))
-                parts = [pq.read_table(f,
+                d = _as_root(split_base) / f"r={pid // rng:05d}"
+                files = fs_glob(d, "*.parquet")
+                parts = [fs_read_table(f,
                                        filters=[(BUCKET_COL, "=", pid)])
                          for f in files]
                 tbl = pa.concat_tables([p for p in parts if p.num_rows])
@@ -2550,12 +2576,7 @@ class LakeTable:
                 tbl = tbl.take(pa.compute.sort_indices(tbl[key]))
                 new_rel = (f"{_DATA_DIR}/p={pid:05d}/"
                            f"snap-{epoch:06d}r.parquet")
-                tmp = (Path(root) / f"{_DATA_DIR}/p={pid:05d}/"
-                       f".snap-{epoch:06d}r.{uuid.uuid4().hex[:8]}"
-                       ".parquet.tmp")
-                tmp.parent.mkdir(parents=True, exist_ok=True)
-                pq.write_table(tbl, tmp)
-                os.replace(tmp, Path(root) / new_rel)
+                fs_publish_table(tbl, _as_root(root) / new_rel)
                 h = snapshot_content_hash(tbl.to_pandas(), key)
                 live = int(pa.compute.sum(pa.compute.invert(
                     tbl[INTERNAL_DELETED])).as_py() or 0)
@@ -2574,7 +2595,7 @@ class LakeTable:
         else:
             stats = pd.DataFrame(
                 columns=["pid", "file", "rows", "live", "hash"])
-        shutil.rmtree(split_root, ignore_errors=True)
+        fs_rmtree(split_root)
 
         partitions = {}
         for r in stats.itertuples(index=False):
@@ -2634,7 +2655,7 @@ class LakeTable:
         if not m:
             return empty
         key = self.key
-        root = str(self.root)
+        root = _as_root(self.root)
         parts = m["partitions"]
         # per pid: list of (rel_file, want_hash, want_rows, want_live);
         # want_live None => delta file (no live count recorded)
@@ -2670,7 +2691,7 @@ class LakeTable:
             for pid in batch["pid"].to_pylist():
                 pid = int(pid)
                 for rel, want_h, want_rows, want_live in meta[pid]:
-                    tbl = pq.read_table(Path(root) / rel)
+                    tbl = fs_read_table(_as_root(root) / rel)
                     got_h = snapshot_content_hash(tbl.to_pandas(), key)
                     bad = []
                     if tbl.num_rows != want_rows:
@@ -2733,10 +2754,10 @@ class LakeTable:
             raise ValueError(f"no committed manifest at {self.root}"
                              + (f" epoch {as_of_epoch}"
                                 if as_of_epoch is not None else ""))
-        dest = Path(dest)
+        dest = resolve_root(dest)
         if committed_epochs(dest):
             raise ValueError(f"{dest} already holds a lake")
-        dest.mkdir(parents=True, exist_ok=True)
+        fs_mkdirs(dest)
         rels: list[str] = []
         for v in m["partitions"].values():
             if v.get("file"):
@@ -2745,13 +2766,14 @@ class LakeTable:
         linked = 0
         for rel in rels:
             src, dst = self.root / rel, dest / rel
-            dst.parent.mkdir(parents=True, exist_ok=True)
-            if dst.exists():
+            if fs_exists(dst):
                 continue
-            try:
-                os.link(src, dst)
-            except OSError:  # cross-device / fs without hardlinks
-                shutil.copy2(src, dst)
+            # POSIX: hardlink (zero bytes; safe — data files are never
+            # mutated in place). Object store: server-side object copy
+            # (no bytes through the client; storage is duplicated —
+            # manifest-level file sharing across roots is the future
+            # optimization and needs cross-root refs in manifests).
+            fs_copy_file(src, dst)
             linked += 1
         _atomic_write_json(_manifest_path(dest, int(m["epoch"])), m)
         return LakeTable(
@@ -2783,23 +2805,23 @@ class LakeTable:
                 referenced.update(d["file"] for d in v.get("deltas", []))
         removed_files = 0
         data_dir = self.root / _DATA_DIR
-        if data_dir.is_dir():
+        if fs_is_dir(data_dir):
             for pattern in ("snap-*.parquet", "delta-*.parquet"):
-                for f in data_dir.rglob(pattern):
-                    rel = str(f.relative_to(self.root))
+                for f, rel_in_data in fs_rglob(data_dir, pattern):
+                    rel = f"{_DATA_DIR}/{rel_in_data}"
                     if rel not in referenced:
-                        f.unlink()
+                        fs_unlink(f)
                         removed_files += 1
         removed_manifests = 0
         for e in eps:
             if e not in keep:
-                _manifest_path(self.root, e).unlink()
+                fs_unlink(_manifest_path(self.root, e), missing_ok=False)
                 removed_manifests += 1
         # stale staging attempts (crashed runners) — compact is the
         # maintenance window where no runner is assumed live
         stale = self.staging_root / _STAGING_DIR
-        if stale.is_dir():
-            shutil.rmtree(stale, ignore_errors=True)
+        if fs_is_dir(stale):
+            fs_rmtree(stale)
         return {"removed_files": removed_files,
                 "removed_manifests": removed_manifests,
                 "kept_epochs": keep}
