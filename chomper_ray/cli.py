@@ -102,6 +102,22 @@ def main(argv=None):
                         "shuffled-export:DIR | minhash-index:DIR "
                         "(canned configs matching the standalone "
                         "refresh commands)")
+    r.add_argument("--auto-maintain", action="store_true",
+                   help="opt-in maintenance policy loop "
+                        "(state/policy.py): per commit, fold MOR delta "
+                        "chains at --auto-max-chain, compact --refresh "
+                        "structures at --auto-max-segments live "
+                        "segments, record partition-skew advisories. "
+                        "NOTE: an index compact folds its per-commit "
+                        "segments, so the 'refreshed' report then "
+                        "lists only the still-live segment commits")
+    r.add_argument("--auto-max-chain", type=int, default=8, metavar="N",
+                   help="policy: fold partitions whose pending MOR "
+                        "chain reaches N (default 8; 0 disables)")
+    r.add_argument("--auto-max-segments", type=int, default=12,
+                   metavar="N",
+                   help="policy: compact a maintained structure at N "
+                        "live segments (default 12; 0 disables)")
     r.add_argument("--decontaminate", default=None, metavar="BENCH",
                    help="parquet file/dir of benchmark texts: drop "
                         "events sharing any token n-gram with it "
@@ -430,6 +446,24 @@ def main(argv=None):
             extra["after_commit"] = refresh_hook
         refresh_before = {spec: set(t.applied_commits())
                           for spec, t in refresh_targets}
+        policy = None
+        if args.auto_maintain:
+            from chomper_ray.state.lake import LakeTable
+            from chomper_ray.state.policy import MaintenancePolicy
+
+            plake = LakeTable(args.lake_root, **lake_kwargs)
+            policy = MaintenancePolicy(
+                plake, targets=tuple(t for _, t in refresh_targets),
+                max_chain=args.auto_max_chain,
+                max_segments=args.auto_max_segments)
+            prev_hook2 = extra.get("after_commit")
+
+            def policy_hook(commit, _prev=prev_hook2):
+                if _prev is not None:
+                    _prev(commit)
+                policy.after_commit(commit)
+
+            extra["after_commit"] = policy_hook
         if args.near_dup_index:
             from chomper_ray.state.dupindex import run_cdc_admitted
 
@@ -456,6 +490,9 @@ def main(argv=None):
                 spec: sorted(set(t.applied_commits())
                              - refresh_before[spec])
                 for spec, t in refresh_targets}
+        if policy is not None:
+            out["maintenance"] = policy.summary()
+            out["maintenance_log"] = policy.log
         if args.compact_min_chain is not None:
             from chomper_ray.state.lake import LakeTable
 
