@@ -49,6 +49,10 @@ _QUERY_NAMES = [
     # cdc_hybrid_search builds from the sf documents+embeddings tables
     # (lake + BOTH maintained indexes + fused search scale with sf)
     "cdc_hybrid_search",
+    # round 5: the batched retrieval path over the same sf-scaling
+    # fixture (four queries in one pass; langid/fingerprint_md5 are
+    # sf-scaling document scans promoted to oracle-backed this round)
+    "cdc_hybrid_batch", "langid", "fingerprint_md5",
 ]
 
 

@@ -115,7 +115,11 @@ def main():
     # "cow" (default) = copy-on-write merges at commit time;
     # "mor" = merge-on-read delta commits + one compact_deltas() at the
     # end — same final state (hash-asserted in tests), different
-    # placement of the merge cost
+    # placement of the merge cost;
+    # "mor-policy" = MOR with the automatic maintenance policy
+    # (state/policy.py, max_chain=4) folding deep chains DURING the
+    # drain — the round-5 rehearsal: chains stay bounded with no
+    # operator calls, telemetry records every policy action
     mode = sys.argv[3] if len(sys.argv) > 3 else "cow"
 
     import ray
@@ -139,17 +143,49 @@ def main():
     staging = tempfile.mkdtemp(prefix="chomper_endurance_stg_",
                                dir="/dev/shm")
     lake_kwargs = {"staging_root": staging}
-    if mode == "mor":
+    if mode in ("mor", "mor-policy", "mor-policy-tail"):
         lake_kwargs.update(merge_on_read=True, collect_changes=False)
+    policy = None
+    chain_peaks: list[int] = []
+    extra = {}
+    if mode in ("mor-policy", "mor-policy-tail"):
+        from chomper_ray.state.lake import LakeTable
+        from chomper_ray.state.policy import MaintenancePolicy
+
+        plake = LakeTable(lake, num_partitions=NUM_PARTITIONS,
+                          **{k: v for k, v in lake_kwargs.items()
+                             if k != "staging_root"})
+        policy = MaintenancePolicy(plake, max_chain=4, advise_every=0)
+
+        def hook(commit):
+            policy.after_commit(commit)
+            chains = plake.delta_chain_lengths()
+            chain_peaks.append(max(chains.values(), default=0))
+
+        extra["after_commit"] = hook
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
     t0 = time.perf_counter()
+    # drain=True batches the whole backlog (hooks fire after the last
+    # manifest — the policy becomes one post-drain fold); the *-tail
+    # variant commits epoch-at-a-time so the policy interleaves and the
+    # chain telemetry shows the live bound
     res = run_cdc(log, lake, num_partitions=NUM_PARTITIONS,
-                  lake_kwargs=lake_kwargs, drain=True)
+                  lake_kwargs=lake_kwargs,
+                  drain=(mode != "mor-policy-tail"), **extra)
     wall = time.perf_counter() - t0
     rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
 
     ingest_bytes = sum(p.stat().st_size for p in Path(lake).rglob("*.parquet"))
     compact_s, live = 0.0, (res.commits[-1].total_rows if res.commits else 0)
+    if mode in ("mor-policy", "mor-policy-tail"):
+        from chomper_ray.state.lake import LakeTable
+
+        lt = LakeTable(lake, num_partitions=NUM_PARTITIONS,
+                       **{k: v for k, v in lake_kwargs.items()
+                          if k != "staging_root"})
+        pending = lt.delta_chain_lengths()
+        # resolved live-row count as a streaming read (no driver frame)
+        live = lt.read(columns=["url"]).count()
     if mode == "mor":
         from chomper_ray.state.lake import LakeTable
 
@@ -183,6 +219,10 @@ def main():
         "lake_files": lake_files,
         "driver_rss_mb": {"before": rss0, "after": rss1},
         "spill": spill,
+        **({"policy": policy.summary(),
+            "post_policy_chain_peaks": chain_peaks,
+            "pending_chains_at_end": pending}
+           if policy is not None else {}),
     }))
 
 
