@@ -96,6 +96,9 @@ class LakeBucketLayout:
 
         import ray.data as rd
 
+        from chomper_ray.state.fs import require_local_lake_root
+
+        require_local_lake_root(self.lake, type(self).__name__)
         man = load_manifest(self.lake.root)
         if man is None:
             return {"applied_cid": None, "rewritten": [], "removed": [],

@@ -224,6 +224,9 @@ class DerivedLakeTable:
     def refresh(self) -> LakeTable:
         """Apply every unapplied upstream commit in chain order.
         Idempotent; crash-resumable at any point."""
+        from chomper_ray.state.fs import require_local_lake_root
+
+        require_local_lake_root(self.upstream, type(self).__name__)
         root = self.upstream.root
         cids = committed_epochs(root)
         applied = self._applied()

@@ -52,7 +52,7 @@ __all__ = [
     "fs_write_text_atomic", "fs_publish_json", "fs_put_json_if_absent",
     "fs_read_table", "fs_publish_table", "fs_parquet_writer",
     "fs_rmtree", "fs_unlink", "fs_read_bytes", "fs_publish_bytes",
-    "fs_copy_file",
+    "fs_copy_file", "require_local_lake_root",
 ]
 
 
@@ -520,3 +520,19 @@ def fs_copy_file(src, dst, prefer_link: bool = True) -> None:
         except OSError:
             pass
     shutil.copy2(src, dst)
+
+
+def require_local_lake_root(lake, what: str) -> None:
+    """Derived maintenance reads lake files through path strings and
+    mixes them with local scratch in signed-diff reads — not yet routed
+    through the FsPath layer. Refuse an object-store lake root LOUDLY
+    here instead of failing deep inside a Ray task with a missing local
+    path. (The lake itself — ingest, read, lookup, compaction, GC,
+    fsck, branch — is fully object-store-capable; see state/fs.py.)"""
+    root = getattr(lake, "root", None)
+    if isinstance(root, FsPath):
+        raise NotImplementedError(
+            f"{what} over an object-store lake root ({root}) is not "
+            "supported yet: derived maintenance needs the lake on a "
+            "local/NFS path; the lake's own ingest/read/maintenance "
+            "surface is object-store-capable (state/fs.py)")

@@ -325,6 +325,9 @@ class _LsmSegmentIndex:
         applied commit-by-commit). Full builds / GC fallbacks at a
         delta-bearing manifest scan the RESOLVED state
         (``materialize_mor_resolved``)."""
+        from chomper_ray.state.fs import require_local_lake_root
+
+        require_local_lake_root(self.lake, type(self).__name__)
         import shutil
         import tempfile
 

@@ -198,6 +198,9 @@ class MaterializedAgg:
         """Apply every unapplied manifest commit in chain order; returns
         the final view. Idempotent: re-running with nothing new is a
         pure read."""
+        from chomper_ray.state.fs import require_local_lake_root
+
+        require_local_lake_root(self.lake, type(self).__name__)
         cids = committed_epochs(self.lake.root)
         if not cids:
             return self.view()
@@ -568,6 +571,9 @@ class MaterializedTopK:
     def refresh(self) -> pd.DataFrame:
         """Apply every unapplied manifest commit in chain order;
         idempotent. Returns the current top-k rows."""
+        from chomper_ray.state.fs import require_local_lake_root
+
+        require_local_lake_root(self.lake, type(self).__name__)
         cids = committed_epochs(self.lake.root)
         if not cids:
             return self.view()
@@ -986,6 +992,9 @@ class MaterializedSessions:
         """Apply every unapplied manifest commit in chain order;
         idempotent. Appends (cid, rescanned-group count) to
         ``last_rescans``."""
+        from chomper_ray.state.fs import require_local_lake_root
+
+        require_local_lake_root(self.lake, type(self).__name__)
         cids = committed_epochs(self.lake.root)
         if not cids:
             return self.view()
@@ -1302,6 +1311,9 @@ class MaterializedExtrema:
         """Apply every unapplied manifest commit in chain order;
         idempotent. Appends each refresh's rescan count to
         ``last_rescans``."""
+        from chomper_ray.state.fs import require_local_lake_root
+
+        require_local_lake_root(self.lake, type(self).__name__)
         cids = committed_epochs(self.lake.root)
         if not cids:
             return self.view()

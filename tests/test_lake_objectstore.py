@@ -126,3 +126,20 @@ def test_store_never_sees_rename_or_append(tmp_path, change_log,
     run_cdc(change_log, root, num_partitions=2, max_epochs=1)
     m = load_manifest(root)
     assert m is not None and m["epoch"] == 0
+
+
+def test_derived_maintenance_refuses_store_root_loudly(tmp_path,
+                                                       change_log,
+                                                       ray_session):
+    """Derived maintenance is not yet routed through the FsPath layer
+    (signed-diff reads mix lake files with local scratch); a
+    store-rooted lake must refuse at the refresh entry point with a
+    clear message, not die inside a Ray task on a missing local path."""
+    from chomper_ray.state.index import LakeTextIndex
+
+    root = mk_fs_root(tmp_path, "gstore")
+    run_cdc(change_log, root, num_partitions=2, max_epochs=1)
+    lake = LakeTable(root, num_partitions=2)
+    tidx = LakeTextIndex(lake, tmp_path / "tix", num_partitions=4)
+    with pytest.raises(NotImplementedError, match="object-store lake"):
+        tidx.refresh()
