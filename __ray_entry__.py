@@ -154,11 +154,19 @@ def _q_scalar_math(sf_dir: str):
     from chomper_ray.stages.transforms import Assigner, Chain, Picker
 
     # arbitrary scalar-function slot (reference Filter / examples) with a
-    # pyarrow.compute kernel body
+    # pyarrow.compute kernel body. Rounding is spelled as
+    # round(x*100)/100 — Arrow's round(ndigits=2) MULTIPLIES the
+    # integer-rounded value by 0.01 while SQL round() DIVIDES by 100,
+    # and the two land on different doubles at some values
+    # (88252.31999999999 vs 88252.32); the explicit scale/divide form
+    # is bit-identical to DuckDB.
     chain = Chain(
-        Assigner("net", lambda t: pc.round(
-            pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
-            ndigits=2, round_mode="half_towards_infinity")),  # DuckDB round()
+        Assigner("net", lambda t: pc.divide(pc.round(
+            pc.multiply(
+                pc.multiply(t["l_extendedprice"],
+                            pc.subtract(1.0, t["l_discount"])),
+                100.0),
+            ndigits=0, round_mode="half_towards_infinity"), 100.0)),
         Picker(["l_orderkey", "l_linenumber", "net"]),
     )
     return _read(sf_dir, "lineitem",
