@@ -1302,6 +1302,20 @@ def _q_fingerprint(sf_dir: str):
                      batch_format="pandas")
 
 
+def _q_simhash_sketch(sf_dir: str):
+    # SQL-replayable simhash (round 5): the Charikar sketch over
+    # md5-derived token hashes — ALL-integer arithmetic (±tf bit sums),
+    # so oracle parity is exact by construction. The siphash
+    # `simhash_dedup` family (bucketed near-dup clustering) stays
+    # rows-only; this pins the sketch math itself under the driver hash.
+    from chomper_ray.stages.text import add_simhash_md5
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(add_simhash_md5, batch_format="pandas") \
+        .map_batches(lambda df: df[["doc_id", "simhash"]],
+                     batch_format="pandas")
+
+
 def _q_fingerprint_md5(sf_dir: str):
     # promoted fingerprint family member (round 5): same 1-perm
     # winnowing shape as `fingerprint` but with an md5 window hash the
@@ -3541,6 +3555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5": _q_fingerprint_md5,
         "cdc_hybrid_batch": _q_cdc_hybrid_batch,
         "cdc_objectstore_pages": _q_cdc_objectstore_pages,
+        "simhash_sketch": _q_simhash_sketch,
         # --- end of driver hash window [0:50] (plus round-5 inserts) ---
         "cdc_hybrid_search": _q_cdc_hybrid_search,
         "cdc_decontaminated": _q_cdc_decontaminated,
@@ -3738,6 +3753,7 @@ def oracle_sql() -> dict[str, str]:
     from chomper_ray.stages.text import sql_pack_query as _sql_pack_query
     from chomper_ray.stages.text import (sql_entropy_query,
                                          sql_fingerprint_md5_sql,
+                                         sql_simhash_md5_sql,
                                          sql_langid_sql, sql_regex_exprs,
                                          sql_string_exprs)
 
@@ -5175,6 +5191,7 @@ def oracle_sql() -> dict[str, str]:
         # rows-only → oracle-backed promotions (round 5)
         "langid": sql_langid_sql(),
         "fingerprint_md5": sql_fingerprint_md5_sql(),
+        "simhash_sketch": sql_simhash_md5_sql(),
         "cdc_hybrid_batch": _hybrid_batch_sql(),
         # full listener-matrix replay: per log epoch, reconstruct the
         # LWW winner per key at the epoch boundary (new = epoch <= e,

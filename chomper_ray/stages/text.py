@@ -348,6 +348,63 @@ def sql_fingerprint_md5_sql(table: str = "documents",
         f"AS fingerprint FROM {table} d LEFT JOIN agg a USING ({key})")
 
 
+def simhash_md5_column(texts) -> np.ndarray:
+    """SQL-replayable sibling of the siphash simhash (stages/dedup.py):
+    the classic Charikar sketch — per distinct token, md5-derived 64-bit
+    hash weighted by term frequency; bit j of the sketch is 1 iff the
+    weighted ±1 sum over that bit position is > 0. All-INTEGER
+    arithmetic (±tf sums), so engine/oracle parity is exact by
+    construction, not by rounding discipline."""
+    import hashlib
+    import re as _re
+
+    out = np.empty(len(texts), dtype=np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        toks = _re.findall(r"\S+", t or "")
+        if not toks:
+            out[i] = 0
+            continue
+        uniq, tf = np.unique(np.array(toks, dtype=object),
+                             return_counts=True)
+        hv = np.array([int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
+                       for w in uniq], dtype=np.uint64)
+        bits = ((hv[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        v = ((2 * bits - 1) * tf[:, None].astype(np.int64)).sum(axis=0)
+        out[i] = np.uint64(((v > 0).astype(np.uint64)
+                            << shifts).sum(dtype=np.uint64))
+    return out
+
+
+def add_simhash_md5(batch: pd.DataFrame, col: str = "text",
+                    out: str = "simhash") -> pd.DataFrame:
+    batch[out] = simhash_md5_column(batch[col].tolist()).astype("uint64")
+    return batch
+
+
+def sql_simhash_md5_sql(table: str = "documents",
+                        key: str = "doc_id") -> str:
+    """DuckDB rendering of ``simhash_md5_column`` (for oracle_sql):
+    unnest tokens, tf per distinct token, md5 → UBIGINT, ±tf per bit
+    position, reassemble the sign bits."""
+    return (
+        f"WITH tok AS (SELECT {key}, w, count(*)::BIGINT AS tf FROM ("
+        f"SELECT {key}, unnest(regexp_extract_all(coalesce(text, ''), "
+        f"'\\S+')) AS w FROM {table}) GROUP BY 1, 2), "
+        f"h AS (SELECT {key}, tf, ('0x' || substr(md5(w), 1, 16))"
+        f"::UBIGINT AS hv FROM tok), "
+        f"bits AS (SELECT {key}, j, sum(CASE WHEN (hv >> j) & 1 = 1 "
+        f"THEN tf ELSE -tf END) AS v FROM h, "
+        f"(SELECT unnest(range(64)) AS j) js GROUP BY 1, 2), "
+        # HUGEINT shifts: UBIGINT << 63 overflows in DuckDB (the shift
+        # computes in signed 64-bit); 128-bit accumulate, cast at the end
+        f"sk AS (SELECT {key}, CAST(sum(CASE WHEN v > 0 THEN "
+        f"(1::HUGEINT << CAST(j AS INTEGER)) ELSE 0::HUGEINT END) AS "
+        f"UBIGINT) AS simhash FROM bits GROUP BY 1) "
+        f"SELECT d.{key}, CAST(coalesce(s.simhash, 0) AS UBIGINT) AS "
+        f"simhash FROM {table} d LEFT JOIN sk s USING ({key})")
+
+
 def sql_langid_sql(table: str = "documents", key: str = "doc_id") -> str:
     """DuckDB rendering of ``LanguageId`` (for oracle_sql): the stage's
     boundary-regex count of profile words equals the count of maximal

@@ -1121,3 +1121,28 @@ def test_pack_sequences_by_group_streams():
     a = got.sort_values(["source", "doc_id", "example_id"]) \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_simhash_md5_sketch_properties(ray_session):
+    """The SQL-replayable simhash (stages/text.py simhash_md5_column):
+    near-identical documents land at small Hamming distance, unrelated
+    documents far apart, empty text sketches to 0, and the sketch is
+    whitespace-layout-stable (token multiset determines it)."""
+    import numpy as np
+
+    from chomper_ray.stages.text import simhash_md5_column
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different vocabulary about ray data lakes " * 8
+    s = simhash_md5_column([base, near, far, "", "  \n\t ",
+                            base.replace(" ", "   ")])
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    assert ham(s[0], s[1]) < ham(s[0], s[2])
+    assert ham(s[0], s[1]) <= 12  # one-token edit: few bits flip
+    assert ham(s[0], s[2]) >= 20  # unrelated: ~32 expected
+    assert s[3] == 0 and s[4] == 0
+    assert s[5] == s[0]  # whitespace layout never moves the sketch
