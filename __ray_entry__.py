@@ -1337,6 +1337,36 @@ def _q_jaccard_dedup_exact(sf_dir: str):
     })
 
 
+def _q_embedding_cluster_exact(sf_dir: str):
+    # EXACT cosine clustering (stages/dedup.py embedding_cluster_exact)
+    # over a bounded 500-vector slice: brute-force all-pairs scores via
+    # the broadcast-matrix pattern, rounded to 6 digits before the
+    # threshold (the proven ANN-oracle discipline), min-id components.
+    # τ=0.4 because the synthetic embeddings carry no planted near-dups
+    # (max pairwise cosine ≈0.51) — the gate exercises a NON-trivial
+    # transitive closure; the LSH `embedding_dedup` family stays
+    # rows-only (recall < 1 by design).
+    import pyarrow.compute as _pc
+
+    from chomper_ray.stages.dedup import (clusters_dict,
+                                          embedding_cluster_exact)
+
+    ds = _read(sf_dir, "embeddings") \
+        .map_batches(lambda t: t.filter(_pc.less(t["vec_id"], 500)),
+                     batch_format="pyarrow") \
+        .repartition(8)
+    clusters_ds, _pairs = embedding_cluster_exact(ds, threshold=0.4)
+    clusters = clusters_dict(clusters_ds)
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id"])
+    ids = sorted(i for i in tbl["vec_id"].to_pylist() if i < 500)
+    return pd.DataFrame({
+        "vec_id": pd.array(ids, dtype="int64"),
+        "cluster_id": pd.array([clusters.get(i, i) for i in ids],
+                               dtype="int64"),
+    })
+
+
 def _q_simhash_sketch(sf_dir: str):
     # SQL-replayable simhash (round 5): the Charikar sketch over
     # md5-derived token hashes — ALL-integer arithmetic (±tf bit sums),
@@ -3592,6 +3622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_objectstore_pages": _q_cdc_objectstore_pages,
         "simhash_sketch": _q_simhash_sketch,
         "jaccard_dedup_exact": _q_jaccard_dedup_exact,
+        "embedding_cluster_exact": _q_embedding_cluster_exact,
         # --- end of driver hash window [0:50] (plus round-5 inserts) ---
         "cdc_hybrid_search": _q_cdc_hybrid_search,
         "cdc_decontaminated": _q_cdc_decontaminated,
@@ -5228,6 +5259,20 @@ def oracle_sql() -> dict[str, str]:
         "langid": sql_langid_sql(),
         "fingerprint_md5": sql_fingerprint_md5_sql(),
         "simhash_sketch": sql_simhash_md5_sql(),
+        # all-pairs rounded cosine >= 0.4 over the 500-vector slice +
+        # recursive-CTE transitive closure (min reachable id)
+        "embedding_cluster_exact": (
+            "WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] "
+            "AS v FROM embeddings WHERE vec_id < 500), "
+            "p AS (SELECT a.vec_id AS x, b.vec_id AS y FROM e a "
+            "JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4), "
+            "e2 AS (SELECT x, y FROM p UNION ALL SELECT y, x FROM p), "
+            "r(id, reach) AS (SELECT vec_id, vec_id FROM e "
+            "UNION SELECT r.id, e2.y FROM r JOIN e2 ON e2.x = r.reach) "
+            "SELECT id AS vec_id, CAST(min(reach) AS BIGINT) AS "
+            "cluster_id FROM r GROUP BY id"
+        ),
         # all-pairs distinct-5-gram Jaccard >= 0.8 + transitive closure
         # (min reachable id via recursive CTE); docs shorter than 5
         # chars contribute their whole text as the single shingle,

@@ -975,6 +975,62 @@ def simhash_dedup(ds, col: str = "text", id_col: str = "doc_id",
 # embedding cosine near-dup
 # --------------------------------------------------------------------------
 
+def embedding_cluster_exact(ds, vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            threshold: float = 0.95,
+                            ndigits: int = 6,
+                            driver_edge_cap: int = DRIVER_EDGE_CAP):
+    """EXACT cosine clustering — the brute-force sibling of
+    ``embedding_dedup`` (whose LSH bucketing trades recall for scale):
+    every pair is scored, so nothing above the threshold is missed.
+    The candidate matrix is the broadcast trick the ANN baseline uses —
+    one ``ray.put`` of the normalized matrix, each block matmuls
+    against it — O(n²) scores but O(n·dim) broadcast bytes and O(n/b)
+    tasks; right for bounded slices (dedup audits, eval-set curation),
+    not a 10^9-vector corpus. Scores round to ``ndigits`` BEFORE the
+    threshold compare (the ANN-family oracle discipline), clusters are
+    min-id connected components.
+
+    Returns ``(clusters_ds, pairs_ds)`` like the other families."""
+    import ray
+
+    blocks = ds.map_batches(
+        lambda df: pd.DataFrame({
+            id_col: df[id_col].astype("int64"),
+            "_v": list(np.stack(df[vec_col].to_numpy())
+                       .astype(np.float64))}),
+        batch_format="pandas").materialize()
+    all_rows = blocks.to_pandas()  # bounded-slice operator by contract
+    ids_all = all_rows[id_col].to_numpy()
+    m = np.stack(all_rows["_v"].to_numpy())
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(ids_all, kind="stable")
+    ids_all, m = ids_all[order], m[order]
+    mref = ray.put((ids_all, m))
+
+    def score_block(df: pd.DataFrame) -> pd.DataFrame:
+        ids_b = df[id_col].to_numpy()
+        vb = np.stack(df["_v"].to_numpy())
+        vb /= np.maximum(np.linalg.norm(vb, axis=1, keepdims=True),
+                         1e-12)
+        ga, gm = ray.get(mref)
+        cs = np.round(vb @ gm.T, ndigits)
+        bi, gj = np.nonzero(cs >= threshold)
+        a, b = ids_b[bi], ga[gj]
+        keep = a < b  # upper triangle once, no self-pairs
+        return pd.DataFrame({
+            "a": a[keep].astype(np.int64),
+            "b": b[keep].astype(np.int64),
+            "truncated": np.zeros(int(keep.sum()), dtype=bool),
+            "cos": cs[bi, gj][keep]})
+
+    pairs_ds = blocks.map_batches(score_block, batch_format="pandas") \
+        .materialize()
+    clusters_ds = components_auto_ds(pairs_ds,
+                                     driver_edge_cap=driver_edge_cap)
+    return clusters_ds, pairs_ds
+
+
 def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                     threshold: float = 0.95, num_planes: int = 16,
                     seed: int = 777, num_partitions: int = 32,

@@ -1184,3 +1184,40 @@ def test_jaccard_dedup_exact_catches_all_planted(ray_session):
     # unrelated docs stay singletons
     for i in range(20):
         assert cl.get(1000 + i, 1000 + i) == 1000 + i
+
+
+def test_embedding_cluster_exact_planted(ray_session):
+    """embedding_cluster_exact: brute all-pairs — planted near-identical
+    vectors always cluster (zero false negatives), orthogonal ones
+    never do, and transitive chains collapse to one min-id component."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from chomper_ray.stages.dedup import (clusters_dict,
+                                          embedding_cluster_exact)
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(20):
+        v = rng.normal(size=32)
+        rows.append({"vec_id": 2 * i, "embedding": list(v)})
+        rows.append({"vec_id": 2 * i + 1,
+                     "embedding": list(v + rng.normal(scale=0.01,
+                                                      size=32))})
+    # a transitive chain: a~b, b~c but a·c slightly lower — all one
+    # component via closure
+    base = rng.normal(size=32)
+    step = rng.normal(scale=0.12, size=32)
+    rows += [{"vec_id": 100, "embedding": list(base)},
+             {"vec_id": 101, "embedding": list(base + step)},
+             {"vec_id": 102, "embedding": list(base + 2 * step)}]
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+    clusters_ds, pairs = embedding_cluster_exact(ds, threshold=0.98)
+    cl = clusters_dict(clusters_ds)
+    for i in range(20):
+        assert cl.get(2 * i, 2 * i) == cl.get(2 * i + 1, 2 * i + 1)
+    assert cl.get(100, 100) == cl.get(101, 101) == cl.get(102, 102)
+    # random unit vectors in 32-d never hit 0.98 across pairs
+    p = pairs.to_pandas()
+    assert (p["cos"] >= 0.98).all()
