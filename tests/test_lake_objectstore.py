@@ -143,3 +143,48 @@ def test_derived_maintenance_refuses_store_root_loudly(tmp_path,
     tidx = LakeTextIndex(lake, tmp_path / "tix", num_partitions=4)
     with pytest.raises(NotImplementedError, match="object-store lake"):
         tidx.refresh()
+
+
+def _race_one(args):
+    # module-level for spawn-pickling; fresh filesystem object per
+    # process — nothing shared but the backing disk
+    store, i = args
+    from chomper_ray.state.fs import (FsPath, fs_put_json_if_absent,
+                                      object_store_test_fs)
+
+    fs = object_store_test_fs(store)
+    p = FsPath(fs, "lake") / "_manifest" / "manifest-000042.json"
+    return i, fs_put_json_if_absent(p, {"winner": i})
+
+
+def _race_entry(store, i, q):
+    q.put(_race_one((store, i)))
+
+
+def test_put_if_absent_multiprocess_race(tmp_path):
+    """The decisive commit primitive under REAL concurrency: 8
+    processes race put_if_absent on the same manifest key; exactly one
+    wins and the landed bytes are the winner's (the POSIX os.link
+    equivalent is separately proven by the lake's racing-runner tests).
+    """
+    import multiprocessing as mp
+
+    store = str(tmp_path / "racestore")
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=_race_entry, args=(store, i, q))
+             for i in range(8)]
+    for p in procs:
+        p.start()
+    results = [q.get(timeout=60) for _ in range(8)]
+    for p in procs:
+        p.join(timeout=60)
+    winners = [i for i, won in results if won]
+    assert len(winners) == 1, f"expected one winner, got {winners}"
+    from chomper_ray.state.fs import (FsPath, fs_read_text,
+                                      object_store_test_fs)
+
+    fs = object_store_test_fs(store)
+    got = json.loads(fs_read_text(
+        FsPath(fs, "lake") / "_manifest" / "manifest-000042.json"))
+    assert got == {"winner": winners[0]}
