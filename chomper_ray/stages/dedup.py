@@ -994,13 +994,29 @@ def embedding_cluster_exact(ds, vec_col: str = "embedding",
     Returns ``(clusters_ds, pairs_ds)`` like the other families."""
     import ray
 
-    blocks = ds.map_batches(
-        lambda df: pd.DataFrame({
+    def to_blocks(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # empty blocks: np.stack needs >= 1 array
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "_v": pd.Series(dtype="object")})
+        return pd.DataFrame({
             id_col: df[id_col].astype("int64"),
             "_v": list(np.stack(df[vec_col].to_numpy())
-                       .astype(np.float64))}),
-        batch_format="pandas").materialize()
+                       .astype(np.float64))})
+
+    blocks = ds.map_batches(to_blocks,
+                            batch_format="pandas").materialize()
     all_rows = blocks.to_pandas()  # bounded-slice operator by contract
+    if not len(all_rows):
+        import ray.data as rd
+
+        empty_pairs = rd.from_pandas(pd.DataFrame({
+            "a": pd.Series(dtype="int64"),
+            "b": pd.Series(dtype="int64"),
+            "truncated": pd.Series(dtype="bool"),
+            "cos": pd.Series(dtype="float64")})).materialize()
+        return components_auto_ds(empty_pairs,
+                                  driver_edge_cap=driver_edge_cap), \
+            empty_pairs
     ids_all = all_rows[id_col].to_numpy()
     m = np.stack(all_rows["_v"].to_numpy())
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
@@ -1009,6 +1025,12 @@ def embedding_cluster_exact(ds, vec_col: str = "embedding",
     mref = ray.put((ids_all, m))
 
     def score_block(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "truncated": pd.Series(dtype="bool"),
+                "cos": pd.Series(dtype="float64")})
         ids_b = df[id_col].to_numpy()
         vb = np.stack(df["_v"].to_numpy())
         vb /= np.maximum(np.linalg.norm(vb, axis=1, keepdims=True),

@@ -16,14 +16,17 @@ Two root flavors:
   protocol never needs what object stores don't have.
 
 Put-if-absent per backend:
-- mock (tests): ``O_CREAT | O_EXCL`` on the backing directory — true CAS.
+- mock (tests): full bytes staged outside the key space, then linked
+  into place create-exclusively — CONTENT-atomic CAS (a reader sees no
+  object or the complete one, matching a real conditional PUT).
 - real S3: conditional PUT with ``If-None-Match: *`` (generally
   available on S3 since late 2024; GCS has ``x-goog-if-generation-match:
-  0``). pyarrow's S3FileSystem does not expose it, so backends without a
-  native hook fall back to exists→put, which is safe for the
-  single-runner-per-lake deployments the CLI drives, and documented
-  here for anyone wiring a multi-runner S3 lake: plug a handler with a
-  native ``put_if_absent`` (the mock shows the interface).
+  0``). pyarrow's S3FileSystem does not expose it, so a filesystem
+  without a native ``put_if_absent`` handler REFUSES the commit path by
+  default — a check-then-put would let a racing loser clobber the
+  winner's manifest. A deployment that provably runs ONE runner per
+  lake opts in with ``CHOMPER_SINGLE_RUNNER=1``; multi-runner S3 lakes
+  plug a conditional-put handler (the mock shows the interface).
 
 S3 listing note: the manifest-chain discovery (``committed_epochs``)
 relies on list-after-put consistency, which S3 has provided strongly
@@ -211,7 +214,7 @@ class _ObjectStoreHandler(_FileSystemHandler):
             raise FileNotFoundError(selector.base_dir)
         out = []
         walker = os.walk(base) if selector.recursive else \
-            [(base, next(os.walk(base))[1], next(os.walk(base))[2])]
+            [next(os.walk(base))]
         for dirpath, dirnames, filenames in walker:
             rel_dir = os.path.relpath(dirpath, self.base)
             for f in filenames:
@@ -271,22 +274,49 @@ class _ObjectStoreHandler(_FileSystemHandler):
     def open_input_file(self, path):
         return self.open_input_stream(path)
 
+    def _staging_tmp(self) -> str:
+        # in-flight uploads live OUTSIDE the key space (a hidden dir at
+        # the store root), like incomplete multipart uploads: listings
+        # of any object prefix never see them
+        d = os.path.join(self.base, ".inflight")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, uuid.uuid4().hex)
+
     def open_output_stream(self, path, metadata=None):
-        # a put is atomic-by-key: emulate by staging outside the key
-        # space and installing on close (the INTERFACE exposes only the
-        # completed object, exactly like a finished multipart upload)
+        # a put is atomic-by-key: stage outside the key space, install
+        # on an ERROR-FREE close (the INTERFACE exposes only completed
+        # objects — a write that failed mid-stream aborts like an
+        # abandoned multipart upload, leaving the old object intact)
         a = self._abs(path)
         os.makedirs(os.path.dirname(a), exist_ok=True)
-        tmp = a + f".inflight-{uuid.uuid4().hex[:8]}"
+        tmp = self._staging_tmp()
         raw = open(tmp, "wb")
 
-        handler = self
-
         class _Put(io.BufferedWriter):
+            _failed = False
+
+            def write(self, b):
+                try:
+                    return super().write(b)
+                except BaseException:
+                    self._failed = True
+                    raise
+
             def close(self):
                 if not self.closed:
-                    super().close()
-                    os.replace(tmp, a)  # internal emulation of PUT
+                    try:
+                        super().close()
+                    except BaseException:
+                        self._failed = True
+                        raise
+                    finally:
+                        if self._failed:
+                            try:
+                                os.unlink(tmp)
+                            except OSError:
+                                pass
+                        else:
+                            os.replace(tmp, a)  # emulated atomic PUT
 
         return pa.PythonFile(_Put(raw.detach()), mode="w")
 
@@ -297,15 +327,23 @@ class _ObjectStoreHandler(_FileSystemHandler):
 
     # native conditional put (the S3 If-None-Match analog) -----------------
     def put_if_absent(self, path: str, data: bytes) -> bool:
+        # CONTENT-atomic like a real conditional PUT: the full bytes are
+        # staged outside the key space first, then linked into place
+        # create-exclusively — a concurrent reader sees either no object
+        # or the complete one, never an empty/partial key (an O_EXCL
+        # create followed by a write would expose that window)
         a = self._abs(path)
         os.makedirs(os.path.dirname(a), exist_ok=True)
+        tmp = self._staging_tmp()
+        with open(tmp, "wb") as f:
+            f.write(data)
         try:
-            fd = os.open(a, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, a)
+            return True
         except FileExistsError:
             return False
-        with os.fdopen(fd, "wb") as f:
-            f.write(data)
-        return True
+        finally:
+            os.unlink(tmp)
 
 
 def object_store_test_fs(backing_dir) -> "pa.fs.FileSystem":
@@ -431,6 +469,19 @@ def fs_put_json_if_absent(p, obj) -> bool:
         handler = getattr(p.fs, "handler", None)
         if handler is not None and hasattr(handler, "put_if_absent"):
             return bool(handler.put_if_absent(p.key, data))
+        # No native conditional put on this filesystem: a check-then-put
+        # would let a racing loser CLOBBER the winner's manifest — the
+        # exact corruption first-writer-wins exists to rule out. Refuse
+        # by default; a deployment that guarantees one runner per lake
+        # may opt in explicitly.
+        if os.environ.get("CHOMPER_SINGLE_RUNNER") != "1":
+            raise NotImplementedError(
+                f"filesystem {type(p.fs).__name__} exposes no conditional "
+                "put (put_if_absent): exactly-once commits under "
+                "concurrent runners need one (S3: If-None-Match PUT — "
+                "plug a handler like state/fs.py's mock shows). If this "
+                "lake provably has a SINGLE runner, set "
+                "CHOMPER_SINGLE_RUNNER=1 to accept check-then-put.")
         if fs_exists(p):
             return False
         fs_publish_bytes(p, data)

@@ -952,6 +952,16 @@ def materialize_mor_resolved(root, man: dict, mor_kwargs: dict,
     delta-bearing manifest (first build, or compacted-away history)."""
     import ray.data as rd
 
+    if isinstance(_as_root(root), FsPath):
+        # the resolve tasks build local path strings and write local
+        # scratch — not yet routed through the fs layer; refuse HERE
+        # with the same message the derived refresh guards use instead
+        # of a TypeError deep inside a Ray task
+        raise NotImplementedError(
+            f"materialize_mor_resolved over an object-store lake root "
+            f"({root}) is not supported yet; the lake's own "
+            "ingest/read/maintenance surface is object-store-capable "
+            "(state/fs.py)")
     parts = man.get("partitions", {})
     plain = [str(Path(root) / v["file"])
              for _, v in sorted(parts.items())
@@ -1663,14 +1673,10 @@ class LakeTable:
     def files(self, as_of_epoch: int | None = None) -> list[str]:
         """Live data files — of the latest commit, or any committed epoch
         (time travel: every manifest holds the full partition→file map)."""
-        m = load_manifest(self.root, as_of_epoch)
-        if not m:
-            return []
         # base snapshots only: a merge-on-read partition that has never
         # been compacted has no base file yet (file=None); callers that
         # need the RESOLVED state must go through read() / read_pandas()
-        return [str(self.root / v["file"])
-                for _, v in sorted(m["partitions"].items()) if v.get("file")]
+        return [str(p) for p in self._file_paths(as_of_epoch)]
 
     def _file_paths(self, as_of_epoch: int | None = None) -> list:
         """``files()`` as path OBJECTS (Path or FsPath) — internal read

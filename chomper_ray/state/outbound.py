@@ -162,6 +162,9 @@ class LakeChangeExporter:
 
     # -- export ---------------------------------------------------------------
     def export(self) -> dict:
+        from chomper_ray.state.fs import require_local_lake_root
+
+        require_local_lake_root(self.lake, type(self).__name__)
         root = self.lake.root
         cids = committed_epochs(root)
         applied = self._applied()
@@ -397,6 +400,10 @@ def export_changes_multi(lakes: dict[str, "LakeTable"],
     maintenance. ``run_cdc_multi``'s empty-epoch cursor alignment
     means every table has a commit at every log epoch; tables created
     later simply skip earlier epochs."""
+    from chomper_ray.state.fs import require_local_lake_root
+
+    for _name, _lake in lakes.items():
+        require_local_lake_root(_lake, f"export_changes_multi[{_name}]")
     out = Path(out_dir)
     steps: dict[str, dict[int, tuple]] = {}
     for name, lake in lakes.items():
